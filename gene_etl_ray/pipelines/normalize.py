@@ -1,0 +1,82 @@
+"""Event normalization + pre-validation (stateless map_batches stages).
+
+Reference parity: canonical key normalization before the keyed sink
+(``persist.py:114-117`` swaps gene keys into canonical order → here urls
+are canonicalized so the merge key is stable) and pre-validation checks
+that drop/flag malformed rows before compute (``validate.py:33-85``).
+
+The per-url canonicalization MUST be the exact same code path in the
+engine and the single-process oracle — it feeds the merge key, so any
+divergence breaks byte-identical convergence. ``canonicalize_url_one`` is
+that single source of truth.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SCHEME_HOST = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*://)([^/]*)(.*)$", re.S)
+VALID_OPS = ("I", "U", "D")
+
+
+def canonicalize_url_one(url: str | None) -> str | None:
+    """Strip fragment, lowercase scheme + host. Pure, deterministic."""
+    if url is None:
+        return None
+    url = url.strip().split("#", 1)[0]
+    if not url:
+        return None
+    m = _SCHEME_HOST.match(url)
+    if m:
+        url = m.group(1).lower() + m.group(2).lower() + m.group(3)
+    return url
+
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """Canonicalize urls; drop rows with null/empty url, invalid op, or
+    null warc_ts/seq (the merge key and version must exist).
+
+    Fast path: urls already canonical (the overwhelming case for crawl
+    data) are detected vectorized and left untouched.
+    """
+    urls = batch.column("url")
+    # vectorized fast-path: non-null, no fragment/space, no upper-case before first '/'
+    ok = pc.and_(
+        pc.is_valid(urls),
+        pc.invert(pc.match_substring_regex(urls, r"^[^/]*[A-Z]|#|^\s|\s$|^$")),
+    )
+    if not pc.all(ok).as_py():
+        fixed = [canonicalize_url_one(u) for u in urls.to_pylist()]
+        batch = batch.set_column(
+            batch.schema.get_field_index("url"), "url", pa.array(fixed, pa.string())
+        )
+        urls = batch.column("url")
+    keep = pc.and_(
+        pc.and_(pc.is_valid(urls), pc.is_in(batch.column("op"), value_set=pa.array(VALID_OPS))),
+        pc.and_(pc.is_valid(batch.column("warc_ts")), pc.is_valid(batch.column("seq"))),
+    )
+    if pc.all(keep).as_py():
+        return batch
+    return batch.filter(keep)
+
+
+def prevalidate_counts(table: pa.Table) -> dict:
+    """Cheap pre-validation metrics over the envelope columns only
+    (column-pruned read). Parity: ``validate.py:33-85``'s five checks."""
+    n = table.num_rows
+    null_url = pc.sum(pc.is_null(table.column("url"))).as_py() or 0
+    bad_op = n - (
+        pc.sum(pc.is_in(table.column("op"), value_set=pa.array(VALID_OPS))).as_py() or 0
+    )
+    null_ts = pc.sum(pc.is_null(table.column("warc_ts"))).as_py() or 0
+    dup_seq = n - pc.count_distinct(table.column("seq")).as_py()
+    return {
+        "events": n,
+        "null_url": null_url,
+        "invalid_op": bad_op,
+        "null_warc_ts": null_ts,
+        "duplicate_seq": dup_seq,
+    }

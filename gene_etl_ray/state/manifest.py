@@ -1,0 +1,104 @@
+"""Two-phase manifest commit — the exactly-once sink protocol.
+
+Replaces the reference's constraint-based idempotency (unique natural key +
+insert-or-skip on IntegrityError, ``models.py:152``, ``persist.py:152-185``)
+with a rename-then-manifest protocol (north_rule "two-phase manifest
+commit"):
+
+  phase 1: each merge task writes ``part=<k>/.tmp-epoch=<e>-g<g>.parquet``
+           and fsyncs it — retried Ray tasks just overwrite their own temp
+           file, harmless;
+  phase 2: the driver renames temp → final (``os.replace``, atomic) and
+           atomically rewrites ``_manifests/part=<k>.json`` naming the
+           partition's CURRENT file set with a monotonic epoch id.
+
+Readers only trust manifested files: a torn write (temp or even a renamed
+final file with no manifest entry) is invisible. Superseded files are
+garbage-collected best-effort AFTER the manifest points away from them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(obj, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    _fsync_dir(os.path.dirname(path))
+
+
+def _fsync_dir(d: str) -> None:
+    try:
+        fd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    except OSError:
+        pass
+
+
+def manifest_path(lake_dir: str, pkey: int) -> str:
+    return os.path.join(lake_dir, "_manifests", f"part={pkey:05d}.json")
+
+
+def read_manifest(lake_dir: str, pkey: int) -> dict | None:
+    p = manifest_path(lake_dir, pkey)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def commit_partition(
+    lake_dir: str, pkey: int, epoch: int, tmp_files: list[str], stats: dict
+) -> dict:
+    """Phase 2 for one partition: rename temp files to final names, then
+    atomically publish the manifest listing exactly those files as the
+    partition's current state. Returns the new manifest."""
+    old = read_manifest(lake_dir, pkey)
+    if old is not None and old["epoch"] >= epoch:
+        # already committed by a previous (crashed-after-commit) run — the
+        # epoch-idempotency guard, reference analog ``persist.py:273-295``
+        return old
+    finals = []
+    for tmp in tmp_files:
+        d, base = os.path.split(tmp)
+        final = os.path.join(d, base.removeprefix(".tmp-"))
+        os.replace(tmp, final)
+        finals.append(final)
+    _fsync_dir(os.path.join(lake_dir, f"part={pkey:05d}"))
+    manifest = {"pkey": pkey, "epoch": epoch, "files": sorted(finals), "stats": stats}
+    atomic_write_json(manifest_path(lake_dir, pkey), manifest)
+    # GC files superseded by this manifest (safe: readers already re-pointed)
+    if old is not None:
+        for f in old["files"]:
+            if f not in manifest["files"]:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+    return manifest
+
+
+def current_files(lake_dir: str, pkeys: list[int] | None = None) -> dict[int, list[str]]:
+    """Map pkey → manifested current files (only committed data is visible)."""
+    mdir = os.path.join(lake_dir, "_manifests")
+    if not os.path.isdir(mdir):
+        return {}
+    out: dict[int, list[str]] = {}
+    if pkeys is None:
+        names = [n for n in os.listdir(mdir) if n.startswith("part=") and n.endswith(".json")]
+        pkeys = [int(n[5:-5]) for n in names]
+    for k in pkeys:
+        m = read_manifest(lake_dir, k)
+        if m:
+            out[k] = m["files"]
+    return out

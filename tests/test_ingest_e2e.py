@@ -1,0 +1,192 @@
+"""End-to-end convergence tests — the four mandated scenarios (north_rule,
+SURVEY §5.2): full replay, mid-replay crash/resume, out-of-order delivery,
+and mid-stream schema-add. Each diffs the materialized lake against the
+single-process replay oracle, including per-url extracted text bytes."""
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from gene_etl_ray.config import EngineConfig
+from gene_etl_ray.fixtures import generate_events
+from gene_etl_ray.oracle import replay_oracle
+from gene_etl_ray.pipelines.ingest import (
+    CrashInjected,
+    read_lake,
+    run_ingest,
+    validate_lake,
+)
+from gene_etl_ray.state.lineage import read_lineage
+
+
+def lake_df(lake_dir: str) -> pd.DataFrame:
+    df = read_lake(lake_dir).to_pandas()
+    if "url" not in df.columns:  # fully-empty live view loses its schema
+        return df
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def assert_matches_oracle(lake_dir: str, events_dir: str, ignore: tuple = ()):
+    live = lake_df(lake_dir)
+    gold = replay_oracle(events_dir)
+    cols = sorted((set(live.columns) & set(gold.columns)) - set(ignore))
+    assert "text" in cols and "url" in cols and "warc_ts" in cols
+    pd.testing.assert_frame_equal(
+        live[cols], gold[cols].reset_index(drop=True), check_dtype=False
+    )
+    # byte-identical text per url (explicit, beyond frame equality)
+    assert list(live["text"].fillna("")) == list(gold["text"].fillna(""))
+
+
+def test_full_replay_matches_oracle(tmp_events, tmp_lake):
+    generate_events(tmp_events, n_urls=400, n_events=2000, n_epochs=6)
+    cfg = EngineConfig(lake_dir=tmp_lake, num_partitions=8, epochs_per_commit=2)
+    rep = run_ingest(cfg, tmp_events)
+    assert rep["events_in"] == 2000
+    assert_matches_oracle(tmp_lake, tmp_events)
+    checks = validate_lake(tmp_lake)
+    assert checks["one_row_per_url"]
+    # lineage exists for every committed epoch
+    assert {r["epoch"] for r in read_lineage(tmp_lake)} == {1, 3, 5}
+
+
+def test_replay_is_idempotent(tmp_events, tmp_lake):
+    """Re-running a fully-ingested log is a no-op (epoch idempotency,
+    reference analog persist.py:273-295)."""
+    generate_events(tmp_events, n_urls=200, n_events=800, n_epochs=4)
+    cfg = EngineConfig(lake_dir=tmp_lake, num_partitions=4)
+    run_ingest(cfg, tmp_events)
+    before = lake_df(tmp_lake)
+    rep2 = run_ingest(cfg, tmp_events)
+    assert rep2["events_applied"] == 0 and rep2["commits"] == []
+    pd.testing.assert_frame_equal(before, lake_df(tmp_lake))
+
+
+def test_crash_and_resume_converges(tmp_events, tmp_lake):
+    """Kill after epoch-k commit (and mid-commit-group: only some
+    partitions committed) → resume → state identical to the oracle."""
+    generate_events(tmp_events, n_urls=400, n_events=2000, n_epochs=6)
+    cfg = EngineConfig(lake_dir=tmp_lake, num_partitions=8, epochs_per_commit=2)
+    with pytest.raises(CrashInjected):
+        run_ingest(cfg, tmp_events, fail_after_partitions=3)
+    # torn state: some partitions at epoch 1, global record absent
+    rep = run_ingest(cfg, tmp_events)  # resume
+    assert rep["commits"]
+    assert_matches_oracle(tmp_lake, tmp_events)
+
+
+def test_crash_between_commits_converges(tmp_events, tmp_lake):
+    """Crash after a full commit group (global epoch written) → resume
+    replays only the remaining epochs."""
+    generate_events(tmp_events, n_urls=300, n_events=1500, n_epochs=6)
+    cfg = EngineConfig(lake_dir=tmp_lake, num_partitions=8, epochs_per_commit=2)
+    with pytest.raises(CrashInjected):
+        run_ingest(cfg, tmp_events, fail_after_partitions=8)
+    rep = run_ingest(cfg, tmp_events)
+    total_applied = rep["events_applied"]
+    assert total_applied < 1500  # earlier epochs were not replayed
+    assert_matches_oracle(tmp_lake, tmp_events)
+
+
+def test_out_of_order_delivery_converges(tmp_events, tmp_lake, tmp_path):
+    """Scenario 3: the same events delivered in a different epoch order
+    produce the identical live state (LWW on (warc_ts, seq), never arrival
+    order). Lineage column `epoch` is excluded — it records *when* the
+    winner arrived, which legitimately differs."""
+    generate_events(tmp_events, n_urls=300, n_events=1500, n_epochs=5, out_of_order_frac=0.3)
+    cfg_a = EngineConfig(lake_dir=tmp_lake, num_partitions=8)
+    run_ingest(cfg_a, tmp_events)
+
+    # re-deal the same events into epochs by reversed file order
+    shuffled = str(tmp_path / "events_shuffled")
+    os.makedirs(shuffled)
+    files = sorted(glob.glob(os.path.join(tmp_events, "epoch=*.parquet")))
+    tables = [pq.read_table(f) for f in reversed(files)]
+    for e, t in enumerate(tables):
+        t = t.set_column(t.schema.get_field_index("epoch"), "epoch", pq.read_table(files[e]).column("epoch"))
+        pq.write_table(t, os.path.join(shuffled, f"epoch={e:05d}.parquet"))
+    lake_b = str(tmp_path / "lake_b")
+    run_ingest(EngineConfig(lake_dir=lake_b, num_partitions=8), shuffled)
+
+    a, b = lake_df(tmp_lake), lake_df(lake_b)
+    cols = sorted(set(a.columns) - {"epoch"})
+    pd.testing.assert_frame_equal(a[cols], b[cols])
+
+
+def test_mid_stream_schema_add_converges(tmp_events, tmp_lake):
+    """Scenario 4: new nullable column appears at epoch k and
+    content_length widens int32→int64; history is null-backfilled and the
+    final state matches the oracle."""
+    generate_events(
+        tmp_events, n_urls=300, n_events=1500, n_epochs=6, schema_add_epoch=3
+    )
+    cfg = EngineConfig(lake_dir=tmp_lake, num_partitions=8, epochs_per_commit=2)
+    run_ingest(cfg, tmp_events)
+    live = lake_df(tmp_lake)
+    assert "fetch_status" in live.columns
+    assert str(live["content_length"].dtype) == "int64"
+    assert_matches_oracle(tmp_lake, tmp_events)
+
+
+def test_incremental_equals_batch(tmp_events, tmp_lake, tmp_path):
+    """Ingesting epoch-by-epoch (commit cadence 1) equals one big batch
+    ingest — the incremental-view-maintenance property."""
+    generate_events(tmp_events, n_urls=250, n_events=1200, n_epochs=4, tie_frac=0.2)
+    run_ingest(EngineConfig(lake_dir=tmp_lake, num_partitions=4, epochs_per_commit=1), tmp_events)
+    lake_b = str(tmp_path / "lake_b")
+    run_ingest(EngineConfig(lake_dir=lake_b, num_partitions=4, epochs_per_commit=4), tmp_events)
+    a, b = lake_df(tmp_lake), lake_df(lake_b)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_salting_does_not_change_state(tmp_events, tmp_lake, tmp_path):
+    """Hot-partition salting is a pure physical-plan choice: forcing every
+    partition hot (threshold 0, S=8) yields the identical lake state."""
+    generate_events(tmp_events, n_urls=300, n_events=1500, n_epochs=3)
+    run_ingest(EngineConfig(lake_dir=tmp_lake, num_partitions=4), tmp_events)
+    lake_b = str(tmp_path / "lake_b")
+    run_ingest(
+        EngineConfig(
+            lake_dir=lake_b, num_partitions=4, salt_factor=8, hot_partition_threshold=0
+        ),
+        tmp_events,
+    )
+    pd.testing.assert_frame_equal(lake_df(tmp_lake), lake_df(lake_b))
+
+
+def test_tombstones_block_resurrection(tmp_events, tmp_lake):
+    """A delete with the newest (warc_ts, seq) must win over an
+    out-of-order older update arriving in a LATER epoch."""
+    import pyarrow as pa
+
+    os.makedirs(tmp_events)
+    base = 1_600_000_000_000_000
+
+    def write_epoch(e, rows):
+        t = pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([base + r[1] for r in rows], pa.timestamp("us")),
+                "html": pa.array([r[2] for r in rows], pa.binary()),
+                "text": pa.nulls(len(rows), pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "op": pa.array([r[3] for r in rows], pa.string()),
+                "seq": pa.array([r[4] for r in rows], pa.int64()),
+                "epoch": pa.array([e] * len(rows), pa.int32()),
+            }
+        )
+        pq.write_table(t, os.path.join(tmp_events, f"epoch={e:05d}.parquet"))
+
+    u = "https://x.com/a"
+    write_epoch(0, [(u, 100, b"<p>v1</p>", "I", 0), (u, 300, None, "D", 1)])
+    write_epoch(1, [(u, 200, b"<p>late-old</p>", "U", 2)])  # older ts, later arrival
+    cfg = EngineConfig(lake_dir=tmp_lake, num_partitions=2, epochs_per_commit=1)
+    run_ingest(cfg, tmp_events)
+    assert len(lake_df(tmp_lake)) == 0  # url stays deleted
+    # tombstone is physically retained
+    stored = read_lake(tmp_lake, live_only=False).to_pandas()
+    assert len(stored) == 1 and bool(stored["is_deleted"][0])

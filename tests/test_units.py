@@ -1,0 +1,122 @@
+"""Unit tests for the engine's kernels (reference test style: seeded
+inputs + invariant assertions, SURVEY §5.1)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gene_etl_ray.config import EngineConfig, config_hash
+from gene_etl_ray.extract import HtmlTextExtractor, extract_text
+from gene_etl_ray.hashing import group_keys, hash_urls, partition_keys
+from gene_etl_ray.pipelines.normalize import canonicalize_url_one, normalize_batch
+from gene_etl_ray.schema import (
+    SchemaEvolutionError,
+    conform_table,
+    evolve_schema,
+)
+
+
+class TestExtractor:
+    def test_strips_tags_scripts_styles(self):
+        html = b"<html><head><style>x{}</style></head><body><script>bad()</script><p>Hello &amp; world</p></body></html>"
+        out = extract_text(html)
+        assert "Hello & world" in out
+        assert "bad()" not in out and "x{}" not in out and "<p>" not in out
+
+    def test_byte_determinism_repeated(self):
+        html = ("<html><body>" + "<p>word &copy; t</p>" * 200 + "</body></html>").encode()
+        a, b = extract_text(html), HtmlTextExtractor().extract_one(html)
+        assert a == b
+        assert extract_text(html) == a
+
+    def test_none_passthrough(self):
+        assert extract_text(None) is None
+
+    def test_batch_fills_only_null_text(self):
+        ex = HtmlTextExtractor()
+        t = pa.table(
+            {
+                "html": pa.array([b"<p>a</p>", b"<p>b</p>", None], pa.binary()),
+                "text": pa.array(["keep", None, None], pa.string()),
+            }
+        )
+        out = ex(t)
+        assert out.column("text").to_pylist() == ["keep", "b", None]
+
+
+class TestHashing:
+    def test_deterministic_across_calls(self):
+        urls = [f"https://d{i}.com/p{i}" for i in range(100)]
+        assert (hash_urls(urls) == hash_urls(list(urls))).all()
+
+    def test_partition_range_and_stability(self):
+        urls = [f"https://x.com/{i}" for i in range(1000)]
+        pk = partition_keys(urls, 16)
+        assert pk.min() >= 0 and pk.max() < 16
+        # a url's partition never changes
+        assert (pk == partition_keys(urls, 16)).all()
+
+    def test_salting_preserves_per_url_grouping(self):
+        urls = np.array(["https://h.com/a"] * 50 + ["https://h.com/b"] * 50, dtype=object)
+        pk, gk = group_keys(urls, 4, 8, hot_partitions={0, 1, 2, 3})
+        # same url → always same group key
+        assert len(set(gk[:50])) == 1 and len(set(gk[50:])) == 1
+        # gkey maps back to pkey
+        assert (gk // 8 == pk).all()
+
+
+class TestNormalize:
+    def test_canonicalize(self):
+        assert canonicalize_url_one("HTTPS://ExAmple.Com/Path#frag") == "https://example.com/Path"
+        assert canonicalize_url_one("  ") is None
+        assert canonicalize_url_one(None) is None
+
+    def test_batch_drops_bad_rows(self):
+        t = pa.table(
+            {
+                "url": pa.array(["https://a.com/x", None, "https://b.com/y"], pa.string()),
+                "op": pa.array(["I", "I", "Z"], pa.string()),
+                "warc_ts": pa.array([1, 2, 3], pa.timestamp("us")),
+                "seq": pa.array([0, 1, 2], pa.int64()),
+            }
+        )
+        out = normalize_batch(t)
+        assert out.column("url").to_pylist() == ["https://a.com/x"]
+
+
+class TestSchemaEvolution:
+    def test_additive_column(self):
+        a = pa.schema([("x", pa.int64())])
+        b = pa.schema([("x", pa.int64()), ("y", pa.string())])
+        assert evolve_schema(a, b).names == ["x", "y"]
+        # symmetric: removing a column never removes it from the lake
+        assert evolve_schema(b, a).names == ["x", "y"]
+
+    def test_widening(self):
+        a = pa.schema([("x", pa.int32())])
+        b = pa.schema([("x", pa.int64())])
+        assert evolve_schema(a, b).field("x").type == pa.int64()
+        c = pa.schema([("x", pa.float32())])
+        assert evolve_schema(a, c).field("x").type == pa.float64()
+
+    def test_incompatible_raises(self):
+        a = pa.schema([("x", pa.string())])
+        b = pa.schema([("x", pa.int64())])
+        with pytest.raises(SchemaEvolutionError):
+            evolve_schema(a, b)
+
+    def test_conform_backfills_and_casts(self):
+        t = pa.table({"x": pa.array([1, 2], pa.int32())})
+        s = pa.schema([("x", pa.int64()), ("y", pa.string())])
+        out = conform_table(t, s)
+        assert out.schema == s
+        assert out.column("y").null_count == 2
+
+
+class TestConfig:
+    def test_hash_stable_and_order_insensitive(self):
+        assert config_hash({"a": 1, "b": 2}) == config_hash({"b": 2, "a": 1})
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            EngineConfig(lake_dir="/tmp/x", num_partitions=0)
