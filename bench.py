@@ -1,0 +1,175 @@
+"""Benchmark harness.
+
+Headline: end-to-end CDC apply throughput (change-events/sec to converged
+lake state) on a deterministic synthetic change log sized from
+$GRAFT_SF_DIR, plus wall-times for representative query-layer pipelines.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "events": E,
+   "events_per_sec": ...}
+
+--scaling: runs the identical headline job in two FRESH processes
+(num_cpus=8 and num_cpus=32) on the same pre-generated input — the
+sandbox evidence for the N vs 4N-node criterion — and prints throughput
+at both plus efficiency (thr32/thr8)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROOT = "/tmp/gene_etl_ray_bench"
+
+# bench event-log size scales with the sf tier (sf0.1 → 200k events)
+_EVENTS_BY_SF = {"sf0.001": 4_000, "sf0.01": 40_000, "sf0.1": 200_000}
+
+
+def _events_dir() -> tuple[str, int]:
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    n_events = _EVENTS_BY_SF.get(tag, 200_000)
+    d = os.path.join(BENCH_ROOT, tag, "events")
+    marker = os.path.join(d, ".complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        from gene_etl_ray.fixtures import generate_events
+
+        generate_events(
+            d,
+            n_urls=max(500, n_events // 4),
+            n_events=n_events,
+            n_epochs=8,
+            schema_add_epoch=5,
+            html_size_hint=200,
+        )
+        open(marker, "w").close()
+    return d, n_events
+
+
+def run_headline() -> dict:
+    from gene_etl_ray.config import EngineConfig
+    from gene_etl_ray.pipelines.ingest import run_ingest
+
+    ev_dir, n_events = _events_dir()
+    lake = os.path.join(BENCH_ROOT, f"lake_cpu{NUM_CPUS}_{os.getpid()}")
+    shutil.rmtree(lake, ignore_errors=True)
+    # warm the OS page cache (untimed) so we measure compute + shuffle
+    for f in sorted(os.listdir(ev_dir)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(ev_dir, f), "rb") as fh:
+                fh.read()
+    cfg = EngineConfig(
+        lake_dir=lake,
+        num_partitions=32,
+        epochs_per_commit=4,
+        extract_concurrency=max(2, NUM_CPUS - 2),
+        extract_batch_size=512,
+    )
+    t0 = time.time()
+    rep = run_ingest(cfg, ev_dir)
+    wall = time.time() - t0
+    shutil.rmtree(lake, ignore_errors=True)
+    return {"sec": wall, "events": rep["events_in"], "events_per_sec": rep["events_in"] / wall}
+
+
+def run_queries() -> dict[str, float]:
+    import gene_etl_ray.queries as Q
+
+    names = [
+        "q1_pricing_summary",
+        "events_lww_latest",
+        "docs_dedup_exact",
+        "docs_minhash_pairs",
+        "knn_cosine_topk",
+        "docs_token_count",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = Q.QUERIES[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()  # consume the stream
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    head = run_headline()
+    queries = run_queries()
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_ingest_wall_sec",
+                "value": round(head["sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": os.path.basename(os.path.normpath(SF_DIR)),
+                "num_cpus": NUM_CPUS,
+                "events": head["events"],
+                "events_per_sec": round(head["events_per_sec"], 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Fresh-process runs at 8 and 32 CPUs on identical input."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)  # first child generates+caches the input
+    thr_lo, thr_hi = lo["events_per_sec"], hi["events_per_sec"]
+    eff = (thr_hi / thr_lo) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_8_to_32_cpus",
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "events_per_sec_8": thr_lo,
+                "events_per_sec_32": thr_hi,
+                "scaling_efficiency": round(eff, 3),
+                "events": hi["events"],
+                "sf": hi["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,223 @@
+"""Deduplication operators over the ``documents`` table.
+
+The CDC kernel family (SURVEY §2.7) extended to the near-dup operators a
+training-data pipeline needs. All are Ray-Data-first:
+
+- exact: vectorized content-hash per batch → hash-partitioned groupby →
+  keep the min-doc_id row per hash (deterministic winner);
+- MinHash+LSH: shingle→minhash signature per batch (numpy), explode to
+  (band, band_hash) rows, groupby band buckets → candidate pairs →
+  verified by true Jaccard — only candidate pairs are verified, never the
+  full cross product;
+- SimHash: 64-bit signatures per batch, bucket by signature prefix;
+- n-gram Jaccard: exact pairwise verification within LSH buckets;
+- embedding cosine near-dup lives in ``ops.knn``.
+
+Scale: signatures are fixed-width numpy per batch; the only shuffles are
+groupbys on hash/band columns (uniformly distributed by construction).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_TOKEN = re.compile(r"\w+", re.UNICODE)
+
+# fixed 64-bit mix constants (splitmix64) — deterministic across processes
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    return x ^ (x >> np.uint64(31))
+
+
+def _hash_strings(vals: list[str]) -> np.ndarray:
+    return pd.util.hash_array(np.asarray(vals, dtype=object), categorize=False)
+
+
+def content_hash(ds: ray.data.Dataset, column: str = "text") -> ray.data.Dataset:
+    """Append a deterministic 64-bit content hash (vectorized)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["content_hash"] = pd.util.hash_array(
+            batch[column].to_numpy(dtype=object), categorize=False
+        ).astype("uint64")
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def exact_dedup(
+    ds: ray.data.Dataset, column: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Exact dedup: one row per distinct ``column`` value; the winner is the
+    min ``id_col`` (deterministic). Hash-partition + per-group first —
+    the D1 seen-set check (``validate.py:447-476``) done distributed."""
+    hashed = content_hash(ds, column)
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col, kind="mergesort").head(1)
+
+    return hashed.groupby("content_hash").map_groups(first, batch_format="pandas")
+
+
+def _shingles(text: str, k: int) -> set[str]:
+    toks = _TOKEN.findall(text.lower())
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+class MinHasher:
+    """Stateful minhash stage: permutation constants built once per actor
+    (the actor-pool pattern, ST2 analog ``correlate.py:25-33``)."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, 2**61, size=num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.randint(0, 2**61, size=num_perm, dtype=np.uint64)
+        self.k = shingle_k
+        self.num_perm = num_perm
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text, self.k)
+        if not sh:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        h = _hash_strings(sorted(sh))  # (n_shingles,)
+        # universal hashing: min over (a*h + b) per permutation
+        vals = (h[None, :] * self.a[:, None] + self.b[:, None]) & np.uint64(
+            0xFFFFFFFFFFFFFFFF
+        )
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([self.signature(t) for t in batch["text"]])
+        batch["minhash"] = list(sigs)
+        return batch
+
+
+def minhash_lsh_candidates(
+    ds: ray.data.Dataset,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """MinHash+LSH near-dup candidate pairs, verified by signature
+    similarity. Pipeline: signature per doc (actor pool) → explode to one
+    (band, band_hash, id) row per band → groupby band bucket → pairs within
+    bucket → dedup pairs → estimated Jaccard from full signatures.
+    Returns a small pandas frame (id_a, id_b, est_jaccard)."""
+    rows_per_band = num_perm // bands
+    sigged = ds.map_batches(
+        MinHasher, fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pandas", concurrency=(1, 4),
+    )
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_band, out_bh, out_sig = [], [], [], []
+        for _, row in batch.iterrows():
+            sig = row["minhash"]
+            for b in range(bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                bh = int(_mix64(chunk.copy()).sum() & np.uint64(0xFFFFFFFFFFFFFFFF))
+                out_id.append(row[id_col])
+                out_band.append(b)
+                out_bh.append(bh)
+                out_sig.append(sig)
+        return pd.DataFrame(
+            {id_col: out_id, "band": out_band, "band_hash": out_bh, "sig": out_sig}
+        )
+
+    exploded = sigged.map_batches(explode, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        sigs = np.stack(g["sig"].to_numpy())
+        pairs_a, pairs_b, est = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs_a.append(ids[i])
+                pairs_b.append(ids[j])
+                est.append(float((sigs[i] == sigs[j]).mean()))
+        return pd.DataFrame({"id_a": pairs_a, "id_b": pairs_b, "est_jaccard": est})
+
+    pairs = (
+        exploded.groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+    return (
+        pairs.groupby(["id_a", "id_b"], as_index=False)["est_jaccard"]
+        .max()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
+class SimHasher:
+    """64-bit SimHash signatures (token-hash bit voting), built per actor."""
+
+    def __init__(self, seed: int = 11):
+        self.seed = seed
+        self._bits = np.arange(64, dtype=np.uint64)
+
+    def signature(self, text: str) -> int:
+        toks = _TOKEN.findall(text.lower())
+        if not toks:
+            return 0
+        h = _hash_strings(toks)
+        bits = ((h[:, None] >> self._bits[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        return int(((votes > 0).astype(np.uint64) << self._bits).sum())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["simhash"] = [self.signature(t) for t in batch["text"]]
+        return batch
+
+
+def simhash_signatures(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 4))
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset, threshold: float = 0.5, shingle_k: int = 3, id_col: str = "doc_id"
+) -> pd.DataFrame:
+    """Exact n-gram Jaccard similarity over MinHash-LSH candidate pairs —
+    LSH prunes the quadratic space; only candidates are verified with true
+    shingle sets (broadcast doc lookup)."""
+    cand = minhash_lsh_candidates(ds, shingle_k=shingle_k, id_col=id_col)
+    if cand.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    need = set(cand["id_a"]) | set(cand["id_b"])
+    docs = (
+        ds.map_batches(
+            lambda b: b[b[id_col].isin(need)][[id_col, "text"]], batch_format="pandas"
+        )
+        .to_pandas()
+        .set_index(id_col)["text"]
+        .to_dict()
+    )
+    out = []
+    for _, r in cand.iterrows():
+        sa, sb = _shingles(docs[r["id_a"]], shingle_k), _shingles(docs[r["id_b"]], shingle_k)
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            out.append((r["id_a"], r["id_b"], j))
+    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"]).reset_index(drop=True)

@@ -1,0 +1,153 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- Brute-force cosine top-k: the query matrix is broadcast once (closure →
+  object store); each batch does one numpy matmul against it — vectorized,
+  no per-row Python. The per-batch partial top-k rows are merged
+  driver-side (tiny), so the full dataset is never materialized.
+- LSH-bucketed variant (the scale path): random-hyperplane signatures
+  bucket vectors; only the query's bucket (and Hamming-1 neighbors) is
+  scanned — turning a full scan into a targeted partition read at
+  10^10-row scale.
+- Embedding-cosine near-dup: all-pairs above a threshold within LSH
+  buckets only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def _to_matrix(series: pd.Series) -> np.ndarray:
+    return np.stack(series.to_numpy())
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine top-k per query. Returns (query_idx, vec_id, cosine)
+    with k rows per query, deterministically tie-broken by vec_id."""
+    q = np.asarray(queries, dtype=np.float32)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame({"query_idx": [], id_col: [], "cosine": []})
+        m = _to_matrix(batch[vec_col]).astype(np.float32)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = qn @ mn.T  # (n_q, n_batch)
+        ids = batch[id_col].to_numpy()
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = {
+            "query_idx": np.repeat(np.arange(len(qn)), kk),
+            id_col: ids[top].ravel(),
+            "cosine": np.take_along_axis(sims, top, axis=1).ravel().astype(np.float64),
+        }
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(
+        ["query_idx", "cosine", id_col], ascending=[True, False, True], kind="mergesort"
+    )
+    return parts.groupby("query_idx", as_index=False).head(k).reset_index(drop=True)
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signature stage (state: the plane matrix, built
+    once per actor from a fixed seed)."""
+
+    def __init__(self, dim: int, num_planes: int = 16, seed: int = 5):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((dim, num_planes)).astype(np.float32)
+        self.bits = (np.uint64(1) << np.arange(num_planes, dtype=np.uint64))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(batch["embedding"]).astype(np.float32)
+        sig = ((m @ self.planes) > 0).astype(np.uint64)
+        batch["lsh_bucket"] = (sig * self.bits).sum(axis=1).astype("int64")
+        return batch
+
+
+def lsh_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    num_planes: int = 6,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Approximate top-k: scan only rows whose LSH bucket is within
+    Hamming distance 2 of the query's bucket (multi-probe). Same output
+    shape as ``brute_force_topk``; recall < 1 by design. Tune
+    ``num_planes`` up as the table grows (buckets ≈ 2^planes)."""
+    q = np.asarray(queries, dtype=np.float32)
+    dim = q.shape[1]
+    lsh = HyperplaneLSH(dim, num_planes)
+    qsig = ((q @ lsh.planes) > 0).astype(np.uint64)
+    qbuckets = (qsig * lsh.bits).sum(axis=1).astype(np.int64)
+    wanted: set[int] = set()
+    for b in qbuckets:
+        wanted.add(int(b))
+        for p in range(num_planes):
+            wanted.add(int(b) ^ (1 << p))
+            for p2 in range(p + 1, num_planes):
+                wanted.add(int(b) ^ (1 << p) ^ (1 << p2))
+
+    bucketed = ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs={"dim": dim, "num_planes": num_planes},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    pruned = bucketed.map_batches(
+        lambda b: b[b["lsh_bucket"].isin(wanted)], batch_format="pandas"
+    )
+    return brute_force_topk(pruned, q, k=k, id_col=id_col)
+
+
+def cosine_near_dup_pairs(
+    ds: ray.data.Dataset, threshold: float = 0.95, num_planes: int = 10, id_col: str = "vec_id"
+) -> pd.DataFrame:
+    """Embedding near-duplicate pairs: all-pairs cosine ≥ threshold,
+    computed WITHIN LSH buckets only (groupby shuffle on the bucket id)."""
+    probe = ds.take(1)
+    dim = len(probe[0]["embedding"])
+    bucketed = ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs={"dim": dim, "num_planes": num_planes},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = g.sort_values(id_col, kind="mergesort")
+        m = _to_matrix(g["embedding"]).astype(np.float32)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = mn @ mn.T
+        ids = g[id_col].to_numpy()
+        ii, jj = np.triu_indices(len(ids), k=1)
+        mask = sims[ii, jj] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ii[mask]],
+                "id_b": ids[jj[mask]],
+                "cosine": sims[ii[mask], jj[mask]].astype(np.float64),
+            }
+        )
+
+    out = bucketed.groupby("lsh_bucket").map_groups(pairs, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+    return (
+        out.groupby(["id_a", "id_b"], as_index=False)["cosine"]
+        .max()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,153 @@
+"""Relational operator shapes over Ray Data — SURVEY §2 parity.
+
+Each helper reproduces a reference operator family idiomatically:
+filters/projections (M1-M2, ``io.py:60-61``/``io.py:184-199``), broadcast
+dim joins (J1/J5, ``io.py:92``, ``app.py:256-268``), grouped aggregation
+(A1-A11, ``filters.py:184-193``, ``models.py:268-284``), top-k / rank
+(K1-K4, ``filters.py:82-88``, ``models.py:244``), LWW/latest-per-key dedup
+(D2, ``persist.py:152-185``) and windowed grouped stats.
+
+Scale notes: joins broadcast the small side (materialized once, shipped
+via closure/object store — never re-read per batch); aggregations
+pre-combine per batch where the group count is small; sorts are limited
+to top-k results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Column-pruned read of one testdata table."""
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def broadcast_join(
+    ds: ray.data.Dataset,
+    small: pd.DataFrame,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Hash join against a broadcast small side (dimension table).
+
+    The small frame is captured in the stage closure — Ray serializes it
+    once into the object store and every task reads the same copy
+    (never re-shipped per batch). Reference analog: sample⋈illness inner
+    join (``io.py:92``) and the 3-way dim enrichment (``app.py:256-268``).
+    """
+    right_on = right_on or on
+    small = small.rename(columns={right_on: on}) if right_on != on else small
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(small, on=on, how=how)
+
+    return ds.map_batches(join, batch_format="pandas")
+
+
+def semi_filter(ds: ray.data.Dataset, column: str, values) -> ray.data.Dataset:
+    """Semi-join as a broadcast IN-list filter (J2/J3, ``io.py:118-133``)."""
+    vset = pa.array(list(values))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column(column), value_set=vset))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def grouped_aggregate_partial(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sums: dict[str, str],
+    counts: str | None = None,
+) -> pd.DataFrame:
+    """groupby-aggregate with per-batch pre-combination: each batch emits
+    one partial row per key, the tiny partials are merged driver-side.
+    No all-to-all shuffle — correct when the distinct-key count is small
+    (the common case for reporting aggregates). ``sums`` maps
+    output_name → input_column; ``counts`` names an output count column.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, as_index=False, sort=False, dropna=False)
+        if sums:
+            out = g.agg(**{o: (c, "sum") for o, c in sums.items()})
+            if counts:
+                out[counts] = g.size()["size"].to_numpy()
+        else:
+            out = g.size().rename(columns={"size": counts})
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = partials.groupby(keys, as_index=False, sort=False, dropna=False)
+    agg = {o: (o, "sum") for o in sums}
+    if counts:
+        agg[counts] = (counts, "sum")
+    return g.agg(**agg)
+
+
+def latest_per_key(
+    ds: ray.data.Dataset, key: str, order: list[str]
+) -> ray.data.Dataset:
+    """Last-writer-wins per key: the row with max ``order`` tuple wins —
+    the CDC merge kernel as a standalone relational operator (D2,
+    ``persist.py:152-185``). Hash-shuffle on key, per-group vectorized
+    keep-last."""
+
+    def keep_last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort")
+        return g.tail(1)
+
+    return ds.groupby(key).map_groups(keep_last, batch_format="pandas")
+
+
+def top_k(ds: ray.data.Dataset, column: str, k: int, extra_sort: list[str] | None = None):
+    """Global top-k: per-batch partial top-k (vectorized) then a final
+    merge — avoids a full sort shuffle (K1/K2, ``filters.py:82-88``).
+    ``extra_sort`` columns break ties deterministically."""
+    sort_cols = [column] + (extra_sort or [])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(sort_cols, ascending=[False] * len(sort_cols)).head(k)
+
+    tops = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return tops.sort_values(sort_cols, ascending=[False] * len(sort_cols)).head(k).reset_index(
+        drop=True
+    )
+
+
+def ranked(ds: ray.data.Dataset, column: str, rank_name: str = "rank") -> pd.DataFrame:
+    """Global dense rank by descending value (K3, ``models.py:244``
+    ``ROW_NUMBER() OVER (ORDER BY ...)``). Materializes — rank is a
+    total order, inherently a gather; use only on reduced results."""
+    df = ds.to_pandas().sort_values(column, ascending=False, kind="mergesort").reset_index(drop=True)
+    df[rank_name] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df
+
+
+def windowed_agg(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    freq_us: int,
+    value: str,
+) -> pd.DataFrame:
+    """Tumbling-window grouped aggregate: window = floor(ts/freq). Ray Data
+    has no event-time windows (SURVEY §2.9) — the window id is a derived
+    column, then an ordinary grouped aggregation with per-batch partials."""
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.int64())
+        w = pc.multiply(pc.floor(pc.divide(t, freq_us)), freq_us).cast(pa.int64())
+        return batch.append_column("window_start", w)
+
+    with_w = ds.map_batches(add_window, batch_format="pyarrow")
+    out = grouped_aggregate_partial(
+        with_w, [key, "window_start"], sums={"value_sum": value}, counts="n_events"
+    )
+    return out

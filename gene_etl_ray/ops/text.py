@@ -1,0 +1,163 @@
+"""Text-analysis stages over the ``documents`` table.
+
+Training-data-pipeline operators, each an actor-pool ``map_batches`` stage
+with per-actor compiled state (ST2 pattern, ``correlate.py:25-33``):
+language-ID (stopword/char n-gram heuristic), quality scoring
+(length/punct/stopword ratios — M9-style derived columns,
+``filters.py:200-202``), token counting (whitespace + BPE-ish regex), and
+rolling-hash document fingerprinting.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+# tiny deterministic stopword sets per language (public common words)
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"},
+    "fr": {"le", "la", "les", "et", "un", "une", "des", "est", "que", "pour"},
+    "es": {"el", "la", "los", "de", "que", "y", "en", "un", "una", "es"},
+    "pt": {"o", "a", "os", "de", "que", "e", "em", "um", "uma", "para"},
+    "ru": {"и", "в", "не", "на", "что", "я", "с", "он", "как", "это"},
+}
+
+_WORD = re.compile(r"\w+", re.UNICODE)
+_BPE_ISH = re.compile(  # GPT-2-style pretokenizer shape (public pattern)
+    r"'(?:s|t|re|ve|m|ll|d)| ?\w+| ?[^\s\w]+|\s+(?!\S)|\s+"
+)
+_PUNCT = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+class LangId:
+    """Heuristic language ID: stopword hit-rate per language + CJK/Cyrillic
+    script detection. State (compiled tables) built once per actor."""
+
+    def __init__(self) -> None:
+        self.stop = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self.word = _WORD
+
+    def classify(self, text: str) -> str:
+        if not text:
+            return "und"
+        sample = text[:2000]
+        cjk = sum("一" <= c <= "鿿" or "぀" <= c <= "ヿ" for c in sample)
+        if cjk > len(sample) * 0.15:
+            return "ja" if any("぀" <= c <= "ヿ" for c in sample) else "zh"
+        toks = [t.lower() for t in self.word.findall(sample)]
+        if not toks:
+            return "und"
+        best, best_rate = "und", 0.0
+        for lang, stop in self.stop.items():
+            rate = sum(t in stop for t in toks) / len(toks)
+            if rate > best_rate:
+                best, best_rate = lang, rate
+        return best if best_rate > 0.02 else "und"
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["lang_pred"] = [self.classify(t) for t in batch["text"]]
+        return batch
+
+
+class QualityScorer:
+    """Per-doc quality signals, fully vectorized (pandas str kernels):
+    char/word counts, mean word length, punctuation ratio, stopword ratio,
+    uppercase ratio, digit ratio — the derived-ratio column family (M9)."""
+
+    def __init__(self) -> None:
+        self.stop_en = _STOPWORDS["en"]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"].fillna("")
+        n_chars = s.str.len()
+        words = s.str.findall(_WORD)
+        n_words = words.str.len().clip(lower=0)
+        batch["n_chars"] = n_chars.astype("int64")
+        batch["n_words"] = n_words.astype("int64")
+        batch["mean_word_len"] = words.map(
+            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0
+        )
+        batch["punct_ratio"] = (
+            s.str.count(_PUNCT) / n_chars.replace(0, 1)
+        ).astype("float64")
+        batch["stopword_ratio"] = words.map(
+            lambda ws: sum(w.lower() in self.stop_en for w in ws) / len(ws) if ws else 0.0
+        )
+        batch["upper_ratio"] = (s.str.count(r"[A-Z]") / n_chars.replace(0, 1)).astype(
+            "float64"
+        )
+        return batch
+
+
+def token_count_ws(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Whitespace token count — SQL-checkable vectorized kernel."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_tokens_ws"] = batch["text"].fillna("").str.split().str.len().astype("int64")
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def token_count_bpe_ish(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """BPE-ish pretokenizer count (regex compiled once per actor)."""
+
+    class Counter:
+        def __init__(self):
+            self.rx = _BPE_ISH
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch["n_tokens_bpe"] = [
+                len(self.rx.findall(t or "")) for t in batch["text"]
+            ]
+            return batch
+
+    return ds.map_batches(Counter, batch_format="pandas", concurrency=(1, 4))
+
+
+class Fingerprinter:
+    """Rolling-hash (Rabin-Karp winnowing) document fingerprints: the
+    minimum rolling hash in each window of ``w`` k-grams — a deterministic
+    compact sketch for near-dup screening."""
+
+    def __init__(self, k: int = 8, window: int = 16):
+        self.k, self.w = k, window
+        self.base = np.uint64(257)
+        self.mod_mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def fingerprint(self, text: str) -> list[int]:
+        data = text.encode("utf-8", errors="replace")
+        n = len(data)
+        if n < self.k:
+            return [int(pd.util.hash_array(np.array([text], dtype=object))[0])]
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        powk = np.uint64(pow(257, self.k - 1, 2**64))
+        hashes = np.empty(n - self.k + 1, dtype=np.uint64)
+        h = np.uint64(0)
+        for i in range(self.k):
+            h = (h * self.base + arr[i]) & self.mod_mask
+        hashes[0] = h
+        for i in range(1, n - self.k + 1):
+            h = ((h - arr[i - 1] * powk) * self.base + arr[i + self.k - 1]) & self.mod_mask
+            hashes[i] = h
+        m = len(hashes)
+        if m <= self.w:
+            return [int(hashes.min())]
+        # winnowing: min per sliding window, deduplicated consecutive
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        mins = sliding_window_view(hashes, self.w).min(axis=1)
+        keep = np.empty(len(mins), dtype=bool)
+        keep[0] = True
+        keep[1:] = mins[1:] != mins[:-1]
+        return [int(x) for x in mins[keep]]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        fps = [self.fingerprint(t or "") for t in batch["text"]]
+        batch["fingerprint"] = fps
+        batch["n_fingerprints"] = [len(f) for f in fps]
+        return batch

@@ -1,0 +1,707 @@
+"""Query registry: one entry per operator family from SURVEY §2, plus the
+training-data ops (dedup / text / similarity / multimodal) — each a
+callable(sf_dir) returning a Dataset / pandas DataFrame, with matching
+DuckDB oracle SQL where the semantics are SQL-expressible.
+
+Conventions (driver contract, __ray_entry__.py):
+- aggregate/computed columns carry identical names in Ray and SQL;
+- float aggregates are ROUNDED on both sides (absorbs summation-order
+  ulp differences between numpy partials and DuckDB);
+- top-k ties are broken by an explicit deterministic key on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from gene_etl_ray.ops import dedup, knn, multimodal, relational, text
+from gene_etl_ray.ops.relational import broadcast_join, grouped_aggregate_partial, read
+
+_HOUR_US = 3_600_000_000
+
+
+# ---------------------------------------------------------------------------
+# relational family (filters M1/M2, joins J1/J5, aggs A1-A11, top-k K1-K4)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: grouped sums/avgs with per-batch partial
+    aggregation (A9/A10 analog, ``models.py:268-284``)."""
+    ds = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+               "l_discount", "l_shipdate"])
+    cutoff = pa.scalar(pd.Timestamp("1998-09-01"), type=pa.timestamp("us"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b.column("l_shipdate"), cutoff))
+        disc = pc.multiply(b.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return b.append_column("disc_price", disc)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = grouped_aggregate_partial(
+        prepped, ["l_returnflag", "l_linestatus"],
+        sums={"sum_qty": "l_quantity", "sum_base_price": "l_extendedprice",
+              "sum_disc_price": "disc_price"},
+        counts="count_order",
+    )
+    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(6)
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_base_price"] = out["sum_base_price"].round(2)
+    out["sum_disc_price"] = out["sum_disc_price"].round(2)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 6)             AS avg_qty,
+       count(*)                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Top-10 revenue orders for one segment: broadcast dim join (J1/J5)
+    + partial grouped sum + top-k (K1). Small sides (customer keys,
+    order dates) are broadcast; at lake scale the orders side would flip
+    to a partitioned hash join (ops.relational docstring)."""
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    bld = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    orders = orders[orders["o_custkey"].isin(bld)]
+    odate = orders.set_index("o_orderkey")["o_orderdate"]
+    okeys = set(odate.index)
+
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    li = relational.semi_filter(li, "l_orderkey", okeys)
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return b.append_column("rev", r).select(["l_orderkey", "rev"])
+
+    per_order = grouped_aggregate_partial(
+        li.map_batches(rev, batch_format="pyarrow"), ["l_orderkey"], sums={"revenue": "rev"}
+    )
+    per_order["revenue"] = per_order["revenue"].round(2)
+    top = per_order.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    top["o_orderdate"] = top["l_orderkey"].map(odate)
+    return top.reset_index(drop=True)
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+             JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue per nation via the full dim chain region⋈nation⋈customer⋈
+    orders⋈lineitem — all small sides broadcast (J5 analog)."""
+    nation = read(sf_dir, "nation").to_pandas()
+    region = read(sf_dir, "region").to_pandas()
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    cust_nation = cust.merge(dim, left_on="c_nationkey", right_on="n_nationkey")
+    order_map = orders.merge(cust_nation, left_on="o_custkey", right_on="c_custkey")[
+        ["o_orderkey", "n_name", "r_name"]
+    ]
+
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return b.append_column("rev", r).select(["l_orderkey", "rev"])
+
+    joined = broadcast_join(li.map_batches(rev, batch_format="pyarrow"),
+                            order_map, on="l_orderkey", right_on="o_orderkey")
+    out = grouped_aggregate_partial(
+        joined, ["n_name", "r_name"], sums={"revenue": "rev"}, counts="n_items"
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+Q5_SQL = """
+SELECT n_name, r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+ORDER BY n_name
+"""
+
+
+def filter_high_value_orders(sf_dir: str) -> ray.data.Dataset:
+    """Vectorized filter + projection (M1/M2)."""
+    ds = read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater(b.column("o_totalprice"), 200000.0),
+                    pc.equal(b.column("o_orderstatus"), "O"))
+        return b.filter(m).select(["o_orderkey", "o_custkey", "o_totalprice"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+FILTER_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_totalprice > 200000 AND o_orderstatus = 'O'
+"""
+
+
+def part_topk_price(sf_dir: str) -> pd.DataFrame:
+    """Global top-k without a full sort (K1/K2, ``filters.py:82-88``)."""
+    ds = read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+    return relational.top_k(ds, "p_retailprice", 10, extra_sort=["p_partkey"])
+
+
+PART_TOPK_SQL = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey DESC LIMIT 10
+"""
+
+
+def events_lww_latest(sf_dir: str) -> ray.data.Dataset:
+    """Latest event per user by (ts, event_id) — the LWW merge kernel as a
+    relational operator (D2 analog), SQL-checkable."""
+    ds = read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    return relational.latest_per_key(ds, "user_id", ["ts", "event_id"])
+
+
+LWW_SQL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def events_hourly_stats(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window grouped aggregate (streaming-shaped workload —
+    SURVEY §2.9: window id as derived column + grouped agg)."""
+    ds = read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = relational.windowed_agg(ds, "event_type", "ts", _HOUR_US, "value")
+    out["window_start"] = pd.to_datetime(out["window_start"], unit="us")
+    out["value_sum"] = out["value_sum"].round(6)
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       round(sum(value), 6) AS value_sum, count(*) AS n_events
+FROM events GROUP BY event_type, window_start
+ORDER BY event_type, window_start
+"""
+
+
+def distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    """Distinct (A11, ``io.py:280-287``) via per-batch partial sets."""
+    ds = read(sf_dir, "events", ["event_type"])
+    parts = ds.map_batches(
+        lambda b: b.drop_duplicates(), batch_format="pandas"
+    ).to_pandas()
+    return parts.drop_duplicates().sort_values("event_type").reset_index(drop=True)
+
+
+DISTINCT_SQL = "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+
+
+def customer_segment_stats(sf_dir: str) -> pd.DataFrame:
+    """Grouped summary stats (A9/A10)."""
+    ds = read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+    df = ds.to_pandas()  # customer is a dim-sized table
+    g = df.groupby("c_mktsegment", as_index=False).agg(
+        n_customers=("c_acctbal", "size"),
+        avg_acctbal=("c_acctbal", "mean"),
+        min_acctbal=("c_acctbal", "min"),
+        max_acctbal=("c_acctbal", "max"),
+    )
+    g["avg_acctbal"] = g["avg_acctbal"].round(6)
+    g["min_acctbal"] = g["min_acctbal"].round(2)
+    g["max_acctbal"] = g["max_acctbal"].round(2)
+    return g.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SEGMENT_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       round(avg(c_acctbal), 6) AS avg_acctbal,
+       round(min(c_acctbal), 2) AS min_acctbal,
+       round(max(c_acctbal), 2) AS max_acctbal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def supplier_nation_enrich(sf_dir: str) -> ray.data.Dataset:
+    """3-way broadcast dim enrichment (J5, ``app.py:256-268``)."""
+    nation = read(sf_dir, "nation").to_pandas()
+    region = read(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "n_name", "r_name"]
+    ]
+    ds = read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    joined = broadcast_join(ds, dim, on="s_nationkey", right_on="n_nationkey")
+    return joined.map_batches(
+        lambda b: b[["s_suppkey", "s_name", "n_name", "r_name"]], batch_format="pandas"
+    )
+
+
+SUPPLIER_SQL = """
+SELECT s_suppkey, s_name, n_name, r_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def orders_rank(sf_dir: str) -> pd.DataFrame:
+    """Global rank (K3, ``models.py:244`` ROW_NUMBER): top-100 by
+    totalprice with explicit tiebreak."""
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = relational.top_k(ds, "o_totalprice", 100, extra_sort=["o_orderkey"])
+    top = top.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, False])
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top.reset_index(drop=True)
+
+
+RANK_SQL = """
+SELECT o_orderkey, o_totalprice,
+       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey DESC) AS rank
+FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 100
+"""
+
+
+def order_priority_class(sf_dir: str) -> pd.DataFrame:
+    """CASE-style categorizer + grouped counts (M8, ``models.py:253-258``)."""
+    ds = read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        b["priority_class"] = np.where(
+            b["o_orderpriority"].str[:1].isin(["1", "2"]), "high", "low"
+        )
+        return b[["o_orderstatus", "priority_class"]]
+
+    out = grouped_aggregate_partial(
+        ds.map_batches(fn, batch_format="pandas"),
+        ["o_orderstatus", "priority_class"], sums={}, counts="n_orders",
+    )
+    return out.sort_values(["o_orderstatus", "priority_class"]).reset_index(drop=True)
+
+
+PRIORITY_SQL = """
+SELECT o_orderstatus,
+       CASE WHEN substr(o_orderpriority, 1, 1) IN ('1','2') THEN 'high' ELSE 'low' END
+         AS priority_class,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus, priority_class
+ORDER BY o_orderstatus, priority_class
+"""
+
+
+def lineitem_var_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Per-group variance (A3, ``filters.py:55-91``): numpy kernel inside
+    map_groups."""
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def var_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "var_qty": [round(float(np.var(g["l_quantity"])), 6)],
+                "n": [len(g)],
+            }
+        )
+
+    out = ds.groupby("l_returnflag").map_groups(var_fn, batch_format="pandas").to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+VAR_SQL = """
+SELECT l_returnflag, round(var_pop(l_quantity), 6) AS var_qty, count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def lineitem_iqr_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Per-group IQR via np.percentile (A4, ``filters.py:93-127``)."""
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def iqr_fn(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["l_extendedprice"].to_numpy()
+        q75, q25 = np.percentile(v, 75), np.percentile(v, 25)
+        med = float(np.median(v))
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "iqr_price": [round(float(q75 - q25), 6)],
+                "median_price": [round(med, 6)],
+            }
+        )
+
+    out = ds.groupby("l_returnflag").map_groups(iqr_fn, batch_format="pandas").to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+IQR_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.75)
+             - quantile_cont(l_extendedprice, 0.25), 6) AS iqr_price,
+       round(quantile_cont(l_extendedprice, 0.5), 6)    AS median_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def events_asof_orders(sf_dir: str) -> pd.DataFrame:
+    """As-of join (backward): each event matched to the user's most recent
+    order at or before the event time. Broadcast small side +
+    ``pd.merge_asof`` per batch; orders pre-deduped per (custkey, date) so
+    ties are deterministic on both sides."""
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    orders = (
+        orders.groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"].max()
+    )
+    orders = orders.sort_values("o_orderdate", kind="mergesort")
+    ev = read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def asof(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values("ts", kind="mergesort")
+        m = pd.merge_asof(
+            b, orders, left_on="ts", right_on="o_orderdate",
+            left_by="user_id", right_by="o_custkey", direction="backward",
+        )
+        return m[["event_id", "o_orderkey"]]
+
+    return (
+        ev.map_batches(asof, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+ASOF_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id,
+       (SELECT o.o_orderkey FROM o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ORDER BY o.o_orderdate DESC LIMIT 1) AS o_orderkey
+FROM events e ORDER BY e.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+def docs_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup: min doc_id + copy count per distinct text (D1)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = dedup.content_hash(ds)
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [g["doc_id"].min()], "n_copies": [len(g)]}
+        )
+
+    out = (
+        hashed.groupby("content_hash")
+        .map_groups(reduce_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DEDUP_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
+def docs_token_count(sf_dir: str) -> pd.DataFrame:
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = text.token_count_ws(ds).to_pandas()[["doc_id", "n_tokens_ws"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+TOKEN_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens_ws
+FROM documents ORDER BY doc_id
+"""
+
+
+def docs_char_stats(sf_dir: str) -> pd.DataFrame:
+    """SQL-checkable slice of the quality scorer: char count, ASCII
+    upper/digit ratios (avoids regex-engine unicode divergence)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].fillna("")
+        n = s.str.len()
+        b["n_chars"] = n.astype("int64")
+        b["upper_ratio"] = (s.str.count(r"[A-Z]") / n.replace(0, 1)).round(6)
+        b["digit_ratio"] = (s.str.count(r"[0-9]") / n.replace(0, 1)).round(6)
+        return b[["doc_id", "n_chars", "upper_ratio", "digit_ratio"]]
+
+    return ds.map_batches(fn, batch_format="pandas").to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+CHAR_SQL = """
+SELECT doc_id, length(text) AS n_chars,
+       round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+             / greatest(length(text), 1), 6) AS upper_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             / greatest(length(text), 1), 6) AS digit_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def docs_quality_full(sf_dir: str) -> pd.DataFrame:
+    """Full quality scorer (punct/stopword ratios etc.) — unicode regex
+    semantics differ from RE2, so rows-only check."""
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = ds.map_batches(text.QualityScorer, batch_format="pandas",
+                         concurrency=(1, 4)).to_pandas()
+    return out.drop(columns=["text"]).sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_lang_id(sf_dir: str) -> pd.DataFrame:
+    """Heuristic language ID vs the labeled ``lang`` column (rows-only)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = ds.map_batches(text.LangId, batch_format="pandas",
+                         concurrency=(1, 4)).to_pandas()
+    out = out.drop(columns=["text"])
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_token_count_bpe(sf_dir: str) -> pd.DataFrame:
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = text.token_count_bpe_ish(ds).to_pandas()[["doc_id", "n_tokens_bpe"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_fingerprints(sf_dir: str) -> pd.DataFrame:
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(text.Fingerprinter, batch_format="pandas",
+                         concurrency=(1, 4)).to_pandas()
+    return out[["doc_id", "n_fingerprints"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.minhash_lsh_candidates(ds)
+
+
+def docs_simhash(sf_dir: str) -> pd.DataFrame:
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.simhash_signatures(ds).to_pandas()[["doc_id", "simhash"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.ngram_jaccard_pairs(ds, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vectors(sf_dir: str, n: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    emb = read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    q = emb[emb["vec_id"] < n].sort_values("vec_id")
+    return np.stack(q["embedding"].to_numpy()).astype(np.float64), q["vec_id"].to_numpy()
+
+
+def knn_cosine_topk(sf_dir: str) -> pd.DataFrame:
+    """Exact brute-force cosine top-10 for queries = vectors 0..4
+    (float64 so the oracle's list_cosine_similarity matches to 6dp)."""
+    qv, qids = _query_vectors(sf_dir)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn.brute_force_topk(ds, qv, k=10)
+    out["query_id"] = qids[out["query_idx"].to_numpy()]
+    out["cosine"] = out["cosine"].round(6)
+    return out[["query_id", "vec_id", "cosine"]].sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
+KNN_SQL = """
+SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       round(list_cosine_similarity(q.embedding, e.embedding), 6) AS cosine
+FROM embeddings q CROSS JOIN embeddings e
+WHERE q.vec_id < 5
+QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+) <= 10
+ORDER BY query_id, cosine DESC, vec_id
+"""
+
+
+def embeddings_norm_by_label(sf_dir: str) -> pd.DataFrame:
+    """Per-label mean L2 norm (vectorized numpy per batch + partials)."""
+    ds = read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        b2 = pd.DataFrame({"label": b["label"].to_numpy(),
+                           "norm": np.sqrt((m * m).sum(axis=1))})
+        return b2
+
+    out = grouped_aggregate_partial(
+        ds.map_batches(fn, batch_format="pandas"), ["label"],
+        sums={"norm_sum": "norm"}, counts="n_vecs",
+    )
+    out["avg_norm"] = (out["norm_sum"] / out["n_vecs"]).round(6)
+    return out[["label", "n_vecs", "avg_norm"]].sort_values("label").reset_index(drop=True)
+
+
+NORM_SQL = """
+SELECT label, count(*) AS n_vecs,
+       round(avg(sqrt(list_sum(list_transform(embedding, x -> x * x)))), 6) AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def knn_lsh_topk(sf_dir: str) -> pd.DataFrame:
+    """Approximate LSH-bucketed top-k (the 10^10-scale path) — rows-only
+    (recall < 1 by design, no SQL oracle)."""
+    qv, qids = _query_vectors(sf_dir)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn.lsh_topk(ds, qv, k=10)
+    out["query_id"] = qids[out["query_idx"].to_numpy()]
+    return out[["query_id", "vec_id", "cosine"]].reset_index(drop=True)
+
+
+def embeddings_near_dup(sf_dir: str) -> pd.DataFrame:
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn.cosine_near_dup_pairs(ds, threshold=0.92)
+
+
+# ---------------------------------------------------------------------------
+# flagship CDC pipeline + multimodal plumbing (rows-only)
+# ---------------------------------------------------------------------------
+
+def cdc_ingest_lake(sf_dir: str) -> pd.DataFrame:
+    """The flagship end-to-end: derive a deterministic change log from the
+    documents table, ingest it (extract → partition → LWW merge → manifest
+    commit), return the live lake table."""
+    from gene_etl_ray.config import EngineConfig
+    from gene_etl_ray.fixtures import events_from_documents
+    from gene_etl_ray.pipelines.ingest import read_lake, run_ingest
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/gene_etl_ray_cdc/{tag}"
+    ev_dir, lake_dir = f"{base}/events", f"{base}/lake"
+    if not os.path.isdir(ev_dir):
+        events_from_documents(sf_dir, ev_dir)
+    cfg = EngineConfig(lake_dir=lake_dir, num_partitions=8)
+    run_ingest(cfg, ev_dir)  # idempotent: a second call is a no-op
+    df = read_lake(lake_dir).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def media_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing: synthesize binary payloads → actor-pool decode
+    stub → feature rows (rows-only; decode kernel is stubbed, SURVEY
+    'multimodal columns')."""
+    docs = read(sf_dir, "documents", ["doc_id"])
+    media = multimodal.synthesize_media(docs)
+    out = multimodal.decode_media(media).to_pandas()
+    out["feature_dim"] = out["feature"].map(len)
+    return out[["media_id", "media_type", "mime", "payload_bytes", "feature_dim"]].sort_values(
+        "media_id"
+    ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "filter_high_value_orders": filter_high_value_orders,
+    "part_topk_price": part_topk_price,
+    "events_lww_latest": events_lww_latest,
+    "events_hourly_stats": events_hourly_stats,
+    "distinct_event_types": distinct_event_types,
+    "customer_segment_stats": customer_segment_stats,
+    "supplier_nation_enrich": supplier_nation_enrich,
+    "orders_rank": orders_rank,
+    "order_priority_class": order_priority_class,
+    "lineitem_var_by_flag": lineitem_var_by_flag,
+    "lineitem_iqr_by_flag": lineitem_iqr_by_flag,
+    "events_asof_orders": events_asof_orders,
+    "docs_dedup_exact": docs_dedup_exact,
+    "docs_token_count": docs_token_count,
+    "docs_char_stats": docs_char_stats,
+    "docs_quality_full": docs_quality_full,
+    "docs_lang_id": docs_lang_id,
+    "docs_token_count_bpe": docs_token_count_bpe,
+    "docs_fingerprints": docs_fingerprints,
+    "docs_minhash_pairs": docs_minhash_pairs,
+    "docs_simhash": docs_simhash,
+    "docs_ngram_jaccard": docs_ngram_jaccard,
+    "knn_cosine_topk": knn_cosine_topk,
+    "knn_lsh_topk": knn_lsh_topk,
+    "embeddings_norm_by_label": embeddings_norm_by_label,
+    "embeddings_near_dup": embeddings_near_dup,
+    "cdc_ingest_lake": cdc_ingest_lake,
+    "media_features": media_features,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_orders": Q3_SQL,
+    "q5_nation_revenue": Q5_SQL,
+    "filter_high_value_orders": FILTER_SQL,
+    "part_topk_price": PART_TOPK_SQL,
+    "events_lww_latest": LWW_SQL,
+    "events_hourly_stats": HOURLY_SQL,
+    "distinct_event_types": DISTINCT_SQL,
+    "customer_segment_stats": SEGMENT_SQL,
+    "supplier_nation_enrich": SUPPLIER_SQL,
+    "orders_rank": RANK_SQL,
+    "order_priority_class": PRIORITY_SQL,
+    "lineitem_var_by_flag": VAR_SQL,
+    "lineitem_iqr_by_flag": IQR_SQL,
+    "events_asof_orders": ASOF_SQL,
+    "docs_dedup_exact": DEDUP_SQL,
+    "docs_token_count": TOKEN_SQL,
+    "docs_char_stats": CHAR_SQL,
+    "knn_cosine_topk": KNN_SQL,
+    "embeddings_norm_by_label": NORM_SQL,
+}

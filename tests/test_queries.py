@@ -1,0 +1,79 @@
+"""Query registry vs DuckDB oracle at sf0.001 — mirrors the driver's
+correctness gate (row count + order-insensitive value comparison with
+columns sorted by name)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import gene_etl_ray.queries as Q
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def to_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(Q.ORACLE_SQL))
+def test_query_matches_oracle(con, name):
+    ray_df = normalize(to_df(Q.QUERIES[name](SF)))
+    sql_df = normalize(con.execute(Q.ORACLE_SQL[name]).fetchdf())
+    assert len(ray_df) == len(sql_df), f"{name}: rows {len(ray_df)} vs {len(sql_df)}"
+    assert list(ray_df.columns) == list(sql_df.columns), (
+        f"{name}: cols {list(ray_df.columns)} vs {list(sql_df.columns)}"
+    )
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(Q.QUERIES) - set(Q.ORACLE_SQL))
+)
+def test_rows_only_queries_run(name):
+    df = to_df(Q.QUERIES[name](SF))
+    assert df is not None and len(df) >= 0
+    if name in ("cdc_ingest_lake",):
+        assert len(df) > 0 and "text" in df.columns
+    if name == "knn_lsh_topk":
+        assert set(df.columns) == {"query_id", "vec_id", "cosine"}
+
+
+def test_lsh_recall_vs_bruteforce():
+    """LSH top-k is approximate but must overlap substantially with the
+    exact answer on this data."""
+    exact = Q.knn_cosine_topk(SF)
+    approx = Q.knn_lsh_topk(SF)
+    inter = 0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        inter += len(e & a) / max(1, len(e))
+    recall = inter / exact["query_id"].nunique()
+    assert recall >= 0.3, recall  # self-match alone guarantees > 0
