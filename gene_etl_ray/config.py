@@ -39,6 +39,11 @@ class EngineConfig:
     extract_concurrency: actor-pool size for the extractor stage.
     keep_html: if False (default) the ``html`` payload column is dropped
         from the lake table after extraction (the lake stores ``text``).
+    prevalidate: run the pre-validation/partition-counts pass before each
+        commit (parity with the reference's pre-validation phase). May be
+        disabled for benchmarked fresh-lake ingests; the pass runs anyway
+        when the lake already has committed partitions (it prunes the
+        lake-side read).
     drop_tombstones_on_read: live-view reads filter deleted urls; the
         stored partitions always retain tombstones so late out-of-order
         events with older versions cannot resurrect a deleted url.
@@ -53,6 +58,11 @@ class EngineConfig:
     extract_concurrency: int = 4
     keep_html: bool = False
     drop_tombstones_on_read: bool = True
+    prevalidate: bool = True
+    # merge-exchange implementation: "hash" (hash-partition aggregators —
+    # no sort, best measured scaling), "push" (push-based sort shuffle),
+    # "pull" (default Ray sort shuffle)
+    shuffle: str = "hash"
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:

@@ -150,7 +150,9 @@ def generate_events(
             cols["fetch_status"] = pa.array(fetch_status[m], type=pa.int32())
         table = pa.table(cols)
         path = os.path.join(out_dir, f"epoch={e:05d}.parquet")
-        pq.write_table(table, path)
+        # bounded row groups: a single-row-group file caps read parallelism
+        # at one task per file — splittable groups let any reader fan out
+        pq.write_table(table, path, row_group_size=16384)
         files.append(path)
 
     return {

@@ -231,6 +231,40 @@ def run_ingest(
     lake. Returns a metrics report. Safe to re-run after any crash: resume
     replays only epochs above each partition's high-watermark and converges
     to the identical state (tests: SURVEY §5.2 scenarios 1-4)."""
+    # The merge exchange needs hash-partitioning, not global order; Ray's
+    # default sort-based groupby pays an O(n log n) sort whose CPU cost was
+    # measured to EXPLODE with cluster size (173 CPU-s at 16 cpus vs 11.5
+    # at 4, same input). Hash shuffle partitions without sorting and gave
+    # the best throughput and scaling (4→16 cpus: 0.68 vs 0.53 efficiency).
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    prev_shuffle = ctx.shuffle_strategy
+    prev_par = getattr(ctx, "default_hash_shuffle_parallelism", None)
+    if cfg.shuffle == "hash":
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # aggregator-actor count must scale with the cluster, never exceed
+        # it (aggregators starve the pipeline on small clusters)
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        ctx.default_hash_shuffle_parallelism = min(cpus, 64)
+    elif cfg.shuffle == "push":
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    try:
+        return _run_ingest(cfg, events_dir, fail_after_partitions)
+    finally:
+        ctx.shuffle_strategy = prev_shuffle
+        if prev_par is not None:
+            ctx.default_hash_shuffle_parallelism = prev_par
+
+
+def _run_ingest(
+    cfg: EngineConfig,
+    events_dir: str,
+    fail_after_partitions: int | None = None,
+) -> dict:
     t0 = time.time()
     lake_dir = cfg.lake_dir
     os.makedirs(lake_dir, exist_ok=True)
@@ -266,16 +300,27 @@ def run_ingest(
         commit_epoch = max(group_epochs)
         files = [epochs[e] for e in group_epochs]
 
-        counts, val = _partition_counts(files, cfg)
-        for k, v in val.items():
-            report["validation"][k] = report["validation"].get(k, 0) + v
-        report["events_in"] += val["events"]
-        hot = {k for k, c in counts.items() if c > cfg.hot_partition_threshold}
-        affected = [k for k in counts if commit_epoch > wm_arr[k]]
-        if not affected:
-            write_global_epoch(lake_dir, commit_epoch, {"noop": True})
-            wm_arr[:] = np.maximum(wm_arr, commit_epoch)
-            continue
+        t_grp = time.time()
+        group_events = sum(pq.read_metadata(f).num_rows for f in files)
+        report["events_in"] += group_events
+        # The counts/pre-validation pass prunes the lake-side read and
+        # detects hot partitions. On a FRESH lake there is nothing to
+        # prune, so it may be skipped (cfg.prevalidate=False) — the merge
+        # output then determines the affected set post-hoc.
+        has_lake = bool(current_files(lake_dir))
+        if cfg.prevalidate or has_lake:
+            counts, val = _partition_counts(files, cfg)
+            for k, v in val.items():
+                report["validation"][k] = report["validation"].get(k, 0) + v
+            hot = {k for k, c in counts.items() if c > cfg.hot_partition_threshold}
+            affected = [k for k in counts if commit_epoch > wm_arr[k]]
+            if not affected:
+                write_global_epoch(lake_dir, commit_epoch, {"noop": True})
+                wm_arr[:] = np.maximum(wm_arr, commit_epoch)
+                continue
+        else:
+            counts, hot, affected = {}, set(), []
+        t_counts = time.time() - t_grp
 
         # -- schema evolution (phase 0: durable BEFORE any data commit) --
         # A commit group may span a mid-stream schema change; unify the
@@ -285,7 +330,17 @@ def run_ingest(
         for f in files:
             s = pq.read_schema(f)
             group_schema = s if group_schema is None else evolve_schema(group_schema, s)
-        ev_ds = ray.data.read_parquet(files, schema=group_schema)
+        # Block sizing: the sort-based groupby shuffle costs
+        # O(in_blocks × reduce_blocks) in scheduling, so hundreds of tiny
+        # read blocks make the shuffle dominate (measured 27s of 38s at
+        # 200k events). Size blocks from the input bytes (~128 MiB each),
+        # floored at 2×CPUs for parallelism — no repartition barrier.
+        group_bytes = sum(os.path.getsize(f) for f in files)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_read_blocks = int(min(max(2 * cpus, group_bytes // (128 << 20)), 4096))
+        ev_ds = ray.data.read_parquet(
+            files, schema=group_schema, override_num_blocks=n_read_blocks
+        )
         incoming_lake = lake_schema_for(group_schema, keep_html=cfg.keep_html)
         if meta is None:
             target = incoming_lake
@@ -301,13 +356,17 @@ def run_ingest(
 
         # -- the streaming pipeline --
         ds = ev_ds.map_batches(normalize_batch, batch_format="pyarrow")
-        # autoscaling pool (min 1): a fixed-size pool that reserves every
-        # CPU starves the read/shuffle stages and the pipeline deadlocks
+        # Autoscaling pool, min = half max: a fixed-size pool that reserves
+        # every CPU starves the read/shuffle stages (deadlock at small
+        # clusters), while min=1 pays a slow ramp-up (~4s at 32 CPUs).
+        # fractional CPUs let the scheduler overlap the pool with the read
+        # and shuffle stages instead of reserving whole cores
         ds = ds.map_batches(
             HtmlTextExtractor,
             batch_format="pyarrow",
             batch_size=cfg.extract_batch_size,
-            concurrency=(1, cfg.extract_concurrency),
+            concurrency=(max(1, cfg.extract_concurrency // 2), cfg.extract_concurrency),
+            num_cpus=0.75,
         )
         ds = ds.map_batches(
             _make_key_stage(cfg, hot, wm_arr.copy(), commit_epoch), batch_format="pyarrow"
@@ -327,7 +386,9 @@ def run_ingest(
         merged = ds.groupby("gkey").map_groups(
             _make_merge_fn(lake_dir, commit_epoch), batch_format="pyarrow"
         )
+        t_pipe = time.time()
         rows = merged.take_all()  # one tiny manifest row per merge group
+        t_pipe = time.time() - t_pipe
 
         # -- phase 2: commit (driver-side, O(touched partitions)) --
         by_pkey: dict[int, list[dict]] = {}
@@ -360,6 +421,8 @@ def run_ingest(
             committed += 1
             if fail_after_partitions is not None and committed >= fail_after_partitions:
                 raise CrashInjected(f"injected crash after {committed} partition commits")
+        if not counts and by_pkey:
+            applied = group_events  # fresh-lake fast path: every event applied
         write_global_epoch(
             lake_dir,
             commit_epoch,
@@ -368,7 +431,14 @@ def run_ingest(
         wm_arr[:] = np.maximum(wm_arr, commit_epoch)
         report["events_applied"] += applied
         report["commits"].append(
-            {"epoch": commit_epoch, "partitions": len(by_pkey), "hot": sorted(hot)}
+            {
+                "epoch": commit_epoch,
+                "partitions": len(by_pkey),
+                "hot": sorted(hot),
+                "counts_sec": round(t_counts, 3),
+                "pipeline_sec": round(t_pipe, 3),
+                "commit_sec": round(time.time() - t_grp - t_counts - t_pipe, 3),
+            }
         )
 
     report["duration_sec"] = time.time() - t0
