@@ -1,0 +1,145 @@
+"""Direct unit tests for the ops kernels (dedup / text / knn /
+multimodal / relational), independent of the query registry."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from gene_etl_ray.ops import dedup, knn, multimodal, relational, text
+
+
+def ds_from(df: pd.DataFrame):
+    return rd.from_pandas(df)
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_min_id(self):
+        df = pd.DataFrame(
+            {"doc_id": [5, 3, 9, 1], "text": ["aa", "bb", "aa", "bb"]}
+        )
+        out = dedup.exact_dedup(ds_from(df)).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 5]  # min id per text group
+
+    def test_minhash_identical_docs_pair(self):
+        base = "the quick brown fox jumps over the lazy dog " * 10
+        df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, base, "totally different words here now " * 10]})
+        pairs = dedup.minhash_lsh_candidates(ds_from(df))
+        assert ((pairs["id_a"] == 1) & (pairs["id_b"] == 2)).any()
+        match = pairs[(pairs["id_a"] == 1) & (pairs["id_b"] == 2)]
+        assert match["est_jaccard"].iloc[0] == 1.0
+        assert not ((pairs["id_b"] == 3) & (pairs["est_jaccard"] > 0.5)).any()
+
+    def test_minhash_signature_deterministic(self):
+        m1, m2 = dedup.MinHasher(), dedup.MinHasher()
+        s1, s2 = m1.signature("hello world foo bar baz"), m2.signature("hello world foo bar baz")
+        assert (s1 == s2).all()
+
+    def test_simhash_similar_docs_close(self):
+        sh = dedup.SimHasher()
+        a = sh.signature("the quick brown fox jumps over the lazy dog again and again")
+        b = sh.signature("the quick brown fox jumps over the lazy dog again and once")
+        c = sh.signature("completely unrelated topic about quantum chromodynamics physics")
+        ham_ab = bin(a ^ b).count("1")
+        ham_ac = bin(a ^ c).count("1")
+        assert ham_ab < ham_ac
+
+    def test_ngram_jaccard_exact_match(self):
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 5
+        df = pd.DataFrame({"doc_id": [1, 2], "text": [base, base]})
+        out = dedup.ngram_jaccard_pairs(ds_from(df), threshold=0.9)
+        assert len(out) == 1 and out["jaccard"].iloc[0] == 1.0
+
+
+class TestText:
+    def test_langid(self):
+        lid = text.LangId()
+        assert lid.classify("the cat and the dog sat in the house for a while") == "en"
+        assert lid.classify("der hund und die katze sind in einem haus zu sehen") == "de"
+        assert lid.classify("") == "und"
+
+    def test_quality_scorer(self):
+        df = pd.DataFrame({"text": ["The quick brown fox! It jumps.", ""]})
+        out = text.QualityScorer()(df.copy())
+        assert out["n_words"].tolist()[0] == 6
+        assert out["n_chars"].tolist() == [30, 0]
+        assert 0 < out["punct_ratio"].iloc[0] < 0.2
+        assert out["stopword_ratio"].iloc[0] == pytest.approx(2 / 6)  # "The", "It"
+
+    def test_token_counts(self):
+        df = pd.DataFrame({"doc_id": [1], "text": ["one two  three"]})
+        out = text.token_count_ws(ds_from(df)).to_pandas()
+        assert out["n_tokens_ws"].iloc[0] == 3
+
+    def test_fingerprint_deterministic_and_shared(self):
+        fp = text.Fingerprinter()
+        a = fp.fingerprint("common shared substring of reasonable length here " * 4)
+        b = fp.fingerprint("common shared substring of reasonable length here " * 4)
+        assert a == b
+        c = fp.fingerprint("prefix junk " + "common shared substring of reasonable length here " * 4)
+        assert set(a) & set(c)  # winnowed fingerprints overlap on shared text
+
+
+class TestKnn:
+    def _emb_df(self):
+        rng = np.random.RandomState(3)
+        vecs = rng.standard_normal((50, 8)).astype(np.float32)
+        vecs[7] = vecs[0] * 2.0  # same direction as vec 0
+        return pd.DataFrame({"vec_id": np.arange(50), "embedding": list(vecs)})
+
+    def test_bruteforce_self_top1(self):
+        df = self._emb_df()
+        q = np.stack(df["embedding"].iloc[:2].to_numpy())
+        out = knn.brute_force_topk(ds_from(df), q, k=3)
+        top0 = out[out["query_idx"] == 0].iloc[0]
+        assert top0["cosine"] == pytest.approx(1.0, abs=1e-6)
+        assert top0["vec_id"] in (0, 7)  # identical-direction vectors tie
+
+    def test_near_dup_pairs_find_scaled_copy(self):
+        df = self._emb_df()
+        out = knn.cosine_near_dup_pairs(ds_from(df), threshold=0.999)
+        assert ((out["id_a"] == 0) & (out["id_b"] == 7)).any()
+
+
+class TestMultimodal:
+    def test_decode_plumbing(self):
+        df = pd.DataFrame({"doc_id": [1, 2, 3]})
+        media = multimodal.synthesize_media(ds_from(df))
+        out = multimodal.decode_media(media).to_pandas()
+        assert set(out["media_id"]) == {1, 2, 3}
+        assert all(len(f) == 8 for f in out["feature"])
+        assert (out["payload_bytes"] > 0).all()
+
+    def test_strict_decoder_raises(self):
+        dec = multimodal.MediaDecoder(strict=True)
+        with pytest.raises(NotImplementedError):
+            dec._decode_stub(b"\x00" * 64, "image")
+
+
+class TestRelational:
+    def test_latest_per_key(self):
+        df = pd.DataFrame(
+            {
+                "k": [1, 1, 2, 2, 2],
+                "ts": [10, 20, 5, 5, 1],
+                "id": [100, 101, 200, 201, 202],
+                "v": list("abcde"),
+            }
+        )
+        out = relational.latest_per_key(ds_from(df), "k", ["ts", "id"]).to_pandas()
+        out = out.sort_values("k")
+        assert out["id"].tolist() == [101, 201]  # ts tie at k=2 broken by id
+
+    def test_top_k_with_ties(self):
+        df = pd.DataFrame({"v": [5, 5, 3, 9], "id": [1, 2, 3, 4]})
+        out = relational.top_k(ds_from(df), "v", 2, extra_sort=["id"])
+        assert out["id"].tolist() == [4, 2]
+
+    def test_grouped_aggregate_partial_matches_pandas(self):
+        rng = np.random.RandomState(0)
+        df = pd.DataFrame({"g": rng.randint(0, 5, 500), "x": rng.standard_normal(500)})
+        out = relational.grouped_aggregate_partial(
+            ds_from(df), ["g"], sums={"sx": "x"}, counts="n"
+        ).sort_values("g").reset_index(drop=True)
+        exp = df.groupby("g", as_index=False).agg(sx=("x", "sum"), n=("x", "size"))
+        pd.testing.assert_frame_equal(out, exp, check_dtype=False, atol=1e-9)
