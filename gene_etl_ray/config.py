@@ -59,6 +59,11 @@ class EngineConfig:
     keep_html: bool = False
     drop_tombstones_on_read: bool = True
     prevalidate: bool = True
+    # winners-only extraction: choose each url's LWW winner from the cheap
+    # envelope columns FIRST, then extract/shuffle only winning events —
+    # LWW associativity makes this semantically identical to extracting
+    # everything, at ~1/U the extraction + shuffle cost for U updates/url
+    late_extract: bool = False
     # merge-exchange implementation: "hash" (hash-partition aggregators —
     # no sort, best measured scaling), "push" (push-based sort shuffle),
     # "pull" (default Ray sort shuffle)

@@ -176,6 +176,34 @@ def _make_lake_side_stage(cfg: EngineConfig, hot: set[int], target: pa.Schema):
     return fn
 
 
+def _select_winners(
+    files: list[str], cfg: EngineConfig, wm_arr: np.ndarray, commit_epoch: int, hot: set[int]
+) -> np.ndarray:
+    """Phase A of late extraction: LWW winner seq per url over the DELTA,
+    computed from envelope columns only (column-pruned read, tiny
+    shuffle). The same normalization + watermark filter as the main
+    pipeline runs first — the winner key is the canonicalized url."""
+    env = ray.data.read_parquet(files, columns=["url", "warc_ts", "op", "seq", "epoch"])
+    env = env.map_batches(normalize_batch, batch_format="pyarrow")
+    env = env.map_batches(
+        _make_key_stage(cfg, hot, wm_arr.copy(), commit_epoch), batch_format="pyarrow"
+    )
+
+    def pick(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks().sort_by(
+            [("url", "ascending"), ("warc_ts", "ascending"), ("seq", "ascending")]
+        )
+        n = t.num_rows
+        if n > 1:
+            u = t.column("url").combine_chunks()
+            neq = pc.not_equal(u.slice(0, n - 1), u.slice(1, n - 1))
+            t = t.filter(pa.chunked_array([neq, pa.array([True])]))
+        return t.select(["seq"])
+
+    rows = env.groupby("gkey").map_groups(pick, batch_format="pyarrow").take_all()
+    return np.array([r["seq"] for r in rows], dtype=np.int64)
+
+
 def _make_merge_fn(lake_dir: str, commit_epoch: int):
     """Per-group LWW merge + partition-file write (phase 1 of the commit).
 
@@ -355,6 +383,30 @@ def _run_ingest(
         write_lake_meta(lake_dir, meta)
 
         # -- the streaming pipeline --
+        if cfg.late_extract:
+            # winners-only ("late") extraction: LWW is associative, so the
+            # per-url winner of the DELTA alone can be chosen from the
+            # cheap envelope columns first; html→text extraction and the
+            # heavy payload shuffle then touch only winning events. With
+            # U updates per url this divides extraction + shuffle volume
+            # by ~U. (Winner seqs are gathered to the driver — ~8 bytes
+            # per live url per commit group; at 10^10-event scale gather
+            # per-partition instead and push the filter into each
+            # partition's read.)
+            winners = _select_winners(files, cfg, wm_arr, commit_epoch, hot)
+            sorted_w = np.sort(winners)
+
+            def winner_filter(batch: pa.Table) -> pa.Table:
+                seq = batch.column("seq").to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(sorted_w, seq)
+                idx_c = np.minimum(idx, len(sorted_w) - 1)
+                keep = (idx < len(sorted_w)) & (sorted_w[idx_c] == seq)
+                if keep.all():
+                    return batch
+                return batch.filter(pa.array(keep))
+
+            ev_ds = ev_ds.map_batches(winner_filter, batch_format="pyarrow")
+
         ds = ev_ds.map_batches(normalize_batch, batch_format="pyarrow")
         # Autoscaling pool, min = half max: a fixed-size pool that reserves
         # every CPU starves the read/shuffle stages (deadlock at small

@@ -190,3 +190,18 @@ def test_tombstones_block_resurrection(tmp_events, tmp_lake):
     # tombstone is physically retained
     stored = read_lake(tmp_lake, live_only=False).to_pandas()
     assert len(stored) == 1 and bool(stored["is_deleted"][0])
+
+
+def test_late_extract_matches_oracle(tmp_events, tmp_lake, tmp_path):
+    """Winners-only extraction (cfg.late_extract) is semantically identical
+    to extract-everything: same oracle state, including ties/out-of-order/
+    deletes and mid-stream schema-add."""
+    generate_events(
+        tmp_events, n_urls=300, n_events=1500, n_epochs=6,
+        tie_frac=0.15, out_of_order_frac=0.2, schema_add_epoch=3,
+    )
+    cfg = EngineConfig(
+        lake_dir=tmp_lake, num_partitions=8, epochs_per_commit=2, late_extract=True
+    )
+    run_ingest(cfg, tmp_events)
+    assert_matches_oracle(tmp_lake, tmp_events)
