@@ -375,6 +375,71 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def lineitem_mad_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Per-group median-absolute-deviation (A5, ``filters.py:129-162``)."""
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def mad_fn(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["l_quantity"].to_numpy()
+        med = np.median(v)
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "mad_qty": [round(float(np.median(np.abs(v - med))), 6)],
+            }
+        )
+
+    out = ds.groupby("l_returnflag").map_groups(mad_fn, batch_format="pandas").to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+MAD_SQL = """
+SELECT l_returnflag, round(mad(l_quantity), 6) AS mad_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def events_orphan_users(sf_dir: str) -> pd.DataFrame:
+    """Anti-join referential check: distinct event users with no customer
+    row (D4, set-difference consistency checks ``validate.py:289-346``).
+    Broadcast key set + vectorized invert — semi/anti join as filter."""
+    cust_keys = set(
+        read(sf_dir, "customer", ["c_custkey"]).to_pandas()["c_custkey"]
+    )
+    ev = read(sf_dir, "events", ["user_id"])
+
+    def anti(b: pd.DataFrame) -> pd.DataFrame:
+        return b[~b["user_id"].isin(cust_keys)].drop_duplicates()
+
+    out = ev.map_batches(anti, batch_format="pandas").to_pandas()
+    if "user_id" not in out.columns:  # fully-empty result loses its schema
+        out = pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
+    return out.drop_duplicates().sort_values("user_id").reset_index(drop=True)
+
+
+ORPHAN_SQL = """
+SELECT DISTINCT user_id FROM events
+WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+ORDER BY user_id
+"""
+
+
+def orders_page2(sf_dir: str) -> pd.DataFrame:
+    """Deterministic pagination (K5, ``app.py:284``, ``io.py:310-314``):
+    page 2 of 50 ordered by (orderdate, orderkey)."""
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+    top = relational.top_k(ds, "o_orderdate", 100, extra_sort=["o_orderkey"])
+    # top_k gives the 100 NEWEST; page = rows 51..100 of that ordering
+    return top.iloc[50:100].reset_index(drop=True)
+
+
+PAGE_SQL = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC
+LIMIT 50 OFFSET 50
+"""
+
+
 def events_asof_orders(sf_dir: str) -> pd.DataFrame:
     """As-of join (backward): each event matched to the user's most recent
     order at or before the event time. Broadcast small side +
@@ -664,6 +729,9 @@ QUERIES = {
     "order_priority_class": order_priority_class,
     "lineitem_var_by_flag": lineitem_var_by_flag,
     "lineitem_iqr_by_flag": lineitem_iqr_by_flag,
+    "lineitem_mad_by_flag": lineitem_mad_by_flag,
+    "events_orphan_users": events_orphan_users,
+    "orders_page2": orders_page2,
     "events_asof_orders": events_asof_orders,
     "docs_dedup_exact": docs_dedup_exact,
     "docs_token_count": docs_token_count,
@@ -698,6 +766,9 @@ ORACLE_SQL = {
     "order_priority_class": PRIORITY_SQL,
     "lineitem_var_by_flag": VAR_SQL,
     "lineitem_iqr_by_flag": IQR_SQL,
+    "lineitem_mad_by_flag": MAD_SQL,
+    "events_orphan_users": ORPHAN_SQL,
+    "orders_page2": PAGE_SQL,
     "events_asof_orders": ASOF_SQL,
     "docs_dedup_exact": DEDUP_SQL,
     "docs_token_count": TOKEN_SQL,

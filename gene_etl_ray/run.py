@@ -1,0 +1,144 @@
+"""CLI entry point — ``ray job submit -- python -m gene_etl_ray.run ...``.
+
+Parity with the reference's config-driven entry points
+(``etl/__init__.py:323-341`` ``run_etl_pipeline(config_path|config)``,
+``README.md:56-61``): the whole run is parameterized by a JSON/YAML config
+file, no code changes to retune (§2.10). Subcommands mirror the
+reference's operational surface (run / validate / export / stats,
+``app.py:58-428``).
+
+This module owns a Ray session ONLY when executed as a script; as a
+library nothing here calls ray.init (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from gene_etl_ray.config import EngineConfig
+
+
+def load_config(path: str) -> EngineConfig:
+    """JSON (or YAML when pyyaml is importable) → validated EngineConfig.
+    Unknown keys are a hard error — parity with the reference's
+    ``extra = "forbid"`` config discipline (``config.py:172-174``)."""
+    with open(path) as f:
+        raw = f.read()
+    if path.endswith((".yaml", ".yml")):
+        try:
+            import yaml  # type: ignore
+
+            data = yaml.safe_load(raw)
+        except ImportError as e:
+            raise SystemExit("yaml config requires pyyaml; use JSON") from e
+    else:
+        data = json.loads(raw)
+    known = set(EngineConfig.__dataclass_fields__)
+    unknown = set(data) - known
+    if unknown:
+        raise SystemExit(f"unknown config keys: {sorted(unknown)}")
+    return EngineConfig(**data)
+
+
+def cmd_ingest(args) -> int:
+    from gene_etl_ray.pipelines.ingest import run_ingest
+
+    cfg = load_config(args.config)
+    report = run_ingest(cfg, args.events)
+    print(json.dumps(report, default=str))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from gene_etl_ray.pipelines.ingest import validate_lake
+
+    checks = validate_lake(args.lake)
+    print(json.dumps(checks))
+    return 0 if checks["one_row_per_url"] else 1
+
+
+def cmd_export(args) -> int:
+    """Export the live view to plain partitioned Parquet (no engine
+    metadata) — parity with the reference's Parquet archival export
+    (``io.py:289-335``), minus its manual pagination: Ray Data writes one
+    file per block natively."""
+    from gene_etl_ray.pipelines.ingest import read_lake
+
+    ds = read_lake(args.lake, live_only=not args.include_tombstones)
+    ds.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": ds.count()}))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    """Lake summary — parity with the statistics endpoint
+    (``app.py:323-383``) and the grouped summary view
+    (``models.py:268-284``)."""
+    from gene_etl_ray.state.checkpoint import effective_watermarks, read_lake_meta
+    from gene_etl_ray.state.lineage import read_lineage
+    from gene_etl_ray.state.manifest import current_files
+
+    meta = read_lake_meta(args.lake) or {}
+    files = current_files(args.lake)
+    lineage = read_lineage(args.lake)
+    wm = effective_watermarks(args.lake, meta.get("num_partitions", 0) or len(files) or 1)
+    out = {
+        "num_partitions": meta.get("num_partitions"),
+        "config_hash": meta.get("config_hash"),
+        "committed_partitions": len(files),
+        "current_files": sum(len(v) for v in files.values()),
+        "max_committed_epoch": max(wm.values()) if wm else -1,
+        "lineage_records": len(lineage),
+    }
+    metrics_path = os.path.join(args.lake, "_meta", "metrics.json")
+    if os.path.exists(metrics_path):
+        with open(metrics_path) as f:
+            out["last_run"] = json.load(f)
+    print(json.dumps(out))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="gene_etl_ray", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="apply uncommitted epochs to the lake")
+    pi.add_argument("--config", required=True)
+    pi.add_argument("--events", required=True)
+    pi.set_defaults(fn=cmd_ingest)
+
+    pv = sub.add_parser("validate", help="post-validation checks on the lake")
+    pv.add_argument("--lake", required=True)
+    pv.set_defaults(fn=cmd_validate)
+
+    pe = sub.add_parser("export", help="export the live view to plain parquet")
+    pe.add_argument("--lake", required=True)
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--include-tombstones", action="store_true")
+    pe.set_defaults(fn=cmd_export)
+
+    ps = sub.add_parser("stats", help="lake summary + last run metrics")
+    ps.add_argument("--lake", required=True)
+    ps.set_defaults(fn=cmd_stats)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    try:
+        sys.exit(main())
+    finally:
+        ray.shutdown()

@@ -1,0 +1,47 @@
+"""CLI surface tests (python -m gene_etl_ray.run) — parity with the
+reference's config-driven entry points and operational endpoints."""
+
+import json
+
+import pytest
+
+from gene_etl_ray.fixtures import generate_events
+from gene_etl_ray.run import load_config, main
+
+
+@pytest.fixture()
+def events_and_config(tmp_path):
+    ev = str(tmp_path / "events")
+    generate_events(ev, n_urls=80, n_events=300, n_epochs=3)
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"lake_dir": str(tmp_path / "lake"), "num_partitions": 4}, f)
+    return ev, cfg_path, str(tmp_path / "lake")
+
+
+def test_cli_ingest_validate_export_stats(events_and_config, tmp_path, capsys):
+    ev, cfg, lake = events_and_config
+    assert main(["ingest", "--config", cfg, "--events", ev]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["events_in"] == 300
+
+    assert main(["validate", "--lake", lake]) == 0
+    checks = json.loads(capsys.readouterr().out)
+    assert checks["one_row_per_url"]
+
+    out_dir = str(tmp_path / "export")
+    assert main(["export", "--lake", lake, "--out", out_dir]) == 0
+    exp = json.loads(capsys.readouterr().out)
+    assert exp["rows"] > 0
+
+    assert main(["stats", "--lake", lake]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["num_partitions"] == 4 and stats["max_committed_epoch"] == 2
+
+
+def test_cli_rejects_unknown_config_keys(tmp_path):
+    p = str(tmp_path / "bad.json")
+    with open(p, "w") as f:
+        json.dump({"lake_dir": "/tmp/x", "not_a_knob": 1}, f)
+    with pytest.raises(SystemExit, match="unknown config keys"):
+        load_config(p)
