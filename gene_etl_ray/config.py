@@ -64,6 +64,13 @@ class EngineConfig:
     # LWW associativity makes this semantically identical to extracting
     # everything, at ~1/U the extraction + shuffle cost for U updates/url
     late_extract: bool = False
+    # sink strategy: "cow" (copy-on-write — each commit rewrites touched
+    # partitions; reads are plain scans) or "mor" (merge-on-read — each
+    # commit APPENDS a per-partition LWW-deduped delta file; reads resolve
+    # LWW across a partition's files; `compact` folds them back to one).
+    # MOR avoids rewriting a 100 TB partition for a 1 GB delta — write
+    # amplification ~delta-size instead of ~partition-size.
+    merge_mode: str = "cow"
     # merge-exchange implementation: "hash" (hash-partition aggregators —
     # no sort, best measured scaling), "push" (push-based sort shuffle),
     # "pull" (default Ray sort shuffle)
@@ -71,6 +78,8 @@ class EngineConfig:
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
+        if self.merge_mode not in ("cow", "mor"):
+            raise ValueError("merge_mode must be 'cow' or 'mor'")
         if self.num_partitions < 1:
             raise ValueError("num_partitions must be >= 1")
         if self.salt_factor < 1:

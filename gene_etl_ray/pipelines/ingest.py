@@ -50,6 +50,7 @@ from gene_etl_ray.schema import (
 )
 from gene_etl_ray.state.checkpoint import (
     effective_watermarks,
+    last_global_epoch,
     read_lake_meta,
     write_checkpoint,
     write_global_epoch,
@@ -204,7 +205,7 @@ def _select_winners(
     return np.array([r["seq"] for r in rows], dtype=np.int64)
 
 
-def _make_merge_fn(lake_dir: str, commit_epoch: int):
+def _make_merge_fn(lake_dir: str, commit_epoch: int, tag: str = ""):
     """Per-group LWW merge + partition-file write (phase 1 of the commit).
 
     Sort by (url, warc_ts, seq); the last row per url is the winner —
@@ -233,7 +234,7 @@ def _make_merge_fn(lake_dir: str, commit_epoch: int):
         live = t.num_rows - (pc.sum(t.column(DELETED_COLUMN)).as_py() or 0)
         part_dir = os.path.join(lake_dir, f"part={pkey:05d}")
         os.makedirs(part_dir, exist_ok=True)
-        path = os.path.join(part_dir, f".tmp-epoch={commit_epoch:05d}-g{gkey:09d}.parquet")
+        path = os.path.join(part_dir, f".tmp-epoch={commit_epoch:05d}-g{gkey:09d}{tag}.parquet")
         pq.write_table(t, path)
         _fsync_file(path)
         return pa.table(
@@ -336,7 +337,7 @@ def _run_ingest(
         # prune, so it may be skipped (cfg.prevalidate=False) — the merge
         # output then determines the affected set post-hoc.
         has_lake = bool(current_files(lake_dir))
-        if cfg.prevalidate or has_lake:
+        if cfg.prevalidate or (has_lake and cfg.merge_mode == "cow"):
             counts, val = _partition_counts(files, cfg)
             for k, v in val.items():
                 report["validation"][k] = report["validation"].get(k, 0) + v
@@ -379,6 +380,7 @@ def _run_ingest(
             "salt_factor": cfg.salt_factor,
             "schema_hex": _schema_to_hex(target),
             "config_hash": cfg.hash(),
+            "merge_mode": cfg.merge_mode,
         }
         write_lake_meta(lake_dir, meta)
 
@@ -427,13 +429,22 @@ def _run_ingest(
             lambda b, target=target: _events_to_lake(b, target), batch_format="pyarrow"
         )
 
-        lake_files = current_files(lake_dir, affected)
-        existing = [f for fs in lake_files.values() for f in fs]
-        if existing:
-            old = ray.data.read_parquet(existing, partitioning=None).map_batches(
-                _make_lake_side_stage(cfg, hot, target), batch_format="pyarrow"
-            )
-            ds = ds.union(old)
+        # cow: union the affected partitions' current state so the merge
+        # rewrites them whole. mor: skip the lake read entirely — the
+        # LWW-deduped delta is APPENDED and reads resolve across files.
+        if cfg.merge_mode == "cow":
+            lake_files = current_files(lake_dir, affected)
+            existing = [f for fs in lake_files.values() for f in fs]
+            if existing:
+                # pass the evolved schema: a partition untouched since a
+                # schema change still has old-schema files, and a bare
+                # read would drop the new columns before conform ran
+                old = ray.data.read_parquet(
+                    existing, partitioning=None, schema=target
+                ).map_batches(
+                    _make_lake_side_stage(cfg, hot, target), batch_format="pyarrow"
+                )
+                ds = ds.union(old)
 
         merged = ds.groupby("gkey").map_groups(
             _make_merge_fn(lake_dir, commit_epoch), batch_format="pyarrow"
@@ -455,7 +466,14 @@ def _run_ingest(
                 "live_rows": sum(int(x["live_rows"]) for x in rs),
                 "events": counts.get(pkey, 0),
             }
-            commit_partition(lake_dir, pkey, commit_epoch, [x["path"] for x in rs], stats)
+            commit_partition(
+                lake_dir,
+                pkey,
+                commit_epoch,
+                [x["path"] for x in rs],
+                stats,
+                append=(cfg.merge_mode == "mor"),
+            )
             write_checkpoint(lake_dir, pkey, commit_epoch, max(int(x["max_seq"]) for x in rs))
             append_lineage(
                 lake_dir,
@@ -502,21 +520,44 @@ def _run_ingest(
     return report
 
 
+def _resolve_lww(group: pa.Table) -> pa.Table:
+    """Read-side LWW resolution for merge-on-read partitions: keep the
+    max-(warc_ts, seq) row per url within the partition group."""
+    t = group.combine_chunks().sort_by(
+        [("url", "ascending"), ("warc_ts", "ascending"), ("seq", "ascending")]
+    )
+    n = t.num_rows
+    if n > 1:
+        u = t.column("url").combine_chunks()
+        neq = pc.not_equal(u.slice(0, n - 1), u.slice(1, n - 1))
+        t = t.filter(pa.chunked_array([neq, pa.array([True])]))
+    return t
+
+
 def read_lake(
     lake_dir: str, live_only: bool = True, columns: list[str] | None = None
 ) -> "ray.data.Dataset":
     """Dataset over the lake's manifested current files (only committed
-    data is ever visible). ``live_only`` filters tombstones and drops the
-    internal columns — the query-layer view, reference analog of the SQL
-    views over the results fact table (``models.py:241-284``)."""
+    data is ever visible). For merge-on-read lakes the per-partition LWW
+    resolution runs first (groupby pkey — partition-local, no cross-
+    partition exchange semantics). ``live_only`` filters tombstones and
+    drops the internal columns — the query-layer view, reference analog
+    of the SQL views over the results fact table (``models.py:241-284``)."""
+    meta = read_lake_meta(lake_dir)
     files = [f for fs in current_files(lake_dir).values() for f in fs]
     if not files:
-        meta = read_lake_meta(lake_dir)
         schema = (
             _schema_from_hex(meta["schema_hex"]) if meta else pa.schema([("url", pa.string())])
         )
         return ray.data.from_arrow(schema.empty_table())
-    ds = ray.data.read_parquet(files, columns=columns, partitioning=None)
+    schema = _schema_from_hex(meta["schema_hex"]) if meta else None
+    needs_resolve = bool(meta and meta.get("merge_mode") == "mor")
+    read_cols = None if needs_resolve else columns
+    ds = ray.data.read_parquet(files, columns=read_cols, partitioning=None, schema=schema)
+    if needs_resolve:
+        ds = ds.groupby(PKEY_COLUMN).map_groups(_resolve_lww, batch_format="pyarrow")
+        if columns:
+            ds = ds.select_columns(columns)
     if live_only:
         def live(b: pa.Table) -> pa.Table:
             b = b.filter(pc.invert(b.column(DELETED_COLUMN)))
@@ -526,13 +567,53 @@ def read_lake(
     return ds
 
 
+def compact_lake(cfg: EngineConfig) -> dict:
+    """Fold a merge-on-read partition's delta files back into one file per
+    partition (manifest REPLACE at the current epoch). Uses the same
+    merge/commit machinery as cow ingest, so compaction inherits the
+    exactly-once protocol: a crash mid-compaction leaves the old manifests
+    pointing at the old files."""
+    lake_dir = cfg.lake_dir
+    meta = read_lake_meta(lake_dir)
+    if meta is None:
+        return {"compacted": 0}
+    target = _schema_from_hex(meta["schema_hex"])
+    epoch = last_global_epoch(lake_dir)
+    by_part = current_files(lake_dir)
+    multi = {k: fs for k, fs in by_part.items() if len(fs) > 1}
+    if not multi:
+        return {"compacted": 0}
+    files = [f for fs in multi.values() for f in fs]
+    ds = ray.data.read_parquet(files, partitioning=None, schema=target)
+    ds = ds.map_batches(_make_lake_side_stage(cfg, set(), target), batch_format="pyarrow")
+    merged = ds.groupby("gkey").map_groups(
+        _make_merge_fn(lake_dir, epoch, tag="-compact"), batch_format="pyarrow"
+    )
+    rows = merged.take_all()
+    by_pkey: dict[int, list[dict]] = {}
+    for r in rows:
+        by_pkey.setdefault(int(r["pkey"]), []).append(r)
+    for pkey, rs in sorted(by_pkey.items()):
+        commit_partition(
+            lake_dir,
+            pkey,
+            epoch,
+            [x["path"] for x in rs],
+            {"rows": sum(int(x["rows"]) for x in rs), "compaction": True},
+            force=True,
+        )
+    return {"compacted": len(by_pkey), "epoch": epoch}
+
+
 def validate_lake(lake_dir: str) -> dict:
     """Post-validation over the committed lake (parity:
-    ``validate.py:87-137``'s result checks): exactly one stored row per
-    url, live rows have text for html-bearing events, row counts reconcile
-    with manifests."""
-    files = [f for fs in current_files(lake_dir).values() for f in fs]
-    checks = {"one_row_per_url": True, "manifest_rows_match": True, "rows": 0}
+    ``validate.py:87-137``'s result checks). Invariants per merge mode:
+    cow — one stored row per url per PARTITION; mor — one row per url per
+    FILE (delta files overlap by design; the resolved live view's
+    uniqueness is what read_lake guarantees)."""
+    meta = read_lake_meta(lake_dir)
+    mor = bool(meta and meta.get("merge_mode") == "mor")
+    checks = {"one_row_per_url": True, "manifest_rows_match": True, "rows": 0, "mode": "mor" if mor else "cow"}
     total = 0
     for k, fs in current_files(lake_dir).items():
         part_rows = 0
@@ -541,10 +622,15 @@ def validate_lake(lake_dir: str) -> dict:
         for f in fs:
             t = pq.read_table(f, columns=["url"])
             part_rows += t.num_rows
-            for u in t.column("url").to_pylist():
-                if u in urls:
+            file_urls = t.column("url").to_pylist()
+            if mor:
+                if len(set(file_urls)) != len(file_urls):
                     dup = True
-                urls.add(u)
+            else:
+                for u in file_urls:
+                    if u in urls:
+                        dup = True
+                    urls.add(u)
         if dup:
             checks["one_row_per_url"] = False
         total += part_rows

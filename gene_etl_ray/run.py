@@ -73,6 +73,14 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from gene_etl_ray.pipelines.ingest import compact_lake
+
+    cfg = load_config(args.config)
+    print(json.dumps(compact_lake(cfg)))
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Lake summary — parity with the statistics endpoint
     (``app.py:323-383``) and the grouped summary view
@@ -123,6 +131,12 @@ def main(argv: list[str] | None = None) -> int:
     ps = sub.add_parser("stats", help="lake summary + last run metrics")
     ps.add_argument("--lake", required=True)
     ps.set_defaults(fn=cmd_stats)
+
+    pc_ = sub.add_parser(
+        "compact", help="fold merge-on-read delta files back to one per partition"
+    )
+    pc_.add_argument("--config", required=True)
+    pc_.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -58,13 +58,23 @@ def read_manifest(lake_dir: str, pkey: int) -> dict | None:
 
 
 def commit_partition(
-    lake_dir: str, pkey: int, epoch: int, tmp_files: list[str], stats: dict
+    lake_dir: str,
+    pkey: int,
+    epoch: int,
+    tmp_files: list[str],
+    stats: dict,
+    append: bool = False,
+    force: bool = False,
 ) -> dict:
     """Phase 2 for one partition: rename temp files to final names, then
-    atomically publish the manifest listing exactly those files as the
-    partition's current state. Returns the new manifest."""
+    atomically publish the manifest. ``append=False`` (copy-on-write):
+    the new files REPLACE the partition's state and superseded files are
+    GC'd. ``append=True`` (merge-on-read): the new files are ADDED to the
+    current file list — read-side LWW resolves across them. ``force``
+    bypasses the epoch-idempotency guard (compaction rewrites at an
+    already-committed epoch). Returns the new manifest."""
     old = read_manifest(lake_dir, pkey)
-    if old is not None and old["epoch"] >= epoch:
+    if old is not None and old["epoch"] >= epoch and not force:
         # already committed by a previous (crashed-after-commit) run — the
         # epoch-idempotency guard, reference analog ``persist.py:273-295``
         return old
@@ -75,7 +85,9 @@ def commit_partition(
         os.replace(tmp, final)
         finals.append(final)
     _fsync_dir(os.path.join(lake_dir, f"part={pkey:05d}"))
-    manifest = {"pkey": pkey, "epoch": epoch, "files": sorted(finals), "stats": stats}
+    if append and old is not None:
+        finals = list(old["files"]) + finals
+    manifest = {"pkey": pkey, "epoch": epoch, "files": sorted(set(finals)), "stats": stats}
     atomic_write_json(manifest_path(lake_dir, pkey), manifest)
     # GC files superseded by this manifest (safe: readers already re-pointed)
     if old is not None:

@@ -205,3 +205,45 @@ def test_late_extract_matches_oracle(tmp_events, tmp_lake, tmp_path):
     )
     run_ingest(cfg, tmp_events)
     assert_matches_oracle(tmp_lake, tmp_events)
+
+
+def test_mor_mode_matches_oracle_and_compacts(tmp_events, tmp_lake, tmp_path):
+    """Merge-on-read: delta appends + read-side LWW resolution produce the
+    same live state as copy-on-write and the oracle; compaction folds the
+    deltas without changing the state."""
+    from gene_etl_ray.pipelines.ingest import compact_lake
+    from gene_etl_ray.state.manifest import current_files
+
+    generate_events(
+        tmp_events, n_urls=300, n_events=1500, n_epochs=6,
+        tie_frac=0.15, out_of_order_frac=0.2, schema_add_epoch=3,
+    )
+    cfg = EngineConfig(
+        lake_dir=tmp_lake, num_partitions=8, epochs_per_commit=2, merge_mode="mor"
+    )
+    run_ingest(cfg, tmp_events)
+    # 3 commit groups -> up to 3 delta files per partition
+    assert max(len(fs) for fs in current_files(tmp_lake).values()) > 1
+    assert validate_lake(tmp_lake)["one_row_per_url"]
+    assert_matches_oracle(tmp_lake, tmp_events)
+
+    before = lake_df(tmp_lake)
+    rep = compact_lake(cfg)
+    assert rep["compacted"] > 0
+    assert max(len(fs) for fs in current_files(tmp_lake).values()) == 1
+    pd.testing.assert_frame_equal(before, lake_df(tmp_lake))
+    assert_matches_oracle(tmp_lake, tmp_events)
+
+
+def test_mor_crash_resume(tmp_events, tmp_lake):
+    """Exactly-once holds in merge-on-read mode across a mid-commit crash:
+    no delta file is double-appended on resume."""
+    generate_events(tmp_events, n_urls=300, n_events=1500, n_epochs=6)
+    cfg = EngineConfig(
+        lake_dir=tmp_lake, num_partitions=8, epochs_per_commit=2, merge_mode="mor"
+    )
+    with pytest.raises(CrashInjected):
+        run_ingest(cfg, tmp_events, fail_after_partitions=3)
+    run_ingest(cfg, tmp_events)
+    assert validate_lake(tmp_lake)["one_row_per_url"]
+    assert_matches_oracle(tmp_lake, tmp_events)
