@@ -169,6 +169,72 @@ def minhash_lsh_candidates(
     )
 
 
+def near_dup_clusters(
+    ds: ray.data.Dataset,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    max_rounds: int = 20,
+) -> pd.DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs above
+    ``threshold`` → connected components by iterative min-label
+    propagation. Each round: broadcast the current (small) label map into
+    a vectorized edge relabel, then a groupby-min over (node, candidate
+    label) — the distributed pattern; converges in ≤ graph-diameter
+    rounds. Returns (id, cluster_id) for every doc in some cluster, where
+    cluster_id = min doc id of the component."""
+    pairs = minhash_lsh_candidates(
+        ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, id_col=id_col
+    )
+    pairs = pairs[pairs["est_jaccard"] >= threshold]
+    if pairs.empty:
+        return pd.DataFrame({id_col: [], "cluster_id": []})
+    edges = pd.concat(
+        [
+            pairs.rename(columns={"id_a": "src", "id_b": "dst"})[["src", "dst"]],
+            pairs.rename(columns={"id_b": "src", "id_a": "dst"})[["src", "dst"]],
+        ],
+        ignore_index=True,
+    )
+    edges_ds = ray.data.from_pandas(edges)
+    labels = {n: n for n in set(edges["src"])}
+    for _ in range(max_rounds):
+        lab = dict(labels)  # broadcast once per round (tiny: one int/node)
+
+        def relabel(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {"node": b["dst"].to_numpy(), "label": b["src"].map(lab).to_numpy()}
+            )
+            return out
+
+        msgs = (
+            edges_ds.map_batches(relabel, batch_format="pandas")
+            .groupby("node")
+            .map_groups(
+                lambda g: pd.DataFrame(
+                    {"node": [g["node"].iloc[0]], "label": [g["label"].min()]}
+                ),
+                batch_format="pandas",
+            )
+            .to_pandas()
+        )
+        new_labels = dict(labels)
+        changed = False
+        for node, label in zip(msgs["node"], msgs["label"]):
+            if label < new_labels[node]:
+                new_labels[node] = label
+                changed = True
+        labels = new_labels
+        if not changed:
+            break
+    out = pd.DataFrame(
+        {id_col: list(labels), "cluster_id": [labels[n] for n in labels]}
+    )
+    return out.sort_values([id_col]).reset_index(drop=True)
+
+
 class SimHasher:
     """64-bit SimHash signatures (token-hash bit voting), built per actor."""
 

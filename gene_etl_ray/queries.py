@@ -587,6 +587,31 @@ def docs_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     return dedup.minhash_lsh_candidates(ds)
 
 
+def docs_near_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs → connected components via
+    distributed min-label propagation (rows-only)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.near_dup_clusters(ds, threshold=0.5)
+
+
+def events_users_approx_distinct(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog approximate distinct users vs exact, with relative
+    error (mergeable-sketch pattern; rows-only — approximation has no SQL
+    oracle)."""
+    from gene_etl_ray.ops.sketch import approx_distinct
+
+    ds = read(sf_dir, "events", ["user_id"])
+    approx = approx_distinct(ds, "user_id")
+    exact = int(ds.to_pandas()["user_id"].nunique())
+    return pd.DataFrame(
+        {
+            "n_exact": [exact],
+            "n_approx": [round(approx, 1)],
+            "rel_err": [round(abs(approx - exact) / max(1, exact), 4)],
+        }
+    )
+
+
 def docs_simhash(sf_dir: str) -> pd.DataFrame:
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     out = dedup.simhash_signatures(ds).to_pandas()[["doc_id", "simhash"]]
@@ -741,6 +766,8 @@ QUERIES = {
     "docs_token_count_bpe": docs_token_count_bpe,
     "docs_fingerprints": docs_fingerprints,
     "docs_minhash_pairs": docs_minhash_pairs,
+    "docs_near_dup_clusters": docs_near_dup_clusters,
+    "events_users_approx_distinct": events_users_approx_distinct,
     "docs_simhash": docs_simhash,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "knn_cosine_topk": knn_cosine_topk,

@@ -247,3 +247,21 @@ def test_mor_crash_resume(tmp_events, tmp_lake):
     run_ingest(cfg, tmp_events)
     assert validate_lake(tmp_lake)["one_row_per_url"]
     assert_matches_oracle(tmp_lake, tmp_events)
+
+
+def test_incremental_arrival(tmp_events, tmp_lake, tmp_path):
+    """The tailing loop: epochs arrive over time; each run_ingest applies
+    only what is new, and the final state equals a one-shot replay."""
+    staged = str(tmp_path / "staged")
+    generate_events(staged, n_urls=250, n_events=1200, n_epochs=6, out_of_order_frac=0.2)
+    os.makedirs(tmp_events)
+    cfg = EngineConfig(lake_dir=tmp_lake, num_partitions=4, epochs_per_commit=2)
+    all_files = sorted(os.listdir(staged))
+    applied = 0
+    for i, f in enumerate(all_files):
+        shutil.copy(os.path.join(staged, f), os.path.join(tmp_events, f))
+        if i % 2 == 1:  # the tail loop wakes up every 2 segments
+            rep = run_ingest(cfg, tmp_events)
+            applied += rep["events_applied"]
+    assert applied == 1200
+    assert_matches_oracle(tmp_lake, tmp_events)

@@ -143,3 +143,60 @@ class TestRelational:
         ).sort_values("g").reset_index(drop=True)
         exp = df.groupby("g", as_index=False).agg(sx=("x", "sum"), n=("x", "size"))
         pd.testing.assert_frame_equal(out, exp, check_dtype=False, atol=1e-9)
+
+
+class TestSketch:
+    def test_hll_accuracy(self):
+        from gene_etl_ray.ops.sketch import HyperLogLog
+
+        h = HyperLogLog(p=12)
+        vals = [f"user-{i}" for i in range(50000)]
+        h.add(vals)
+        est = h.estimate()
+        assert abs(est - 50000) / 50000 < 0.05  # HLL p=12 -> ~1.6% stderr
+
+    def test_hll_merge_equals_union(self):
+        from gene_etl_ray.ops.sketch import HyperLogLog
+
+        a, b, u = HyperLogLog(), HyperLogLog(), HyperLogLog()
+        xs = [f"x{i}" for i in range(10000)]
+        ys = [f"y{i}" for i in range(10000)]
+        a.add(xs); b.add(ys); u.add(xs + ys)
+        assert a.merge(b).estimate() == u.estimate()
+
+    def test_approx_distinct_dataset(self):
+        import pandas as pd
+        import ray.data as rd
+        from gene_etl_ray.ops.sketch import approx_distinct
+
+        df = pd.DataFrame({"k": [f"v{i % 997}" for i in range(20000)]})
+        est = approx_distinct(rd.from_pandas(df), "k")
+        assert abs(est - 997) / 997 < 0.05
+
+
+class TestClustering:
+    def test_transitive_components(self):
+        import pandas as pd
+        import ray.data as rd
+        from gene_etl_ray.ops import dedup
+
+        base = "shared common text block for similarity " * 8
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 10, 11, 99],
+                "text": [
+                    base + "tail one",
+                    base + "tail one",       # dup of 1
+                    base + "tail one more",  # near-dup of 1/2
+                    "another cluster entirely different words " * 8,
+                    "another cluster entirely different words " * 8,
+                    "singleton lonely document with unique content " * 8,
+                ],
+            }
+        )
+        out = dedup.near_dup_clusters(rd.from_pandas(docs), threshold=0.5)
+        m = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert m[1] == m[2] == 1
+        assert m.get(3, 1) == 1          # transitive into cluster 1
+        assert m[10] == m[11] == 10
+        assert 99 not in m               # singleton: in no cluster
