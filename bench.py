@@ -37,7 +37,7 @@ _HTML_HINT = 1500
 def _events_dir() -> tuple[str, int]:
     tag = os.path.basename(os.path.normpath(SF_DIR))
     n_events = _EVENTS_BY_SF.get(tag, 200_000)
-    d = os.path.join(BENCH_ROOT, tag, f"events_{n_events}_h{_HTML_HINT}")
+    d = os.path.join(BENCH_ROOT, tag, f"events_{n_events}_h{_HTML_HINT}_g2")
     marker = os.path.join(d, ".complete")
     if not os.path.exists(marker):
         shutil.rmtree(d, ignore_errors=True)

@@ -71,6 +71,11 @@ class EngineConfig:
     # MOR avoids rewriting a 100 TB partition for a 1 GB delta — write
     # amplification ~delta-size instead of ~partition-size.
     merge_mode: str = "cow"
+    # bounded object-store backpressure: cap the bytes the streaming
+    # executor may hold in flight (None = Ray default). At 10^10-event
+    # scale this is what keeps a fast producer stage from flooding the
+    # store ahead of the merge shuffle.
+    object_store_limit_bytes: int | None = None
     # merge-exchange implementation: "hash" (hash-partition aggregators —
     # no sort, best measured scaling), "push" (push-based sort shuffle),
     # "pull" (default Ray sort shuffle)

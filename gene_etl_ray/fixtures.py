@@ -36,16 +36,34 @@ _VOCAB = (
 _BASE_TS_US = 1_600_000_000_000_000  # 2020-09-13T12:26:40Z, fixed
 
 
+_PARA_POOL: list[str] | None = None
+_POOL_SIZE = 4096
+
+
+def _para_pool() -> list[str]:
+    """Fixed pool of pre-composed paragraphs; docs are deterministic
+    selections from it — O(paras) assembly instead of O(words)."""
+    global _PARA_POOL
+    if _PARA_POOL is None:
+        V = len(_VOCAB)
+        _PARA_POOL = [
+            "<p>"
+            + " ".join(_VOCAB[(p * 31 + i * 7 + (p * i) % 13) % V] for i in range(12))
+            + "</p>"
+            for p in range(_POOL_SIZE)
+        ]
+    return _PARA_POOL
+
+
 def _make_html(url: str, rev: int, size_hint: int) -> bytes:
     """Deterministic synthetic html for (url, rev): title, paragraphs,
     script/style blocks, entities — everything the extractor must strip."""
     h = abs(hash_seedless(url)) + rev * 1_000_003
     nwords = 30 + (h % max(1, size_hint))
-    words = [_VOCAB[(h // (i + 1) + i * 31) % len(_VOCAB)] for i in range(nwords)]
-    paras = []
-    for i in range(0, len(words), 12):
-        paras.append("<p>" + " ".join(words[i : i + 12]) + "</p>")
-    body = "\n".join(paras)
+    pool = _para_pool()
+    body = "\n".join(
+        pool[(h + 97 * i) % _POOL_SIZE] for i in range(max(1, nwords // 12))
+    )
     doc = (
         f"<html><head><title>{url} r{rev}</title>"
         f"<style>.x{{color:red}}</style></head>"

@@ -271,6 +271,15 @@ def run_ingest(
     ctx = DataContext.get_current()
     prev_shuffle = ctx.shuffle_strategy
     prev_par = getattr(ctx, "default_hash_shuffle_parallelism", None)
+    prev_limits = ctx.execution_options.resource_limits
+    if cfg.object_store_limit_bytes is not None:
+        # bounded object-store backpressure (north_rule): the executor
+        # stalls upstream stages once in-flight bytes hit the cap
+        from ray.data import ExecutionResources
+
+        ctx.execution_options.resource_limits = ExecutionResources(
+            object_store_memory=cfg.object_store_limit_bytes
+        )
     if cfg.shuffle == "hash":
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         # aggregator-actor count must scale with the cluster, never exceed
@@ -287,6 +296,7 @@ def run_ingest(
         ctx.shuffle_strategy = prev_shuffle
         if prev_par is not None:
             ctx.default_hash_shuffle_parallelism = prev_par
+        ctx.execution_options.resource_limits = prev_limits
 
 
 def _run_ingest(

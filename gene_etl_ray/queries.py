@@ -711,8 +711,12 @@ def cdc_ingest_lake(sf_dir: str) -> pd.DataFrame:
     from gene_etl_ray.fixtures import events_from_documents
     from gene_etl_ray.pipelines.ingest import read_lake, run_ingest
 
+    import gene_etl_ray
+
     tag = os.path.basename(os.path.normpath(sf_dir))
-    base = f"/tmp/gene_etl_ray_cdc/{tag}"
+    # version-keyed scratch dir: a lake built by an older engine version
+    # must never be served as this version's result
+    base = f"/tmp/gene_etl_ray_cdc/{gene_etl_ray.__version__}/{tag}"
     ev_dir, lake_dir = f"{base}/events", f"{base}/lake"
     if not os.path.isdir(ev_dir):
         events_from_documents(sf_dir, ev_dir)

@@ -265,3 +265,21 @@ def test_incremental_arrival(tmp_events, tmp_lake, tmp_path):
             applied += rep["events_applied"]
     assert applied == 1200
     assert_matches_oracle(tmp_lake, tmp_events)
+
+
+def test_keep_html_and_backpressure_cap(tmp_events, tmp_lake):
+    """keep_html retains the raw payload column in the lake; a bounded
+    object-store cap (backpressure) changes nothing semantically."""
+    generate_events(tmp_events, n_urls=150, n_events=600, n_epochs=3)
+    cfg = EngineConfig(
+        lake_dir=tmp_lake, num_partitions=4, keep_html=True,
+        object_store_limit_bytes=256 * 1024 * 1024,
+    )
+    run_ingest(cfg, tmp_events)
+    live = read_lake(tmp_lake).to_pandas()
+    assert "html" in live.columns
+    assert live.loc[live["text"].notna(), "html"].notna().all()
+    gold = replay_oracle(tmp_events, keep_html=True)
+    live = live.sort_values("url").reset_index(drop=True)
+    cols = sorted(set(live.columns) & set(gold.columns))
+    pd.testing.assert_frame_equal(live[cols], gold[cols].reset_index(drop=True), check_dtype=False)
