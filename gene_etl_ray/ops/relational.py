@@ -50,6 +50,60 @@ def broadcast_join(
     return ds.map_batches(join, batch_format="pandas")
 
 
+def partitioned_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str,
+    num_buckets: int = 32,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Both-sides-large hash join: add ``bucket = H(key) % B`` to each
+    side, tag the side, union, shuffle once on the bucket, and merge the
+    two sides pandas-wise inside each bucket group (the explicit
+    partitioned hash join from the Ray guide). Neither side is broadcast
+    or materialized; the single shuffle moves each row once. Hot join
+    keys can be salted exactly like the merge path (url-deterministic
+    sub-buckets) — not needed at testdata scale.
+
+    Column-name collisions between the sides are the caller's problem
+    (TPC-H-style disjoint prefixes assumed)."""
+
+    from gene_etl_ray.schema import conform_table
+
+    ls = left.schema().base_schema
+    rs = right.schema().base_schema
+    lcols, rcols = list(ls.names), list(rs.names)
+    union_schema = pa.schema(
+        list(ls)
+        + [f for f in rs if f.name not in ls.names]
+        + [pa.field("__bucket", pa.int64()), pa.field("__side", pa.string())]
+    )
+
+    def keyed(tag: str, col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = t.column(col).to_numpy(zero_copy_only=False)
+            bucket = (
+                pd.util.hash_array(keys, categorize=False) % np.uint64(num_buckets)
+            ).astype("int64")
+            t = t.append_column("__bucket", pa.array(bucket, pa.int64()))
+            t = t.append_column("__side", pa.array([tag] * len(bucket), pa.string()))
+            return conform_table(t, union_schema)
+
+        return fn
+
+    both = left.map_batches(keyed("l", left_on), batch_format="pyarrow").union(
+        right.map_batches(keyed("r", right_on), batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == "l", lcols]
+        rg = g.loc[g["__side"] == "r", rcols]
+        return lg.merge(rg, left_on=left_on, right_on=right_on, how=how)
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
 def semi_filter(ds: ray.data.Dataset, column: str, values) -> ray.data.Dataset:
     """Semi-join as a broadcast IN-list filter (J2/J3, ``io.py:118-133``)."""
     vset = pa.array(list(values))

@@ -375,6 +375,64 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def orders_lineitem_partitioned_join(sf_dir: str) -> pd.DataFrame:
+    """Both-sides-large partitioned hash join (no broadcast): orders ⋈
+    lineitem bucketed on the order key, merged per bucket, then grouped
+    revenue per order status. One shuffle, each row moves once."""
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = relational.partitioned_join(li, orders, "l_orderkey", "o_orderkey")
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b[["o_orderstatus", "revenue"]]
+
+    out = grouped_aggregate_partial(
+        joined.map_batches(rev, batch_format="pandas"),
+        ["o_orderstatus"], sums={"revenue": "revenue"}, counts="n_items",
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+PARTJOIN_SQL = """
+SELECT o_orderstatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def events_props_k_stats(sf_dir: str) -> pd.DataFrame:
+    """JSON sidecar parsing (scalar parser stage): extract ``k`` from the
+    ``props`` JSON column per row, grouped stats per event type."""
+    import json as _json
+
+    ds = read(sf_dir, "events", ["event_type", "props"])
+
+    def parse(b: pd.DataFrame) -> pd.DataFrame:
+        b["k"] = [
+            _json.loads(p).get("k") if p else None for p in b["props"]
+        ]
+        return b[["event_type", "k"]]
+
+    out = grouped_aggregate_partial(
+        ds.map_batches(parse, batch_format="pandas"),
+        ["event_type"], sums={"k_sum": "k"}, counts="n",
+    )
+    out["k_sum"] = out["k_sum"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+PROPS_SQL = """
+SELECT event_type,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def lineitem_mad_by_flag(sf_dir: str) -> pd.DataFrame:
     """Per-group median-absolute-deviation (A5, ``filters.py:129-162``)."""
     ds = read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
@@ -762,6 +820,8 @@ QUERIES = {
     "events_orphan_users": events_orphan_users,
     "orders_page2": orders_page2,
     "events_asof_orders": events_asof_orders,
+    "orders_lineitem_partitioned_join": orders_lineitem_partitioned_join,
+    "events_props_k_stats": events_props_k_stats,
     "docs_dedup_exact": docs_dedup_exact,
     "docs_token_count": docs_token_count,
     "docs_char_stats": docs_char_stats,
@@ -801,6 +861,8 @@ ORACLE_SQL = {
     "events_orphan_users": ORPHAN_SQL,
     "orders_page2": PAGE_SQL,
     "events_asof_orders": ASOF_SQL,
+    "orders_lineitem_partitioned_join": PARTJOIN_SQL,
+    "events_props_k_stats": PROPS_SQL,
     "docs_dedup_exact": DEDUP_SQL,
     "docs_token_count": TOKEN_SQL,
     "docs_char_stats": CHAR_SQL,
