@@ -184,6 +184,79 @@ def ranked(ds: ray.data.Dataset, column: str, rank_name: str = "rank") -> pd.Dat
     return df
 
 
+def sessionize(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    gap_us: int,
+) -> ray.data.Dataset:
+    """Session windows (gap-based): per key, sort by time and start a new
+    session whenever the gap to the previous event exceeds ``gap_us``.
+    Ray Data has no event-time windows (SURVEY §2.9) — the session id is
+    derived inside a per-key group with vectorized pandas, after the one
+    hash shuffle on the key. Emits one row per session:
+    (key, session_start, session_end, n_events)."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts], kind="mergesort")
+        t = pd.Series(
+            g[ts].values.astype("datetime64[us]").astype("int64"), index=g.index
+        )
+        new = (t.diff() > gap_us).fillna(True)
+        sid = new.cumsum()
+        out = g.assign(__sid=sid).groupby("__sid").agg(
+            session_start=(ts, "min"), session_end=(ts, "max"), n_events=(ts, "size")
+        )
+        out[key] = g[key].iloc[0]
+        return out.reset_index(drop=True)[[key, "session_start", "session_end", "n_events"]]
+
+    return ds.groupby(key).map_groups(sessions, batch_format="pandas")
+
+
+class BloomFilter:
+    """Simple deterministic Bloom filter (k derived double-hashes over a
+    bit array) — the broadcast semi-join filter for key sets too large to
+    ship exactly: ship ``m/8`` bytes instead of the key set, accept a
+    bounded false-positive rate (no false negatives)."""
+
+    def __init__(self, num_bits: int = 1 << 20, num_hashes: int = 5):
+        self.m = num_bits
+        self.k = num_hashes
+        self.bits = np.zeros(num_bits // 8 + 1, dtype=np.uint8)
+
+    def _positions(self, values) -> np.ndarray:
+        h1 = pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
+        h2 = (h1 >> np.uint64(32)) | np.uint64(1)
+        idx = (
+            h1[:, None] + np.arange(self.k, dtype=np.uint64)[None, :] * h2[:, None]
+        ) % np.uint64(self.m)
+        return idx.astype(np.int64)
+
+    def add(self, values) -> None:
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+    def contains(self, values) -> np.ndarray:
+        pos = self._positions(values)
+        hit = (self.bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        return hit.all(axis=1)
+
+
+def bloom_semi_filter(
+    ds: ray.data.Dataset, column: str, values, num_bits: int = 1 << 20
+) -> ray.data.Dataset:
+    """Semi join via a broadcast Bloom filter of the key set. Approximate
+    (bounded false positives) — follow with an exact check when exactness
+    matters; at 10^10 scale this prunes the shuffle input first."""
+    bf = BloomFilter(num_bits=num_bits)
+    bf.add(list(values))
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        return b[bf.contains(b[column].to_numpy(dtype=object))]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def windowed_agg(
     ds: ray.data.Dataset,
     key: str,

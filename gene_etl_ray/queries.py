@@ -219,6 +219,40 @@ ORDER BY event_type, window_start
 """
 
 
+def events_user_sessions(sf_dir: str) -> pd.DataFrame:
+    """Gap-based session windows per user (30-min gap): one row per
+    session with start/end/count — streaming-shaped workload expressed as
+    key shuffle + in-group vectorized windowing (SURVEY §2.9)."""
+    ds = read(sf_dir, "events", ["user_id", "ts"])
+    out = relational.sessionize(ds, "user_id", "ts", gap_us=30 * 60 * 1_000_000)
+    return (
+        out.to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+
+
+SESSIONS_SQL = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 def distinct_event_types(sf_dir: str) -> pd.DataFrame:
     """Distinct (A11, ``io.py:280-287``) via per-batch partial sets."""
     ds = read(sf_dir, "events", ["event_type"])
@@ -809,6 +843,7 @@ QUERIES = {
     "part_topk_price": part_topk_price,
     "events_lww_latest": events_lww_latest,
     "events_hourly_stats": events_hourly_stats,
+    "events_user_sessions": events_user_sessions,
     "distinct_event_types": distinct_event_types,
     "customer_segment_stats": customer_segment_stats,
     "supplier_nation_enrich": supplier_nation_enrich,
@@ -850,6 +885,7 @@ ORACLE_SQL = {
     "part_topk_price": PART_TOPK_SQL,
     "events_lww_latest": LWW_SQL,
     "events_hourly_stats": HOURLY_SQL,
+    "events_user_sessions": SESSIONS_SQL,
     "distinct_event_types": DISTINCT_SQL,
     "customer_segment_stats": SEGMENT_SQL,
     "supplier_nation_enrich": SUPPLIER_SQL,

@@ -200,3 +200,48 @@ class TestClustering:
         assert m.get(3, 1) == 1          # transitive into cluster 1
         assert m[10] == m[11] == 10
         assert 99 not in m               # singleton: in no cluster
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self):
+        import pandas as pd
+        import numpy as np
+        import ray.data as rd
+        from gene_etl_ray.ops import relational
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        mins = lambda m: np.timedelta64(m * 60 * 1_000_000, "us")
+        df = pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 1, 2],
+                "ts": [base, base + mins(10), base + mins(100), base + mins(105), base],
+            }
+        )
+        out = relational.sessionize(rd.from_pandas(df), "user_id", "ts",
+                                    gap_us=30 * 60 * 1_000_000).to_pandas()
+        u1 = out[out["user_id"] == 1].sort_values("session_start")
+        assert len(u1) == 2 and u1["n_events"].tolist() == [2, 2]
+        assert len(out[out["user_id"] == 2]) == 1
+
+
+class TestBloom:
+    def test_no_false_negatives_and_low_fp(self):
+        from gene_etl_ray.ops.relational import BloomFilter
+
+        bf = BloomFilter(num_bits=1 << 16)
+        members = [f"key-{i}" for i in range(1000)]
+        bf.add(members)
+        assert bf.contains(members).all()  # zero false negatives
+        others = [f"other-{i}" for i in range(5000)]
+        fp = bf.contains(others).mean()
+        assert fp < 0.05, fp
+
+    def test_bloom_semi_filter_superset_of_exact(self):
+        import pandas as pd
+        import ray.data as rd
+        from gene_etl_ray.ops.relational import bloom_semi_filter
+
+        df = pd.DataFrame({"k": [f"v{i}" for i in range(2000)]})
+        keep = {f"v{i}" for i in range(0, 2000, 7)}
+        out = bloom_semi_filter(rd.from_pandas(df), "k", keep).to_pandas()
+        assert keep <= set(out["k"])  # every true member survives
