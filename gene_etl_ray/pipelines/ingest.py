@@ -462,6 +462,19 @@ def _run_ingest(
         t_pipe = time.time()
         rows = merged.take_all()  # one tiny manifest row per merge group
         t_pipe = time.time() - t_pipe
+        # per-stage wall times from Ray's executor stats → metrics.json
+        # (observability parity with the reference's process log,
+        # ``etl/__init__.py:247-304``)
+        stage_secs: dict[str, float] = {}
+        try:
+            import re as _re
+
+            for mm in _re.finditer(
+                r"Operator \d+ ([^:\n]+):[^\n]*?in ([\d.]+)s", merged.stats()
+            ):
+                stage_secs[mm.group(1).strip()[:60]] = float(mm.group(2))
+        except Exception:
+            pass
 
         # -- phase 2: commit (driver-side, O(touched partitions)) --
         by_pkey: dict[int, list[dict]] = {}
@@ -518,6 +531,7 @@ def _run_ingest(
                 "counts_sec": round(t_counts, 3),
                 "pipeline_sec": round(t_pipe, 3),
                 "commit_sec": round(time.time() - t_grp - t_counts - t_pipe, 3),
+                "stage_secs": stage_secs,
             }
         )
 

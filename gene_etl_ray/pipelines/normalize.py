@@ -65,7 +65,10 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
 
 def prevalidate_counts(table: pa.Table) -> dict:
     """Cheap pre-validation metrics over the envelope columns only
-    (column-pruned read). Parity: ``validate.py:33-85``'s five checks."""
+    (column-pruned read). Parity: ``validate.py:33-85``'s five checks.
+    ``duplicate_seq`` is a within-batch signal — exact cross-batch dup
+    detection is the dedup operator family's job (LWW merge collapses
+    exact redeliveries regardless)."""
     n = table.num_rows
     null_url = pc.sum(pc.is_null(table.column("url"))).as_py() or 0
     bad_op = n - (
