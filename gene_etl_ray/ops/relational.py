@@ -67,7 +67,10 @@ def partitioned_join(
     sub-buckets) — not needed at testdata scale.
 
     Column-name collisions between the sides are the caller's problem
-    (TPC-H-style disjoint prefixes assumed)."""
+    (TPC-H-style disjoint prefixes assumed). Ray 2.49 also ships a native
+    ``Dataset.join`` (hash-partitioned); this explicit form is kept
+    because it composes with the engine's url-deterministic salting and
+    makes the single-shuffle cost model visible."""
 
     from gene_etl_ray.schema import conform_table
 

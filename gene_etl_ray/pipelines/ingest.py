@@ -558,6 +558,32 @@ def _resolve_lww(group: pa.Table) -> pa.Table:
     return t
 
 
+def lookup_urls(lake_dir: str, urls: list[str]) -> "pa.Table":
+    """Point lookup: read ONLY the partitions the urls hash to (the
+    partition-pruned read path — at 10^10 scale this touches a handful of
+    files instead of the lake). Returns the live rows for the given urls."""
+    from gene_etl_ray.hashing import partition_keys
+    from gene_etl_ray.pipelines.normalize import canonicalize_url_one
+
+    meta = read_lake_meta(lake_dir)
+    if meta is None:
+        return pa.table({"url": pa.array([], pa.string())})
+    canon = [canonicalize_url_one(u) for u in urls]
+    P = meta["num_partitions"]
+    pkeys = sorted(set(int(k) for k in partition_keys(canon, P)))
+    files = [f for fs in current_files(lake_dir, pkeys).values() for f in fs]
+    if not files:
+        return _schema_from_hex(meta["schema_hex"]).empty_table()
+    target = _schema_from_hex(meta["schema_hex"])
+    tables = [conform_table(pq.read_table(f), target) for f in files]
+    t = pa.concat_tables(tables)
+    t = t.filter(pc.is_in(t.column("url"), value_set=pa.array(canon, pa.string())))
+    if meta.get("merge_mode") == "mor" and t.num_rows:
+        t = _resolve_lww(t)
+    t = t.filter(pc.invert(t.column(DELETED_COLUMN)))
+    return t.drop_columns([DELETED_COLUMN, PKEY_COLUMN])
+
+
 def read_lake(
     lake_dir: str, live_only: bool = True, columns: list[str] | None = None
 ) -> "ray.data.Dataset":

@@ -283,3 +283,19 @@ def test_keep_html_and_backpressure_cap(tmp_events, tmp_lake):
     live = live.sort_values("url").reset_index(drop=True)
     cols = sorted(set(live.columns) & set(gold.columns))
     pd.testing.assert_frame_equal(live[cols], gold[cols].reset_index(drop=True), check_dtype=False)
+
+
+def test_lookup_urls_point_query(tmp_events, tmp_lake):
+    """Partition-pruned point lookup returns exactly the live rows of the
+    requested urls (cow and after deletes)."""
+    from gene_etl_ray.pipelines.ingest import lookup_urls
+
+    generate_events(tmp_events, n_urls=200, n_events=900, n_epochs=3)
+    run_ingest(EngineConfig(lake_dir=tmp_lake, num_partitions=8), tmp_events)
+    live = lake_df(tmp_lake)
+    some = list(live["url"].iloc[[0, 5, 17]])
+    t = lookup_urls(tmp_lake, some + ["https://definitely-missing.example/"])
+    got = t.to_pandas().sort_values("url").reset_index(drop=True)
+    assert sorted(got["url"]) == sorted(some)
+    exp = live[live["url"].isin(some)].sort_values("url").reset_index(drop=True)
+    assert list(got.sort_values("url")["text"]) == list(exp["text"])
