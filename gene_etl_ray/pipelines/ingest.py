@@ -75,9 +75,28 @@ class CrashInjected(RuntimeError):
     """Raised by the test-only crash hook after N partition commits."""
 
 
-def discover_epochs(events_dir: str) -> dict[int, str]:
+def discover_epochs(events_dir: str, quarantine: list[str] | None = None) -> dict[int, str]:
+    """Enumerate WAL segments, validating each parquet footer. A torn or
+    corrupt segment (e.g. a writer died mid-upload) is QUARANTINED —
+    skipped and reported — rather than crashing the tail loop; epochs
+    after a quarantined one are also held back so commits stay contiguous
+    (a gap would otherwise advance the watermark past the missing data)."""
     files = glob.glob(os.path.join(events_dir, "epoch=*.parquet"))
-    return {int(os.path.basename(f)[6:-8]): f for f in sorted(files)}
+    out: dict[int, str] = {}
+    bad: list[int] = []
+    for f in sorted(files):
+        e = int(os.path.basename(f)[6:-8])
+        try:
+            pq.read_metadata(f)
+            out[e] = f
+        except Exception:
+            bad.append(e)
+            if quarantine is not None:
+                quarantine.append(f)
+    if bad:
+        first_bad = min(bad)
+        out = {e: f for e, f in out.items() if e < first_bad}
+    return out
 
 
 def _fsync_file(path: str) -> None:
@@ -290,9 +309,14 @@ def run_ingest(
         ctx.default_hash_shuffle_parallelism = min(cpus, 64)
     elif cfg.shuffle == "push":
         ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    from gene_etl_ray.state.lock import acquire, release
+
+    os.makedirs(cfg.lake_dir, exist_ok=True)
+    acquire(cfg.lake_dir)  # single-writer: concurrent committers would race
     try:
         return _run_ingest(cfg, events_dir, fail_after_partitions)
     finally:
+        release(cfg.lake_dir)
         ctx.shuffle_strategy = prev_shuffle
         if prev_par is not None:
             ctx.default_hash_shuffle_parallelism = prev_par
@@ -317,7 +341,8 @@ def _run_ingest(
             f"config says {P}; the partition count of a lake is immutable"
         )
 
-    epochs = discover_epochs(events_dir)
+    quarantined: list[str] = []
+    epochs = discover_epochs(events_dir, quarantine=quarantined)
     wm = effective_watermarks(lake_dir, P)
     min_wm = min(wm.values()) if wm else -1
     todo = sorted(e for e in epochs if e > min_wm)
@@ -327,6 +352,7 @@ def _run_ingest(
         "commits": [],
         "config_hash": cfg.hash(),
         "validation": {},
+        "quarantined_segments": quarantined,
     }
     if not todo:
         report["duration_sec"] = time.time() - t0
@@ -623,10 +649,21 @@ def compact_lake(cfg: EngineConfig) -> dict:
     merge/commit machinery as cow ingest, so compaction inherits the
     exactly-once protocol: a crash mid-compaction leaves the old manifests
     pointing at the old files."""
+    from gene_etl_ray.state.lock import acquire, release
+
     lake_dir = cfg.lake_dir
     meta = read_lake_meta(lake_dir)
     if meta is None:
         return {"compacted": 0}
+    acquire(lake_dir)
+    try:
+        return _compact_locked(cfg, meta)
+    finally:
+        release(lake_dir)
+
+
+def _compact_locked(cfg: EngineConfig, meta: dict) -> dict:
+    lake_dir = cfg.lake_dir
     target = _schema_from_hex(meta["schema_hex"])
     epoch = last_global_epoch(lake_dir)
     by_part = current_files(lake_dir)

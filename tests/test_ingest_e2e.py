@@ -299,3 +299,42 @@ def test_lookup_urls_point_query(tmp_events, tmp_lake):
     assert sorted(got["url"]) == sorted(some)
     exp = live[live["url"].isin(some)].sort_values("url").reset_index(drop=True)
     assert list(got.sort_values("url")["text"]) == list(exp["text"])
+
+
+def test_mor_plus_late_extract_compose(tmp_events, tmp_lake):
+    """The two optimizations compose: winners-only extraction into a
+    merge-on-read lake still converges to the oracle state."""
+    generate_events(
+        tmp_events, n_urls=250, n_events=1200, n_epochs=4,
+        tie_frac=0.15, out_of_order_frac=0.2,
+    )
+    cfg = EngineConfig(
+        lake_dir=tmp_lake, num_partitions=8, epochs_per_commit=2,
+        merge_mode="mor", late_extract=True,
+    )
+    run_ingest(cfg, tmp_events)
+    assert_matches_oracle(tmp_lake, tmp_events)
+
+
+def test_corrupt_segment_quarantined(tmp_events, tmp_lake):
+    """A torn/corrupt WAL segment is quarantined (skipped + reported),
+    and epochs after it are held back so the watermark never jumps the
+    gap; once the segment is repaired, ingest picks up where it left off
+    and converges."""
+    generate_events(tmp_events, n_urls=200, n_events=800, n_epochs=4)
+    corrupt = os.path.join(tmp_events, "epoch=00002.parquet")
+    good_bytes = open(corrupt, "rb").read()
+    with open(corrupt, "wb") as f:
+        f.write(good_bytes[: len(good_bytes) // 2])  # torn write
+
+    cfg = EngineConfig(lake_dir=tmp_lake, num_partitions=4, epochs_per_commit=1)
+    rep = run_ingest(cfg, tmp_events)
+    assert rep["quarantined_segments"] == [corrupt]
+    # epochs 0-1 committed; 2 (corrupt) and 3 (after the gap) held back
+    assert [c["epoch"] for c in rep["commits"]] == [0, 1]
+
+    with open(corrupt, "wb") as f:
+        f.write(good_bytes)  # segment repaired/re-uploaded
+    rep2 = run_ingest(cfg, tmp_events)
+    assert [c["epoch"] for c in rep2["commits"]] == [2, 3]
+    assert_matches_oracle(tmp_lake, tmp_events)

@@ -88,3 +88,35 @@ class TestGenerator:
             delete_frac=0.1,
         )
         assert meta["n_ties"] > 0 and meta["n_ooo"] > 0 and meta["n_deletes"] > 0
+
+
+class TestLock:
+    def test_exclusive_while_owner_alive(self, tmp_path):
+        import json
+        import os
+
+        import pytest
+
+        from gene_etl_ray.state.lock import LakeLockedError, acquire, release
+
+        lake = str(tmp_path)
+        # a LIVE foreign owner (pid 1 always exists) blocks acquisition
+        os.makedirs(os.path.join(lake, "_meta"))
+        with open(os.path.join(lake, "_meta", "writer.lock"), "w") as f:
+            json.dump({"pid": 1}, f)
+        with pytest.raises(LakeLockedError):
+            acquire(lake)
+
+    def test_stale_lock_reclaimed(self, tmp_path):
+        import json
+        import os
+
+        from gene_etl_ray.state.lock import acquire, release
+
+        lake = str(tmp_path)
+        os.makedirs(os.path.join(lake, "_meta"))
+        with open(os.path.join(lake, "_meta", "writer.lock"), "w") as f:
+            json.dump({"pid": 999999999}, f)  # dead pid
+        acquire(lake)  # reclaims
+        release(lake)
+        assert not os.path.exists(os.path.join(lake, "_meta", "writer.lock"))
