@@ -5,16 +5,28 @@ Ray-Data-native restatement of the reference's seven-phase batch lifecycle
 post-validate → persist → finalize), per SURVEY §3.4:
 
   read_parquet(uncommitted epoch files)           # zero-copy Arrow blocks
+  → [late_extract: envelope-only LWW winner selection, then filter]
   → map_batches(normalize/pre-validate)           # stateless tasks
   → map_batches(HtmlTextExtractor actor pool)     # stateful, once-per-actor
   → map_batches(add pkey/gkey + watermark filter) # broadcast watermarks
-  → union(existing lake partitions, conformed)    # schema evolution here
+  → [cow: union(existing lake partitions, conformed to evolved schema)]
   → groupby(gkey).map_groups(LWW merge + write)   # the ONLY wide shuffle
   → two-phase manifest commit + checkpoints + lineage (driver, tiny)
+
+The merge exchange uses the HASH-shuffle strategy: rows are hash-
+partitioned to stateful aggregator ACTORS keyed by ``gkey`` (the
+"stateful merge appliers" of the design) — no sort, whose CPU cost was
+measured to grow super-linearly with cluster size. Sinks: copy-on-write
+(rewrite touched partitions) or merge-on-read (append LWW-deduped
+deltas + read-side resolution + ``compact``). Torn/corrupt WAL segments
+are quarantined with later epochs held back; a single-writer lock
+serializes committers; bounded object-store backpressure is configurable.
 
 Scale properties (designed for 10^10 events / multi-node):
 - the only all-to-all exchange is the hash shuffle on ``gkey``; everything
   before it streams with backpressure;
+- ``late_extract`` makes extraction + shuffle cost proportional to LWW
+  WINNERS, not events (~1/U for U updates per url);
 - hot partitions (domain skew) split into ``salt_factor`` url-deterministic
   sub-groups so no single merge task serializes a hot domain;
 - per-partition counts are computed by per-batch partial aggregation over a
@@ -22,7 +34,8 @@ Scale properties (designed for 10^10 events / multi-node):
 - merge tasks write their own partition files — bulk data never visits the
   driver; the driver only sees one manifest row per merge group;
 - commits are O(touched partitions); resume replays only epochs above each
-  partition's high-watermark.
+  partition's high-watermark; point reads prune to hashed partitions
+  (``lookup_urls``).
 """
 
 from __future__ import annotations
