@@ -329,6 +329,30 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 100
 """
 
 
+def orders_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-customer running total ordered by (date, orderkey) — the
+    ordered-window-function shape (K3 family): one hash shuffle on the
+    key, vectorized cumsum within each ordered group."""
+    ds = read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        g["running_total"] = g["o_totalprice"].cumsum().round(2)
+        return g[["o_custkey", "o_orderkey", "running_total"]]
+
+    out = ds.groupby("o_custkey").map_groups(running, batch_format="pandas").to_pandas()
+    return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+
+
+RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders ORDER BY o_custkey, o_orderkey
+"""
+
+
 def order_priority_class(sf_dir: str) -> pd.DataFrame:
     """CASE-style categorizer + grouped counts (M8, ``models.py:253-258``)."""
     ds = read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
@@ -848,6 +872,7 @@ QUERIES = {
     "customer_segment_stats": customer_segment_stats,
     "supplier_nation_enrich": supplier_nation_enrich,
     "orders_rank": orders_rank,
+    "orders_running_total": orders_running_total,
     "order_priority_class": order_priority_class,
     "lineitem_var_by_flag": lineitem_var_by_flag,
     "lineitem_iqr_by_flag": lineitem_iqr_by_flag,
@@ -890,6 +915,7 @@ ORACLE_SQL = {
     "customer_segment_stats": SEGMENT_SQL,
     "supplier_nation_enrich": SUPPLIER_SQL,
     "orders_rank": RANK_SQL,
+    "orders_running_total": RUNNING_SQL,
     "order_priority_class": PRIORITY_SQL,
     "lineitem_var_by_flag": VAR_SQL,
     "lineitem_iqr_by_flag": IQR_SQL,
