@@ -43,10 +43,20 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
     data) are detected vectorized and left untouched.
     """
     urls = batch.column("url")
-    # vectorized fast-path: non-null, no fragment/space, no upper-case before first '/'
+    # Vectorized fast-path detector: a url needs the slow row-wise path if
+    # it has a fragment, is empty, starts/ends with anything outside
+    # printable ASCII (Python strip() removes unicode whitespace RE2's \s
+    # does not), or has an upper-case SCHEME or HOST (note: the host sits
+    # AFTER '://' — a bare "before the first slash" check misses it; found
+    # by the property test test_normalize_batch_equals_rowwise).
+    needs_slow = (
+        r"#|^$|^[^\x21-\x7e]|[^\x21-\x7e]$"
+        r"|^[^:/?#]*[A-Z][^:/?#]*:"
+        r"|^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*[A-Z]"
+    )
     ok = pc.and_(
         pc.is_valid(urls),
-        pc.invert(pc.match_substring_regex(urls, r"^[^/]*[A-Z]|#|^\s|\s$|^$")),
+        pc.invert(pc.match_substring_regex(urls, needs_slow)),
     )
     if not pc.all(ok).as_py():
         fixed = [canonicalize_url_one(u) for u in urls.to_pylist()]

@@ -148,3 +148,39 @@ def test_partition_keys_stable_in_range(urls, p):
     pk = partition_keys(urls, p)
     assert ((pk >= 0) & (pk < p)).all()
     assert (pk == partition_keys(list(urls), p)).all()
+
+
+# -- batch fast-path vs row-wise canonicalization -------------------------
+
+url_like = st.one_of(
+    st.text(max_size=40),
+    st.builds(
+        lambda scheme, host, path, frag: f"{scheme}://{host}/{path}" + (f"#{frag}" if frag else ""),
+        st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+        st.text(alphabet="aAbB.cC-9", min_size=1, max_size=12),
+        st.text(alphabet="aZ/9._", max_size=12),
+        st.text(alphabet="xY1", max_size=5),
+    ),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(url_like, min_size=1, max_size=30))
+def test_normalize_batch_equals_rowwise(urls):
+    """The vectorized fast-path in normalize_batch must agree EXACTLY with
+    canonicalize_url_one — it feeds the merge key, so any divergence
+    breaks engine/oracle byte-identity."""
+    from gene_etl_ray.pipelines.normalize import normalize_batch
+
+    n = len(urls)
+    batch = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "op": pa.array(["I"] * n, pa.string()),
+            "warc_ts": pa.array(list(range(n)), pa.timestamp("us")),
+            "seq": pa.array(list(range(n)), pa.int64()),
+        }
+    )
+    out = normalize_batch(batch)
+    expected = [c for c in (canonicalize_url_one(u) for u in urls) if c is not None]
+    assert out.column("url").to_pylist() == expected
