@@ -329,6 +329,32 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 100
 """
 
 
+def top2_orders_per_status(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-k (K1 per-group shape, ``filters.py:82-88``): the two
+    highest-value orders per status — groupby + in-group vectorized
+    head(k), deterministic tiebreak."""
+    ds = read(sf_dir, "orders", ["o_orderstatus", "o_orderkey", "o_totalprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, False]
+        ).head(2)
+
+    out = ds.groupby("o_orderstatus").map_groups(topk, batch_format="pandas").to_pandas()
+    return out.sort_values(["o_orderstatus", "o_totalprice", "o_orderkey"],
+                           ascending=[True, False, False]).reset_index(drop=True)
+
+
+TOP2_SQL = """
+SELECT o_orderstatus, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey DESC
+) <= 2
+ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey DESC
+"""
+
+
 def orders_running_total(sf_dir: str) -> pd.DataFrame:
     """Per-customer running total ordered by (date, orderkey) — the
     ordered-window-function shape (K3 family): one hash shuffle on the
@@ -873,6 +899,7 @@ QUERIES = {
     "supplier_nation_enrich": supplier_nation_enrich,
     "orders_rank": orders_rank,
     "orders_running_total": orders_running_total,
+    "top2_orders_per_status": top2_orders_per_status,
     "order_priority_class": order_priority_class,
     "lineitem_var_by_flag": lineitem_var_by_flag,
     "lineitem_iqr_by_flag": lineitem_iqr_by_flag,
@@ -916,6 +943,7 @@ ORACLE_SQL = {
     "supplier_nation_enrich": SUPPLIER_SQL,
     "orders_rank": RANK_SQL,
     "orders_running_total": RUNNING_SQL,
+    "top2_orders_per_status": TOP2_SQL,
     "order_priority_class": PRIORITY_SQL,
     "lineitem_var_by_flag": VAR_SQL,
     "lineitem_iqr_by_flag": IQR_SQL,

@@ -120,3 +120,45 @@ class TestConfig:
     def test_validation(self):
         with pytest.raises(ValueError):
             EngineConfig(lake_dir="/tmp/x", num_partitions=0)
+
+
+class TestCrossProcessDeterminism:
+    def test_extractor_bytes_identical_across_processes(self, tmp_path):
+        """SURVEY §5.2: same html → same text bytes, in ANOTHER process
+        (no dict-order / locale / hash-seed dependence)."""
+        import subprocess
+        import sys
+
+        from gene_etl_ray.fixtures import generate_events
+        import pyarrow.parquet as pq
+        import os
+
+        d = str(tmp_path / "ev")
+        generate_events(d, n_urls=30, n_events=60, n_epochs=1)
+        t = pq.read_table(os.path.join(d, "epoch=00000.parquet"))
+        htmls = [h for h in t.column("html").to_pylist() if h is not None][:20]
+
+        from gene_etl_ray.extract import HtmlTextExtractor
+
+        here = [HtmlTextExtractor().extract_one(h) for h in htmls]
+
+        script = (
+            "import sys, hashlib\n"
+            "sys.path.insert(0, %r)\n"
+            "from gene_etl_ray.extract import HtmlTextExtractor\n"
+            "import pyarrow.parquet as pq\n"
+            "t = pq.read_table(%r)\n"
+            "htmls = [h for h in t.column('html').to_pylist() if h is not None][:20]\n"
+            "ex = HtmlTextExtractor()\n"
+            "for h in htmls:\n"
+            "    print(hashlib.sha256(ex.extract_one(h).encode()).hexdigest())\n"
+        ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             os.path.join(d, "epoch=00000.parquet"))
+        out = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True, text=True, check=True,
+            env={**os.environ, "PYTHONHASHSEED": "12345"},  # force a DIFFERENT hash seed
+        ).stdout.split()
+        import hashlib
+
+        assert out == [hashlib.sha256(x.encode()).hexdigest() for x in here]
