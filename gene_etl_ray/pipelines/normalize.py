@@ -26,7 +26,9 @@ def canonicalize_url_one(url: str | None) -> str | None:
     """Strip fragment, lowercase scheme + host. Pure, deterministic."""
     if url is None:
         return None
-    url = url.strip().split("#", 1)[0]
+    # defragment BEFORE stripping: stripping first can leave whitespace
+    # that preceded the '#' (non-idempotent; found by hypothesis)
+    url = url.split("#", 1)[0].strip()
     if not url:
         return None
     m = _SCHEME_HOST.match(url)

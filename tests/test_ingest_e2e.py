@@ -338,3 +338,37 @@ def test_corrupt_segment_quarantined(tmp_events, tmp_lake):
     rep2 = run_ingest(cfg, tmp_events)
     assert [c["epoch"] for c in rep2["commits"]] == [2, 3]
     assert_matches_oracle(tmp_lake, tmp_events)
+
+
+def test_mixed_case_urls_converge(tmp_events, tmp_lake):
+    """Regression for the normalize fast-path bug: events for the SAME
+    logical url arriving with different host casings / fragments must
+    merge into one row, identical to the oracle."""
+    import pyarrow as pa
+
+    os.makedirs(tmp_events)
+    base = 1_600_000_000_000_000
+    rows = [
+        ("https://Example.COM/page", 100, b"<p>v1</p>", "I", 0),
+        ("HTTPS://example.com/page#frag", 200, b"<p>v2</p>", "U", 1),
+        ("https://example.com/page", 300, b"<p>v3</p>", "U", 2),
+        ("https://OTHER.org/x", 100, b"<p>o1</p>", "I", 3),
+    ]
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([base + r[1] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+            "text": pa.nulls(len(rows), pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "op": pa.array([r[3] for r in rows], pa.string()),
+            "seq": pa.array([r[4] for r in rows], pa.int64()),
+            "epoch": pa.array([0] * len(rows), pa.int32()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_events, "epoch=00000.parquet"))
+    run_ingest(EngineConfig(lake_dir=tmp_lake, num_partitions=4), tmp_events)
+    live = lake_df(tmp_lake)
+    assert sorted(live["url"]) == ["https://example.com/page", "https://other.org/x"]
+    assert live.set_index("url").loc["https://example.com/page", "text"] == "v3"
+    assert_matches_oracle(tmp_lake, tmp_events)
