@@ -267,7 +267,10 @@ def _make_merge_fn(lake_dir: str, commit_epoch: int, tag: str = ""):
         part_dir = os.path.join(lake_dir, f"part={pkey:05d}")
         os.makedirs(part_dir, exist_ok=True)
         path = os.path.join(part_dir, f".tmp-epoch={commit_epoch:05d}-g{gkey:09d}{tag}.parquet")
-        pq.write_table(t, path)
+        # bounded row groups: a single-row-group partition file caps any
+        # later reader at one task per file (same lesson as the WAL
+        # segment writer) — 16k rows ≈ tens of MB of webtext per group
+        pq.write_table(t, path, row_group_size=16384)
         _fsync_file(path)
         return pa.table(
             {
