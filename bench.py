@@ -80,6 +80,9 @@ def run_headline() -> dict:
         epochs_per_commit=8,
         extract_concurrency=NUM_CPUS,
         extract_batch_size=512,
+        # salting stays dormant here: measured A/B at this scale showed
+        # the salt path 10-20% slower (extra per-batch hashing; merge is a
+        # minor stage at +79% partition skew) — see BASELINE.md skew note
         prevalidate=False,  # fresh-lake benchmarked ingest (see EngineConfig)
     )
     t0 = time.time()
