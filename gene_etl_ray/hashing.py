@@ -48,12 +48,14 @@ def group_keys(
     ``gkey = pkey * S + salt`` for hot partitions (their merge fans out over
     ``S`` parallel sub-groups), ``pkey * S`` otherwise. Output files always
     land under ``part=<pkey>``; salting only affects shuffle-group sizing.
+    The url hash is computed ONCE and both keys derived from it.
     """
-    pk = partition_keys(urls, num_partitions)
+    h = hash_urls(urls)
+    pk = (h % np.uint64(num_partitions)).astype(np.int32)
     gk = pk.astype(np.int64) * salt_factor
     if hot_partitions and salt_factor > 1:
         hot = np.isin(pk, list(hot_partitions))
         if hot.any():
-            salts = salt_keys(urls, salt_factor)
+            salts = ((h >> np.uint64(32)) % np.uint64(salt_factor)).astype(np.int32)
             gk = gk + np.where(hot, salts, 0)
     return pk, gk
