@@ -693,6 +693,39 @@ FROM documents ORDER BY doc_id
 """
 
 
+def docs_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Corpus-cleaning composition (the realistic training-data filter):
+    English docs within length bounds and low shouting ratio — vectorized
+    predicate chain over derived quality columns (M1 + M9)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].fillna("")
+        n = s.str.len()
+        upper = s.str.count(r"[A-Z]") / n.replace(0, 1)
+        keep = (b["lang"] == "en") & (n >= 100) & (n <= 20000) & (upper < 0.3)
+        out = b.loc[keep, ["doc_id"]].copy()
+        out["n_chars"] = n[keep].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+QUALITY_FILTER_SQL = """
+SELECT doc_id, length(text) AS n_chars
+FROM documents
+WHERE lang = 'en' AND length(text) BETWEEN 100 AND 20000
+  AND length(regexp_replace(text, '[^A-Z]', '', 'g'))
+      / greatest(length(text), 1) < 0.3
+ORDER BY doc_id
+"""
+
+
 def docs_quality_full(sf_dir: str) -> pd.DataFrame:
     """Full quality scorer (punct/stopword ratios etc.) — unicode regex
     semantics differ from RE2, so rows-only check."""
@@ -912,6 +945,7 @@ QUERIES = {
     "docs_dedup_exact": docs_dedup_exact,
     "docs_token_count": docs_token_count,
     "docs_char_stats": docs_char_stats,
+    "docs_quality_filter": docs_quality_filter,
     "docs_quality_full": docs_quality_full,
     "docs_lang_id": docs_lang_id,
     "docs_token_count_bpe": docs_token_count_bpe,
@@ -956,6 +990,7 @@ ORACLE_SQL = {
     "docs_dedup_exact": DEDUP_SQL,
     "docs_token_count": TOKEN_SQL,
     "docs_char_stats": CHAR_SQL,
+    "docs_quality_filter": QUALITY_FILTER_SQL,
     "knn_cosine_topk": KNN_SQL,
     "embeddings_norm_by_label": NORM_SQL,
 }
