@@ -124,7 +124,11 @@ def minhash_lsh_candidates(
     )
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        out_id, out_band, out_bh, out_sig = [], [], [], []
+        # ship ONLY (id, band, band_hash) through the shuffle — attaching
+        # the full signature to each of the `bands` rows would amplify
+        # shuffle volume ~bands-fold; signatures are re-joined for the
+        # surviving candidate pairs only
+        out_id, out_band, out_bh = [], [], []
         for _, row in batch.iterrows():
             sig = row["minhash"]
             for b in range(bands):
@@ -133,26 +137,21 @@ def minhash_lsh_candidates(
                 out_id.append(row[id_col])
                 out_band.append(b)
                 out_bh.append(bh)
-                out_sig.append(sig)
-        return pd.DataFrame(
-            {id_col: out_id, "band": out_band, "band_hash": out_bh, "sig": out_sig}
-        )
+        return pd.DataFrame({id_col: out_id, "band": out_band, "band_hash": out_bh})
 
-    exploded = sigged.map_batches(explode, batch_format="pandas")
+    # materialize (id, signature) once: both the band explode and the
+    # candidate-pair verification read it, and signatures are expensive
+    # to recompute (~512 B/doc pinned; at extreme scale persist to
+    # parquet instead)
+    sig_ds = sigged.select_columns([id_col, "minhash"]).materialize()
+    exploded = sig_ds.map_batches(explode, batch_format="pandas")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        g = g.sort_values(id_col, kind="mergesort")
-        ids = g[id_col].to_numpy()
-        sigs = np.stack(g["sig"].to_numpy())
-        pairs_a, pairs_b, est = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs_a.append(ids[i])
-                pairs_b.append(ids[j])
-                est.append(float((sigs[i] == sigs[j]).mean()))
-        return pd.DataFrame({"id_a": pairs_a, "id_b": pairs_b, "est_jaccard": est})
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ids = np.sort(g[id_col].to_numpy())
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
 
     pairs = (
         exploded.groupby(["band", "band_hash"])
@@ -161,12 +160,21 @@ def minhash_lsh_candidates(
     )
     if pairs.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-    return (
-        pairs.groupby(["id_a", "id_b"], as_index=False)["est_jaccard"]
-        .max()
-        .sort_values(["id_a", "id_b"])
-        .reset_index(drop=True)
+    pairs = pairs.drop_duplicates().reset_index(drop=True)
+    # signature lookup for candidate ids only (the small surviving set)
+    need = set(pairs["id_a"]) | set(pairs["id_b"])
+    sig_df = (
+        sig_ds.map_batches(
+            lambda b: b.loc[b[id_col].isin(need), [id_col, "minhash"]],
+            batch_format="pandas",
+        )
+        .to_pandas()
     )
+    sig_of = dict(zip(sig_df[id_col], sig_df["minhash"]))
+    sa = np.stack([sig_of[i] for i in pairs["id_a"]])
+    sb = np.stack([sig_of[i] for i in pairs["id_b"]])
+    pairs["est_jaccard"] = (sa == sb).mean(axis=1)
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def near_dup_clusters(

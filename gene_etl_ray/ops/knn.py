@@ -29,16 +29,21 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dtype=np.float64,
 ) -> pd.DataFrame:
     """Exact cosine top-k per query. Returns (query_idx, vec_id, cosine)
-    with k rows per query, deterministically tie-broken by vec_id."""
-    q = np.asarray(queries, dtype=np.float32)
+    with k rows per query, deterministically tie-broken by vec_id.
+    ``dtype`` defaults to float64 so top-k MEMBERSHIP matches a
+    double-precision oracle (float32 error near the rank-k boundary can
+    swap rows in/out of the result set); pass float32 for the faster
+    approximate-tolerant path (e.g. inside LSH pruning)."""
+    q = np.asarray(queries, dtype=dtype)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         if batch.empty:
             return pd.DataFrame({"query_idx": [], id_col: [], "cosine": []})
-        m = _to_matrix(batch[vec_col]).astype(np.float32)
+        m = _to_matrix(batch[vec_col]).astype(dtype)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         sims = qn @ mn.T  # (n_q, n_batch)
         ids = batch[id_col].to_numpy()
@@ -107,7 +112,8 @@ def lsh_topk(
     pruned = bucketed.map_batches(
         lambda b: b[b["lsh_bucket"].isin(wanted)], batch_format="pandas"
     )
-    return brute_force_topk(pruned, q, k=k, id_col=id_col)
+    # float32 is fine here: the LSH path is approximate by design
+    return brute_force_topk(pruned, q, k=k, id_col=id_col, dtype=np.float32)
 
 
 def cosine_near_dup_pairs(

@@ -138,17 +138,26 @@ def _clean_stale_tmp(lake_dir: str) -> None:
             pass
 
 
-def _partition_counts(files: list[str], cfg: EngineConfig) -> tuple[dict[int, int], dict]:
-    """Per-partition event counts + pre-validation totals, via per-batch
-    partial aggregation over a column-pruned envelope read (no html, no
-    shuffle). Parity: pre-validation phase ``validate.py:33-85``."""
-    env = ray.data.read_parquet(files, columns=["url", "op", "warc_ts", "seq"])
+def _partition_counts(
+    files: list[str], cfg: EngineConfig, wm_arr: np.ndarray | None = None
+) -> tuple[dict[int, int], dict]:
+    """Per-partition TO-APPLY event counts + pre-validation totals, via
+    per-batch partial aggregation over a column-pruned envelope read (no
+    html, no shuffle). Counts mirror the main pipeline's watermark filter
+    (events at/below a partition's committed epoch are excluded) so
+    ``events_applied`` and lineage event_counts are exact on resume.
+    Validation totals cover every row read (pre-validation parity,
+    ``validate.py:33-85``)."""
+    env = ray.data.read_parquet(files, columns=["url", "op", "warc_ts", "seq", "epoch"])
     P = cfg.num_partitions
 
     def partials(batch: pa.Table) -> pa.Table:
         v = prevalidate_counts(batch)
         nb = normalize_batch(batch)
         pk, _ = group_keys(nb.column("url").to_numpy(zero_copy_only=False), P, 1, None)
+        if wm_arr is not None:
+            ep = nb.column("epoch").to_numpy(zero_copy_only=False)
+            pk = pk[ep > wm_arr[pk]]
         cnt = np.bincount(pk, minlength=P).astype(np.int64)
         return pa.table(
             {
@@ -303,38 +312,42 @@ def run_ingest(
     from ray.data import DataContext
     from ray.data.context import ShuffleStrategy
 
-    ctx = DataContext.get_current()
-    prev_shuffle = ctx.shuffle_strategy
-    prev_par = getattr(ctx, "default_hash_shuffle_parallelism", None)
-    prev_limits = ctx.execution_options.resource_limits
-    if cfg.object_store_limit_bytes is not None:
-        # bounded object-store backpressure (north_rule): the executor
-        # stalls upstream stages once in-flight bytes hit the cap
-        from ray.data import ExecutionResources
-
-        ctx.execution_options.resource_limits = ExecutionResources(
-            object_store_memory=cfg.object_store_limit_bytes
-        )
-    if cfg.shuffle == "hash":
-        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        # aggregator-actor count must scale with the cluster, never exceed
-        # it (aggregators starve the pipeline on small clusters)
-        import ray as _ray
-
-        cpus = int(_ray.cluster_resources().get("CPU", 8))
-        ctx.default_hash_shuffle_parallelism = min(cpus, 64)
-    elif cfg.shuffle == "push":
-        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     from gene_etl_ray.state.lock import acquire, release
 
+    # take the writer lock FIRST: a LakeLockedError must not leak any
+    # process-global DataContext mutations
     os.makedirs(cfg.lake_dir, exist_ok=True)
     acquire(cfg.lake_dir)  # single-writer: concurrent committers would race
+
+    _MISSING = object()
+    ctx = DataContext.get_current()
+    prev_shuffle = ctx.shuffle_strategy
+    prev_par = getattr(ctx, "default_hash_shuffle_parallelism", _MISSING)
+    prev_limits = ctx.execution_options.resource_limits
     try:
+        if cfg.object_store_limit_bytes is not None:
+            # bounded object-store backpressure (north_rule): the executor
+            # stalls upstream stages once in-flight bytes hit the cap
+            from ray.data import ExecutionResources
+
+            ctx.execution_options.resource_limits = ExecutionResources(
+                object_store_memory=cfg.object_store_limit_bytes
+            )
+        if cfg.shuffle == "hash":
+            ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            # aggregator-actor count must scale with the cluster, never
+            # exceed it (aggregators starve small clusters)
+            import ray as _ray
+
+            cpus = int(_ray.cluster_resources().get("CPU", 8))
+            ctx.default_hash_shuffle_parallelism = min(cpus, 64)
+        elif cfg.shuffle == "push":
+            ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
         return _run_ingest(cfg, events_dir, fail_after_partitions)
     finally:
         release(cfg.lake_dir)
         ctx.shuffle_strategy = prev_shuffle
-        if prev_par is not None:
+        if prev_par is not _MISSING:
             ctx.default_hash_shuffle_parallelism = prev_par
         ctx.execution_options.resource_limits = prev_limits
 
@@ -390,7 +403,7 @@ def _run_ingest(
         # output then determines the affected set post-hoc.
         has_lake = bool(current_files(lake_dir))
         if cfg.prevalidate or (has_lake and cfg.merge_mode == "cow"):
-            counts, val = _partition_counts(files, cfg)
+            counts, val = _partition_counts(files, cfg, wm_arr)
             for k, v in val.items():
                 report["validation"][k] = report["validation"].get(k, 0) + v
             hot = {k for k, c in counts.items() if c > cfg.hot_partition_threshold}
@@ -637,25 +650,39 @@ def read_lake(
     of the SQL views over the results fact table (``models.py:241-284``)."""
     meta = read_lake_meta(lake_dir)
     files = [f for fs in current_files(lake_dir).values() for f in fs]
-    if not files:
+    internal = [DELETED_COLUMN, PKEY_COLUMN]
+
+    def empty_result() -> "ray.data.Dataset":
         schema = (
             _schema_from_hex(meta["schema_hex"]) if meta else pa.schema([("url", pa.string())])
         )
-        return ray.data.from_arrow(schema.empty_table())
+        t = schema.empty_table()
+        if live_only:
+            t = t.drop_columns([c for c in internal if c in t.schema.names])
+        if columns:
+            t = t.select([c for c in columns if c in t.schema.names])
+        return ray.data.from_arrow(t)
+
+    if not files:
+        return empty_result()
     schema = _schema_from_hex(meta["schema_hex"]) if meta else None
     needs_resolve = bool(meta and meta.get("merge_mode") == "mor")
-    read_cols = None if needs_resolve else columns
-    ds = ray.data.read_parquet(files, columns=read_cols, partitioning=None, schema=schema)
+    # note: no `columns=` at the read — Ray 2.49's ParquetDatasource
+    # raises UnboundLocalError when columns is combined with
+    # partitioning=None; the projection happens after the live filter
+    # (the LWW resolution and live filter need the internal columns
+    # anyway)
+    ds = ray.data.read_parquet(files, partitioning=None, schema=schema)
     if needs_resolve:
         ds = ds.groupby(PKEY_COLUMN).map_groups(_resolve_lww, batch_format="pyarrow")
-        if columns:
-            ds = ds.select_columns(columns)
     if live_only:
         def live(b: pa.Table) -> pa.Table:
             b = b.filter(pc.invert(b.column(DELETED_COLUMN)))
-            return b.drop_columns([DELETED_COLUMN, PKEY_COLUMN])
+            return b.drop_columns(internal)
 
         ds = ds.map_batches(live, batch_format="pyarrow")
+    if columns:
+        ds = ds.select_columns(list(columns))
     return ds
 
 

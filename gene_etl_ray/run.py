@@ -68,8 +68,12 @@ def cmd_export(args) -> int:
     from gene_etl_ray.pipelines.ingest import read_lake
 
     ds = read_lake(args.lake, live_only=not args.include_tombstones)
+    out: dict = {"out": args.out}
+    if args.count:
+        # counting re-executes the lazy pipeline; do it only on request
+        out["rows"] = ds.count()
     ds.write_parquet(args.out)
-    print(json.dumps({"out": args.out, "rows": ds.count()}))
+    print(json.dumps(out))
     return 0
 
 
@@ -126,6 +130,8 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--lake", required=True)
     pe.add_argument("--out", required=True)
     pe.add_argument("--include-tombstones", action="store_true")
+    pe.add_argument("--count", action="store_true",
+                    help="also report the row count (extra pass over the lake)")
     pe.set_defaults(fn=cmd_export)
 
     ps = sub.add_parser("stats", help="lake summary + last run metrics")

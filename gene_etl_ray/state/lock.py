@@ -2,9 +2,13 @@
 
 The commit protocol assumes one writer per lake (manifests are
 last-writer-wins JSON replaces — two concurrent committers could lose an
-update). ``acquire`` takes an O_EXCL lock file carrying the owner pid; a
-lock whose pid is dead is stale and reclaimed (a crashed writer never
-blocks resume — crash-recovery is the normal path, SURVEY §4).
+update). The lock file is created ATOMICALLY WITH ITS CONTENT via
+``os.link`` of a pre-written temp file, so no reader can ever observe an
+empty/partial lock. A lock whose owner pid is dead is stale; stealing is
+an atomic ``os.rename`` of the observed lock to a per-claimant name —
+exactly one claimant wins the rename, everyone else retries — so two
+crash-recovering writers can never both acquire (a bare unlink-and-retry
+would let one remove the other's FRESH lock).
 """
 
 from __future__ import annotations
@@ -34,27 +38,44 @@ def _pid_alive(pid: int) -> bool:
 def acquire(lake_dir: str) -> None:
     path = _lock_path(lake_dir)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    while True:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                json.dump({"pid": os.getpid()}, f)
-            return
-        except FileExistsError:
+    tmp = f"{path}.claim.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"pid": os.getpid()}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        while True:
+            try:
+                os.link(tmp, path)  # atomic create WITH content
+                return
+            except FileExistsError:
+                pass
             try:
                 with open(path) as f:
                     owner = json.load(f).get("pid", -1)
+            except FileNotFoundError:
+                continue  # released/stolen between link and read — retry
             except (OSError, ValueError):
-                owner = -1
-            if owner != -1 and owner != os.getpid() and _pid_alive(owner):
+                owner = -1  # unreadable should be impossible (atomic create)
+            if owner != -1 and _pid_alive(owner):
                 raise LakeLockedError(
                     f"lake {lake_dir} is being written by live pid {owner}"
-                ) from None
-            # stale (dead owner / unreadable) → reclaim and retry
+                )
+            # stale: atomically steal — only ONE claimant wins this rename
+            steal = f"{path}.stale.{os.getpid()}"
             try:
-                os.remove(path)
+                os.rename(path, steal)
+            except FileNotFoundError:
+                continue  # somebody else stole it first — retry
+            try:
+                os.remove(steal)
             except OSError:
                 pass
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
 
 
 def release(lake_dir: str) -> None:

@@ -30,7 +30,7 @@ def test_cli_ingest_validate_export_stats(events_and_config, tmp_path, capsys):
     assert checks["one_row_per_url"]
 
     out_dir = str(tmp_path / "export")
-    assert main(["export", "--lake", lake, "--out", out_dir]) == 0
+    assert main(["export", "--lake", lake, "--out", out_dir, "--count"]) == 0
     exp = json.loads(capsys.readouterr().out)
     assert exp["rows"] > 0
 
