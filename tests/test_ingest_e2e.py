@@ -372,3 +372,23 @@ def test_mixed_case_urls_converge(tmp_events, tmp_lake):
     assert sorted(live["url"]) == ["https://example.com/page", "https://other.org/x"]
     assert live.set_index("url").loc["https://example.com/page", "text"] == "v3"
     assert_matches_oracle(tmp_lake, tmp_events)
+
+
+def test_read_lake_column_projection(tmp_events, tmp_lake, tmp_path):
+    """read_lake(columns=...) works with the default live view in BOTH
+    sink modes (regression: the live filter used to reference internal
+    columns after the projection dropped them; also exercises the Ray
+    2.49 columns+partitioning=None workaround)."""
+    generate_events(tmp_events, n_urls=120, n_events=500, n_epochs=2)
+    run_ingest(EngineConfig(lake_dir=tmp_lake, num_partitions=4), tmp_events)
+    df = read_lake(tmp_lake, columns=["url", "text"]).to_pandas()
+    assert list(df.columns) == ["url", "text"] and len(df) > 0
+
+    lake_b = str(tmp_path / "lake_mor")
+    run_ingest(EngineConfig(lake_dir=lake_b, num_partitions=4, merge_mode="mor"), tmp_events)
+    df2 = read_lake(lake_b, columns=["url", "text"]).to_pandas()
+    assert list(df2.columns) == ["url", "text"]
+    pd.testing.assert_frame_equal(
+        df.sort_values("url").reset_index(drop=True),
+        df2.sort_values("url").reset_index(drop=True),
+    )

@@ -120,3 +120,18 @@ class TestLock:
         acquire(lake)  # reclaims
         release(lake)
         assert not os.path.exists(os.path.join(lake, "_meta", "writer.lock"))
+
+    def test_live_self_owner_refused(self, tmp_path):
+        """A held lock refuses re-acquisition even from the owner pid
+        (no silent self-steal; regression from the review)."""
+        import pytest
+
+        from gene_etl_ray.state.lock import LakeLockedError, acquire, release
+
+        lake = str(tmp_path)
+        acquire(lake)
+        with pytest.raises(LakeLockedError):
+            acquire(lake)
+        release(lake)
+        acquire(lake)  # reacquirable after release
+        release(lake)
