@@ -511,7 +511,7 @@ def events_props_k_stats(sf_dir: str) -> pd.DataFrame:
 
 PROPS_SQL = """
 SELECT event_type,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        count(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -822,13 +822,19 @@ def knn_cosine_topk(sf_dir: str) -> pd.DataFrame:
 
 
 KNN_SQL = """
+WITH qd AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings WHERE vec_id < 5
+), ed AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+)
 SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-       round(list_cosine_similarity(q.embedding, e.embedding), 6) AS cosine
-FROM embeddings q CROSS JOIN embeddings e
-WHERE q.vec_id < 5
+       round(list_cosine_similarity(q.emb, e.emb), 6) AS cosine
+FROM qd q CROSS JOIN ed e
 QUALIFY row_number() OVER (
     PARTITION BY q.vec_id
-    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+    ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
 ) <= 10
 ORDER BY query_id, cosine DESC, vec_id
 """
