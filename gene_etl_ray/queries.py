@@ -884,27 +884,88 @@ def embeddings_near_dup(sf_dir: str) -> pd.DataFrame:
 # flagship CDC pipeline + multimodal plumbing (rows-only)
 # ---------------------------------------------------------------------------
 
-def cdc_ingest_lake(sf_dir: str) -> pd.DataFrame:
-    """The flagship end-to-end: derive a deterministic change log from the
-    documents table, ingest it (extract → partition → LWW merge → manifest
-    commit), return the live lake table."""
-    from gene_etl_ray.config import EngineConfig
-    from gene_etl_ray.fixtures import events_from_documents
-    from gene_etl_ray.pipelines.ingest import read_lake, run_ingest
-
+def _cdc_base_dir(sf_dir: str) -> str:
     import gene_etl_ray
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     # version-keyed scratch dir: a lake built by an older engine version
     # must never be served as this version's result
-    base = f"/tmp/gene_etl_ray_cdc/{gene_etl_ray.__version__}/{tag}"
-    ev_dir, lake_dir = f"{base}/events", f"{base}/lake"
+    return f"/tmp/gene_etl_ray_cdc/{gene_etl_ray.__version__}/{tag}"
+
+
+def ensure_cdc_events(sf_dir: str) -> str:
+    """Deterministically derive (once) the flagship change log from the
+    sanctioned ``documents`` table; returns the events directory. Also the
+    hook the oracle side uses so the DuckDB SQL can read the same files."""
+    from gene_etl_ray.fixtures import events_from_documents
+
+    ev_dir = f"{_cdc_base_dir(sf_dir)}/events"
     if not os.path.isdir(ev_dir):
         events_from_documents(sf_dir, ev_dir)
+    return ev_dir
+
+
+def cdc_ingest_lake(sf_dir: str) -> pd.DataFrame:
+    """The flagship end-to-end: derive a deterministic change log from the
+    documents table, ingest it (extract → partition → LWW merge → manifest
+    commit), return the live lake table."""
+    from gene_etl_ray.config import EngineConfig
+    from gene_etl_ray.pipelines.ingest import read_lake, run_ingest
+
+    ev_dir = ensure_cdc_events(sf_dir)
+    lake_dir = f"{_cdc_base_dir(sf_dir)}/lake"
     cfg = EngineConfig(lake_dir=lake_dir, num_partitions=8)
     run_ingest(cfg, ev_dir)  # idempotent: a second call is a no-op
     df = read_lake(lake_dir).to_pandas()
     return df.sort_values("url").reset_index(drop=True)
+
+
+# DuckDB oracle for the flagship: LWW winner per url over the raw change
+# log (QUALIFY over (warc_ts, seq) — the engine's merge order), tombstones
+# dropped, and the html→text extraction re-derived INDEPENDENTLY in SQL as
+# a RE2 regexp_replace port of extract._RULES (entity unescape is a no-op
+# on this corpus — asserted by tests/test_queries.py). Mirrors
+# oracle.py's single-process replay, but executed by DuckDB.
+CDC_SQL_TEMPLATE = """
+WITH ev AS (
+    SELECT url, warc_ts, decode(html) AS h, lang, op, seq, epoch
+    FROM read_parquet('{ev_glob}', hive_partitioning = false)
+), w AS (
+    SELECT * FROM ev
+    QUALIFY row_number() OVER (
+        PARTITION BY url ORDER BY warc_ts DESC, seq DESC
+    ) = 1
+)
+SELECT url, warc_ts,
+       trim(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(h, '(?is)<!--.*?-->', ' ', 'g'),
+                       '(?is)<script\\b.*?</script\\s*>', ' ', 'g'),
+                     '(?is)<style\\b.*?</style\\s*>', ' ', 'g'),
+                   '(?is)<head\\b.*?</head\\s*>', ' ', 'g'),
+                 '(?is)<(?:br|/p|/div|/li|/h[1-6]|/tr)\\b[^>]*>', chr(10), 'g'),
+               '(?s)<[^>]*>', ' ', 'g'),
+             '[ \\t\\r\\f\\v]+', ' ', 'g'),
+           '\\s*\\n\\s*', chr(10), 'g'),
+         ' ' || chr(10)) AS text,
+       lang, seq, epoch
+FROM w
+WHERE op <> 'D'
+ORDER BY url
+"""
+
+
+def cdc_oracle_sql(sf_dir: str) -> str:
+    """Materialized-for-sf_dir flagship oracle (generates the change log
+    if needed so DuckDB can read it regardless of run order)."""
+    ev_dir = ensure_cdc_events(sf_dir)
+    return CDC_SQL_TEMPLATE.format(ev_glob=f"{ev_dir}/epoch=*.parquet")
 
 
 def media_features(sf_dir: str) -> pd.DataFrame:

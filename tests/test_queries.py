@@ -65,6 +65,33 @@ def test_rows_only_queries_run(name):
         assert set(df.columns) == {"query_id", "vec_id", "cosine"}
 
 
+def test_cdc_flagship_matches_duckdb_oracle():
+    """Flagship LWW lake vs the DuckDB QUALIFY oracle (SQL re-derives the
+    html→text extraction via the RE2 port of extract._RULES) — dtype-strict,
+    byte-identical text."""
+    import duckdb
+
+    ray_df = to_df(Q.cdc_ingest_lake(SF))
+    sql_df = duckdb.connect().execute(Q.cdc_oracle_sql(SF)).fetchdf()
+    cols = sorted(ray_df.columns)
+    a = ray_df[cols].sort_values(cols).reset_index(drop=True)
+    b = sql_df[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=True)
+
+
+def test_cdc_fixture_has_no_html_entities():
+    """The SQL oracle skips entity unescape; valid only while the corpus
+    html contains no '&' entities — pin that assumption."""
+    import pyarrow.parquet as pq
+    import glob
+
+    ev_dir = Q.ensure_cdc_events(SF)
+    for f in glob.glob(f"{ev_dir}/epoch=*.parquet"):
+        for h in pq.read_table(f, columns=["html"]).column("html").to_pylist():
+            assert h is None or b"&" not in h
+
+
 def test_lsh_recall_vs_bruteforce():
     """LSH top-k is approximate but must overlap substantially with the
     exact answer on this data."""
