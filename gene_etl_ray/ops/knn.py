@@ -41,20 +41,42 @@ def brute_force_topk(
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_idx": pd.Series([], dtype="int64"),
+                id_col: pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
         if batch.empty:
-            return pd.DataFrame({"query_idx": [], id_col: [], "cosine": []})
+            return empty
         m = _to_matrix(batch[vec_col]).astype(dtype)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         sims = qn @ mn.T  # (n_q, n_batch)
         ids = batch[id_col].to_numpy()
         kk = min(k, sims.shape[1])
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows = {
-            "query_idx": np.repeat(np.arange(len(qn)), kk),
-            id_col: ids[top].ravel(),
-            "cosine": np.take_along_axis(sims, top, axis=1).ravel().astype(np.float64),
-        }
-        return pd.DataFrame(rows)
+        qi, top_ids, top_sims = [], [], []
+        for qidx in range(sims.shape[0]):
+            s = sims[qidx]
+            # batch-local top-k under the SAME total order as the global
+            # merge (cosine desc, id asc): widen to all rows tying the
+            # k-th cosine, then tie-break deterministically — argpartition
+            # alone keeps an arbitrary subset of boundary ties
+            part = np.argpartition(-s, kk - 1)[:kk]
+            kth = s[part].min()
+            cand = np.flatnonzero(s >= kth)
+            order = np.lexsort((ids[cand], -s[cand]))[:kk]
+            keep = cand[order]
+            qi.append(np.full(len(keep), qidx))
+            top_ids.append(ids[keep])
+            top_sims.append(s[keep].astype(np.float64))
+        return pd.DataFrame(
+            {
+                "query_idx": np.concatenate(qi),
+                id_col: np.concatenate(top_ids),
+                "cosine": np.concatenate(top_sims),
+            }
+        )
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     parts = parts.sort_values(
@@ -132,7 +154,13 @@ def cosine_near_dup_pairs(
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
         g = g.sort_values(id_col, kind="mergesort")
         m = _to_matrix(g["embedding"]).astype(np.float32)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
@@ -150,7 +178,13 @@ def cosine_near_dup_pairs(
 
     out = bucketed.groupby("lsh_bucket").map_groups(pairs, batch_format="pandas").to_pandas()
     if out.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
     return (
         out.groupby(["id_a", "id_b"], as_index=False)["cosine"]
         .max()

@@ -876,8 +876,42 @@ def knn_lsh_topk(sf_dir: str) -> pd.DataFrame:
 
 
 def embeddings_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs over an augmented table: plant
+    deterministic scaled copies (same direction ⇒ cosine 1, same LSH
+    bucket) for vec_id < 32 so the operator is actually exercised at the
+    gate — the base corpus's max pairwise cosine is ~0.51, so at
+    threshold 0.99 the result is exactly the planted pairs and the LSH
+    path is deterministic (scaling never flips a hyperplane sign)."""
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return knn.cosine_near_dup_pairs(ds, threshold=0.92)
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        dup = b[b["vec_id"] < 32].copy()
+        dup["vec_id"] = dup["vec_id"] + 1_000_000
+        dup["embedding"] = dup["embedding"].map(lambda v: [x * 2.0 for x in v])
+        return pd.concat([b, dup], ignore_index=True)
+
+    aug = ds.map_batches(plant, batch_format="pandas")
+    out = knn.cosine_near_dup_pairs(aug, threshold=0.99)
+    out["cosine"] = out["cosine"].round(4)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+NEAR_DUP_SQL = """
+WITH aug AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)
+    FROM embeddings WHERE vec_id < 32
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.99
+ORDER BY id_a, id_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1059,5 +1093,6 @@ ORACLE_SQL = {
     "docs_char_stats": CHAR_SQL,
     "docs_quality_filter": QUALITY_FILTER_SQL,
     "knn_cosine_topk": KNN_SQL,
+    "embeddings_near_dup": NEAR_DUP_SQL,
     "embeddings_norm_by_label": NORM_SQL,
 }
