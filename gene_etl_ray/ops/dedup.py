@@ -127,28 +127,58 @@ def minhash_lsh_candidates(
         # ship ONLY (id, band, band_hash) through the shuffle — attaching
         # the full signature to each of the `bands` rows would amplify
         # shuffle volume ~bands-fold; signatures are re-joined for the
-        # surviving candidate pairs only
-        out_id, out_band, out_bh = [], [], []
-        for _, row in batch.iterrows():
-            sig = row["minhash"]
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                bh = int(_mix64(chunk.copy()).sum() & np.uint64(0xFFFFFFFFFFFFFFFF))
-                out_id.append(row[id_col])
-                out_band.append(b)
-                out_bh.append(bh)
-        return pd.DataFrame({id_col: out_id, "band": out_band, "band_hash": out_bh})
+        # surviving candidate pairs only. Fully vectorized: reshape the
+        # signature matrix to (n, bands, rows_per_band), mix + wrap-sum
+        # along the last axis.
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "band": pd.Series([], dtype="int64"),
+                    "band_hash": pd.Series([], dtype="int64"),
+                }
+            )
+        sig = np.stack(batch["minhash"].to_numpy()).astype(np.uint64)
+        mixed = _mix64(sig.reshape(n, bands, rows_per_band))
+        bh = mixed.sum(axis=2, dtype=np.uint64).astype(np.int64)  # 2^64 wrap
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(batch[id_col].to_numpy(), bands),
+                "band": np.tile(np.arange(bands, dtype=np.int64), n),
+                "band_hash": bh.ravel(),
+            }
+        )
 
-    # materialize (id, signature) once: both the band explode and the
-    # candidate-pair verification read it, and signatures are expensive
-    # to recompute (~512 B/doc pinned; at extreme scale persist to
-    # parquet instead)
-    sig_ds = sigged.select_columns([id_col, "minhash"]).materialize()
-    exploded = sig_ds.map_batches(explode, batch_format="pandas")
+    # persist (id, signature) to scratch parquet ONCE: both the band
+    # explode and the candidate verification read it back — nothing pins
+    # O(corpus) signature bytes in the object store for the query's
+    # lifetime (at 10^10 docs the pinned set would be terabytes)
+    import shutil
+    import tempfile
+
+    sig_dir = tempfile.mkdtemp(prefix="minhash_sigs_", dir="/tmp")
+    try:
+        sigged.select_columns([id_col, "minhash"]).write_parquet(sig_dir)
+        sig_ds = ray.data.read_parquet(sig_dir)
+        exploded = sig_ds.map_batches(explode, batch_format="pandas")
+        return _candidates_from_bands(exploded, sig_ds, id_col)
+    finally:
+        shutil.rmtree(sig_dir, ignore_errors=True)
+
+
+def _candidates_from_bands(
+    exploded: ray.data.Dataset, sig_ds: ray.data.Dataset, id_col: str
+) -> pd.DataFrame:
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                }
+            )
         ids = np.sort(g[id_col].to_numpy())
         ii, jj = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
@@ -286,12 +316,41 @@ def ngram_jaccard_pairs(
         .set_index(id_col)["text"]
         .to_dict()
     )
-    out = []
-    for _, r in cand.iterrows():
-        sa, sb = _shingles(docs[r["id_a"]], shingle_k), _shingles(docs[r["id_b"]], shingle_k)
-        if not sa or not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            out.append((r["id_a"], r["id_b"], j))
-    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"]).reset_index(drop=True)
+    # verification runs distributed over the candidate-pair list (a
+    # map_batches stage, not a driver loop); the candidate-doc lookup is
+    # put to the object store ONCE and dereferenced per task
+    docs_ref = ray.put(docs)
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        dd = ray.get(docs_ref)
+        cache: dict[int, set[str]] = {}
+
+        def sh(i: int) -> set[str]:
+            if i not in cache:
+                cache[i] = _shingles(dd[i], shingle_k)
+            return cache[i]
+
+        rows = []
+        for ia, ib in zip(b["id_a"].to_numpy(), b["id_b"].to_numpy()):
+            sa, sb = sh(ia), sh(ib)
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                rows.append((ia, ib, j))
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "jaccard": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+    out = (
+        ray.data.from_pandas(cand[["id_a", "id_b"]])
+        .map_batches(verify, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+    )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
