@@ -57,6 +57,7 @@ def partitioned_join(
     right_on: str,
     num_buckets: int = 32,
     how: str = "inner",
+    bucket_post=None,
 ) -> ray.data.Dataset:
     """Both-sides-large hash join: add ``bucket = H(key) % B`` to each
     side, tag the side, union, shuffle once on the bucket, and merge the
@@ -72,10 +73,46 @@ def partitioned_join(
     because it composes with the engine's url-deterministic salting and
     makes the single-shuffle cost model visible."""
 
+    both, lcols, rcols = _bucket_union(left, right, left_on, right_on, num_buckets)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == "l", lcols]
+        rg = g.loc[g["__side"] == "r", rcols]
+        out = lg.merge(rg, left_on=left_on, right_on=right_on, how=how)
+        return bucket_post(out) if bucket_post is not None else out
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def _bucket_union(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str,
+    num_buckets: int,
+) -> tuple[ray.data.Dataset, list[str], list[str]]:
+    """Shared co-location machinery for the bucketed binary operators:
+    tag each side, add ``__bucket = H(key) % B``, conform both to the
+    union schema and union — ONE shuffle (the bucket groupby downstream)
+    then moves each row exactly once."""
     from gene_etl_ray.schema import conform_table
 
-    ls = left.schema().base_schema
-    rs = right.schema().base_schema
+    def arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return base
+        # pandas-block dataset (e.g. a map_groups output): map numpy
+        # dtypes; object columns are strings by convention here
+        fields = []
+        for name, dt in zip(base.names, base.types):
+            try:
+                fields.append(pa.field(name, pa.from_numpy_dtype(dt)))
+            except (pa.ArrowNotImplementedError, TypeError):
+                fields.append(pa.field(name, pa.string()))
+        return pa.schema(fields)
+
+    ls = arrow_schema(left)
+    rs = arrow_schema(right)
     lcols, rcols = list(ls.names), list(rs.names)
     union_schema = pa.schema(
         list(ls)
@@ -86,6 +123,11 @@ def partitioned_join(
     def keyed(tag: str, col: str):
         def fn(t: pa.Table) -> pa.Table:
             keys = t.column(col).to_numpy(zero_copy_only=False)
+            # canonicalize numeric key dtype before hashing: the same key
+            # value must land in the same bucket whether a block carries
+            # it as int64 or (null-upcast) float64
+            if np.issubdtype(keys.dtype, np.number):
+                keys = keys.astype(np.float64)
             bucket = (
                 pd.util.hash_array(keys, categorize=False) % np.uint64(num_buckets)
             ).astype("int64")
@@ -98,13 +140,53 @@ def partitioned_join(
     both = left.map_batches(keyed("l", left_on), batch_format="pyarrow").union(
         right.map_batches(keyed("r", right_on), batch_format="pyarrow")
     )
+    return both, lcols, rcols
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g.loc[g["__side"] == "l", lcols]
+
+def asof_join_bucketed(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on_left: str,
+    on_right: str,
+    by_left: str,
+    by_right: str,
+    num_buckets: int = 32,
+    direction: str = "backward",
+    right_prepare=None,
+    out_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Big⋈big as-of join: co-locate both sides by ``H(by_key) % B``
+    (every row of a user lands with every row of that user's right side),
+    then ``pd.merge_asof`` within each bucket. Neither side is broadcast
+    or driver-materialized — the scale-safe form of the broadcast as-of.
+    ``right_prepare`` runs on each bucket's right frame first (e.g. a
+    per-key dedup that would otherwise need its own shuffle — fold it
+    into this one). Partitioning assumption: the by-key is the bucket
+    key, so all as-of candidates for a row share its bucket."""
+    both, lcols, rcols = _bucket_union(left, right, by_left, by_right, num_buckets)
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == "l", lcols].sort_values(on_left, kind="mergesort")
         rg = g.loc[g["__side"] == "r", rcols]
-        return lg.merge(rg, left_on=left_on, right_on=right_on, how=how)
+        if right_prepare is not None:
+            rg = right_prepare(rg)
+        rg = rg.sort_values(on_right, kind="mergesort")
+        # arrow→pandas dtype of a key column depends on whether THIS
+        # bucket block saw nulls from the other side (int64 vs float64);
+        # merge_asof requires exact dtype equality — coerce numeric keys
+        # to a common float64 (exact for ids < 2^53)
+        if pd.api.types.is_numeric_dtype(lg[by_left]) and pd.api.types.is_numeric_dtype(
+            rg[by_right]
+        ):
+            lg = lg.assign(**{by_left: lg[by_left].astype("float64")})
+            rg = rg.assign(**{by_right: rg[by_right].astype("float64")})
+        m = pd.merge_asof(
+            lg, rg, left_on=on_left, right_on=on_right,
+            left_by=by_left, right_by=by_right, direction=direction,
+        )
+        return m[out_cols] if out_cols else m
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(asof_bucket, batch_format="pandas")
 
 
 def semi_filter(ds: ray.data.Dataset, column: str, values) -> ray.data.Dataset:

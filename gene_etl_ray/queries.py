@@ -73,32 +73,48 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
-    """Top-10 revenue orders for one segment: broadcast dim join (J1/J5)
-    + partial grouped sum + top-k (K1). Small sides (customer keys,
-    order dates) are broadcast; at lake scale the orders side would flip
-    to a partitioned hash join (ops.relational docstring)."""
-    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    bld = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
-    orders = orders[orders["o_custkey"].isin(bld)]
-    odate = orders.set_index("o_orderkey")["o_orderdate"]
-    okeys = set(odate.index)
+    """Top-10 revenue orders for one segment — fully distributed: exact
+    partitioned hash joins on both fact edges (customer⋈orders on
+    custkey, then orders⋈lineitem on orderkey), with the per-order
+    revenue sum AND the bucket-local top-10 folded into the second
+    join's bucket pass (J4). The driver only merges B×10 candidate
+    rows — no fact table is ever materialized driver-side."""
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust_b = cust.map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), pa.scalar("BUILDING")))
+        .select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders_b = relational.partitioned_join(
+        orders, cust_b, "o_custkey", "c_custkey",
+        bucket_post=lambda df: df[["o_orderkey", "o_orderdate"]],
+    )
 
     li = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    li = relational.semi_filter(li, "l_orderkey", okeys)
 
     def rev(b: pa.Table) -> pa.Table:
         r = pc.multiply(b.column("l_extendedprice"),
                         pc.subtract(pa.scalar(1.0), b.column("l_discount")))
         return b.append_column("rev", r).select(["l_orderkey", "rev"])
 
-    per_order = grouped_aggregate_partial(
-        li.map_batches(rev, batch_format="pyarrow"), ["l_orderkey"], sums={"revenue": "rev"}
-    )
-    per_order["revenue"] = per_order["revenue"].round(2)
-    top = per_order.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
-    top["o_orderdate"] = top["l_orderkey"].map(odate)
-    return top.reset_index(drop=True)
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        # the bucket holds EVERY lineitem of each of its orders, so the
+        # per-order sum is complete here; local top-10 under the same
+        # total order as the global merge keeps the candidate set tiny
+        agg = df.groupby(["l_orderkey", "o_orderdate"], as_index=False)["rev"].sum()
+        agg["revenue"] = agg["rev"].round(2)
+        return agg.drop(columns=["rev"]).sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True]
+        ).head(10)
+
+    cands = relational.partitioned_join(
+        li.map_batches(rev, batch_format="pyarrow"), orders_b,
+        "l_orderkey", "o_orderkey", bucket_post=local_top,
+    ).to_pandas()
+    top = cands.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    top["l_orderkey"] = top["l_orderkey"].astype("int64")
+    return top[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
 
 
 Q3_SQL = """
@@ -584,30 +600,28 @@ LIMIT 50 OFFSET 50
 
 def events_asof_orders(sf_dir: str) -> pd.DataFrame:
     """As-of join (backward): each event matched to the user's most recent
-    order at or before the event time. Broadcast small side +
-    ``pd.merge_asof`` per batch; orders pre-deduped per (custkey, date) so
-    ties are deterministic on both sides."""
-    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
-    orders = (
-        orders.groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"].max()
-    )
-    orders = orders.sort_values("o_orderdate", kind="mergesort")
+    order at or before the event time. Both sides are facts, so neither
+    is broadcast: bucket both on the user key (one shuffle) and
+    ``merge_asof`` within buckets; the per-(custkey, date) order dedup is
+    folded into the same bucket pass (right_prepare) so ties are
+    deterministic without an extra shuffle."""
     ev = read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def asof(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.sort_values("ts", kind="mergesort")
-        m = pd.merge_asof(
-            b, orders, left_on="ts", right_on="o_orderdate",
-            left_by="user_id", right_by="o_custkey", direction="backward",
-        )
-        return m[["event_id", "o_orderkey"]]
+    def dedup_orders(rg: pd.DataFrame) -> pd.DataFrame:
+        return rg.groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"].max()
 
-    return (
-        ev.map_batches(asof, batch_format="pandas")
-        .to_pandas()
-        .sort_values("event_id")
-        .reset_index(drop=True)
+    out = relational.asof_join_bucketed(
+        ev, orders, on_left="ts", on_right="o_orderdate",
+        by_left="user_id", by_right="o_custkey",
+        right_prepare=dedup_orders, out_cols=["event_id", "o_orderkey"],
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    # DuckDB fetchdf dtype contract: nullable BIGINT → float64 iff NULLs
+    out["o_orderkey"] = out["o_orderkey"].astype(
+        "float64" if out["o_orderkey"].isna().any() else "int64"
     )
+    return out.sort_values("event_id").reset_index(drop=True)
 
 
 ASOF_SQL = """
