@@ -23,8 +23,14 @@ import ray.data
 
 
 def read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    """Column-pruned read of one testdata table."""
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Column-pruned read of one testdata table. Pandas-written parquet
+    carries an unhashable ``b'pandas'`` schema-metadata dict that defeats
+    Ray's shuffle schema dedup — strip it at the read boundary (zero-copy,
+    fused into the read tasks)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
 
 
 def broadcast_join(

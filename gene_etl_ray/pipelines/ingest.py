@@ -125,7 +125,10 @@ def _schema_to_hex(s: pa.Schema) -> str:
 
 
 def _schema_from_hex(h: str) -> pa.Schema:
-    return pa.ipc.read_schema(pa.BufferReader(bytes.fromhex(h)))
+    # remove_metadata: schemas stored by older engine versions may carry
+    # pandas metadata, which is unhashable and defeats Ray's shuffle
+    # schema dedup (see run_ingest's group_schema note)
+    return pa.ipc.read_schema(pa.BufferReader(bytes.fromhex(h))).remove_metadata()
 
 
 def _clean_stale_tmp(lake_dir: str) -> None:
@@ -422,7 +425,10 @@ def _run_ingest(
         # schema so the scanner null-backfills / casts per fragment.
         group_schema: pa.Schema | None = None
         for f in files:
-            s = pq.read_schema(f)
+            # strip file-level (pandas) schema metadata: an unhashable
+            # metadata dict defeats Ray's shuffle schema dedup — every
+            # reduce task then re-ships and re-compares full schemas
+            s = pq.read_schema(f).remove_metadata()
             group_schema = s if group_schema is None else evolve_schema(group_schema, s)
         # Block sizing: the sort-based groupby shuffle costs
         # O(in_blocks × reduce_blocks) in scheduling, so hundreds of tiny

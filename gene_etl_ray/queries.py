@@ -761,7 +761,21 @@ def docs_lang_id(sf_dir: str) -> pd.DataFrame:
 def docs_token_count_bpe(sf_dir: str) -> pd.DataFrame:
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     out = text.token_count_bpe_ish(ds).to_pandas()[["doc_id", "n_tokens_bpe"]]
+    out["n_tokens_bpe"] = out["n_tokens_bpe"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# RE2 (lookahead-free) variant of ops.text._BPE_ISH: the '\\s+(?!\\S)'
+# branch only changes SEGMENTATION of whitespace runs, never the token
+# COUNT, so counts agree on any input; this corpus is ASCII/space-only
+# (asserted in tests), so RE2's ASCII \\w also agrees with Python's.
+BPE_SQL = r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(
+           text, '''(?:s|t|re|ve|m|ll|d)| ?\w+| ?[^\s\w]+|\s+'
+       )) AS BIGINT) AS n_tokens_bpe
+FROM documents ORDER BY doc_id
+"""
 
 
 def docs_fingerprints(sf_dir: str) -> pd.DataFrame:
@@ -784,21 +798,28 @@ def docs_near_dup_clusters(sf_dir: str) -> pd.DataFrame:
 
 
 def events_users_approx_distinct(sf_dir: str) -> pd.DataFrame:
-    """HyperLogLog approximate distinct users vs exact, with relative
-    error (mergeable-sketch pattern; rows-only — approximation has no SQL
-    oracle)."""
+    """HyperLogLog approximate distinct users vs exact. The approximation
+    itself has no SQL form, so the oracle contract is: the exact count
+    (SQL-checkable) plus ``approx_ok`` = |approx−exact|/exact ≤ 5% — a
+    regressed sketch flips the boolean and fails the gate."""
     from gene_etl_ray.ops.sketch import approx_distinct
 
     ds = read(sf_dir, "events", ["user_id"])
     approx = approx_distinct(ds, "user_id")
-    exact = int(ds.to_pandas()["user_id"].nunique())
+    # exact distinct, distributed: shuffle to one row per user, count rows
+    exact = int(ds.groupby("user_id").count().count())
     return pd.DataFrame(
         {
-            "n_exact": [exact],
-            "n_approx": [round(approx, 1)],
-            "rel_err": [round(abs(approx - exact) / max(1, exact), 4)],
+            "n_exact": pd.Series([exact], dtype="int64"),
+            "approx_ok": [abs(approx - exact) / max(1, exact) <= 0.05],
         }
     )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, TRUE AS approx_ok
+FROM events
+"""
 
 
 def docs_simhash(sf_dir: str) -> pd.DataFrame:
@@ -1108,5 +1129,7 @@ ORACLE_SQL = {
     "docs_quality_filter": QUALITY_FILTER_SQL,
     "knn_cosine_topk": KNN_SQL,
     "embeddings_near_dup": NEAR_DUP_SQL,
+    "docs_token_count_bpe": BPE_SQL,
+    "events_users_approx_distinct": APPROX_DISTINCT_SQL,
     "embeddings_norm_by_label": NORM_SQL,
 }
