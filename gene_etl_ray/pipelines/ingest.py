@@ -80,6 +80,10 @@ MANIFEST_ROW_SCHEMA = pa.schema(
         ("rows", pa.int64()),
         ("live_rows", pa.int64()),
         ("max_seq", pa.int64()),
+        # delta events entering the group pre-dedup — the exact applied
+        # count on the no-counts (fresh-lake / mor-resume) path, where the
+        # group contains only watermark-surviving delta rows
+        ("events_in", pa.int64()),
     ]
 )
 
@@ -93,7 +97,10 @@ def discover_epochs(events_dir: str, quarantine: list[str] | None = None) -> dic
     corrupt segment (e.g. a writer died mid-upload) is QUARANTINED —
     skipped and reported — rather than crashing the tail loop; epochs
     after a quarantined one are also held back so commits stay contiguous
-    (a gap would otherwise advance the watermark past the missing data)."""
+    (a gap would otherwise advance the watermark past the missing data).
+    Numbering gaps are treated the same way (missing ⇒ hold back later
+    epochs); WAL cleanup must therefore truncate PREFIXES only — deleting
+    a mid-range segment would stall the tail loop by design."""
     files = glob.glob(os.path.join(events_dir, "epoch=*.parquet"))
     out: dict[int, str] = {}
     bad: list[int] = []
@@ -109,6 +116,19 @@ def discover_epochs(events_dir: str, quarantine: list[str] | None = None) -> dic
     if bad:
         first_bad = min(bad)
         out = {e: f for e, f in out.items() if e < first_bad}
+    # Enforce numbering contiguity too: a MISSING segment (late /
+    # out-of-order visibility on an object store) must hold later epochs
+    # back exactly like a quarantined one — otherwise the watermark
+    # advances past the not-yet-visible data and it is skipped forever.
+    if out:
+        keep: dict[int, str] = {}
+        expected = min(out)
+        for e in sorted(out):
+            if e != expected:
+                break
+            keep[e] = out[e]
+            expected += 1
+        out = keep
     return out
 
 
@@ -292,6 +312,7 @@ def _make_merge_fn(lake_dir: str, commit_epoch: int, tag: str = ""):
                 "rows": pa.array([t.num_rows], pa.int64()),
                 "live_rows": pa.array([live], pa.int64()),
                 "max_seq": pa.array([pc.max(t.column("seq")).as_py()], pa.int64()),
+                "events_in": pa.array([n], pa.int64()),
             }
         )
 
@@ -392,7 +413,10 @@ def _run_ingest(
 
     wm_arr = np.array([wm[k] for k in range(P)], dtype=np.int64)
 
+    from gene_etl_ray.state.lock import heartbeat
+
     for i in range(0, len(todo), cfg.epochs_per_commit):
+        heartbeat(cfg.lake_dir)  # cross-host lease renewal, once per group
         group_epochs = todo[i : i + cfg.epochs_per_commit]
         commit_epoch = max(group_epochs)
         files = [epochs[e] for e in group_epochs]
@@ -470,6 +494,12 @@ def _run_ingest(
             sorted_w = np.sort(winners)
 
             def winner_filter(batch: pa.Table) -> pa.Table:
+                if sorted_w.size == 0:
+                    # every delta event already below the watermark (e.g.
+                    # resume after a crash that committed all touched
+                    # partitions but died before the global epoch record)
+                    # — an empty winner set must not index below
+                    return batch.slice(0, 0)
                 seq = batch.column("seq").to_numpy(zero_copy_only=False)
                 idx = np.searchsorted(sorted_w, seq)
                 idx_c = np.minimum(idx, len(sorted_w) - 1)
@@ -545,10 +575,18 @@ def _run_ingest(
         applied = 0
         for pkey in sorted(by_pkey):
             rs = by_pkey[pkey]
+            # counts-pass number when available, else the merge groups'
+            # own pre-dedup input sizes (exact: the key stage already
+            # dropped watermark-filtered events before the merge)
+            pkey_events = (
+                counts.get(pkey, 0)
+                if counts
+                else sum(int(x["events_in"]) for x in rs)
+            )
             stats = {
                 "rows": sum(int(x["rows"]) for x in rs),
                 "live_rows": sum(int(x["live_rows"]) for x in rs),
-                "events": counts.get(pkey, 0),
+                "events": pkey_events,
             }
             commit_partition(
                 lake_dir,
@@ -565,18 +603,19 @@ def _run_ingest(
                     "epoch": commit_epoch,
                     "pkey": pkey,
                     "input_files": files,
-                    "event_count": counts.get(pkey, 0),
+                    "event_count": pkey_events,
                     "rows": stats["rows"],
                     "live_rows": stats["live_rows"],
                     "config_hash": cfg.hash(),
                 },
             )
-            applied += counts.get(pkey, 0)
+            applied += pkey_events
             committed += 1
             if fail_after_partitions is not None and committed >= fail_after_partitions:
                 raise CrashInjected(f"injected crash after {committed} partition commits")
-        if not counts and by_pkey:
-            applied = group_events  # fresh-lake fast path: every event applied
+        # (no fresh-lake "applied = group_events" fast path: on a resume
+        # with prevalidate=False that would count watermark-filtered,
+        # already-committed events as applied — events_in above is exact)
         write_global_epoch(
             lake_dir,
             commit_epoch,

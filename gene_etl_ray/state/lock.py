@@ -4,17 +4,32 @@ The commit protocol assumes one writer per lake (manifests are
 last-writer-wins JSON replaces — two concurrent committers could lose an
 update). The lock file is created ATOMICALLY WITH ITS CONTENT via
 ``os.link`` of a pre-written temp file, so no reader can ever observe an
-empty/partial lock. A lock whose owner pid is dead is stale; stealing is
-an atomic ``os.rename`` of the observed lock to a per-claimant name —
-exactly one claimant wins the rename, everyone else retries — so two
-crash-recovering writers can never both acquire (a bare unlink-and-retry
-would let one remove the other's FRESH lock).
+empty/partial lock. Stealing is an atomic ``os.rename`` of the observed
+lock to a per-claimant name — exactly one claimant wins the rename,
+everyone else retries — so two crash-recovering writers can never both
+acquire (a bare unlink-and-retry would let one remove the other's FRESH
+lock).
+
+Staleness is decided per deployment shape:
+- SAME host as the owner: ``os.kill(pid, 0)`` probes liveness directly.
+- DIFFERENT host (shared lake storage, the multi-node case): pids are
+  meaningless across hosts, so the lock carries a heartbeat (its mtime,
+  refreshed by :func:`heartbeat` once per commit group); a foreign lock
+  is stale only after ``lease_sec`` without a heartbeat. A live remote
+  writer is therefore never stolen from just because its pid number
+  happens to be dead locally.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import socket
+import time
+
+#: a writer heartbeats once per commit group (seconds-to-minutes cadence);
+#: 15 min of silence across a shared filesystem means the writer is gone
+LEASE_SEC = 900.0
 
 
 class LakeLockedError(RuntimeError):
@@ -35,12 +50,13 @@ def _pid_alive(pid: int) -> bool:
         return True
 
 
-def acquire(lake_dir: str) -> None:
+def acquire(lake_dir: str, lease_sec: float = LEASE_SEC) -> None:
     path = _lock_path(lake_dir)
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    host = socket.gethostname()
     tmp = f"{path}.claim.{os.getpid()}"
     with open(tmp, "w") as f:
-        json.dump({"pid": os.getpid()}, f)
+        json.dump({"pid": os.getpid(), "host": host}, f)
         f.flush()
         os.fsync(f.fileno())
     try:
@@ -52,14 +68,25 @@ def acquire(lake_dir: str) -> None:
                 pass
             try:
                 with open(path) as f:
-                    owner = json.load(f).get("pid", -1)
+                    owner = json.load(f)
             except FileNotFoundError:
                 continue  # released/stolen between link and read — retry
             except (OSError, ValueError):
-                owner = -1  # unreadable should be impossible (atomic create)
-            if owner != -1 and _pid_alive(owner):
+                owner = {}  # unreadable should be impossible (atomic create)
+            owner_pid = int(owner.get("pid", -1))
+            owner_host = owner.get("host", host)  # legacy locks: assume local
+            if owner_host == host:
+                alive = owner_pid != -1 and _pid_alive(owner_pid)
+            else:
+                # cross-host: liveness = heartbeat recency, never pid probes
+                try:
+                    alive = (time.time() - os.path.getmtime(path)) < lease_sec
+                except OSError:
+                    continue  # lock vanished under us — retry
+            if alive:
                 raise LakeLockedError(
-                    f"lake {lake_dir} is being written by live pid {owner}"
+                    f"lake {lake_dir} is being written by live pid "
+                    f"{owner_pid} on {owner_host}"
                 )
             # stale: atomically steal — only ONE claimant wins this rename
             steal = f"{path}.stale.{os.getpid()}"
@@ -76,6 +103,16 @@ def acquire(lake_dir: str) -> None:
             os.remove(tmp)
         except OSError:
             pass
+
+
+def heartbeat(lake_dir: str) -> None:
+    """Refresh the lock's liveness signal (mtime). Called by the writer
+    once per commit group; cheap, and failure is non-fatal (the local-host
+    pid probe still covers the single-node case)."""
+    try:
+        os.utime(_lock_path(lake_dir), None)
+    except OSError:
+        pass
 
 
 def release(lake_dir: str) -> None:

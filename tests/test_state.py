@@ -121,6 +121,35 @@ class TestLock:
         release(lake)
         assert not os.path.exists(os.path.join(lake, "_meta", "writer.lock"))
 
+    def test_foreign_host_lock_not_stolen_while_heartbeating(self, tmp_path):
+        """A lock owned on ANOTHER host must never be stolen based on a
+        local pid probe — only after the heartbeat lease expires."""
+        import json
+        import os
+        import time
+
+        import pytest
+
+        from gene_etl_ray.state.lock import LakeLockedError, acquire, heartbeat
+
+        lake = str(tmp_path)
+        os.makedirs(os.path.join(lake, "_meta"))
+        path = os.path.join(lake, "_meta", "writer.lock")
+        with open(path, "w") as f:
+            # dead-locally pid, but a DIFFERENT host with a fresh heartbeat
+            json.dump({"pid": 999999999, "host": "other-node"}, f)
+        with pytest.raises(LakeLockedError):
+            acquire(lake)
+        # expired lease: steal succeeds
+        old = time.time() - 10_000
+        os.utime(path, (old, old))
+        acquire(lake, lease_sec=900)
+        # heartbeat refreshes mtime
+        t0 = os.path.getmtime(path)
+        time.sleep(0.05)
+        heartbeat(lake)
+        assert os.path.getmtime(path) >= t0
+
     def test_live_self_owner_refused(self, tmp_path):
         """A held lock refuses re-acquisition even from the owner pid
         (no silent self-steal; regression from the review)."""
