@@ -785,29 +785,59 @@ def validate_lake(lake_dir: str) -> dict:
     ``validate.py:87-137``'s result checks). Invariants per merge mode:
     cow — one stored row per url per PARTITION; mor — one row per url per
     FILE (delta files overlap by design; the resolved live view's
-    uniqueness is what read_lake guarantees)."""
+    uniqueness is what read_lake guarantees). Runs DISTRIBUTED: a
+    column-pruned url read keyed by file/partition, then a groupby
+    count-vs-count-distinct per key — no driver-side url sets. Also
+    reconciles cow manifest row counts against the actual files (the
+    cross-set consistency check, ``validate.py:289-346`` analog)."""
+    import pandas as pd
+
+    from gene_etl_ray.state.manifest import read_manifest
+
     meta = read_lake_meta(lake_dir)
     mor = bool(meta and meta.get("merge_mode") == "mor")
-    checks = {"one_row_per_url": True, "manifest_rows_match": True, "rows": 0, "mode": "mor" if mor else "cow"}
-    total = 0
-    for k, fs in current_files(lake_dir).items():
-        part_rows = 0
-        urls: set = set()
-        dup = False
-        for f in fs:
-            t = pq.read_table(f, columns=["url"])
-            part_rows += t.num_rows
-            file_urls = t.column("url").to_pylist()
-            if mor:
-                if len(set(file_urls)) != len(file_urls):
-                    dup = True
-            else:
-                for u in file_urls:
-                    if u in urls:
-                        dup = True
-                    urls.add(u)
-        if dup:
-            checks["one_row_per_url"] = False
-        total += part_rows
-    checks["rows"] = total
+    checks = {
+        "one_row_per_url": True,
+        "manifest_rows_match": True,
+        "rows": 0,
+        "mode": "mor" if mor else "cow",
+    }
+    files_by_part = current_files(lake_dir)
+    all_files = [f for fs in files_by_part.values() for f in fs]
+    if not all_files:
+        return checks
+
+    ds = ray.data.read_parquet(all_files, columns=["url"], include_paths=True)
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["path"] if mor else b["path"].str.extract(r"(part=\d+)", expand=False)
+        return pd.DataFrame({"key": key, "url": b["url"]})
+
+    def check_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": [g["key"].iloc[0]],
+                "rows": [len(g)],
+                "dup": [g["url"].nunique() != len(g)],
+            }
+        )
+
+    res = (
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("key")
+        .map_groups(check_group, batch_format="pandas")
+        .to_pandas()
+    )
+    checks["one_row_per_url"] = not bool(res["dup"].any())
+    checks["rows"] = int(res["rows"].sum())
+    if not mor:
+        actual = {
+            int(k.split("=")[1]): int(r)
+            for k, r in zip(res["key"], res["rows"])
+        }
+        for pkey in files_by_part:
+            m = read_manifest(lake_dir, pkey)
+            want = (m or {}).get("stats", {}).get("rows")
+            if want is not None and actual.get(pkey, 0) != want:
+                checks["manifest_rows_match"] = False
     return checks
