@@ -101,20 +101,12 @@ class HyperplaneLSH:
         return batch
 
 
-def lsh_topk(
-    ds: ray.data.Dataset,
-    queries: np.ndarray,
-    k: int = 10,
-    num_planes: int = 6,
-    id_col: str = "vec_id",
-) -> pd.DataFrame:
-    """Approximate top-k: scan only rows whose LSH bucket is within
-    Hamming distance 2 of the query's bucket (multi-probe). Same output
-    shape as ``brute_force_topk``; recall < 1 by design. Tune
-    ``num_planes`` up as the table grows (buckets ≈ 2^planes)."""
+def _probe_buckets(queries: np.ndarray, num_planes: int) -> set[int]:
+    """Multi-probe bucket set: each query's bucket plus all buckets within
+    Hamming distance 2 (deterministic, shared by the scan and the indexed
+    paths)."""
     q = np.asarray(queries, dtype=np.float32)
-    dim = q.shape[1]
-    lsh = HyperplaneLSH(dim, num_planes)
+    lsh = HyperplaneLSH(q.shape[1], num_planes)
     qsig = ((q @ lsh.planes) > 0).astype(np.uint64)
     qbuckets = (qsig * lsh.bits).sum(axis=1).astype(np.int64)
     wanted: set[int] = set()
@@ -124,7 +116,25 @@ def lsh_topk(
             wanted.add(int(b) ^ (1 << p))
             for p2 in range(p + 1, num_planes):
                 wanted.add(int(b) ^ (1 << p) ^ (1 << p2))
+    return wanted
 
+
+def lsh_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    num_planes: int = 6,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Approximate top-k over an UNINDEXED dataset: one full pass
+    computes buckets and filters to the probe set (no stored layout to
+    prune against — the one-shot form). For repeated queries at scale use
+    :func:`build_lsh_index` + :func:`lsh_topk_indexed`, which reads ONLY
+    the probed buckets' files. Recall < 1 by design; tune ``num_planes``
+    up as the table grows (buckets ≈ 2^planes)."""
+    q = np.asarray(queries, dtype=np.float32)
+    dim = q.shape[1]
+    wanted = _probe_buckets(q, num_planes)
     bucketed = ds.map_batches(
         HyperplaneLSH,
         fn_constructor_kwargs={"dim": dim, "num_planes": num_planes},
@@ -136,6 +146,66 @@ def lsh_topk(
     )
     # float32 is fine here: the LSH path is approximate by design
     return brute_force_topk(pruned, q, k=k, id_col=id_col, dtype=np.float32)
+
+
+def build_lsh_index(
+    ds: ray.data.Dataset, index_dir: str, num_planes: int = 6
+) -> None:
+    """Write the embedding table PARTITIONED BY LSH BUCKET
+    (``index_dir/lsh_bucket=N/*.parquet``) — the stored layout that turns
+    an ANN query into a targeted read of only the probed buckets' files
+    at 10^10-row scale. Build once, query many times."""
+    probe = ds.take(1)
+    dim = len(probe[0]["embedding"])
+    bucketed = ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs={"dim": dim, "num_planes": num_planes},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    bucketed.write_parquet(index_dir, partition_cols=["lsh_bucket"])
+
+
+def lsh_index_probe_paths(
+    index_dir: str, queries: np.ndarray, num_planes: int = 6
+) -> list[str]:
+    """The bucket directories an indexed query actually reads (exposed so
+    tests can assert the pruned file set)."""
+    import os
+
+    wanted = _probe_buckets(np.asarray(queries, dtype=np.float32), num_planes)
+    dirs = [os.path.join(index_dir, f"lsh_bucket={b}") for b in sorted(wanted)]
+    return [d for d in dirs if os.path.isdir(d)]
+
+
+def lsh_topk_indexed(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    num_planes: int = 6,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Approximate top-k against a :func:`build_lsh_index` layout: reads
+    ONLY the probed buckets' partition directories — the partition-pruned
+    read path (same semantics as :func:`lsh_topk` with identical planes
+    and probing)."""
+    import glob as _glob
+
+    q = np.asarray(queries, dtype=np.float32)
+    dirs = lsh_index_probe_paths(index_dir, q, num_planes)
+    # expand to files: Ray 2.49's read_parquet doesn't expand a LIST of
+    # directory paths
+    paths = [f for d in dirs for f in sorted(_glob.glob(f"{d}/*.parquet"))]
+    if not paths:
+        return pd.DataFrame(
+            {
+                "query_idx": pd.Series([], dtype="int64"),
+                id_col: pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+    ds = ray.data.read_parquet(paths)
+    return brute_force_topk(ds, q, k=k, id_col=id_col, dtype=np.float32)
 
 
 def cosine_near_dup_pairs(

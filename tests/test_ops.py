@@ -58,6 +58,40 @@ class TestText:
         assert lid.classify("der hund und die katze sind in einem haus zu sehen") == "de"
         assert lid.classify("") == "und"
 
+    def test_langid_accuracy_floor_on_controlled_corpus(self):
+        """Accuracy gate for the heuristic. The driver corpus's ``lang``
+        labels are decorrelated from its (English-vocabulary) text —
+        measured agreement is ~38% with 'en' dominant — so the gate runs
+        on a controlled corpus instead: 20 docs per supported language
+        built from that language's common words + neutral filler, plus
+        script-detection cases. Pins accuracy == 1.0 so the heuristic
+        cannot silently regress."""
+        import itertools
+
+        lid = text.LangId()
+        samples = {
+            "en": "the cat and a dog is in it that for the house",
+            "de": "der hund und die katze ist ein tier zu den von haus",
+            "fr": "le chien et la les maison un une des est que pour",
+            "es": "el perro la casa los de que y en un una es grande",
+            "pt": "o gato a os cachorro de que e em um uma para casa",
+            "ru": "и в не на что я с он как это дом",
+            "zh": "这是一个关于数据处理的长文档 内容很多 一二三四五六七八九十",
+            "ja": "これはデータについての文書です とても長い内容があります",
+        }
+        fillers = ["data table row", "quick value batch", "merge sort scan", "x y z"]
+        n_ok, n = 0, 0
+        for lang, base in samples.items():
+            for i, filler in enumerate(itertools.islice(itertools.cycle(fillers), 20)):
+                doc = (
+                    f"{base} {base}"
+                    if lang in ("zh", "ja", "ru")
+                    else f"{base} {filler} {base} doc{i}"
+                )
+                n += 1
+                n_ok += lid.classify(doc) == lang
+        assert n_ok == n, f"langid accuracy regressed: {n_ok}/{n}"
+
     def test_quality_scorer(self):
         df = pd.DataFrame({"text": ["The quick brown fox! It jumps.", ""]})
         out = text.QualityScorer()(df.copy())
@@ -99,6 +133,36 @@ class TestKnn:
         df = self._emb_df()
         out = knn.cosine_near_dup_pairs(ds_from(df), threshold=0.999)
         assert ((out["id_a"] == 0) & (out["id_b"] == 7)).any()
+
+    def test_lsh_index_prunes_and_matches_scan(self, tmp_path):
+        """The bucket-partitioned layout reads ONLY the probed bucket
+        dirs, and returns the same result as the one-shot scan path
+        (identical planes + probing)."""
+        import os
+
+        df = self._emb_df()
+        q = np.stack(df["embedding"].iloc[:2].to_numpy())
+        index_dir = str(tmp_path / "lsh_index")
+        knn.build_lsh_index(ds_from(df), index_dir, num_planes=6)
+        all_buckets = [d for d in os.listdir(index_dir) if d.startswith("lsh_bucket=")]
+        probed = knn.lsh_index_probe_paths(index_dir, q, num_planes=6)
+        assert 0 < len(probed) <= len(all_buckets)
+        # pruning must be real on this data: probe set ⊂ stored buckets
+        # OR every stored bucket is genuinely probe-relevant
+        wanted = knn._probe_buckets(q, 6)
+        for d in all_buckets:
+            b = int(d.split("=")[1])
+            if b not in wanted:
+                assert os.path.join(index_dir, d) not in probed
+
+        indexed = knn.lsh_topk_indexed(index_dir, q, k=5, num_planes=6)
+        scan = knn.lsh_topk(ds_from(df), q, k=5, num_planes=6)
+        key = ["query_idx", "vec_id"]
+        a = indexed.sort_values(key).reset_index(drop=True)
+        b = scan.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a[key + ["cosine"]], b[key + ["cosine"]], atol=1e-6, check_dtype=False
+        )
 
 
 class TestMultimodal:
