@@ -113,6 +113,24 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_lookup(args) -> int:
+    """Point lookup — the query/serving surface of the reference's REST
+    query endpoint (``app.py:386-428``), as a CLI subcommand over the
+    partition-pruned ``lookup_urls`` read path."""
+    from gene_etl_ray.pipelines.ingest import lookup_urls
+
+    t = lookup_urls(args.lake, args.url)
+    cols = [c for c in t.schema.names if c != "html"]
+    rows = t.select(cols).to_pylist()
+    for r in rows:
+        # timestamps aren't JSON-serializable; render them
+        r = {k: (str(v) if hasattr(v, "isoformat") else v) for k, v in r.items()}
+        print(json.dumps(r))
+    if not rows:
+        print(json.dumps({"found": 0}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="gene_etl_ray", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -143,6 +161,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     pc_.add_argument("--config", required=True)
     pc_.set_defaults(fn=cmd_compact)
+
+    pl = sub.add_parser("lookup", help="point lookup of urls (partition-pruned read)")
+    pl.add_argument("--lake", required=True)
+    pl.add_argument("url", nargs="+", help="url(s) to look up")
+    pl.set_defaults(fn=cmd_lookup)
 
     args = p.parse_args(argv)
     return args.fn(args)

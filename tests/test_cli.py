@@ -38,6 +38,23 @@ def test_cli_ingest_validate_export_stats(events_and_config, tmp_path, capsys):
     stats = json.loads(capsys.readouterr().out)
     assert stats["num_partitions"] == 4 and stats["max_committed_epoch"] == 2
 
+    # point lookup: a live url round-trips; a never-seen url reports 0
+    import pyarrow.parquet as pq
+    from gene_etl_ray.state.manifest import current_files
+
+    from gene_etl_ray.schema import DELETED_COLUMN
+
+    some_file = next(iter(current_files(lake).values()))[0]
+    ft = pq.read_table(some_file, columns=["url", DELETED_COLUMN])
+    live = ft.filter(~ft.column(DELETED_COLUMN).combine_chunks())
+    url = live.column("url")[0].as_py()
+    assert main(["lookup", "--lake", lake, url]) == 0
+    hit = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert hit["url"] == url
+    assert main(["lookup", "--lake", lake, "https://nope.example.org/x"]) == 0
+    miss = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert miss == {"found": 0}
+
 
 def test_cli_rejects_unknown_config_keys(tmp_path):
     p = str(tmp_path / "bad.json")
