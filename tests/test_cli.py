@@ -46,7 +46,9 @@ def test_cli_ingest_validate_export_stats(events_and_config, tmp_path, capsys):
 
     some_file = next(iter(current_files(lake).values()))[0]
     ft = pq.read_table(some_file, columns=["url", DELETED_COLUMN])
-    live = ft.filter(~ft.column(DELETED_COLUMN).combine_chunks())
+    import pyarrow.compute as pc
+
+    live = ft.filter(pc.invert(ft.column(DELETED_COLUMN)))
     url = live.column("url")[0].as_py()
     assert main(["lookup", "--lake", lake, url]) == 0
     hit = json.loads(capsys.readouterr().out.splitlines()[0])
