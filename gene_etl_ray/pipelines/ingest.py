@@ -780,6 +780,100 @@ def _compact_locked(cfg: EngineConfig, meta: dict) -> dict:
     return {"compacted": len(by_pkey), "epoch": epoch}
 
 
+def consistency_report(lake_dir: str) -> dict:
+    """Cross-set consistency checks over the lake's METADATA sets —
+    manifests vs lineage vs epoch records vs checkpoints vs the files on
+    disk (reference parity: the named pre/post check suites,
+    ``validate.py:289-346`` / ``validate.py:447-476``). Metadata-only:
+    no data files are read, so this is O(partitions) regardless of lake
+    size. All checks True on any quiescent committed lake."""
+    import json as _json
+
+    from gene_etl_ray.state.checkpoint import last_global_epoch
+    from gene_etl_ray.state.lineage import read_lineage
+    from gene_etl_ray.state.manifest import read_manifest
+
+    checks = {
+        "manifest_files_exist": True,
+        "no_orphan_files": True,
+        "lineage_rows_match_manifests": True,
+        "lineage_vs_epoch_events": True,
+        "checkpoints_within_global": True,
+        "config_hash_consistent": True,
+    }
+    meta = read_lake_meta(lake_dir) or {}
+    files_by_part = current_files(lake_dir)
+
+    # 1/2: the manifested file set and the on-disk final file set agree
+    manifested: set[str] = set()
+    for fs in files_by_part.values():
+        for f in fs:
+            manifested.add(f)
+            if not os.path.exists(f):
+                checks["manifest_files_exist"] = False
+    on_disk = {
+        f
+        for f in glob.glob(os.path.join(lake_dir, "part=*", "*.parquet"))
+        if not os.path.basename(f).startswith(".tmp-")
+    }
+    if on_disk - manifested:
+        checks["no_orphan_files"] = False
+
+    # 3: each partition's manifest stats match its latest lineage record
+    lineage = read_lineage(lake_dir)
+    latest_by_pkey: dict[int, dict] = {}
+    for rec in lineage:
+        cur = latest_by_pkey.get(rec["pkey"])
+        if cur is None or rec["epoch"] >= cur["epoch"]:
+            latest_by_pkey[rec["pkey"]] = rec
+    for pkey in files_by_part:
+        m = read_manifest(lake_dir, pkey)
+        rec = latest_by_pkey.get(pkey)
+        if m and rec and m["epoch"] == rec["epoch"]:
+            if m.get("stats", {}).get("rows") != rec.get("rows"):
+                checks["lineage_rows_match_manifests"] = False
+
+    # 4: per-epoch lineage event counts reconcile with the global epoch
+    # record's applied total (events_in = applied accounting, exposed)
+    by_epoch: dict[int, int] = {}
+    for rec in lineage:
+        by_epoch[rec["epoch"]] = by_epoch.get(rec["epoch"], 0) + int(
+            rec.get("event_count", 0)
+        )
+    edir = os.path.join(lake_dir, "_epochs")
+    if os.path.isdir(edir):
+        for n in sorted(os.listdir(edir)):
+            if not (n.startswith("epoch=") and n.endswith(".json")):
+                continue
+            with open(os.path.join(edir, n)) as f:
+                rec = _json.load(f)
+            if rec.get("noop") or "events" not in rec:
+                continue
+            if by_epoch.get(rec["epoch"], 0) != rec["events"]:
+                checks["lineage_vs_epoch_events"] = False
+
+    # 5: no checkpoint claims an epoch beyond the global record (a crash
+    # can leave them momentarily ahead; a quiescent lake must not)
+    g = last_global_epoch(lake_dir)
+    cdir = os.path.join(lake_dir, "_checkpoints")
+    if os.path.isdir(cdir):
+        for n in os.listdir(cdir):
+            if n.startswith("part=") and n.endswith(".json"):
+                with open(os.path.join(cdir, n)) as f:
+                    c = _json.load(f)
+                if c.get("last_committed_epoch", -1) > g:
+                    checks["checkpoints_within_global"] = False
+
+    # 6: a single config hash across meta and all lineage records
+    hashes = {r.get("config_hash") for r in lineage} | (
+        {meta.get("config_hash")} if meta else set()
+    )
+    hashes.discard(None)
+    if len(hashes) > 1:
+        checks["config_hash_consistent"] = False
+    return checks
+
+
 def validate_lake(lake_dir: str) -> dict:
     """Post-validation over the committed lake (parity:
     ``validate.py:87-137``'s result checks). Invariants per merge mode:

@@ -53,11 +53,13 @@ def cmd_ingest(args) -> int:
 
 
 def cmd_validate(args) -> int:
-    from gene_etl_ray.pipelines.ingest import validate_lake
+    from gene_etl_ray.pipelines.ingest import consistency_report, validate_lake
 
     checks = validate_lake(args.lake)
+    checks["consistency"] = consistency_report(args.lake)
     print(json.dumps(checks))
-    return 0 if checks["one_row_per_url"] else 1
+    ok = checks["one_row_per_url"] and all(checks["consistency"].values())
+    return 0 if ok else 1
 
 
 def cmd_export(args) -> int:

@@ -49,9 +49,21 @@ def test_full_replay_matches_oracle(tmp_events, tmp_lake):
     assert rep["events_in"] == 2000
     assert_matches_oracle(tmp_lake, tmp_events)
     checks = validate_lake(tmp_lake)
-    assert checks["one_row_per_url"]
+    assert checks["one_row_per_url"] and checks["manifest_rows_match"]
     # lineage exists for every committed epoch
     assert {r["epoch"] for r in read_lineage(tmp_lake)} == {1, 3, 5}
+    # cross-set metadata consistency: all named checks hold on a
+    # quiescent committed lake, and tampering flips the right check
+    from gene_etl_ray.pipelines.ingest import consistency_report
+    from gene_etl_ray.state.manifest import current_files
+
+    cons = consistency_report(tmp_lake)
+    assert all(cons.values()), cons
+    victim = next(iter(current_files(tmp_lake).values()))[0]
+    os.remove(victim)
+    cons2 = consistency_report(tmp_lake)
+    assert not cons2["manifest_files_exist"]
+    assert cons2["no_orphan_files"]  # deletion creates no orphans
 
 
 def test_replay_is_idempotent(tmp_events, tmp_lake):
