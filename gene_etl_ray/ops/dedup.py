@@ -26,6 +26,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from gene_etl_ray.ops.util import per_process
+
 _TOKEN = re.compile(r"\w+", re.UNICODE)
 
 # fixed 64-bit mix constants (splitmix64) — deterministic across processes
@@ -119,8 +121,8 @@ def minhash_lsh_candidates(
     Returns a small pandas frame (id_a, id_b, est_jaccard)."""
     rows_per_band = num_perm // bands
     sigged = ds.map_batches(
-        MinHasher, fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
-        batch_format="pandas", concurrency=(1, 4),
+        per_process(MinHasher, num_perm=num_perm, shingle_k=shingle_k),
+        batch_format="pandas",
     )
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
@@ -158,8 +160,28 @@ def minhash_lsh_candidates(
     import tempfile
 
     sig_dir = tempfile.mkdtemp(prefix="minhash_sigs_", dir="/tmp")
+
+    def to_arrow_sigs(b: pd.DataFrame) -> pa.Table:
+        # explicit fixed_size_list<uint64> — a pandas column of ndarrays
+        # would round-trip through Ray's tensor extension, whose dtype
+        # string doesn't survive a parquet write+read
+        n = len(b)
+        sig = (
+            np.stack(b["minhash"].to_numpy()).astype(np.uint64)
+            if n
+            else np.zeros((0, num_perm), np.uint64)
+        )
+        return pa.table(
+            {
+                id_col: pa.array(b[id_col].to_numpy(), pa.int64()),
+                "minhash": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig.ravel(), pa.uint64()), num_perm
+                ),
+            }
+        )
+
     try:
-        sigged.select_columns([id_col, "minhash"]).write_parquet(sig_dir)
+        sigged.map_batches(to_arrow_sigs, batch_format="pandas").write_parquet(sig_dir)
         sig_ds = ray.data.read_parquet(sig_dir)
         exploded = sig_ds.map_batches(explode, batch_format="pandas")
         return _candidates_from_bands(exploded, sig_ds, id_col)
@@ -295,7 +317,7 @@ class SimHasher:
 
 
 def simhash_signatures(ds: ray.data.Dataset) -> ray.data.Dataset:
-    return ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(per_process(SimHasher), batch_format="pandas")
 
 
 def ngram_jaccard_pairs(

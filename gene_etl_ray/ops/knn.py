@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from gene_etl_ray.ops.util import per_process
+
 
 def _to_matrix(series: pd.Series) -> np.ndarray:
     return np.stack(series.to_numpy())
@@ -136,10 +138,8 @@ def lsh_topk(
     dim = q.shape[1]
     wanted = _probe_buckets(q, num_planes)
     bucketed = ds.map_batches(
-        HyperplaneLSH,
-        fn_constructor_kwargs={"dim": dim, "num_planes": num_planes},
+        per_process(HyperplaneLSH, dim=dim, num_planes=num_planes),
         batch_format="pandas",
-        concurrency=(1, 4),
     )
     pruned = bucketed.map_batches(
         lambda b: b[b["lsh_bucket"].isin(wanted)], batch_format="pandas"
@@ -158,10 +158,8 @@ def build_lsh_index(
     probe = ds.take(1)
     dim = len(probe[0]["embedding"])
     bucketed = ds.map_batches(
-        HyperplaneLSH,
-        fn_constructor_kwargs={"dim": dim, "num_planes": num_planes},
+        per_process(HyperplaneLSH, dim=dim, num_planes=num_planes),
         batch_format="pandas",
-        concurrency=(1, 4),
     )
     bucketed.write_parquet(index_dir, partition_cols=["lsh_bucket"])
 
@@ -216,10 +214,8 @@ def cosine_near_dup_pairs(
     probe = ds.take(1)
     dim = len(probe[0]["embedding"])
     bucketed = ds.map_batches(
-        HyperplaneLSH,
-        fn_constructor_kwargs={"dim": dim, "num_planes": num_planes},
+        per_process(HyperplaneLSH, dim=dim, num_planes=num_planes),
         batch_format="pandas",
-        concurrency=(1, 4),
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:

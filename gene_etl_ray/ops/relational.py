@@ -25,12 +25,15 @@ import ray.data
 def read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """Column-pruned read of one testdata table. Pandas-written parquet
     carries an unhashable ``b'pandas'`` schema-metadata dict that defeats
-    Ray's shuffle schema dedup — strip it at the read boundary (zero-copy,
-    fused into the read tasks)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
-    return ds.map_batches(
-        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
-    )
+    Ray's shuffle schema dedup — pass the stripped schema into the read so
+    even the read operator's own blocks are metadata-free."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    schema = pq.read_schema(path).remove_metadata()
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return ray.data.read_parquet(path, columns=columns, schema=schema)
 
 
 def broadcast_join(

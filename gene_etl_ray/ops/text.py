@@ -16,6 +16,8 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from gene_etl_ray.ops.util import per_process
+
 # tiny deterministic stopword sets per language (public common words)
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
@@ -116,7 +118,7 @@ def token_count_bpe_ish(ds: ray.data.Dataset) -> ray.data.Dataset:
             ]
             return batch
 
-    return ds.map_batches(Counter, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(per_process(Counter), batch_format="pandas")
 
 
 class Fingerprinter:

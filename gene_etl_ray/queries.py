@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from gene_etl_ray.ops import dedup, knn, multimodal, relational, text
+from gene_etl_ray.ops.util import per_process
 from gene_etl_ray.ops.relational import broadcast_join, grouped_aggregate_partial, read
 
 _HOUR_US = 3_600_000_000
@@ -744,8 +745,7 @@ def docs_quality_full(sf_dir: str) -> pd.DataFrame:
     """Full quality scorer (punct/stopword ratios etc.) — unicode regex
     semantics differ from RE2, so rows-only check."""
     ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    out = ds.map_batches(text.QualityScorer, batch_format="pandas",
-                         concurrency=(1, 4)).to_pandas()
+    out = ds.map_batches(per_process(text.QualityScorer), batch_format="pandas").to_pandas()
     return out.drop(columns=["text"]).sort_values("doc_id").reset_index(drop=True)
 
 
@@ -757,8 +757,7 @@ def docs_lang_id(sf_dir: str) -> pd.DataFrame:
     is NOT asserted here; the classifier's accuracy gate lives in
     tests/test_ops.py::test_langid_accuracy_floor_on_controlled_corpus."""
     ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    out = ds.map_batches(text.LangId, batch_format="pandas",
-                         concurrency=(1, 4)).to_pandas()
+    out = ds.map_batches(per_process(text.LangId), batch_format="pandas").to_pandas()
     out = out.drop(columns=["text"])
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -785,8 +784,7 @@ FROM documents ORDER BY doc_id
 
 def docs_fingerprints(sf_dir: str) -> pd.DataFrame:
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(text.Fingerprinter, batch_format="pandas",
-                         concurrency=(1, 4)).to_pandas()
+    out = ds.map_batches(per_process(text.Fingerprinter), batch_format="pandas").to_pandas()
     return out[["doc_id", "n_fingerprints"]].sort_values("doc_id").reset_index(drop=True)
 
 
