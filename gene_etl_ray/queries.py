@@ -742,11 +742,46 @@ ORDER BY doc_id
 
 
 def docs_quality_full(sf_dir: str) -> pd.DataFrame:
-    """Full quality scorer (punct/stopword ratios etc.) — unicode regex
-    semantics differ from RE2, so rows-only check."""
+    """Full quality scorer (char/word counts, mean word length, punct /
+    stopword / uppercase ratios) with a DuckDB oracle: on this
+    ASCII-only corpus (asserted in tests) Python's unicode ``\\w`` and
+    RE2's agree, so every signal is SQL-derivable. Ratios rounded to 6dp
+    on both sides."""
     ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
     out = ds.map_batches(per_process(text.QualityScorer), batch_format="pandas").to_pandas()
-    return out.drop(columns=["text"]).sort_values("doc_id").reset_index(drop=True)
+    out = out.drop(columns=["text"])
+    for c in ("mean_word_len", "punct_ratio", "stopword_ratio", "upper_ratio"):
+        out[c] = out[c].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# the engine's _STOPWORDS["en"] set, inlined for the SQL side
+_STOP_EN_SQL = "['the','and','of','to','a','in','is','it','that','for']"
+
+QUALITY_FULL_SQL = rf"""
+WITH w AS (
+    SELECT doc_id, lang, text,
+           length(text) AS n_chars,
+           regexp_extract_all(text, '\w+') AS words
+    FROM documents
+)
+SELECT doc_id, lang,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(length(words) AS BIGINT) AS n_words,
+       round(CASE WHEN length(words) = 0 THEN 0.0
+             ELSE CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+                  / length(words) END, 6) AS mean_word_len,
+       round(CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+             / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(CASE WHEN length(words) = 0 THEN 0.0
+             ELSE CAST(list_sum(list_transform(words,
+                      x -> CASE WHEN list_contains({_STOP_EN_SQL}, lower(x))
+                                THEN 1 ELSE 0 END)) AS DOUBLE)
+                  / length(words) END, 6) AS stopword_ratio,
+       round(CAST(length(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+             / greatest(n_chars, 1), 6) AS upper_ratio
+FROM w ORDER BY doc_id
+"""
 
 
 def docs_lang_id(sf_dir: str) -> pd.DataFrame:
@@ -1146,5 +1181,6 @@ ORACLE_SQL = {
     "embeddings_near_dup": NEAR_DUP_SQL,
     "docs_token_count_bpe": BPE_SQL,
     "events_users_approx_distinct": APPROX_DISTINCT_SQL,
+    "docs_quality_full": QUALITY_FULL_SQL,
     "embeddings_norm_by_label": NORM_SQL,
 }
