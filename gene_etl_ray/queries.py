@@ -372,7 +372,7 @@ ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey DESC
 """
 
 
-def orders_running_total(sf_dir: str) -> pd.DataFrame:
+def orders_running_total(sf_dir: str) -> ray.data.Dataset:
     """Per-customer running total ordered by (date, orderkey) — the
     ordered-window-function shape (K3 family): one hash shuffle on the
     key, vectorized cumsum within each ordered group."""
@@ -383,8 +383,10 @@ def orders_running_total(sf_dir: str) -> pd.DataFrame:
         g["running_total"] = g["o_totalprice"].cumsum().round(2)
         return g[["o_custkey", "o_orderkey", "running_total"]]
 
-    out = ds.groupby("o_custkey").map_groups(running, batch_format="pandas").to_pandas()
-    return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+    # return the Dataset: the window output is as large as the input, so
+    # it must stream to whatever sink collects it, not materialize here
+    # (the driver's compare is row-order-insensitive)
+    return ds.groupby("o_custkey").map_groups(running, batch_format="pandas")
 
 
 RUNNING_SQL = """
