@@ -223,7 +223,9 @@ def events_hourly_stats(sf_dir: str) -> pd.DataFrame:
     SURVEY §2.9: window id as derived column + grouped agg)."""
     ds = read(sf_dir, "events", ["ts", "event_type", "value"])
     out = relational.windowed_agg(ds, "event_type", "ts", _HOUR_US, "value")
-    out["window_start"] = pd.to_datetime(out["window_start"], unit="us")
+    out["window_start"] = pd.to_datetime(out["window_start"], unit="us").astype(
+        "datetime64[us]"  # match DuckDB's microsecond unit exactly
+    )
     out["value_sum"] = out["value_sum"].round(6)
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
