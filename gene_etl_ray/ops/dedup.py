@@ -280,13 +280,15 @@ def near_dup_clusters(
             )
             .to_pandas()
         )
-        new_labels = dict(labels)
-        changed = False
-        for node, label in zip(msgs["node"], msgs["label"]):
-            if label < new_labels[node]:
-                new_labels[node] = label
-                changed = True
-        labels = new_labels
+        # vectorized label update (one map + min per round; the label map
+        # is one int per node IN SOME DUP CLUSTER — at web scale dup
+        # families are a small fraction of the corpus, which is the
+        # partitioning assumption this driver-held map relies on)
+        cur = pd.Series(labels)
+        prop = msgs.set_index("node")["label"]
+        nxt = pd.concat([cur, prop]).groupby(level=0).min()
+        changed = bool((nxt < cur.reindex(nxt.index)).any())
+        labels = nxt.to_dict()
         if not changed:
             break
     out = pd.DataFrame(
