@@ -1,14 +1,29 @@
-"""Multimodal column plumbing: image/audio/video as opaque ``binary``
-columns with typed metadata.
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, decoded by an actor-pool ``map_batches`` stage.
 
-The decode kernels themselves are STUBBED (no image/audio libraries exist
-in this container — see the deterministic fake below), but the Ray-side
-plumbing is real and tested: schema, byte-budgeted batch sizing, actor-pool
-signatures, and output layout are exactly what a real decoder stage needs.
-Swap ``_decode_stub`` for a PIL/ffmpeg call and nothing else changes.
+The image and audio decode kernels are REAL here, within stdlib limits:
+- ``image/png`` — an actual PNG decoder (chunk parse → IHDR validate →
+  zlib-inflate IDAT → scanline unfilter (types 0-2) → numpy array), and
+  the matching minimal encoder used by ``synthesize_media``;
+- ``audio/wav`` — stdlib ``wave`` PCM decode → int16 numpy samples.
+
+Richer codecs (JPEG, MP3, H.264) genuinely require external libraries
+that are absent from this container — those mimes raise
+NotImplementedError at the exact call site where PIL/ffmpeg would slot
+in; nothing else in the stage would change.
+
+Scale notes: media rows are FAT — ``decode_media`` sizes batches small
+(bytes-budgeted, not row-budgeted) and replaces the payload column with
+compact feature vectors so the shuffle/store never carries the bytes
+forward.
 """
 
 from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -26,22 +41,140 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+# ---------------------------------------------------------------------------
+# minimal real PNG codec (8-bit grayscale), stdlib-only
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode_gray(arr: np.ndarray) -> bytes:
+    """Encode a 2-D uint8 array as a valid grayscale PNG."""
+    if arr.dtype != np.uint8 or arr.ndim != 2:
+        raise ValueError("png_encode_gray wants a 2-D uint8 array")
+    h, w = arr.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit, grayscale
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))  # filter 0
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode_gray(data: bytes) -> np.ndarray:
+    """Decode an 8-bit grayscale PNG (filters 0/1/2) to a 2-D uint8 array."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width, height, idat = 8, None, None, b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit non-interlaced grayscale PNG is supported "
+                    "without an image library"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = width + 1
+    out = np.zeros((height, width), dtype=np.uint8)
+    prev = np.zeros(width, dtype=np.uint8)
+    for r in range(height):
+        line = raw[r * stride : (r + 1) * stride]
+        ftype, scan = line[0], np.frombuffer(line[1:], dtype=np.uint8).copy()
+        if ftype == 0:
+            row = scan
+        elif ftype == 2:  # Up
+            row = (scan.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype == 1:  # Sub (serial recurrence along the scanline)
+            row = scan
+            for c in range(1, width):
+                row[c] = (int(row[c]) + int(row[c - 1])) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter {ftype} not supported")
+        out[r] = row
+        prev = row
+    return out
+
+
+# ---------------------------------------------------------------------------
+# minimal real WAV codec (16-bit mono PCM), stdlib-only
+# ---------------------------------------------------------------------------
+
+def wav_encode_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def wav_decode_pcm16(data: bytes) -> tuple[np.ndarray, int]:
+    with wave.open(io.BytesIO(data), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise NotImplementedError("only 16-bit mono PCM WAV is supported")
+        frames = w.readframes(w.getnframes())
+        return np.frombuffer(frames, dtype="<i2"), w.getframerate()
+
+
 def synthesize_media(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
-    """Deterministic fake media payloads derived from the documents table
-    (stands in for real WARC image/audio payloads)."""
+    """Deterministic REAL media payloads derived from the documents table:
+    valid grayscale PNGs and 16-bit PCM WAVs (stands in for WARC
+    image/audio payloads; every byte decodable by the stage below)."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[id_col].to_numpy()
-        payloads = []
+        payloads, mtypes, mimes = [], [], []
         for i in ids:
             rng = np.random.RandomState(int(i) % (2**31))
-            payloads.append(rng.bytes(256 + int(i) % 1024))
+            if i % 3:
+                side = 8 + int(i) % 24
+                payloads.append(
+                    png_encode_gray(
+                        rng.randint(0, 256, size=(side, side)).astype(np.uint8)
+                    )
+                )
+                mtypes.append("image")
+                mimes.append("image/png")
+            else:
+                n = 256 + int(i) % 1024
+                payloads.append(
+                    wav_encode_pcm16(
+                        (rng.standard_normal(n) * 3000).astype(np.int16)
+                    )
+                )
+                mtypes.append("audio")
+                mimes.append("audio/wav")
         return pd.DataFrame(
             {
                 "media_id": ids,
-                "media_type": ["image" if i % 3 else "audio" for i in ids],
+                "media_type": mtypes,
                 "payload": payloads,
-                "mime": ["image/png" if i % 3 else "audio/wav" for i in ids],
+                "mime": mimes,
                 "source_url": [f"https://media.example.com/{i}" for i in ids],
             }
         )
@@ -50,32 +183,61 @@ def synthesize_media(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.D
 
 
 class MediaDecoder:
-    """Actor-pool decode/feature stage. Real decoders (PIL, torchaudio,
-    ffmpeg) are unavailable in this container; ``strict=True`` raises
-    NotImplementedError at the exact call site a real decoder slots into,
-    ``strict=False`` substitutes a deterministic fake feature vector so the
-    distributed plumbing is exercisable end-to-end.
+    """Actor-pool decode/feature stage. PNG and WAV are decoded FOR REAL
+    (stdlib codecs above); other mimes (JPEG/MP3/video) raise
+    NotImplementedError at the exact call site a PIL/ffmpeg decoder slots
+    into. ``feature_dim`` fixes the output vector width so downstream
+    schema is stable across media types.
 
     Batch sizing: media rows are fat — callers must size map_batches by
     BYTES (small ``batch_size``), not rows; see ``decode_media``.
     """
 
-    def __init__(self, strict: bool = False, feature_dim: int = 8):
-        self.strict = strict
+    def __init__(self, feature_dim: int = 8):
         self.dim = feature_dim
 
-    def _decode_stub(self, payload: bytes, media_type: str) -> np.ndarray:
-        if self.strict:
+    def _features(self, payload: bytes, mime: str) -> np.ndarray:
+        if mime == "image/png":
+            img = png_decode_gray(payload).astype(np.float32)
+            h, w = img.shape
+            edge = float(np.abs(np.diff(img, axis=1)).mean()) if w > 1 else 0.0
+            f = [
+                img.mean() / 255.0,
+                img.std() / 255.0,
+                float(np.percentile(img, 25)) / 255.0,
+                float(np.percentile(img, 50)) / 255.0,
+                float(np.percentile(img, 75)) / 255.0,
+                edge / 255.0,
+                h / 4096.0,
+                w / 4096.0,
+            ]
+        elif mime == "audio/wav":
+            samples, rate = wav_decode_pcm16(payload)
+            s = samples.astype(np.float32) / 32768.0
+            zc = float(np.mean(np.abs(np.diff(np.sign(s))) > 0)) if len(s) > 1 else 0.0
+            f = [
+                float(np.sqrt(np.mean(s * s))),  # rms
+                float(np.abs(s).mean()),
+                float(np.abs(s).max(initial=0.0)),
+                zc,
+                len(s) / float(rate),  # duration sec
+                rate / 48000.0,
+                0.0,
+                0.0,
+            ]
+        else:
             raise NotImplementedError(
-                "media decode requires an image/audio library not present in "
-                "this environment; plug PIL/ffmpeg here"
+                f"decoding {mime} requires an external media library not "
+                "present in this environment; plug PIL/ffmpeg here"
             )
-        arr = np.frombuffer(payload[: self.dim * 4].ljust(self.dim * 4, b"\0"), dtype=np.uint8)
-        return arr[: self.dim].astype(np.float32) / 255.0
+        v = np.asarray(f, dtype=np.float32)
+        if len(v) < self.dim:
+            v = np.pad(v, (0, self.dim - len(v)))
+        return v[: self.dim]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         feats = [
-            self._decode_stub(p, t) for p, t in zip(batch["payload"], batch["media_type"])
+            self._features(p, m) for p, m in zip(batch["payload"], batch["mime"])
         ]
         out = batch.drop(columns=["payload"])  # features replace fat bytes
         out["feature"] = feats

@@ -174,10 +174,36 @@ class TestMultimodal:
         assert all(len(f) == 8 for f in out["feature"])
         assert (out["payload_bytes"] > 0).all()
 
-    def test_strict_decoder_raises(self):
-        dec = multimodal.MediaDecoder(strict=True)
+    def test_png_codec_roundtrip(self):
+        rng = np.random.RandomState(9)
+        img = rng.randint(0, 256, size=(13, 21)).astype(np.uint8)
+        data = multimodal.png_encode_gray(img)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        back = multimodal.png_decode_gray(data)
+        assert (back == img).all()
+
+    def test_wav_codec_roundtrip(self):
+        rng = np.random.RandomState(9)
+        s = (rng.standard_normal(777) * 3000).astype(np.int16)
+        data = multimodal.wav_encode_pcm16(s, rate=8000)
+        back, rate = multimodal.wav_decode_pcm16(data)
+        assert rate == 8000 and (back == s).all()
+
+    def test_unsupported_mime_raises(self):
+        dec = multimodal.MediaDecoder()
         with pytest.raises(NotImplementedError):
-            dec._decode_stub(b"\x00" * 64, "image")
+            dec._features(b"\x00" * 64, "video/mp4")
+
+    def test_image_features_real(self):
+        """Decoded features reflect the actual pixels, not the bytes."""
+        flat = np.full((16, 16), 100, dtype=np.uint8)
+        noisy = np.random.RandomState(0).randint(0, 256, (16, 16)).astype(np.uint8)
+        dec = multimodal.MediaDecoder()
+        f_flat = dec._features(multimodal.png_encode_gray(flat), "image/png")
+        f_noisy = dec._features(multimodal.png_encode_gray(noisy), "image/png")
+        assert f_flat[1] == 0.0  # zero std on a constant image
+        assert f_noisy[1] > 0.2  # high std on noise
+        assert abs(f_flat[0] - 100 / 255) < 1e-6
 
 
 class TestRelational:
