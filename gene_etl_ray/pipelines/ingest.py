@@ -486,14 +486,15 @@ def _run_ingest(
             # cheap envelope columns first; html→text extraction and the
             # heavy payload shuffle then touch only winning events. With
             # U updates per url this divides extraction + shuffle volume
-            # by ~U. (Winner seqs are gathered to the driver — ~8 bytes
-            # per live url per commit group; at 10^10-event scale gather
-            # per-partition instead and push the filter into each
-            # partition's read.)
+            # by ~U. The winner-seq set is O(delta urls) per COMMIT GROUP
+            # (bounded by epochs_per_commit, not by lake size); it is put
+            # to the object store ONCE and read zero-copy by every filter
+            # task — never re-shipped per task closure.
             winners = _select_winners(files, cfg, wm_arr, commit_epoch, hot)
-            sorted_w = np.sort(winners)
+            sorted_w_ref = ray.put(np.sort(winners))
 
             def winner_filter(batch: pa.Table) -> pa.Table:
+                sorted_w = ray.get(sorted_w_ref)
                 if sorted_w.size == 0:
                     # every delta event already below the watermark (e.g.
                     # resume after a crash that committed all touched
