@@ -184,3 +184,103 @@ def test_normalize_batch_equals_rowwise(urls):
     out = normalize_batch(batch)
     expected = [c for c in (canonicalize_url_one(u) for u in urls) if c is not None]
     assert out.column("url").to_pylist() == expected
+
+
+# -- bucketed binary operators vs pandas reference ------------------------
+# (Ray-executing: few examples, each a full mini-pipeline)
+
+join_frames = st.tuples(
+    st.lists(st.tuples(st.integers(0, 8), st.integers(0, 100)), min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(0, 8), st.integers(0, 100)), min_size=1, max_size=25),
+    st.integers(1, 7),  # num_buckets
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(join_frames)
+def test_partitioned_join_equals_pandas_merge(data):
+    """partitioned_join must equal a plain pandas inner merge for ANY
+    key distribution and bucket count — including keys exclusive to one
+    side (which null-upcast the other side's columns inside bucket
+    blocks; the regression behind the type-canonical hashing fix)."""
+    import ray.data
+
+    from gene_etl_ray.ops import relational
+
+    lrows, rrows, nb = data
+    left = pd.DataFrame({"k": [a for a, _ in lrows], "lv": [b for _, b in lrows]})
+    right = pd.DataFrame({"rk": [a for a, _ in rrows], "rv": [b for _, b in rrows]})
+    got = relational.partitioned_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        "k", "rk", num_buckets=nb,
+    ).to_pandas()
+    want = (
+        left.merge(right, left_on="k", right_on="rk")
+        .sort_values(["k", "lv", "rv"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    if want.empty:
+        return  # zero-row result: column labels may be absent on empty blocks
+    got = got.sort_values(["k", "lv", "rv"], kind="mergesort").reset_index(drop=True)
+    for c in ("k", "lv", "rv"):
+        assert got[c].astype("int64").tolist() == want[c].astype("int64").tolist()
+
+
+asof_frames = st.tuples(
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 50)), min_size=1, max_size=20),
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 50)), min_size=1, max_size=20),
+    st.integers(1, 5),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(asof_frames)
+def test_asof_join_bucketed_equals_pandas_merge_asof(data):
+    """asof_join_bucketed must equal a global pandas merge_asof for ANY
+    by-key distribution and bucket count (the co-location invariant)."""
+    import ray.data
+
+    from gene_etl_ray.ops import relational
+
+    lrows, rrows, nb = data
+    left = pd.DataFrame(
+        {
+            "uid": [a for a, _ in lrows],
+            "ts": pd.to_datetime([b for _, b in lrows], unit="s"),
+            "eid": range(len(lrows)),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "ouid": [a for a, _ in rrows],
+            "ots": pd.to_datetime([b for _, b in rrows], unit="s"),
+            "oid": range(len(rrows)),
+        }
+    )
+
+    def prep(rg: pd.DataFrame) -> pd.DataFrame:
+        # dedup ties per (key, ts) so merge_asof is deterministic
+        return rg.groupby(["ouid", "ots"], as_index=False)["oid"].max()
+
+    got = (
+        relational.asof_join_bucketed(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on_left="ts", on_right="ots", by_left="uid", by_right="ouid",
+            num_buckets=nb, right_prepare=prep, out_cols=["eid", "oid"],
+        )
+        .to_pandas()
+        .sort_values("eid", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    rdedup = prep(right).sort_values("ots", kind="mergesort")
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        rdedup,
+        left_on="ts", right_on="ots", left_by="uid", right_by="ouid",
+        direction="backward",
+    ).sort_values("eid", kind="mergesort").reset_index(drop=True)
+    assert got["eid"].astype("int64").tolist() == want["eid"].astype("int64").tolist()
+    g = got["oid"].fillna(-1).astype("int64").tolist()
+    w = want["oid"].fillna(-1).astype("int64").tolist()
+    assert g == w
