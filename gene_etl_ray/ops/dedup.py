@@ -9,7 +9,8 @@ training-data pipeline needs. All are Ray-Data-first:
   (band, band_hash) rows, groupby band buckets → candidate pairs →
   verified by true Jaccard — only candidate pairs are verified, never the
   full cross product;
-- SimHash: 64-bit signatures per batch, bucket by signature prefix;
+- SimHash: 64-bit signatures per batch; near-dup pairs via pigeonhole
+  block banding (exact recall for Hamming < blocks);
 - n-gram Jaccard: exact pairwise verification within LSH buckets;
 - embedding cosine near-dup lives in ``ops.knn``.
 
@@ -378,3 +379,99 @@ def ngram_jaccard_pairs(
         .to_pandas()
     )
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def simhash_near_dup_pairs(
+    ds: ray.data.Dataset,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """SimHash near-dup PAIRS with exact recall for the given radius:
+    split each 64-bit signature into ``blocks`` equal bit-blocks — two
+    signatures within Hamming distance < ``blocks`` must share at least
+    one identical block (pigeonhole), so grouping on (block_idx,
+    block_value) surfaces every such pair; candidates are then verified
+    by full Hamming distance. One shuffle, candidate-only verification —
+    no all-pairs anywhere."""
+    if not (0 < blocks <= 64) or 64 % blocks:
+        raise ValueError("blocks must divide 64")
+    if max_hamming >= blocks:
+        raise ValueError(
+            "pigeonhole recall guarantee requires max_hamming < blocks"
+        )
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    sigged = simhash_signatures(ds)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "simhash": pd.Series([], dtype="int64"),
+                    "blk": pd.Series([], dtype="int64"),
+                    "blk_val": pd.Series([], dtype="int64"),
+                }
+            )
+        sig = b["simhash"].to_numpy(dtype=np.uint64)
+        out_blk = np.tile(np.arange(blocks, dtype=np.int64), n)
+        shifts = (np.arange(blocks, dtype=np.uint64) * np.uint64(width))
+        vals = ((sig[:, None] >> shifts[None, :]) & np.uint64(mask)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(b[id_col].to_numpy(), blocks),
+                "simhash": np.repeat(sig.astype(np.int64), blocks),
+                "blk": out_blk,
+                "blk_val": vals.ravel(),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        sig = g["simhash"].to_numpy().astype(np.uint64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        x = sig[ii] ^ sig[jj]
+        # popcount via uint8 view (no np.bit_count dependency)
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": ids[ii[keep]],
+                "id_b": ids[jj[keep]],
+                "hamming": ham[keep].astype(np.int64),
+            }
+        )
+
+    out = (
+        sigged.map_batches(explode, batch_format="pandas")
+        .groupby(["blk", "blk_val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
+    return (
+        out.drop_duplicates(["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )

@@ -257,3 +257,102 @@ def cosine_near_dup_pairs(
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + centroid-partitioned
+# storage — the classic alternative scale path to hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def _kmeans_cosine(sample: np.ndarray, k: int, iters: int = 12, seed: int = 17) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side SAMPLE (the
+    standard IVF training recipe: train on a bounded sample, assign the
+    full table distributed). Returns unit-norm centroids (k, dim)."""
+    x = sample.astype(np.float32)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+class IvfAssigner:
+    """Per-batch nearest-centroid assignment (vectorized matmul); the
+    centroid matrix is the once-per-worker state."""
+
+    def __init__(self, centroids: list):
+        self.cent = np.asarray(centroids, dtype=np.float32)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(batch["embedding"]).astype(np.float32)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        batch["ivf_list"] = (mn @ self.cent.T).argmax(axis=1).astype("int64")
+        return batch
+
+
+def build_ivf_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    num_lists: int = 16,
+    train_sample: int = 4096,
+) -> np.ndarray:
+    """Train a spherical k-means coarse quantizer on a bounded sample,
+    assign every vector to its nearest centroid DISTRIBUTED, and write
+    the table partitioned by inverted list
+    (``index_dir/ivf_list=N/*.parquet``). Returns the centroids (also
+    persisted to ``index_dir/centroids.npy`` so queries don't retrain)."""
+    import os
+
+    sample = ds.limit(train_sample).to_pandas()
+    cent = _kmeans_cosine(_to_matrix(sample["embedding"]), num_lists)
+    assigned = ds.map_batches(
+        per_process(IvfAssigner, centroids=cent.tolist()),
+        batch_format="pandas",
+    )
+    assigned.write_parquet(index_dir, partition_cols=["ivf_list"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    return cent
+
+
+def ivf_topk(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Approximate top-k against a :func:`build_ivf_index` layout: probe
+    only the ``nprobe`` nearest inverted lists per query — a targeted
+    partition read, recall tuned by ``nprobe`` (= num_lists ⇒ exact)."""
+    import glob as _glob
+    import os
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = np.asarray(queries, dtype=np.float32)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    sims = qn @ cent.T
+    nprobe = min(nprobe, cent.shape[0])
+    probe = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
+    wanted = sorted(set(int(b) for b in probe.ravel()))
+    paths = [
+        f
+        for b in wanted
+        for f in sorted(_glob.glob(os.path.join(index_dir, f"ivf_list={b}", "*.parquet")))
+    ]
+    if not paths:
+        return pd.DataFrame(
+            {
+                "query_idx": pd.Series([], dtype="int64"),
+                id_col: pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+    return brute_force_topk(ray.data.read_parquet(paths), q, k=k, id_col=id_col, dtype=np.float32)

@@ -19,7 +19,12 @@ _CACHE: dict = {}
 def per_process(cls, **kwargs):
     """A batch-callable that lazily builds ``cls(**kwargs)`` once per
     worker process and delegates to it."""
-    key = (cls.__module__, cls.__qualname__, tuple(sorted(kwargs.items())))
+    # repr-keyed: constructor args may be unhashable (lists, arrays)
+    key = (
+        cls.__module__,
+        cls.__qualname__,
+        tuple(sorted((k, repr(v)) for k, v in kwargs.items())),
+    )
 
     def call(batch):
         inst = _CACHE.get(key)

@@ -964,6 +964,37 @@ def knn_lsh_topk(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "vec_id", "cosine"]].reset_index(drop=True)
 
 
+def knn_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """Approximate top-k via the IVF (k-means inverted-file) index —
+    the centroid-partitioned stored layout; only nprobe lists' files are
+    read. Rows-only (recall < 1 by design)."""
+    qv, qids = _query_vectors(sf_dir)
+    index_dir = f"{_cdc_base_dir(sf_dir)}/ivf_index"
+    if not os.path.isdir(index_dir):
+        ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        knn.build_ivf_index(ds, index_dir, num_lists=16)
+    out = knn.ivf_topk(index_dir, qv, k=10, nprobe=4)
+    out["query_id"] = qids[out["query_idx"].to_numpy()]
+    return out[["query_id", "vec_id", "cosine"]].reset_index(drop=True)
+
+
+def docs_simhash_near_dup(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup pairs (pigeonhole block banding, Hamming ≤ 3)
+    over the documents table augmented with planted exact copies
+    (doc_id + 1e6 for doc_id < 16) so the operator is exercised even
+    when the natural corpus has no near-dups. Rows-only (SimHash bit
+    voting has no SQL form)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        dup = b[b["doc_id"] < 16].copy()
+        dup["doc_id"] = dup["doc_id"] + 1_000_000
+        return pd.concat([b, dup], ignore_index=True)
+
+    aug = ds.map_batches(plant, batch_format="pandas")
+    return dedup.simhash_near_dup_pairs(aug, max_hamming=3)
+
+
 def embeddings_near_dup(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs over an augmented table: plant
     deterministic scaled copies (same direction ⇒ cosine 1, same LSH
@@ -1147,6 +1178,8 @@ QUERIES = {
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "knn_cosine_topk": knn_cosine_topk,
     "knn_lsh_topk": knn_lsh_topk,
+    "knn_ivf_topk": knn_ivf_topk,
+    "docs_simhash_near_dup": docs_simhash_near_dup,
     "embeddings_norm_by_label": embeddings_norm_by_label,
     "embeddings_near_dup": embeddings_near_dup,
     "cdc_ingest_lake": cdc_ingest_lake,

@@ -165,6 +165,68 @@ class TestKnn:
         )
 
 
+class TestIvf:
+    def _emb_df(self, n=120, dim=8):
+        rng = np.random.RandomState(4)
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        return pd.DataFrame({"vec_id": np.arange(n), "embedding": list(vecs)})
+
+    def test_ivf_full_probe_equals_bruteforce(self, tmp_path):
+        """nprobe = num_lists probes every inverted list — the result
+        must be EXACTLY the brute-force answer (the recall knob's upper
+        end), proving assignment/partitioning loses no vectors."""
+        df = self._emb_df()
+        q = np.stack(df["embedding"].iloc[:3].to_numpy())
+        idx = str(tmp_path / "ivf")
+        knn.build_ivf_index(ds_from(df), idx, num_lists=8)
+        exact = knn.brute_force_topk(ds_from(df), q, k=5, dtype=np.float32)
+        approx = knn.ivf_topk(idx, q, k=5, nprobe=8)
+        key = ["query_idx", "vec_id"]
+        pd.testing.assert_frame_equal(
+            approx.sort_values(key).reset_index(drop=True)[key],
+            exact.sort_values(key).reset_index(drop=True)[key],
+            check_dtype=False,
+        )
+
+    def test_ivf_partial_probe_recall_and_pruning(self, tmp_path):
+        import glob as g
+        import os
+
+        df = self._emb_df()
+        q = np.stack(df["embedding"].iloc[:3].to_numpy())
+        idx = str(tmp_path / "ivf")
+        knn.build_ivf_index(ds_from(df), idx, num_lists=8)
+        lists = [d for d in os.listdir(idx) if d.startswith("ivf_list=")]
+        assert len(lists) > 1  # partitioned layout exists
+        approx = knn.ivf_topk(idx, q, k=5, nprobe=2)
+        exact = knn.brute_force_topk(ds_from(df), q, k=5, dtype=np.float32)
+        # self-vector always lands in its own probed (nearest) list
+        for qi in range(3):
+            assert qi in set(approx[approx["query_idx"] == qi]["vec_id"])
+        inter = 0
+        for qi in range(3):
+            a = set(approx[approx["query_idx"] == qi]["vec_id"])
+            e = set(exact[exact["query_idx"] == qi]["vec_id"])
+            inter += len(a & e) / len(e)
+        assert inter / 3 >= 0.3
+
+
+class TestSimhashPairs:
+    def test_identical_docs_pair_at_hamming_zero(self):
+        docs = ["alpha beta gamma delta epsilon"] * 2 + [
+            "completely different words here now",
+            "unrelated third text body content",
+        ]
+        df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+        out = dedup.simhash_near_dup_pairs(ds_from(df), max_hamming=3)
+        assert ((out["id_a"] == 0) & (out["id_b"] == 1) & (out["hamming"] == 0)).any()
+
+    def test_pigeonhole_guard(self):
+        df = pd.DataFrame({"doc_id": [1], "text": ["x"]})
+        with pytest.raises(ValueError):
+            dedup.simhash_near_dup_pairs(ds_from(df), max_hamming=4, blocks=4)
+
+
 class TestMultimodal:
     def test_decode_plumbing(self):
         df = pd.DataFrame({"doc_id": [1, 2, 3]})
