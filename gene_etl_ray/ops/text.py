@@ -137,15 +137,17 @@ class Fingerprinter:
         if n < self.k:
             return [int(pd.util.hash_array(np.array([text], dtype=object))[0])]
         arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-        powk = np.uint64(pow(257, self.k - 1, 2**64))
-        hashes = np.empty(n - self.k + 1, dtype=np.uint64)
-        h = np.uint64(0)
-        for i in range(self.k):
-            h = (h * self.base + arr[i]) & self.mod_mask
-        hashes[0] = h
-        for i in range(1, n - self.k + 1):
-            h = ((h - arr[i - 1] * powk) * self.base + arr[i + self.k - 1]) & self.mod_mask
-            hashes[i] = h
+        # fully vectorized: h_i = Σ_j arr[i+j] · base^(k-1-j) mod 2^64 —
+        # identical values to the serial Rabin-Karp recurrence, computed
+        # as one windows × powers product (no per-byte Python loop)
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        powers = np.array(
+            [pow(257, self.k - 1 - j, 2**64) for j in range(self.k)],
+            dtype=np.uint64,
+        )
+        windows = sliding_window_view(arr, self.k)
+        hashes = (windows * powers[None, :]).sum(axis=1, dtype=np.uint64)
         m = len(hashes)
         if m <= self.w:
             return [int(hashes.min())]
