@@ -25,6 +25,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from gene_etl_ray.ops.util import per_process
@@ -333,9 +334,13 @@ def ngram_jaccard_pairs(
     if cand.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     need = set(cand["id_a"]) | set(cand["id_b"])
+    need_arr = pa.array(list(need))
     docs = (
         ds.map_batches(
-            lambda b: b[b[id_col].isin(need)][[id_col, "text"]], batch_format="pandas"
+            lambda b: b.filter(
+                pc.is_in(b.column(id_col), value_set=need_arr)
+            ).select([id_col, "text"]),
+            batch_format="pyarrow",
         )
         .to_pandas()
         .set_index(id_col)["text"]
