@@ -617,10 +617,27 @@ def _run_ingest(
         # (no fresh-lake "applied = group_events" fast path: on a resume
         # with prevalidate=False that would count watermark-filtered,
         # already-committed events as applied — events_in above is exact)
+        #
+        # The global record totals the COMMIT GROUP across attempts: a
+        # crashed run may already have committed + lineage'd some
+        # partitions (this run watermark-skipped them), so derive the
+        # epoch total from the lineage set, deduped per partition (a
+        # crash between commit and checkpoint can duplicate a record) —
+        # `applied` stays the THIS-RUN number for the run report.
+        from gene_etl_ray.state.lineage import read_lineage as _read_lineage
+
+        last_by_pkey: dict[int, int] = {}
+        for rec in _read_lineage(lake_dir, commit_epoch):
+            last_by_pkey[rec["pkey"]] = int(rec.get("event_count", 0))
+        epoch_events = sum(last_by_pkey.values())
         write_global_epoch(
             lake_dir,
             commit_epoch,
-            {"partitions": sorted(by_pkey), "events": applied, "config_hash": cfg.hash()},
+            {
+                "partitions": sorted(last_by_pkey),
+                "events": epoch_events,
+                "config_hash": cfg.hash(),
+            },
         )
         wm_arr[:] = np.maximum(wm_arr, commit_epoch)
         report["events_applied"] += applied
@@ -835,12 +852,16 @@ def consistency_report(lake_dir: str) -> dict:
                 checks["lineage_rows_match_manifests"] = False
 
     # 4: per-epoch lineage event counts reconcile with the global epoch
-    # record's applied total (events_in = applied accounting, exposed)
-    by_epoch: dict[int, int] = {}
+    # record's applied total (events_in = applied accounting, exposed).
+    # Dedupe per (epoch, pkey) keeping the LAST record: a crash between
+    # partition commit and checkpoint makes the resumed run re-commit
+    # and re-lineage that partition.
+    by_epoch_pkey: dict[tuple[int, int], int] = {}
     for rec in lineage:
-        by_epoch[rec["epoch"]] = by_epoch.get(rec["epoch"], 0) + int(
-            rec.get("event_count", 0)
-        )
+        by_epoch_pkey[(rec["epoch"], rec["pkey"])] = int(rec.get("event_count", 0))
+    by_epoch: dict[int, int] = {}
+    for (ep, _pk), c in by_epoch_pkey.items():
+        by_epoch[ep] = by_epoch.get(ep, 0) + c
     edir = os.path.join(lake_dir, "_epochs")
     if os.path.isdir(edir):
         for n in sorted(os.listdir(edir)):
