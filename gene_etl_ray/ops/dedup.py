@@ -32,6 +32,10 @@ from gene_etl_ray.ops.util import per_process
 
 _TOKEN = re.compile(r"\w+", re.UNICODE)
 
+# per-worker-process cache of broadcast candidate-doc dicts (keyed by
+# ObjectRef hex): ray.get deserializes pure-Python dicts on every call
+_DOCS_CACHE: dict = {}
+
 # fixed 64-bit mix constants (splitmix64) — deterministic across processes
 def _mix64(x: np.ndarray) -> np.ndarray:
     x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -161,7 +165,14 @@ def minhash_lsh_candidates(
     import shutil
     import tempfile
 
-    sig_dir = tempfile.mkdtemp(prefix="minhash_sigs_", dir="/tmp")
+    # Scratch location: single-node defaults to /tmp; on a MULTI-NODE
+    # cluster point GENE_ETL_SCRATCH at shared storage (same requirement
+    # as the lake itself) — write tasks run on arbitrary nodes and the
+    # re-read resolves paths from the driver.
+    import os as _os
+
+    scratch_root = _os.environ.get("GENE_ETL_SCRATCH", "/tmp")
+    sig_dir = tempfile.mkdtemp(prefix="minhash_sigs_", dir=scratch_root)
 
     def to_arrow_sigs(b: pd.DataFrame) -> pa.Table:
         # explicit fixed_size_list<uint64> — a pandas column of ndarrays
@@ -348,11 +359,15 @@ def ngram_jaccard_pairs(
     )
     # verification runs distributed over the candidate-pair list (a
     # map_batches stage, not a driver loop); the candidate-doc lookup is
-    # put to the object store ONCE and dereferenced per task
+    # put to the object store ONCE, and each worker process deserializes
+    # it ONCE (module-level cache keyed by ref) — not once per task
     docs_ref = ray.put(docs)
 
     def verify(b: pd.DataFrame) -> pd.DataFrame:
-        dd = ray.get(docs_ref)
+        key = docs_ref.hex()
+        dd = _DOCS_CACHE.get(key)
+        if dd is None:
+            dd = _DOCS_CACHE[key] = ray.get(docs_ref)
         cache: dict[int, set[str]] = {}
 
         def sh(i: int) -> set[str]:

@@ -182,13 +182,15 @@ def asof_join_bucketed(
         rg = rg.sort_values(on_right, kind="mergesort")
         # arrow→pandas dtype of a key column depends on whether THIS
         # bucket block saw nulls from the other side (int64 vs float64);
-        # merge_asof requires exact dtype equality — coerce numeric keys
-        # to a common float64 (exact for ids < 2^53)
-        if pd.api.types.is_numeric_dtype(lg[by_left]) and pd.api.types.is_numeric_dtype(
-            rg[by_right]
-        ):
-            lg = lg.assign(**{by_left: lg[by_left].astype("float64")})
-            rg = rg.assign(**{by_right: rg[by_right].astype("float64")})
+        # merge_asof requires exact dtype equality — coerce numeric BY
+        # and ON keys to a common float64 (exact for ids < 2^53)
+        for frame_col in ((by_left, by_right), (on_left, on_right)):
+            lc, rc = frame_col
+            if pd.api.types.is_numeric_dtype(lg[lc]) and pd.api.types.is_numeric_dtype(
+                rg[rc]
+            ):
+                lg = lg.assign(**{lc: lg[lc].astype("float64")})
+                rg = rg.assign(**{rc: rg[rc].astype("float64")})
         m = pd.merge_asof(
             lg, rg, left_on=on_left, right_on=on_right,
             left_by=by_left, right_by=by_right, direction=direction,

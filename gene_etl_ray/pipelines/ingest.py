@@ -132,6 +132,26 @@ def discover_epochs(events_dir: str, quarantine: list[str] | None = None) -> dic
     return out
 
 
+def _epoch_record_info(lake_dir: str, commit_epoch: int, cfg: EngineConfig) -> dict:
+    """Global-epoch record payload: the commit group's total applied
+    events across ALL attempts, derived from per-partition lineage
+    (deduped per pkey — a crash between commit and checkpoint can
+    duplicate a record). Returns a noop marker only when no partition of
+    this epoch ever committed."""
+    from gene_etl_ray.state.lineage import read_lineage
+
+    last_by_pkey: dict[int, int] = {}
+    for rec in read_lineage(lake_dir, commit_epoch):
+        last_by_pkey[rec["pkey"]] = int(rec.get("event_count", 0))
+    if not last_by_pkey:
+        return {"noop": True}
+    return {
+        "partitions": sorted(last_by_pkey),
+        "events": sum(last_by_pkey.values()),
+        "config_hash": cfg.hash(),
+    }
+
+
 def _fsync_file(path: str) -> None:
     fd = os.open(path, os.O_RDONLY)
     try:
@@ -429,14 +449,28 @@ def _run_ingest(
         # prune, so it may be skipped (cfg.prevalidate=False) — the merge
         # output then determines the affected set post-hoc.
         has_lake = bool(current_files(lake_dir))
-        if cfg.prevalidate or (has_lake and cfg.merge_mode == "cow"):
+        # late_extract needs the counts pass too: on the no-counts path
+        # the merge groups would see only post-winner-filter rows, so
+        # events_in would count WINNERS, not watermark-surviving events —
+        # accounting must not depend on the extraction strategy
+        if (
+            cfg.prevalidate
+            or (has_lake and cfg.merge_mode == "cow")
+            or cfg.late_extract
+        ):
             counts, val = _partition_counts(files, cfg, wm_arr)
             for k, v in val.items():
                 report["validation"][k] = report["validation"].get(k, 0) + v
             hot = {k for k, c in counts.items() if c > cfg.hot_partition_threshold}
             affected = [k for k in counts if commit_epoch > wm_arr[k]]
             if not affected:
-                write_global_epoch(lake_dir, commit_epoch, {"noop": True})
+                # resume may land here AFTER a crash that committed every
+                # touched partition but died before the global record —
+                # recover the epoch total from lineage rather than
+                # writing an events-less noop
+                write_global_epoch(
+                    lake_dir, commit_epoch, _epoch_record_info(lake_dir, commit_epoch, cfg)
+                )
                 wm_arr[:] = np.maximum(wm_arr, commit_epoch)
                 continue
         else:
@@ -575,6 +609,7 @@ def _run_ingest(
         committed = 0
         applied = 0
         for pkey in sorted(by_pkey):
+            heartbeat(cfg.lake_dir)  # lease renewal + ownership re-check
             rs = by_pkey[pkey]
             # counts-pass number when available, else the merge groups'
             # own pre-dedup input sizes (exact: the key stage already
@@ -620,24 +655,10 @@ def _run_ingest(
         #
         # The global record totals the COMMIT GROUP across attempts: a
         # crashed run may already have committed + lineage'd some
-        # partitions (this run watermark-skipped them), so derive the
-        # epoch total from the lineage set, deduped per partition (a
-        # crash between commit and checkpoint can duplicate a record) —
-        # `applied` stays the THIS-RUN number for the run report.
-        from gene_etl_ray.state.lineage import read_lineage as _read_lineage
-
-        last_by_pkey: dict[int, int] = {}
-        for rec in _read_lineage(lake_dir, commit_epoch):
-            last_by_pkey[rec["pkey"]] = int(rec.get("event_count", 0))
-        epoch_events = sum(last_by_pkey.values())
+        # partitions (this run watermark-skipped them) — `applied` stays
+        # the THIS-RUN number for the run report.
         write_global_epoch(
-            lake_dir,
-            commit_epoch,
-            {
-                "partitions": sorted(last_by_pkey),
-                "events": epoch_events,
-                "config_hash": cfg.hash(),
-            },
+            lake_dir, commit_epoch, _epoch_record_info(lake_dir, commit_epoch, cfg)
         )
         wm_arr[:] = np.maximum(wm_arr, commit_epoch)
         report["events_applied"] += applied

@@ -106,12 +106,32 @@ def acquire(lake_dir: str, lease_sec: float = LEASE_SEC) -> None:
 
 
 def heartbeat(lake_dir: str) -> None:
-    """Refresh the lock's liveness signal (mtime). Called by the writer
-    once per commit group; cheap, and failure is non-fatal (the local-host
-    pid probe still covers the single-node case)."""
+    """Refresh the lock's liveness signal (mtime) AND re-validate
+    ownership: if the lock no longer names this (pid, host) — e.g. a
+    standby on another host stole it after a lease expiry during an
+    over-long commit group — raise instead of silently refreshing the
+    thief's lock and continuing to commit (split-brain guard). Called
+    per commit group and per partition commit, so the lease is renewed
+    at the granularity of the critical section. Residual risk without a
+    CAS primitive on the shared store: a steal in the instant between
+    validation and the next manifest replace; LEASE_SEC >> commit
+    cadence keeps that window theoretical."""
+    path = _lock_path(lake_dir)
     try:
-        os.utime(_lock_path(lake_dir), None)
-    except OSError:
+        with open(path) as f:
+            owner = json.load(f)
+        if int(owner.get("pid", -1)) != os.getpid() or owner.get(
+            "host", socket.gethostname()
+        ) != socket.gethostname():
+            raise LakeLockedError(
+                f"writer lock for {lake_dir} was taken over by pid "
+                f"{owner.get('pid')} on {owner.get('host')} — aborting commit"
+            )
+        os.utime(path, None)
+    except (OSError, ValueError):
+        # lock unreadable/missing: keep going — the local pid probe still
+        # protects the single-node case, and failing an ingest over a
+        # transient metadata read would be worse
         pass
 
 

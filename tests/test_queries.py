@@ -80,6 +80,18 @@ def test_cdc_flagship_matches_duckdb_oracle():
     pd.testing.assert_frame_equal(a, b, check_dtype=True)
 
 
+def test_corpus_docs_have_at_least_three_tokens():
+    """NGRAM_SQL's trigram CTE and ops.dedup._shingles diverge for docs
+    with < 3 tokens (engine: whole text as one shingle; SQL: empty list)
+    — pin the corpus assumption that makes the oracle sound, like the
+    ASCII-only pin below."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    for s in t.column("text").to_pylist():
+        assert len(s.split()) >= 3
+
+
 def test_cdc_fixture_has_no_html_entities():
     """The SQL oracle skips entity unescape; valid only while the corpus
     html contains no '&' entities — pin that assumption."""
