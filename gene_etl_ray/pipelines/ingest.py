@@ -419,6 +419,21 @@ def _run_ingest(
     wm = effective_watermarks(lake_dir, P)
     min_wm = min(wm.values()) if wm else -1
     todo = sorted(e for e in epochs if e > min_wm)
+    # Backfill bookkeeping a crashed run left unfinished: a commit group
+    # whose every partition committed (checkpoints advanced the
+    # watermark) but that died before its global record would otherwise
+    # never get one — resume skips those epochs entirely. Each lineage
+    # file is a commit-group head; write the missing record from it.
+    ldir = os.path.join(lake_dir, "_lineage")
+    if os.path.isdir(ldir):
+        for n in sorted(os.listdir(ldir)):
+            if not (n.startswith("epoch=") and n.endswith(".jsonl")):
+                continue
+            e = int(n[6:-6])
+            if e <= min_wm and not os.path.exists(
+                os.path.join(lake_dir, "_epochs", f"epoch={e:05d}.json")
+            ):
+                write_global_epoch(lake_dir, e, _epoch_record_info(lake_dir, e, cfg))
     report: dict = {
         "events_in": 0,
         "events_applied": 0,

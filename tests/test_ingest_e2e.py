@@ -102,6 +102,22 @@ def test_crash_between_commits_converges(tmp_events, tmp_lake):
     total_applied = rep["events_applied"]
     assert total_applied < 1500  # earlier epochs were not replayed
     assert_matches_oracle(tmp_lake, tmp_events)
+    # The crash at fail_after_partitions=8 died AFTER the first group's
+    # partitions committed but BEFORE its global record: the resumed run
+    # must recover that epoch's events total from lineage (never an
+    # events-less noop), and the cross-set checks must reconcile.
+    import json
+
+    from gene_etl_ray.pipelines.ingest import consistency_report
+
+    edir = os.path.join(tmp_lake, "_epochs")
+    seen_events = 0
+    for n in sorted(os.listdir(edir)):
+        rec = json.load(open(os.path.join(edir, n)))
+        assert rec.get("noop") or "events" in rec, rec
+        seen_events += rec.get("events", 0)
+    assert seen_events == 1500  # every event accounted exactly once
+    assert all(consistency_report(tmp_lake).values())
 
 
 def test_out_of_order_delivery_converges(tmp_events, tmp_lake, tmp_path):
