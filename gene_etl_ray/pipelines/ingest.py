@@ -263,11 +263,15 @@ def _make_lake_side_stage(cfg: EngineConfig, hot: set[int], target: pa.Schema):
 
 def _select_winners(
     files: list[str], cfg: EngineConfig, wm_arr: np.ndarray, commit_epoch: int, hot: set[int]
-) -> np.ndarray:
+) -> tuple[np.ndarray, dict[int, int]]:
     """Phase A of late extraction: LWW winner seq per url over the DELTA,
     computed from envelope columns only (column-pruned read, tiny
     shuffle). The same normalization + watermark filter as the main
-    pipeline runs first — the winner key is the canonicalized url."""
+    pipeline runs first — the winner key is the canonicalized url.
+    Also returns the per-partition watermark-surviving EVENT counts,
+    fused into the same pass (each group tags its first output row with
+    the group's pre-dedup size), so the no-counts late path gets exact
+    applied accounting without a second envelope read."""
     env = ray.data.read_parquet(files, columns=["url", "warc_ts", "op", "seq", "epoch"])
     env = env.map_batches(normalize_batch, batch_format="pyarrow")
     env = env.map_batches(
@@ -275,6 +279,8 @@ def _select_winners(
     )
 
     def pick(group: pa.Table) -> pa.Table:
+        n_events = group.num_rows
+        pkey = group.column(PKEY_COLUMN)[0].as_py() if n_events else -1
         t = group.combine_chunks().sort_by(
             [("url", "ascending"), ("warc_ts", "ascending"), ("seq", "ascending")]
         )
@@ -283,10 +289,24 @@ def _select_winners(
             u = t.column("url").combine_chunks()
             neq = pc.not_equal(u.slice(0, n - 1), u.slice(1, n - 1))
             t = t.filter(pa.chunked_array([neq, pa.array([True])]))
-        return t.select(["seq"])
+        gev = np.zeros(t.num_rows, dtype=np.int64)
+        if len(gev):
+            gev[0] = n_events
+        return pa.table(
+            {
+                "seq": t.column("seq"),
+                "pkey": pa.array(np.full(t.num_rows, pkey, dtype=np.int32)),
+                "gev": pa.array(gev),
+            }
+        )
 
     rows = env.groupby("gkey").map_groups(pick, batch_format="pyarrow").take_all()
-    return np.array([r["seq"] for r in rows], dtype=np.int64)
+    winners = np.array([r["seq"] for r in rows], dtype=np.int64)
+    counts: dict[int, int] = {}
+    for r in rows:
+        if r["gev"]:
+            counts[int(r["pkey"])] = counts.get(int(r["pkey"]), 0) + int(r["gev"])
+    return winners, counts
 
 
 def _make_merge_fn(lake_dir: str, commit_epoch: int, tag: str = ""):
@@ -464,15 +484,7 @@ def _run_ingest(
         # prune, so it may be skipped (cfg.prevalidate=False) — the merge
         # output then determines the affected set post-hoc.
         has_lake = bool(current_files(lake_dir))
-        # late_extract needs the counts pass too: on the no-counts path
-        # the merge groups would see only post-winner-filter rows, so
-        # events_in would count WINNERS, not watermark-surviving events —
-        # accounting must not depend on the extraction strategy
-        if (
-            cfg.prevalidate
-            or (has_lake and cfg.merge_mode == "cow")
-            or cfg.late_extract
-        ):
+        if cfg.prevalidate or (has_lake and cfg.merge_mode == "cow"):
             counts, val = _partition_counts(files, cfg, wm_arr)
             for k, v in val.items():
                 report["validation"][k] = report["validation"].get(k, 0) + v
@@ -539,7 +551,15 @@ def _run_ingest(
             # (bounded by epochs_per_commit, not by lake size); it is put
             # to the object store ONCE and read zero-copy by every filter
             # task — never re-shipped per task closure.
-            winners = _select_winners(files, cfg, wm_arr, commit_epoch, hot)
+            winners, fused_counts = _select_winners(
+                files, cfg, wm_arr, commit_epoch, hot
+            )
+            if not counts:
+                # no-counts path: the fused per-partition event counts
+                # keep applied accounting exact (merge groups only see
+                # post-winner-filter rows, so events_in would count
+                # WINNERS, not watermark-surviving events)
+                counts = fused_counts
             sorted_w_ref = ray.put(np.sort(winners))
 
             def winner_filter(batch: pa.Table) -> pa.Table:

@@ -115,6 +115,39 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_tail(args) -> int:
+    """Continuous WAL tailing: repeated ``run_ingest`` passes as new
+    epoch segments appear (the streaming-shaped operational mode, SURVEY
+    §2.9 'tailing'). Each pass applies only not-yet-committed epochs;
+    ``--until-drained`` stops after a pass that found nothing new,
+    ``--max-loops`` bounds the loop for scripted runs."""
+    import time as _time
+
+    from gene_etl_ray.pipelines.ingest import run_ingest
+
+    cfg = load_config(args.config)
+    loops = 0
+    while True:
+        rep = run_ingest(cfg, args.events)
+        print(
+            json.dumps(
+                {
+                    "loop": loops,
+                    "events_in": rep["events_in"],
+                    "events_applied": rep["events_applied"],
+                    "commits": len(rep["commits"]),
+                }
+            ),
+            flush=True,
+        )
+        loops += 1
+        if args.max_loops and loops >= args.max_loops:
+            return 0
+        if args.until_drained and rep["events_in"] == 0:
+            return 0
+        _time.sleep(args.interval)
+
+
 def cmd_lookup(args) -> int:
     """Point lookup — the query/serving surface of the reference's REST
     query endpoint (``app.py:386-428``), as a CLI subcommand over the
@@ -163,6 +196,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     pc_.add_argument("--config", required=True)
     pc_.set_defaults(fn=cmd_compact)
+
+    pt = sub.add_parser("tail", help="loop ingest passes as new WAL segments appear")
+    pt.add_argument("--config", required=True)
+    pt.add_argument("--events", required=True)
+    pt.add_argument("--interval", type=float, default=5.0)
+    pt.add_argument("--max-loops", type=int, default=0)
+    pt.add_argument("--until-drained", action="store_true")
+    pt.set_defaults(fn=cmd_tail)
 
     pl = sub.add_parser("lookup", help="point lookup of urls (partition-pruned read)")
     pl.add_argument("--lake", required=True)

@@ -58,6 +58,35 @@ def test_cli_ingest_validate_export_stats(events_and_config, tmp_path, capsys):
     assert miss == {"found": 0}
 
 
+def test_cli_tail_until_drained(tmp_path, capsys):
+    """Tail mode: first pass applies everything, second sees nothing new
+    and --until-drained stops the loop; a later segment is picked up by a
+    fresh tail pass (incremental arrival)."""
+    import json as _json
+
+    from gene_etl_ray.fixtures import generate_events
+
+    ev = str(tmp_path / "ev")
+    generate_events(ev, n_urls=60, n_events=200, n_epochs=2)
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        _json.dump({"lake_dir": str(tmp_path / "lake"), "num_partitions": 4}, f)
+    assert main(["tail", "--config", cfg_path, "--events", ev,
+                 "--interval", "0", "--until-drained"]) == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["events_in"] == 200 and lines[-1]["events_in"] == 0
+
+    # new segment arrives → next tail pass applies only the delta
+    generate_events(str(tmp_path / "ev2"), n_urls=60, n_events=300, n_epochs=3)
+    import shutil as _sh
+    _sh.copy(str(tmp_path / "ev2" / "epoch=00002.parquet"),
+             str(tmp_path / "ev" / "epoch=00002.parquet"))
+    assert main(["tail", "--config", cfg_path, "--events", ev,
+                 "--interval", "0", "--max-loops", "1"]) == 0
+    line = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < line["events_in"] <= 100
+
+
 def test_cli_rejects_unknown_config_keys(tmp_path):
     p = str(tmp_path / "bad.json")
     with open(p, "w") as f:
