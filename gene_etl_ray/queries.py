@@ -132,31 +132,46 @@ LIMIT 10
 
 
 def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
-    """Revenue per nation via the full dim chain region⋈nation⋈customer⋈
-    orders⋈lineitem — all small sides broadcast (J5 analog)."""
+    """Revenue per nation: the TRUE dims (region⋈nation⋈customer) are
+    broadcast, but the two facts (lineitem⋈orders) go through the
+    partitioned hash join with the per-custkey partial revenue folded
+    into the join's bucket pass — orders is never materialized
+    driver-side. The driver then only merges tiny per-(custkey, bucket)
+    partials against the broadcast customer→nation map (J5 analog,
+    scale-safe form)."""
     nation = read(sf_dir, "nation").to_pandas()
     region = read(sf_dir, "region").to_pandas()
     cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    cust_nation = cust.merge(dim, left_on="c_nationkey", right_on="n_nationkey")
-    order_map = orders.merge(cust_nation, left_on="o_custkey", right_on="c_custkey")[
-        ["o_orderkey", "n_name", "r_name"]
+    cust_nation = cust.merge(dim, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name", "r_name"]
     ]
 
     li = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
     def rev(b: pa.Table) -> pa.Table:
         r = pc.multiply(b.column("l_extendedprice"),
                         pc.subtract(pa.scalar(1.0), b.column("l_discount")))
         return b.append_column("rev", r).select(["l_orderkey", "rev"])
 
-    joined = broadcast_join(li.map_batches(rev, batch_format="pyarrow"),
-                            order_map, on="l_orderkey", right_on="o_orderkey")
-    out = grouped_aggregate_partial(
-        joined, ["n_name", "r_name"], sums={"revenue": "rev"}, counts="n_items"
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(
+            rev_sum=("rev", "sum"), n_items=("rev", "size")
+        )
+        return g
+
+    partials = relational.partitioned_join(
+        li.map_batches(rev, batch_format="pyarrow"), orders,
+        "l_orderkey", "o_orderkey", bucket_post=per_cust,
+    ).to_pandas()  # one row per (custkey, bucket) — tiny
+    partials["o_custkey"] = partials["o_custkey"].astype("int64")
+    joined = partials.merge(cust_nation, left_on="o_custkey", right_on="c_custkey")
+    out = joined.groupby(["n_name", "r_name"], as_index=False).agg(
+        revenue=("rev_sum", "sum"), n_items=("n_items", "sum")
     )
     out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
     return out.sort_values("n_name").reset_index(drop=True)
 
 
