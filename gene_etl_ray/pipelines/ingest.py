@@ -786,12 +786,25 @@ def read_lake(
         return empty_result()
     schema = _schema_from_hex(meta["schema_hex"]) if meta else None
     needs_resolve = bool(meta and meta.get("merge_mode") == "mor")
-    # note: no `columns=` at the read — Ray 2.49's ParquetDatasource
-    # raises UnboundLocalError when columns is combined with
-    # partitioning=None; the projection happens after the live filter
-    # (the LWW resolution and live filter need the internal columns
-    # anyway)
-    ds = ray.data.read_parquet(files, partitioning=None, schema=schema)
+    if columns and schema is not None:
+        # push the projection into the read so unrequested fat columns
+        # (html/text) never leave storage. The LWW resolution / live
+        # filter still need the internal + merge-key columns — read the
+        # union, project to `columns` at the end. Ray 2.49 note:
+        # `columns=` + `partitioning=None` raises UnboundLocalError, but
+        # `columns=` + a SUBSET `schema=` under the default (hive)
+        # partitioning works on part= paths — the inferred partition key
+        # simply isn't selected — and null-backfills evolved files.
+        need = list(columns) + [DELETED_COLUMN, PKEY_COLUMN]
+        if needs_resolve:
+            need += ["url", "warc_ts", "seq"]
+        read_cols = [c for c in dict.fromkeys(need) if schema.get_field_index(c) >= 0]
+        sub_schema = pa.schema([schema.field(c) for c in read_cols])
+        ds = ray.data.read_parquet(files, columns=read_cols, schema=sub_schema)
+    else:
+        # full-width read: `partitioning=None` (no columns=) avoids both
+        # the hive `part` column and the Ray 2.49 combination bug
+        ds = ray.data.read_parquet(files, partitioning=None, schema=schema)
     if needs_resolve:
         ds = ds.groupby(PKEY_COLUMN).map_groups(_resolve_lww, batch_format="pyarrow")
     if live_only:
