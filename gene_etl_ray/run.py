@@ -69,7 +69,8 @@ def cmd_export(args) -> int:
     file per block natively."""
     from gene_etl_ray.pipelines.ingest import read_lake
 
-    ds = read_lake(args.lake, live_only=not args.include_tombstones)
+    cols = args.columns.split(",") if args.columns else None
+    ds = read_lake(args.lake, live_only=not args.include_tombstones, columns=cols)
     out: dict = {"out": args.out}
     if args.count:
         # counting re-executes the lazy pipeline; do it only on request
@@ -183,6 +184,8 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--lake", required=True)
     pe.add_argument("--out", required=True)
     pe.add_argument("--include-tombstones", action="store_true")
+    pe.add_argument("--columns", default=None,
+                    help="comma-separated column subset (pruned at the read)")
     pe.add_argument("--count", action="store_true",
                     help="also report the row count (extra pass over the lake)")
     pe.set_defaults(fn=cmd_export)
