@@ -262,6 +262,16 @@ def near_dup_clusters(
         ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, id_col=id_col
     )
     pairs = pairs[pairs["est_jaccard"] >= threshold]
+    return connected_components(pairs, id_col=id_col, max_rounds=max_rounds)
+
+
+def connected_components(
+    pairs: pd.DataFrame, id_col: str = "doc_id", max_rounds: int = 20
+) -> pd.DataFrame:
+    """Connected components over an (id_a, id_b) pair frame via iterative
+    min-label propagation (distributed relabel + groupby-min per round).
+    Returns (id, cluster_id = min id of the component) for every node in
+    some pair. Shared by near_dup_clusters and the curation pipeline."""
     if pairs.empty:
         return pd.DataFrame({id_col: [], "cluster_id": []})
     edges = pd.concat(

@@ -760,6 +760,55 @@ ORDER BY doc_id
 """
 
 
+def docs_curation_pipeline(sf_dir: str) -> pd.DataFrame:
+    """The composite training-data curation pipeline (quality filter →
+    exact dedup → trigram-Jaccard near-dup cluster removal) — every
+    stage deterministic, so the WHOLE composition is oracled: DuckDB
+    reproduces the component stage with a recursive transitive-closure
+    CTE (see ``pipelines/curate.py``)."""
+    from gene_etl_ray.pipelines.curate import curate_documents
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return curate_documents(ds)
+
+
+CURATION_SQL = r"""
+WITH quality AS (
+  SELECT doc_id, text FROM documents
+  WHERE lang = 'en' AND length(text) BETWEEN 100 AND 20000
+    AND length(regexp_replace(text, '[^A-Z]', '', 'g'))
+        / greatest(length(text), 1) < 0.3
+), dedup AS (
+  SELECT min(doc_id) AS doc_id, any_value(text) AS text
+  FROM quality GROUP BY text
+), tri AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(length(regexp_extract_all(lower(text),'\w+'))-1, 1)),
+    i -> regexp_extract_all(lower(text),'\w+')[i] || ' ' ||
+         regexp_extract_all(lower(text),'\w+')[i+1] || ' ' ||
+         regexp_extract_all(lower(text),'\w+')[i+2])) AS tri
+  FROM dedup
+), edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM tri a JOIN tri b ON a.doc_id <> b.doc_id
+  WHERE CAST(length(list_intersect(a.tri,b.tri)) AS DOUBLE) /
+        length(list_distinct(list_concat(a.tri,b.tri))) >= 0.9
+), reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src WHERE e.dst <> r.a
+  ) SELECT * FROM r
+), labels AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+  FROM dedup d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT l.doc_id FROM labels l WHERE l.doc_id = l.cluster_id ORDER BY doc_id
+"""
+
+
 def docs_quality_full(sf_dir: str) -> pd.DataFrame:
     """Full quality scorer (char/word counts, mean word length, punct /
     stopword / uppercase ratios) with a DuckDB oracle: on this
@@ -1215,6 +1264,7 @@ QUERIES = {
     "docs_char_stats": docs_char_stats,
     "docs_quality_filter": docs_quality_filter,
     "docs_quality_full": docs_quality_full,
+    "docs_curation_pipeline": docs_curation_pipeline,
     "docs_lang_id": docs_lang_id,
     "docs_token_count_bpe": docs_token_count_bpe,
     "docs_fingerprints": docs_fingerprints,
@@ -1266,6 +1316,7 @@ ORACLE_SQL = {
     "docs_token_count_bpe": BPE_SQL,
     "events_users_approx_distinct": APPROX_DISTINCT_SQL,
     "docs_quality_full": QUALITY_FULL_SQL,
+    "docs_curation_pipeline": CURATION_SQL,
     "docs_ngram_jaccard": NGRAM_SQL,
     "embeddings_norm_by_label": NORM_SQL,
 }
