@@ -310,10 +310,25 @@ def connected_components(
         cur = pd.Series(labels)
         prop = msgs.set_index("node")["label"]
         nxt = pd.concat([cur, prop]).groupby(level=0).min()
+        # pointer-jumping (path compression): follow label→label chains
+        # to their current minimum so convergence is O(log diameter)
+        # rounds, not O(diameter) — a 10^6-long near-dup chain would
+        # otherwise exhaust max_rounds and silently mislabel
+        while True:
+            ll = nxt.map(nxt)
+            jumped = np.minimum(nxt, ll.fillna(nxt))
+            if (jumped == nxt).all():
+                break
+            nxt = jumped
         changed = bool((nxt < cur.reindex(nxt.index)).any())
         labels = nxt.to_dict()
         if not changed:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "— raise max_rounds (labels would be silently wrong)"
+        )
     out = pd.DataFrame(
         {id_col: list(labels), "cluster_id": [labels[n] for n in labels]}
     )

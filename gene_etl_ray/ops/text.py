@@ -95,6 +95,32 @@ class QualityScorer:
         return batch
 
 
+def quality_filter_frame(
+    b: pd.DataFrame,
+    lang: str = "en",
+    min_chars: int = 100,
+    max_chars: int = 20000,
+    max_upper_ratio: float = 0.3,
+) -> pd.DataFrame:
+    """THE corpus quality gate (shared by queries.docs_quality_filter and
+    pipelines.curate so the predicate can never diverge between them —
+    its SQL twin lives in QUALITY_FILTER_SQL / CURATION_SQL's quality
+    CTE): language match, length bounds, shouting-ratio cap. Returns the
+    kept rows with an ``n_chars`` column appended."""
+    s = b["text"].fillna("")
+    n = s.str.len()
+    upper = s.str.count(r"[A-Z]") / n.replace(0, 1)
+    keep = (
+        (b["lang"] == lang)
+        & (n >= min_chars)
+        & (n <= max_chars)
+        & (upper < max_upper_ratio)
+    )
+    out = b.loc[keep].copy()
+    out["n_chars"] = n[keep].astype("int64")
+    return out
+
+
 def token_count_ws(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Whitespace token count — SQL-checkable vectorized kernel."""
 

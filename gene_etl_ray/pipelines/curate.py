@@ -46,17 +46,13 @@ def curate_documents(
     """Run the full curation pipeline; returns the surviving doc ids
     (sorted) — the curated-corpus membership list."""
 
+    from gene_etl_ray.ops.text import quality_filter_frame
+
     def quality(b: pd.DataFrame) -> pd.DataFrame:
-        s = b["text"].fillna("")
-        n = s.str.len()
-        upper = s.str.count(r"[A-Z]") / n.replace(0, 1)
-        keep = (
-            (b["lang"] == lang)
-            & (n >= min_chars)
-            & (n <= max_chars)
-            & (upper < max_upper_ratio)
-        )
-        return b.loc[keep, [id_col, "text"]]
+        return quality_filter_frame(
+            b, lang=lang, min_chars=min_chars, max_chars=max_chars,
+            max_upper_ratio=max_upper_ratio,
+        )[[id_col, "text"]]
 
     q = ds.map_batches(quality, batch_format="pandas")
     deduped = dedup.exact_dedup(q, column="text", id_col=id_col)
@@ -84,5 +80,8 @@ def curate_documents(
         )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+    if id_col not in out.columns:
+        # zero survivors: the empty checkpoint reads back schemaless
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64")})
     out[id_col] = out[id_col].astype("int64")
     return out.sort_values(id_col).reset_index(drop=True)

@@ -558,8 +558,16 @@ def _run_ingest(
                 # no-counts path: the fused per-partition event counts
                 # keep applied accounting exact (merge groups only see
                 # post-winner-filter rows, so events_in would count
-                # WINNERS, not watermark-surviving events)
+                # WINNERS, not watermark-surviving events) AND drive
+                # hot-partition detection for the merge shuffle's salting
+                # (winner selection itself is salt-invariant: each url's
+                # group stays whole under url-deterministic sub-keys).
+                # Pre-validation totals stay off — prevalidate=False is
+                # an explicit opt-out.
                 counts = fused_counts
+                hot = {
+                    k for k, c in counts.items() if c > cfg.hot_partition_threshold
+                }
             sorted_w_ref = ray.put(np.sort(winners))
 
             def winner_filter(batch: pa.Table) -> pa.Table:

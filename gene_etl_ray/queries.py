@@ -734,13 +734,7 @@ def docs_quality_filter(sf_dir: str) -> pd.DataFrame:
     ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
 
     def fn(b: pd.DataFrame) -> pd.DataFrame:
-        s = b["text"].fillna("")
-        n = s.str.len()
-        upper = s.str.count(r"[A-Z]") / n.replace(0, 1)
-        keep = (b["lang"] == "en") & (n >= 100) & (n <= 20000) & (upper < 0.3)
-        out = b.loc[keep, ["doc_id"]].copy()
-        out["n_chars"] = n[keep].astype("int64")
-        return out
+        return text.quality_filter_frame(b)[["doc_id", "n_chars"]]
 
     return (
         ds.map_batches(fn, batch_format="pandas")

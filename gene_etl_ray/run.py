@@ -69,7 +69,19 @@ def cmd_export(args) -> int:
     file per block natively."""
     from gene_etl_ray.pipelines.ingest import read_lake
 
-    cols = args.columns.split(",") if args.columns else None
+    cols = [c.strip() for c in args.columns.split(",") if c.strip()] if args.columns else None
+    if cols:
+        from gene_etl_ray.state.checkpoint import read_lake_meta
+        from gene_etl_ray.pipelines.ingest import _schema_from_hex
+
+        meta = read_lake_meta(args.lake)
+        if meta:
+            known = set(_schema_from_hex(meta["schema_hex"]).names)
+            unknown = [c for c in cols if c not in known]
+            if unknown:
+                raise SystemExit(
+                    f"unknown columns: {unknown}; lake has {sorted(known)}"
+                )
     ds = read_lake(args.lake, live_only=not args.include_tombstones, columns=cols)
     out: dict = {"out": args.out}
     if args.count:
@@ -130,6 +142,7 @@ def cmd_tail(args) -> int:
     loops = 0
     while True:
         rep = run_ingest(cfg, args.events)
+        quarantined = rep.get("quarantined_segments", [])
         print(
             json.dumps(
                 {
@@ -137,6 +150,7 @@ def cmd_tail(args) -> int:
                     "events_in": rep["events_in"],
                     "events_applied": rep["events_applied"],
                     "commits": len(rep["commits"]),
+                    "quarantined": len(quarantined),
                 }
             ),
             flush=True,
@@ -145,6 +159,11 @@ def cmd_tail(args) -> int:
         if args.max_loops and loops >= args.max_loops:
             return 0
         if args.until_drained and rep["events_in"] == 0:
+            if quarantined:
+                # "drained" but torn segments are holding later epochs
+                # back — that is a stuck tail, not a clean catch-up
+                print(json.dumps({"stuck_on_quarantined": quarantined}))
+                return 2
             return 0
         _time.sleep(args.interval)
 

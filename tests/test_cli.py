@@ -9,6 +9,18 @@ from gene_etl_ray.fixtures import generate_events
 from gene_etl_ray.run import load_config, main
 
 
+def last_json(capsys):
+    """Parse the LAST JSON line of captured stdout — Ray occasionally
+    interleaves a stray log/warning line into the capture."""
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.strip()]
+    for l in reversed(lines):
+        try:
+            return json.loads(l)
+        except json.JSONDecodeError:
+            continue
+    raise AssertionError(f"no JSON line in output: {lines!r}")
+
+
 @pytest.fixture()
 def events_and_config(tmp_path):
     ev = str(tmp_path / "events")
@@ -22,20 +34,20 @@ def events_and_config(tmp_path):
 def test_cli_ingest_validate_export_stats(events_and_config, tmp_path, capsys):
     ev, cfg, lake = events_and_config
     assert main(["ingest", "--config", cfg, "--events", ev]) == 0
-    rep = json.loads(capsys.readouterr().out)
+    rep = last_json(capsys)
     assert rep["events_in"] == 300
 
     assert main(["validate", "--lake", lake]) == 0
-    checks = json.loads(capsys.readouterr().out)
+    checks = last_json(capsys)
     assert checks["one_row_per_url"]
 
     out_dir = str(tmp_path / "export")
     assert main(["export", "--lake", lake, "--out", out_dir, "--count"]) == 0
-    exp = json.loads(capsys.readouterr().out)
+    exp = last_json(capsys)
     assert exp["rows"] > 0
 
     assert main(["stats", "--lake", lake]) == 0
-    stats = json.loads(capsys.readouterr().out)
+    stats = last_json(capsys)
     assert stats["num_partitions"] == 4 and stats["max_committed_epoch"] == 2
 
     # point lookup: a live url round-trips; a never-seen url reports 0
@@ -93,3 +105,45 @@ def test_cli_rejects_unknown_config_keys(tmp_path):
         json.dump({"lake_dir": "/tmp/x", "not_a_knob": 1}, f)
     with pytest.raises(SystemExit, match="unknown config keys"):
         load_config(p)
+
+
+def test_cli_export_rejects_unknown_columns(tmp_path, capsys):
+    import json as _json
+
+    import pytest as _pytest
+
+    from gene_etl_ray.fixtures import generate_events
+    from gene_etl_ray.config import EngineConfig
+    from gene_etl_ray.pipelines.ingest import run_ingest
+
+    ev = str(tmp_path / "ev")
+    generate_events(ev, n_urls=40, n_events=120, n_epochs=2)
+    lake = str(tmp_path / "lake")
+    run_ingest(EngineConfig(lake_dir=lake, num_partitions=4), ev)
+    with _pytest.raises(SystemExit, match="unknown columns"):
+        main(["export", "--lake", lake, "--out", str(tmp_path / "o"),
+              "--columns", "url, nope"])
+    # whitespace in a VALID list is tolerated
+    assert main(["export", "--lake", lake, "--out", str(tmp_path / "o2"),
+                 "--columns", "url, lang"]) == 0
+
+
+def test_cli_tail_reports_quarantined_and_exits_2(tmp_path, capsys):
+    import json as _json
+
+    from gene_etl_ray.fixtures import generate_events
+
+    ev = str(tmp_path / "ev")
+    generate_events(ev, n_urls=40, n_events=120, n_epochs=3)
+    # tear the middle segment: epochs >= 1 are held back forever
+    with open(f"{ev}/epoch=00001.parquet", "r+b") as f:
+        f.truncate(100)
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        _json.dump({"lake_dir": str(tmp_path / "lake"), "num_partitions": 4}, f)
+    rc = main(["tail", "--config", cfg_path, "--events", ev,
+               "--interval", "0", "--until-drained"])
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    assert rc == 2  # stuck, not drained
+    assert _json.loads(out_lines[-1])["stuck_on_quarantined"]
+    assert _json.loads(out_lines[0])["quarantined"] == 1

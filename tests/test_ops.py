@@ -397,3 +397,43 @@ class TestBloom:
         keep = {f"v{i}" for i in range(0, 2000, 7)}
         out = bloom_semi_filter(rd.from_pandas(df), "k", keep).to_pandas()
         assert keep <= set(out["k"])  # every true member survives
+
+
+class TestCuration:
+    def test_empty_survivors_returns_typed_empty(self):
+        """Zero quality survivors must yield an empty membership list,
+        not a KeyError from a schemaless checkpoint round-trip."""
+        from gene_etl_ray.pipelines.curate import curate_documents
+
+        df = pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["x" * 200] * 3, "lang": ["de"] * 3}
+        )
+        out = curate_documents(ds_from(df))
+        assert list(out.columns) == ["doc_id"] and len(out) == 0
+        assert out["doc_id"].dtype == "int64"
+
+    def test_duplicate_family_keeps_min_id(self):
+        from gene_etl_ray.pipelines.curate import curate_documents
+
+        base = "the quick brown fox jumps over the lazy dog " * 10
+        df = pd.DataFrame(
+            {
+                "doc_id": [5, 9, 12],
+                "text": [base, base + "tail", "totally different words " * 20],
+                "lang": ["en"] * 3,
+            }
+        )
+        out = curate_documents(ds_from(df))
+        # 5 and 9 are near-dups (jaccard > 0.9): min id 5 survives
+        assert set(out["doc_id"]) == {5, 12}
+
+
+class TestComponentsConvergence:
+    def test_long_chain_converges_within_default_rounds(self):
+        """Pointer-jumping makes convergence O(log diameter): a 40-node
+        path graph must resolve to one cluster under default max_rounds
+        (plain min-propagation would need 39)."""
+        edges = pd.DataFrame({"id_a": list(range(39)), "id_b": list(range(1, 40))})
+        out = dedup.connected_components(edges, id_col="doc_id")
+        assert set(out["cluster_id"]) == {0}
+        assert len(out) == 40
