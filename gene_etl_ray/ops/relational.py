@@ -210,6 +210,24 @@ def semi_filter(ds: ray.data.Dataset, column: str, values) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def deterministic_sample(
+    ds: ray.data.Dataset, key: str, rate_pct: int, salt: int = 2654435761
+) -> ray.data.Dataset:
+    """Reproducible sampling by multiplicative hashing of a key column:
+    keep rows where ``(key * salt mod 2^32) mod 100 < rate_pct``. Unlike
+    ``ds.random_sample`` the sample is a pure function of the data — the
+    same rows are selected on every run, on any cluster, and the exact
+    membership is SQL-expressible (oracle-checkable). Knuth's
+    multiplicative constant scatters sequential ids across residues."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = ((k * np.uint64(salt)) % np.uint64(2**32)) % np.uint64(100)
+        return t.filter(pa.array(bucket < rate_pct))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def grouped_aggregate_partial(
     ds: ray.data.Dataset,
     keys: list[str],

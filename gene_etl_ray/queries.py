@@ -754,6 +754,24 @@ ORDER BY doc_id
 """
 
 
+def docs_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 10% sample of documents by multiplicative key
+    hashing (reproducible across runs/clusters, unlike random_sample) —
+    membership is SQL-expressible, so the sample itself is oracled."""
+    ds = read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = relational.deterministic_sample(ds, "doc_id", 10).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SAMPLE_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
+ORDER BY doc_id
+"""
+
+
 def docs_curation_pipeline(sf_dir: str) -> pd.DataFrame:
     """The composite training-data curation pipeline (quality filter →
     exact dedup → trigram-Jaccard near-dup cluster removal) — every
@@ -1259,6 +1277,7 @@ QUERIES = {
     "docs_quality_filter": docs_quality_filter,
     "docs_quality_full": docs_quality_full,
     "docs_curation_pipeline": docs_curation_pipeline,
+    "docs_sample": docs_sample,
     "docs_lang_id": docs_lang_id,
     "docs_token_count_bpe": docs_token_count_bpe,
     "docs_fingerprints": docs_fingerprints,
@@ -1311,6 +1330,7 @@ ORACLE_SQL = {
     "events_users_approx_distinct": APPROX_DISTINCT_SQL,
     "docs_quality_full": QUALITY_FULL_SQL,
     "docs_curation_pipeline": CURATION_SQL,
+    "docs_sample": SAMPLE_SQL,
     "docs_ngram_jaccard": NGRAM_SQL,
     "embeddings_norm_by_label": NORM_SQL,
 }
