@@ -200,6 +200,38 @@ def asof_join_bucketed(
     return both.groupby("__bucket").map_groups(asof_bucket, batch_format="pandas")
 
 
+def range_join_bucketed(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by_left: str,
+    by_right: str,
+    on_left: str,
+    start_right: str,
+    end_right: str,
+    num_buckets: int = 32,
+    bucket_post=None,
+) -> ray.data.Dataset:
+    """Big⋈big RANGE join: equality on the by-key plus interval
+    containment ``start_right <= on_left < end_right``. Both sides are
+    co-located by ``H(by_key) % B`` (one shuffle); within a bucket the
+    per-key equality merge runs first and the interval predicate filters
+    the per-key cross product — the standard range-join cost model, with
+    the documented partitioning assumption that per-key fan-out
+    (rows-per-key on each side) is bounded. ``bucket_post`` can fold an
+    aggregation into the bucket pass (complete per by-key, since every
+    row of a key shares its bucket)."""
+    both, lcols, rcols = _bucket_union(left, right, by_left, by_right, num_buckets)
+
+    def range_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == "l", lcols]
+        rg = g.loc[g["__side"] == "r", rcols]
+        m = lg.merge(rg, left_on=by_left, right_on=by_right)
+        m = m[(m[on_left] >= m[start_right]) & (m[on_left] < m[end_right])]
+        return bucket_post(m) if bucket_post is not None else m
+
+    return both.groupby("__bucket").map_groups(range_bucket, batch_format="pandas")
+
+
 def semi_filter(ds: ray.data.Dataset, column: str, values) -> ray.data.Dataset:
     """Semi-join as a broadcast IN-list filter (J2/J3, ``io.py:118-133``)."""
     vset = pa.array(list(values))

@@ -524,6 +524,58 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def orders_repeat_within_90d(sf_dir: str) -> pd.DataFrame:
+    """RANGE join (equality + interval containment): per order, count the
+    SAME customer's follow-up orders within 90 days — a fact⋈fact
+    self-join co-located by customer key, per-order count folded into the
+    bucket pass (``relational.range_join_bucketed``)."""
+    base = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def as_left(b: pa.Table) -> pa.Table:
+        end = pc.add(
+            b.column("o_orderdate"),
+            pa.scalar(pd.Timedelta(days=90).to_pytimedelta()),
+        )
+        return pa.table(
+            {
+                "a_orderkey": b.column("o_orderkey"),
+                "a_custkey": b.column("o_custkey"),
+                "a_start": b.column("o_orderdate"),
+                "a_end": end,
+            }
+        )
+
+    def per_order(m: pd.DataFrame) -> pd.DataFrame:
+        # strict follow-ups only: later date, not the same order
+        m = m[m["o_orderdate"] > m["a_start"]]
+        return m.groupby("a_orderkey", as_index=False).agg(
+            n_followups=("o_orderkey", "size")
+        )
+
+    left = base.map_batches(as_left, batch_format="pyarrow")
+    out = relational.range_join_bucketed(
+        base, left,
+        by_left="o_custkey", by_right="a_custkey",
+        on_left="o_orderdate", start_right="a_start", end_right="a_end",
+        bucket_post=per_order,
+    ).to_pandas()
+    out = out.rename(columns={"a_orderkey": "o_orderkey"})
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["n_followups"] = out["n_followups"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+RANGE_SQL = """
+SELECT a.o_orderkey, CAST(count(*) AS BIGINT) AS n_followups
+FROM orders a JOIN orders b
+  ON b.o_custkey = a.o_custkey
+ AND b.o_orderdate > a.o_orderdate
+ AND b.o_orderdate < a.o_orderdate + INTERVAL 90 DAY
+GROUP BY a.o_orderkey
+ORDER BY a.o_orderkey
+"""
+
+
 def events_props_k_stats(sf_dir: str) -> pd.DataFrame:
     """JSON sidecar parsing (scalar parser stage): extract ``k`` from the
     ``props`` JSON column per row, grouped stats per event type."""
@@ -1269,6 +1321,7 @@ QUERIES = {
     "events_orphan_users": events_orphan_users,
     "orders_page2": orders_page2,
     "events_asof_orders": events_asof_orders,
+    "orders_repeat_within_90d": orders_repeat_within_90d,
     "orders_lineitem_partitioned_join": orders_lineitem_partitioned_join,
     "events_props_k_stats": events_props_k_stats,
     "docs_dedup_exact": docs_dedup_exact,
@@ -1318,6 +1371,7 @@ ORACLE_SQL = {
     "events_orphan_users": ORPHAN_SQL,
     "orders_page2": PAGE_SQL,
     "events_asof_orders": ASOF_SQL,
+    "orders_repeat_within_90d": RANGE_SQL,
     "orders_lineitem_partitioned_join": PARTJOIN_SQL,
     "events_props_k_stats": PROPS_SQL,
     "docs_dedup_exact": DEDUP_SQL,
