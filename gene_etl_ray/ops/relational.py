@@ -291,6 +291,42 @@ def grouped_aggregate_partial(
     return g.agg(**agg)
 
 
+def grouped_count_topk(ds: ray.data.Dataset, key: str, k: int) -> pd.DataFrame:
+    """Top-k keys by row count over a HIGH-CARDINALITY, possibly skewed
+    key. Per-batch pre-count is the combiner: a hot key's rows collapse
+    to ONE partial row per batch BEFORE the shuffle, so no reducer ever
+    sees the raw hot-key row stream (the skew-safe shape — salting would
+    only help if a single key's *partials* overwhelmed one reducer,
+    i.e. ≥ millions of blocks). The shuffle moves ≤ distinct-keys-per-
+    batch rows; per-block partial top-k (widened at the boundary tie so
+    the global winner can't be dropped) then a driver merge of ≤
+    blocks × k rows."""
+
+    def precount(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(key, as_index=False, sort=False, dropna=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    summed = (
+        ds.map_batches(precount, batch_format="pandas").groupby(key).sum("n")
+    ).map_batches(lambda b: b.rename(columns={"sum(n)": "n"}), batch_format="pandas")
+
+    def ptopk(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) <= k:
+            return b
+        kth = b["n"].nlargest(k).iloc[-1]
+        return b[b["n"] >= kth]  # widen boundary ties
+
+    tops = summed.map_batches(ptopk, batch_format="pandas").to_pandas()
+    return (
+        tops.sort_values(["n", key], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def latest_per_key(
     ds: ray.data.Dataset, key: str, order: list[str]
 ) -> ray.data.Dataset:

@@ -66,6 +66,112 @@ class HyperLogLog:
         return h
 
 
+def order_statistics(
+    ds: ray.data.Dataset,
+    column: str,
+    qs: list[float],
+    bins: int = 4096,
+    gather_limit: int = 200_000,
+    max_passes: int = 8,
+) -> dict[float, float]:
+    """EXACT q-quantiles (``quantile_disc`` semantics: the element at
+    0-indexed rank ``floor(q*(n-1))`` of the sorted non-null column)
+    WITHOUT a global sort — iterative histogram refinement, the
+    distributed-selection algorithm.
+
+    Each pass is ONE ``map_batches`` scan that emits fixed-size per-range
+    histograms (tiny partials, merged driver-side); the value interval
+    known to contain each target rank shrinks ~``bins``× per pass. When
+    an interval holds ≤ ``gather_limit`` rows (or collapses to a point —
+    heavy duplicates), a final scan gathers just those rows and selects
+    exactly. Cost: O(log_bins(spread)) scans, O(bins × targets) driver
+    state, ZERO shuffle — at 10^10 rows a global ``sort()`` moves every
+    block twice; this moves a few KB of histogram per block.
+    """
+    qs = sorted(set(qs))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "lo": pa.array([np.nan]), "hi": pa.array([np.nan])})
+        return pa.table({"n": pa.array([v.size], pa.int64()),
+                         "lo": pa.array([float(v.min())]),
+                         "hi": pa.array([float(v.max())])})
+
+    head = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    n = int(head["n"].sum()) if "n" in head.columns else 0  # empty ds: 0 batches
+    if n == 0:
+        return {q: float("nan") for q in qs}
+    glo, ghi = float(head["lo"].min()), float(head["hi"].max())
+    # state per target rank: [lo, hi] known to contain it; below = #rows < lo
+    tgt = {q: {"k": int(np.floor(q * (n - 1))), "lo": glo, "hi": ghi,
+               "below": 0, "in_range": n, "done": None} for q in qs}
+
+    for _ in range(max_passes):
+        active = {q: t for q, t in tgt.items() if t["done"] is None
+                  and t["in_range"] > gather_limit and t["lo"] < t["hi"]}
+        if not active:
+            break
+        # distinct ranges → one shared scan computes every histogram
+        ranges = sorted({(t["lo"], t["hi"]) for t in active.values()})
+        edges = {r: np.linspace(r[0], r[1], bins + 1) for r in ranges}
+        ranges_b = ranges  # captured by value in the task closure
+
+        def hist(batch: pa.Table, _edges=edges, _ranges=ranges_b) -> pa.Table:
+            v = batch.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            rid, bid, cnt = [], [], []
+            for i, r in enumerate(_ranges):
+                h, _ = np.histogram(v, bins=_edges[r])
+                nz = np.flatnonzero(h)
+                rid.append(np.full(nz.size, i, dtype=np.int64))
+                bid.append(nz.astype(np.int64))
+                cnt.append(h[nz].astype(np.int64))
+            return pa.table({"rid": np.concatenate(rid) if rid else np.array([], np.int64),
+                             "bid": np.concatenate(bid) if bid else np.array([], np.int64),
+                             "cnt": np.concatenate(cnt) if cnt else np.array([], np.int64)})
+
+        parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+        hists = {}
+        for i, r in enumerate(ranges):
+            h = np.zeros(bins, dtype=np.int64)
+            sub = parts[parts["rid"] == i]
+            np.add.at(h, sub["bid"].to_numpy(), sub["cnt"].to_numpy())
+            hists[r] = h
+        for t in active.values():
+            r = (t["lo"], t["hi"])
+            h, e = hists[r], edges[r]
+            cum = t["below"] + np.cumsum(h)
+            b = int(np.searchsorted(cum, t["k"] + 1))  # first bin whose cum > k
+            t["below"] += int(h[:b].sum())
+            t["lo"], t["hi"] = float(e[b]), float(e[b + 1])
+            t["in_range"] = int(h[b])
+            if t["lo"] >= t["hi"]:  # collapsed interval: every row equal
+                t["done"] = t["lo"]
+
+    pending = {q: t for q, t in tgt.items() if t["done"] is None}
+    if pending:
+        pranges = sorted({(t["lo"], t["hi"]) for t in pending.values()})
+
+        def gather(batch: pa.Table, _ranges=pranges) -> pa.Table:
+            v = batch.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            keep = np.zeros(v.shape, dtype=bool)
+            for lo, hi in _ranges:
+                keep |= (v >= lo) & (v <= hi)
+            return pa.table({"v": v[keep]})
+
+        vals = np.sort(
+            ds.map_batches(gather, batch_format="pyarrow").to_pandas()["v"].to_numpy()
+        )
+        for t in pending.values():
+            inr = vals[(vals >= t["lo"]) & (vals <= t["hi"])]
+            t["done"] = float(inr[t["k"] - t["below"]])
+    return {q: tgt[q]["done"] for q in qs}
+
+
 def approx_distinct(ds: ray.data.Dataset, column: str, p: int = 12) -> float:
     """Approximate COUNT(DISTINCT column): one HLL per batch, merged
     driver-side — bytes moved = batches × 2^p, independent of row count."""

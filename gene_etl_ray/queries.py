@@ -992,6 +992,150 @@ FROM events
 """
 
 
+def lineitem_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT distributed quantiles (``quantile_disc`` semantics) of
+    l_extendedprice via iterative histogram refinement
+    (:func:`gene_etl_ray.ops.sketch.order_statistics`) — no global sort:
+    each pass ships a few KB of histogram per block instead of moving
+    every block through an all-to-all sort exchange."""
+    from gene_etl_ray.ops.sketch import order_statistics
+
+    ds = read(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = [0.25, 0.5, 0.9, 0.99]
+    res = order_statistics(ds, "l_extendedprice", qs)
+    return pd.DataFrame(
+        {
+            "q": pd.Series(qs, dtype="float64"),
+            "price": pd.Series([res[q] for q in qs], dtype="float64"),
+        }
+    )
+
+
+QUANTILE_SQL = """
+SELECT 0.25 AS q, quantile_disc(l_extendedprice, 0.25) AS price FROM lineitem
+UNION ALL
+SELECT 0.5, quantile_disc(l_extendedprice, 0.5) FROM lineitem
+UNION ALL
+SELECT 0.9, quantile_disc(l_extendedprice, 0.9) FROM lineitem
+UNION ALL
+SELECT 0.99, quantile_disc(l_extendedprice, 0.99) FROM lineitem
+ORDER BY q
+"""
+
+
+def events_type_hour_rollup(sf_dir: str) -> pd.DataFrame:
+    """Hierarchical ROLLUP aggregate over (event_type, hour): the finest
+    level runs distributed with per-batch partial combination (tiny
+    partials, no row shuffle — the key space is types × 24); the coarser
+    rollup levels are DERIVED from the finest-level result, never
+    re-scanning the fact table. Rollup markers are COALESCE sentinels
+    ('__all__', -1) on both sides so the dtype contract stays
+    (string, int64) with no NULL-ordering ambiguity."""
+    ds = read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": pc.cast(pc.hour(t.column("ts")), pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    finest = grouped_aggregate_partial(
+        ds.map_batches(add_hour, batch_format="pyarrow"),
+        keys=["event_type", "hour"],
+        sums={"sum_value": "value"},
+        counts="n",
+    )
+    lvl1 = finest.groupby("event_type", as_index=False).agg(
+        sum_value=("sum_value", "sum"), n=("n", "sum")
+    )
+    lvl1["hour"] = -1
+    total = pd.DataFrame(
+        {
+            "event_type": ["__all__"],
+            "hour": [-1],
+            "sum_value": [finest["sum_value"].sum()],
+            "n": [finest["n"].sum()],
+        }
+    )
+    out = pd.concat([finest, lvl1, total], ignore_index=True)[
+        ["event_type", "hour", "sum_value", "n"]
+    ]
+    out["hour"] = out["hour"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(event_type, '__all__') AS event_type,
+       COALESCE(CAST(EXTRACT(hour FROM ts) AS BIGINT), -1) AS hour,
+       round(sum(value), 2) AS sum_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY ROLLUP(event_type, EXTRACT(hour FROM ts))
+ORDER BY event_type, hour
+"""
+
+
+def events_hour_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """PIVOT (long→wide conditional aggregation): per hour-of-day, one
+    count column per event type. Indicator columns are created per batch
+    and pre-summed by the partial combiner, so only ≤24-row partials ever
+    leave a task. The type list is the fixtures' closed set."""
+    ds = read(sf_dir, "events", ["ts", "event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def indicators(t: pa.Table) -> pa.Table:
+        cols = {"hour": pc.cast(pc.hour(t.column("ts")), pa.int64())}
+        et = t.column("event_type")
+        for ty in types:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(et, ty), pa.int64())
+        return pa.table(cols)
+
+    out = grouped_aggregate_partial(
+        ds.map_batches(indicators, batch_format="pyarrow"),
+        keys=["hour"],
+        sums={f"n_{ty}": f"n_{ty}" for ty in types},
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("hour").reset_index(drop=True)
+
+
+PIVOT_SQL = """
+SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_top_users(sf_dir: str) -> pd.DataFrame:
+    """Top-50 users by event count over the high-cardinality (Zipf-hot)
+    user key — the skew-safe grouped-count top-k
+    (:func:`gene_etl_ray.ops.relational.grouped_count_topk`): per-batch
+    pre-count collapses hot keys before the shuffle; ties at the top-k
+    boundary are widened per block and broken (n DESC, user ASC)."""
+    ds = read(sf_dir, "events", ["user_id"])
+    out = relational.grouped_count_topk(ds, "user_id", 50)
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+TOP_USERS_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id
+ORDER BY n DESC, user_id LIMIT 50
+"""
+
+
 def docs_simhash(sf_dir: str) -> pd.DataFrame:
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     out = dedup.simhash_signatures(ds).to_pandas()[["doc_id", "simhash"]]
@@ -1337,6 +1481,10 @@ QUERIES = {
     "docs_minhash_pairs": docs_minhash_pairs,
     "docs_near_dup_clusters": docs_near_dup_clusters,
     "events_users_approx_distinct": events_users_approx_distinct,
+    "lineitem_price_quantiles": lineitem_price_quantiles,
+    "events_type_hour_rollup": events_type_hour_rollup,
+    "events_hour_type_pivot": events_hour_type_pivot,
+    "events_top_users": events_top_users,
     "docs_simhash": docs_simhash,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "knn_cosine_topk": knn_cosine_topk,
@@ -1382,6 +1530,10 @@ ORACLE_SQL = {
     "embeddings_near_dup": NEAR_DUP_SQL,
     "docs_token_count_bpe": BPE_SQL,
     "events_users_approx_distinct": APPROX_DISTINCT_SQL,
+    "lineitem_price_quantiles": QUANTILE_SQL,
+    "events_type_hour_rollup": ROLLUP_SQL,
+    "events_hour_type_pivot": PIVOT_SQL,
+    "events_top_users": TOP_USERS_SQL,
     "docs_quality_full": QUALITY_FULL_SQL,
     "docs_curation_pipeline": CURATION_SQL,
     "docs_sample": SAMPLE_SQL,

@@ -296,6 +296,27 @@ class TestRelational:
         exp = df.groupby("g", as_index=False).agg(sx=("x", "sum"), n=("x", "size"))
         pd.testing.assert_frame_equal(out, exp, check_dtype=False, atol=1e-9)
 
+    def test_grouped_count_topk_skewed_with_boundary_ties(self):
+        """Zipf-ish counts with several keys tied exactly at the k-th
+        count: the per-block widen + (n DESC, key ASC) tie-break must
+        return the same set as a full sort."""
+        rng = np.random.RandomState(3)
+        keys = np.concatenate(
+            [np.zeros(5000, dtype=np.int64),  # one hot key
+             rng.randint(1, 400, 20000)]
+        )
+        df = pd.DataFrame({"u": keys})
+        out = relational.grouped_count_topk(ds_from(df).repartition(8), "u", 25)
+        exp = (
+            df.groupby("u", as_index=False).size().rename(columns={"size": "n"})
+            .sort_values(["n", "u"], ascending=[False, True], kind="mergesort")
+            .head(25).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            out.astype({"u": "int64", "n": "int64"}),
+            exp.astype({"u": "int64", "n": "int64"}),
+        )
+
 
 class TestSketch:
     def test_hll_accuracy(self):
@@ -324,6 +345,40 @@ class TestSketch:
         df = pd.DataFrame({"k": [f"v{i % 997}" for i in range(20000)]})
         est = approx_distinct(rd.from_pandas(df), "k")
         assert abs(est - 997) / 997 < 0.05
+
+    def test_order_statistics_forced_refinement(self):
+        """Exact k-th order statistics under forced multi-pass histogram
+        refinement (tiny gather_limit, coarse bins) on duplicate-heavy
+        data with extreme outliers — every quantile must equal the
+        sorted-array element at floor(q*(n-1))."""
+        from gene_etl_ray.ops.sketch import order_statistics
+
+        rng = np.random.default_rng(7)
+        vals = np.concatenate(
+            [
+                rng.normal(100, 25, 20_000).round(1),
+                np.full(12_000, 42.0),  # heavy duplicate mass
+                np.full(5, 1e9),  # range-stretching outliers
+                [-1e9],
+            ]
+        )
+        ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(8)
+        qs = [0.0, 0.01, 0.25, 0.5, 0.9, 0.999, 1.0]
+        got = order_statistics(ds, "x", qs, bins=64, gather_limit=50)
+        sv = np.sort(vals)
+        n = len(sv)
+        for q in qs:
+            want = float(sv[int(np.floor(q * (n - 1)))])
+            assert got[q] == want, (q, got[q], want)
+
+    def test_order_statistics_all_equal_and_empty(self):
+        from gene_etl_ray.ops.sketch import order_statistics
+
+        ds = ds_from(pd.DataFrame({"x": np.full(1000, 3.5)}))
+        got = order_statistics(ds, "x", [0.5], bins=16, gather_limit=10)
+        assert got[0.5] == 3.5
+        empty = ds_from(pd.DataFrame({"x": pd.Series([], dtype="float64")}))
+        assert np.isnan(order_statistics(empty, "x", [0.5])[0.5])
 
 
 class TestClustering:
