@@ -168,6 +168,31 @@ def cmd_tail(args) -> int:
         _time.sleep(args.interval)
 
 
+def cmd_view(args) -> int:
+    """Incrementally refresh the domain_stats materialized view
+    (partition-invalidation IVM — only partitions committed to since the
+    last refresh are recomputed) and print the combined view."""
+    from gene_etl_ray.state.mview import read_view, refresh_view
+
+    rep = refresh_view(args.lake)
+    df = read_view(args.lake)
+    print(
+        json.dumps(
+            {
+                "refreshed_partitions": len(rep["refreshed"]),
+                "fresh_partitions": rep["fresh"],
+                "domains": len(df),
+                "n_urls": int(df["n_urls"].sum()) if len(df) else 0,
+                "n_tokens": int(df["n_tokens"].sum()) if len(df) else 0,
+                "top": df.sort_values(["n_urls", "domain"], ascending=[False, True])
+                .head(args.top)
+                .to_dict("records"),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_lookup(args) -> int:
     """Point lookup — the query/serving surface of the reference's REST
     query endpoint (``app.py:386-428``), as a CLI subcommand over the
@@ -226,6 +251,13 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--max-loops", type=int, default=0)
     pt.add_argument("--until-drained", action="store_true")
     pt.set_defaults(fn=cmd_tail)
+
+    pw = sub.add_parser(
+        "view", help="incremental-refresh + print the domain_stats materialized view"
+    )
+    pw.add_argument("--lake", required=True)
+    pw.add_argument("--top", type=int, default=10)
+    pw.set_defaults(fn=cmd_view)
 
     pl = sub.add_parser("lookup", help="point lookup of urls (partition-pruned read)")
     pl.add_argument("--lake", required=True)

@@ -147,3 +147,18 @@ def test_cli_tail_reports_quarantined_and_exits_2(tmp_path, capsys):
     assert rc == 2  # stuck, not drained
     assert _json.loads(out_lines[-1])["stuck_on_quarantined"]
     assert _json.loads(out_lines[0])["quarantined"] == 1
+
+
+def test_cli_view_refreshes_and_reports(events_and_config, capsys):
+    ev, cfg, lake = events_and_config
+    assert main(["ingest", "--config", cfg, "--events", ev]) == 0
+    capsys.readouterr()
+    assert main(["view", "--lake", lake, "--top", "3"]) == 0
+    rep = last_json(capsys)
+    assert rep["refreshed_partitions"] > 0 and rep["n_urls"] > 0
+    assert len(rep["top"]) <= 3
+    # second call: everything fresh, same combined numbers
+    assert main(["view", "--lake", lake]) == 0
+    rep2 = last_json(capsys)
+    assert rep2["refreshed_partitions"] == 0
+    assert rep2["n_urls"] == rep["n_urls"] and rep2["n_tokens"] == rep["n_tokens"]

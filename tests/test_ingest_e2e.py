@@ -420,3 +420,64 @@ def test_read_lake_column_projection(tmp_events, tmp_lake, tmp_path):
         df.sort_values("url").reset_index(drop=True),
         df2.sort_values("url").reset_index(drop=True),
     )
+
+
+class TestMaterializedView:
+    """Incremental view maintenance: partition-invalidation refresh must
+    equal a full recompute from the live lake, touch ONLY the partitions
+    the intervening commits touched, and be idempotent."""
+
+    @staticmethod
+    def _recompute(lake_dir: str) -> pd.DataFrame:
+        df = read_lake(lake_dir).to_pandas()
+        if "url" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {"domain": pd.Series([], dtype="object"),
+                 "n_urls": pd.Series([], dtype="int64"),
+                 "n_tokens": pd.Series([], dtype="int64")}
+            )
+        df["domain"] = df["url"].str.extract(
+            r"^[a-z][a-z0-9+.-]*://([^/]+)", expand=False
+        )
+        df["n_tokens"] = df["text"].fillna("").str.split().str.len().astype("int64")
+        out = df.groupby("domain", as_index=False).agg(
+            n_urls=("url", "size"), n_tokens=("n_tokens", "sum")
+        )
+        out["n_urls"] = out["n_urls"].astype("int64")
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        return out.sort_values("domain").reset_index(drop=True)
+
+    @pytest.mark.parametrize("mode", ["cow", "mor"])
+    def test_incremental_refresh_matches_recompute(self, tmp_path, mode):
+        from gene_etl_ray.state.mview import read_view, refresh_view
+
+        full = tmp_path / "all_events"
+        ev = tmp_path / "events"
+        lake = str(tmp_path / f"lake_{mode}")
+        generate_events(str(full), n_urls=300, n_events=1500, n_epochs=4, seed=9)
+        seg = sorted(glob.glob(os.path.join(str(full), "epoch=*.parquet")))
+        assert len(seg) == 4
+        os.makedirs(str(ev))
+        for f in seg[:2]:
+            shutil.copy(f, str(ev))
+        cfg = EngineConfig(
+            lake_dir=lake, num_partitions=8, epochs_per_commit=2, merge_mode=mode
+        )
+        run_ingest(cfg, str(ev))
+        r1 = refresh_view(lake)
+        assert r1["refreshed"], "first refresh must build shards"
+        pd.testing.assert_frame_equal(read_view(lake), self._recompute(lake))
+
+        # second batch of epochs: refresh must touch ONLY committed-to parts
+        for f in seg[2:]:
+            shutil.copy(f, str(ev))
+        run_ingest(cfg, str(ev))
+        touched = {r["pkey"] for r in read_lineage(lake) if r["epoch"] == 3}
+        r2 = refresh_view(lake)
+        assert set(r2["refreshed"]) == touched
+        assert r2["fresh"] == 8 - len(touched)
+        pd.testing.assert_frame_equal(read_view(lake), self._recompute(lake))
+
+        # idempotent: nothing stale after a refresh
+        r3 = refresh_view(lake)
+        assert r3["refreshed"] == [] and r3["fresh"] == 8
