@@ -415,6 +415,82 @@ FROM orders ORDER BY o_custkey, o_orderkey
 """
 
 
+def orders_moving_avg(sf_dir: str) -> ray.data.Dataset:
+    """Per-customer SLIDING window frame (5-order moving average over the
+    (date, orderkey) ordering): one hash shuffle on the key, vectorized
+    ``rolling`` within each ordered group — the bounded-frame sibling of
+    :func:`orders_running_total`'s unbounded frame."""
+    ds = read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def moving(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        g["moving_avg"] = (
+            g["o_totalprice"].rolling(5, min_periods=1).mean().round(2)
+        )
+        return g[["o_custkey", "o_orderkey", "moving_avg"]]
+
+    return ds.groupby("o_custkey").map_groups(moving, batch_format="pandas")
+
+
+MOVING_AVG_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(avg(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS moving_avg
+FROM orders ORDER BY o_custkey, o_orderkey
+"""
+
+
+def docs_term_df(sf_dir: str) -> pd.DataFrame:
+    """Explode/flat-map aggregate: term → document frequency, top-200.
+    Per batch each doc's DISTINCT terms are pre-counted (the combiner — a
+    batch emits ≤ its vocabulary, never its raw token stream); the
+    vocab-sized partials hash-shuffle to a per-term sum; per-block
+    partial top-k with boundary-tie widening, then a driver merge of
+    ≤ blocks × k rows."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    K = 200
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lists = b["text"].fillna("").str.split().tolist()
+        lens = np.fromiter((len(t) for t in lists), dtype=np.int64, count=len(lists))
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {"term": pd.Series([], dtype="object"), "df": pd.Series([], dtype="int64")}
+            )
+        terms = np.concatenate([np.asarray(t, dtype=object) for t in lists if t])
+        ridx = np.repeat(np.arange(len(lists)), lens)
+        pairs = pd.DataFrame({"r": ridx, "term": terms}).drop_duplicates()
+        return pairs.groupby("term", as_index=False).size().rename(columns={"size": "df"})
+
+    summed = (
+        ds.map_batches(partial, batch_format="pandas").groupby("term").sum("df")
+    ).map_batches(lambda b: b.rename(columns={"sum(df)": "df"}), batch_format="pandas")
+
+    def ptopk(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) <= K:
+            return b
+        kth = b["df"].nlargest(K).iloc[-1]
+        return b[b["df"] >= kth]  # widen boundary ties
+
+    tops = summed.map_batches(ptopk, batch_format="pandas").to_pandas()
+    out = (
+        tops.sort_values(["df", "term"], ascending=[False, True], kind="mergesort")
+        .head(K)
+        .reset_index(drop=True)
+    )
+    out["df"] = out["df"].astype("int64")
+    return out[["term", "df"]]
+
+
+TERM_DF_SQL = r"""
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents)
+GROUP BY term ORDER BY df DESC, term LIMIT 200
+"""
+
+
 def order_priority_class(sf_dir: str) -> pd.DataFrame:
     """CASE-style categorizer + grouped counts (M8, ``models.py:253-258``)."""
     ds = read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
@@ -1457,6 +1533,8 @@ QUERIES = {
     "supplier_nation_enrich": supplier_nation_enrich,
     "orders_rank": orders_rank,
     "orders_running_total": orders_running_total,
+    "orders_moving_avg": orders_moving_avg,
+    "docs_term_df": docs_term_df,
     "top2_orders_per_status": top2_orders_per_status,
     "order_priority_class": order_priority_class,
     "lineitem_var_by_flag": lineitem_var_by_flag,
@@ -1511,6 +1589,8 @@ ORACLE_SQL = {
     "supplier_nation_enrich": SUPPLIER_SQL,
     "orders_rank": RANK_SQL,
     "orders_running_total": RUNNING_SQL,
+    "orders_moving_avg": MOVING_AVG_SQL,
+    "docs_term_df": TERM_DF_SQL,
     "top2_orders_per_status": TOP2_SQL,
     "order_priority_class": PRIORITY_SQL,
     "lineitem_var_by_flag": VAR_SQL,
