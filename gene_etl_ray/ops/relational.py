@@ -250,10 +250,22 @@ def deterministic_sample(
     ``ds.random_sample`` the sample is a pure function of the data — the
     same rows are selected on every run, on any cluster, and the exact
     membership is SQL-expressible (oracle-checkable). Knuth's
-    multiplicative constant scatters sequential ids across residues."""
+    multiplicative constant scatters sequential ids across residues.
+
+    Key domain: non-negative integers (ids) — negative keys would hash
+    differently in SQL (DuckDB ``%`` keeps the sign) and are rejected
+    loudly rather than silently diverging; null keys are dropped, exactly
+    as the SQL predicate's NULL comparison drops them."""
 
     def fn(t: pa.Table) -> pa.Table:
-        k = t.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+        col = t.column(key)
+        if col.null_count:
+            t = t.filter(pc.is_valid(col))
+            col = t.column(key)
+        k = col.to_numpy(zero_copy_only=False)
+        if len(k) and k.min() < 0:
+            raise ValueError(f"deterministic_sample: negative {key} keys")
+        k = k.astype(np.uint64)
         bucket = ((k * np.uint64(salt)) % np.uint64(2**32)) % np.uint64(100)
         return t.filter(pa.array(bucket < rate_pct))
 
@@ -291,16 +303,42 @@ def grouped_aggregate_partial(
     return g.agg(**agg)
 
 
+def grouped_sum_topk(
+    partials: ray.data.Dataset, key: str, val: str, k: int
+) -> pd.DataFrame:
+    """Top-k keys by the SUM of pre-combined per-batch partials over a
+    HIGH-CARDINALITY, possibly skewed key. The caller's per-batch partial
+    is the combiner: a hot key's rows collapse to ONE partial row per
+    batch BEFORE the shuffle, so no reducer ever sees the raw hot-key row
+    stream (the skew-safe shape — salting would only help if a single
+    key's *partials* overwhelmed one reducer, i.e. ≥ millions of blocks).
+    The shuffle moves ≤ distinct-keys-per-batch rows; per-block partial
+    top-k (widened at the boundary tie so the global winner can't be
+    dropped) then a driver merge of ≤ blocks × k rows, tie-broken
+    (``val`` DESC, ``key`` ASC)."""
+    summed = partials.groupby(key).sum(val).map_batches(
+        lambda b: b.rename(columns={f"sum({val})": val}), batch_format="pandas"
+    )
+
+    def ptopk(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) <= k:
+            return b
+        kth = b[val].nlargest(k).iloc[-1]
+        return b[b[val] >= kth]  # widen boundary ties
+
+    tops = summed.map_batches(ptopk, batch_format="pandas").to_pandas()
+    if key not in tops.columns:  # zero blocks: empty input loses the schema
+        return pd.DataFrame(columns=[key, val])
+    return (
+        tops.sort_values([val, key], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def grouped_count_topk(ds: ray.data.Dataset, key: str, k: int) -> pd.DataFrame:
-    """Top-k keys by row count over a HIGH-CARDINALITY, possibly skewed
-    key. Per-batch pre-count is the combiner: a hot key's rows collapse
-    to ONE partial row per batch BEFORE the shuffle, so no reducer ever
-    sees the raw hot-key row stream (the skew-safe shape — salting would
-    only help if a single key's *partials* overwhelmed one reducer,
-    i.e. ≥ millions of blocks). The shuffle moves ≤ distinct-keys-per-
-    batch rows; per-block partial top-k (widened at the boundary tie so
-    the global winner can't be dropped) then a driver merge of ≤
-    blocks × k rows."""
+    """Top-k keys by row count — :func:`grouped_sum_topk` with a
+    per-batch count as the combiner."""
 
     def precount(b: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -309,21 +347,8 @@ def grouped_count_topk(ds: ray.data.Dataset, key: str, k: int) -> pd.DataFrame:
             .rename(columns={"size": "n"})
         )
 
-    summed = (
-        ds.map_batches(precount, batch_format="pandas").groupby(key).sum("n")
-    ).map_batches(lambda b: b.rename(columns={"sum(n)": "n"}), batch_format="pandas")
-
-    def ptopk(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) <= k:
-            return b
-        kth = b["n"].nlargest(k).iloc[-1]
-        return b[b["n"] >= kth]  # widen boundary ties
-
-    tops = summed.map_batches(ptopk, batch_format="pandas").to_pandas()
-    return (
-        tops.sort_values(["n", key], ascending=[False, True], kind="mergesort")
-        .head(k)
-        .reset_index(drop=True)
+    return grouped_sum_topk(
+        ds.map_batches(precount, batch_format="pandas"), key, "n", k
     )
 
 

@@ -87,6 +87,11 @@ def order_statistics(
     exactly. Cost: O(log_bins(spread)) scans, O(bins × targets) driver
     state, ZERO shuffle — at 10^10 rows a global ``sort()`` moves every
     block twice; this moves a few KB of histogram per block.
+
+    Domain: values are compared as float64, so "exact" holds for floats
+    and for integers with |v| ≤ 2^53 (exactly representable); int64
+    columns beyond that (e.g. snowflake ids) can collapse adjacent
+    distinct values. Nulls/NaNs are ignored (``quantile_disc`` semantics).
     """
     qs = sorted(set(qs))
 
@@ -105,6 +110,8 @@ def order_statistics(
     if n == 0:
         return {q: float("nan") for q in qs}
     glo, ghi = float(head["lo"].min()), float(head["hi"].max())
+    if glo == ghi:  # constant column: every order statistic IS that value
+        return {q: glo for q in qs}
     # state per target rank: [lo, hi] known to contain it; below = #rows < lo
     tgt = {q: {"k": int(np.floor(q * (n - 1))), "lo": glo, "hi": ghi,
                "below": 0, "in_range": n, "done": None} for q in qs}

@@ -463,30 +463,21 @@ def docs_term_df(sf_dir: str) -> pd.DataFrame:
         pairs = pd.DataFrame({"r": ridx, "term": terms}).drop_duplicates()
         return pairs.groupby("term", as_index=False).size().rename(columns={"size": "df"})
 
-    summed = (
-        ds.map_batches(partial, batch_format="pandas").groupby("term").sum("df")
-    ).map_batches(lambda b: b.rename(columns={"sum(df)": "df"}), batch_format="pandas")
-
-    def ptopk(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) <= K:
-            return b
-        kth = b["df"].nlargest(K).iloc[-1]
-        return b[b["df"] >= kth]  # widen boundary ties
-
-    tops = summed.map_batches(ptopk, batch_format="pandas").to_pandas()
-    out = (
-        tops.sort_values(["df", "term"], ascending=[False, True], kind="mergesort")
-        .head(K)
-        .reset_index(drop=True)
+    out = relational.grouped_sum_topk(
+        ds.map_batches(partial, batch_format="pandas"), "term", "df", K
     )
     out["df"] = out["df"].astype("int64")
     return out[["term", "df"]]
 
 
+# `term <> ''` mirrors the engine's str.split(), which never emits empty
+# tokens (string_split_regex yields '' for empty text or non-space
+# whitespace at the edges — trim() strips spaces only)
 TERM_DF_SQL = r"""
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
 FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
       FROM documents)
+WHERE term <> ''
 GROUP BY term ORDER BY df DESC, term LIMIT 200
 """
 

@@ -134,7 +134,8 @@ def refresh_view(lake_dir: str, view: str = DOMAIN_VIEW) -> dict:
 
     ds = ray.data.read_parquet(files, columns=read_cols, schema=sub_schema)
     report = ds.groupby("pkey").map_groups(write_shard, batch_format="pyarrow").to_pandas()
-    done = set(report["pkey"].tolist())
+    # zero groups (every stale partition's files hold 0 rows) loses the schema
+    done = set(report["pkey"].tolist()) if "pkey" in report.columns else set()
     # a stale partition whose files hold 0 rows produces no group — its
     # live set is empty; publish an empty shard so it stops reading stale
     for k in set(stale) - done:
@@ -159,12 +160,22 @@ def read_view(lake_dir: str, view: str = DOMAIN_VIEW) -> pd.DataFrame:
     """Combined view: concat the per-partition shards (tiny,
     pre-aggregated) and merge per domain. Reflects the lake as of the
     last :func:`refresh_view`."""
-    shards = shard_epochs(lake_dir, view)
-    if not shards:
-        return pd.DataFrame({"domain": pd.Series([], dtype="object"),
-                             "n_urls": pd.Series([], dtype="int64"),
-                             "n_tokens": pd.Series([], dtype="int64")})
-    parts = [pq.read_table(p).to_pandas() for _, p in shards.values()]
+    # a concurrent refresher may GC a listed shard between the glob and the
+    # read (it publishes the replacement FIRST, so re-globbing always sees
+    # a complete set) — retry the listing on FileNotFoundError
+    parts: list[pd.DataFrame] = []
+    for _attempt in range(3):
+        shards = shard_epochs(lake_dir, view)
+        if not shards:
+            return pd.DataFrame({"domain": pd.Series([], dtype="object"),
+                                 "n_urls": pd.Series([], dtype="int64"),
+                                 "n_tokens": pd.Series([], dtype="int64")})
+        try:
+            parts = [pq.read_table(p).to_pandas() for _, p in shards.values()]
+            break
+        except FileNotFoundError:
+            if _attempt == 2:
+                raise
     df = pd.concat(parts, ignore_index=True)
     out = df.groupby("domain", as_index=False, dropna=False).agg(
         n_urls=("n_urls", "sum"), n_tokens=("n_tokens", "sum")

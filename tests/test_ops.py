@@ -317,6 +317,23 @@ class TestRelational:
             exp.astype({"u": "int64", "n": "int64"}),
         )
 
+    def test_grouped_count_topk_empty_input(self):
+        out = relational.grouped_count_topk(
+            ds_from(pd.DataFrame({"u": pd.Series([], dtype="int64")})), "u", 5
+        )
+        assert list(out.columns) == ["u", "n"] and len(out) == 0
+
+    def test_deterministic_sample_null_and_negative_keys(self):
+        # nulls are DROPPED (SQL NULL-comparison semantics), never
+        # platform-dependently hashed
+        df = pd.DataFrame({"k": pd.array([1, None, 2, None, 3] * 40, dtype="Int64")})
+        out = relational.deterministic_sample(ds_from(df), "k", 100).to_pandas()
+        assert len(out) == 120 and out["k"].notna().all()
+        # negative keys diverge from the SQL oracle -> loud error
+        neg = ds_from(pd.DataFrame({"k": [-1, 2, 3]}))
+        with pytest.raises(Exception, match="negative"):
+            relational.deterministic_sample(neg, "k", 10).to_pandas()
+
 
 class TestSketch:
     def test_hll_accuracy(self):
