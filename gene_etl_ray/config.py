@@ -80,6 +80,12 @@ class EngineConfig:
     # no sort, best measured scaling), "push" (push-based sort shuffle),
     # "pull" (default Ray sort shuffle)
     shuffle: str = "hash"
+    # snapshot retention (time travel): archive each partition manifest at
+    # commit (`_manifests/history/`) and never GC superseded files, so
+    # `read_lake(..., asof_epoch=e)` can reconstruct the lake exactly as
+    # of any committed epoch. Off by default: retention trades storage
+    # (every superseded partition file is kept) for history.
+    retain_history: bool = False
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:

@@ -674,6 +674,7 @@ def _run_ingest(
                 [x["path"] for x in rs],
                 stats,
                 append=(cfg.merge_mode == "mor"),
+                retain=cfg.retain_history,
             )
             write_checkpoint(lake_dir, pkey, commit_epoch, max(int(x["max_seq"]) for x in rs))
             append_lineage(
@@ -767,16 +768,39 @@ def lookup_urls(lake_dir: str, urls: list[str]) -> "pa.Table":
 
 
 def read_lake(
-    lake_dir: str, live_only: bool = True, columns: list[str] | None = None
+    lake_dir: str,
+    live_only: bool = True,
+    columns: list[str] | None = None,
+    asof_epoch: int | None = None,
 ) -> "ray.data.Dataset":
     """Dataset over the lake's manifested current files (only committed
     data is ever visible). For merge-on-read lakes the per-partition LWW
     resolution runs first (groupby pkey — partition-local, no cross-
     partition exchange semantics). ``live_only`` filters tombstones and
     drops the internal columns — the query-layer view, reference analog
-    of the SQL views over the results fact table (``models.py:241-284``)."""
+    of the SQL views over the results fact table (``models.py:241-284``).
+
+    ``asof_epoch`` (time travel): read the lake exactly as of that
+    committed epoch — requires the lake to have been written with
+    ``retain_history=True`` so each commit's manifest is archived and
+    superseded files survive. Resolution is per partition: the archived
+    manifest with the greatest epoch ≤ ``asof_epoch`` (a partition first
+    touched later simply isn't there yet). Columns follow the CURRENT
+    schema; rows are the snapshot's (evolved columns null-backfill)."""
+    from gene_etl_ray.state.manifest import read_manifest_asof
+
     meta = read_lake_meta(lake_dir)
-    files = [f for fs in current_files(lake_dir).values() for f in fs]
+    if asof_epoch is None:
+        files = [f for fs in current_files(lake_dir).values() for f in fs]
+    else:
+        P = (meta or {}).get("num_partitions", 0) or len(current_files(lake_dir))
+        snap = {k: read_manifest_asof(lake_dir, k, asof_epoch) for k in range(P)}
+        if not any(snap.values()) and current_files(lake_dir):
+            raise ValueError(
+                f"no archived manifests ≤ epoch {asof_epoch} — was the lake "
+                "written with retain_history=True?"
+            )
+        files = [f for m in snap.values() if m for f in m["files"]]
     internal = [DELETED_COLUMN, PKEY_COLUMN]
 
     def empty_result() -> "ray.data.Dataset":
@@ -871,7 +895,35 @@ def _compact_locked(cfg: EngineConfig, meta: dict) -> dict:
             [x["path"] for x in rs],
             {"rows": sum(int(x["rows"]) for x in rs), "compaction": True},
             force=True,
+            # compaction rewrites the CURRENT epoch: under retention the
+            # archive for this epoch is replaced too (same live rows) and
+            # superseded files must survive — older snapshots reference them
+            retain=cfg.retain_history,
         )
+    if cfg.retain_history:
+        # compaction replaced this epoch's archive in place; a delta file
+        # created AT this epoch is now referenced by no archive at all —
+        # GC exactly the files no manifest (current or archived) names
+        import json as _json
+
+        referenced: set[str] = set()
+        for fs in current_files(lake_dir).values():
+            referenced.update(fs)
+        hdir = os.path.join(lake_dir, "_manifests", "history")
+        if os.path.isdir(hdir):
+            for n in os.listdir(hdir):
+                if n.endswith(".json"):
+                    try:
+                        with open(os.path.join(hdir, n)) as f:
+                            referenced.update(_json.load(f)["files"])
+                    except (OSError, ValueError, KeyError):
+                        pass
+        for f in glob.glob(os.path.join(lake_dir, "part=*", "*.parquet")):
+            if f not in referenced and not os.path.basename(f).startswith(".tmp-"):
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
     return {"compacted": len(by_pkey), "epoch": epoch}
 
 
@@ -911,6 +963,17 @@ def consistency_report(lake_dir: str) -> dict:
         for f in glob.glob(os.path.join(lake_dir, "part=*", "*.parquet"))
         if not os.path.basename(f).startswith(".tmp-")
     }
+    # under snapshot retention, superseded files are intentionally kept:
+    # any file referenced by an ARCHIVED manifest is accounted for too
+    hdir = os.path.join(lake_dir, "_manifests", "history")
+    if os.path.isdir(hdir):
+        for n in os.listdir(hdir):
+            if n.endswith(".json"):
+                try:
+                    with open(os.path.join(hdir, n)) as f:
+                        manifested.update(_json.load(f)["files"])
+                except (OSError, ValueError, KeyError):
+                    pass
     if on_disk - manifested:
         checks["no_orphan_files"] = False
 

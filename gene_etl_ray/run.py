@@ -82,7 +82,12 @@ def cmd_export(args) -> int:
                 raise SystemExit(
                     f"unknown columns: {unknown}; lake has {sorted(known)}"
                 )
-    ds = read_lake(args.lake, live_only=not args.include_tombstones, columns=cols)
+    ds = read_lake(
+        args.lake,
+        live_only=not args.include_tombstones,
+        columns=cols,
+        asof_epoch=args.asof,
+    )
     out: dict = {"out": args.out}
     if args.count:
         # counting re-executes the lazy pipeline; do it only on request
@@ -232,6 +237,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated column subset (pruned at the read)")
     pe.add_argument("--count", action="store_true",
                     help="also report the row count (extra pass over the lake)")
+    pe.add_argument("--asof", type=int, default=None,
+                    help="time travel: export the lake as of this committed "
+                         "epoch (requires retain_history)")
     pe.set_defaults(fn=cmd_export)
 
     ps = sub.add_parser("stats", help="lake summary + last run metrics")

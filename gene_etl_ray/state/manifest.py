@@ -57,6 +57,32 @@ def read_manifest(lake_dir: str, pkey: int) -> dict | None:
         return json.load(f)
 
 
+def history_path(lake_dir: str, pkey: int, epoch: int) -> str:
+    return os.path.join(
+        lake_dir, "_manifests", "history", f"part={pkey:05d}.epoch={epoch:05d}.json"
+    )
+
+
+def read_manifest_asof(lake_dir: str, pkey: int, epoch: int) -> dict | None:
+    """The partition's archived manifest with the greatest epoch ≤
+    ``epoch`` (time-travel resolution). None if the partition did not
+    exist yet at that epoch, or retention was off."""
+    hdir = os.path.join(lake_dir, "_manifests", "history")
+    if not os.path.isdir(hdir):
+        return None
+    prefix = f"part={pkey:05d}.epoch="
+    best = -1
+    for n in os.listdir(hdir):
+        if n.startswith(prefix) and n.endswith(".json"):
+            e = int(n[len(prefix):-5])
+            if best < e <= epoch:
+                best = e
+    if best < 0:
+        return None
+    with open(history_path(lake_dir, pkey, best)) as f:
+        return json.load(f)
+
+
 def commit_partition(
     lake_dir: str,
     pkey: int,
@@ -65,6 +91,7 @@ def commit_partition(
     stats: dict,
     append: bool = False,
     force: bool = False,
+    retain: bool = False,
 ) -> dict:
     """Phase 2 for one partition: rename temp files to final names, then
     atomically publish the manifest. ``append=False`` (copy-on-write):
@@ -72,11 +99,18 @@ def commit_partition(
     GC'd. ``append=True`` (merge-on-read): the new files are ADDED to the
     current file list — read-side LWW resolves across them. ``force``
     bypasses the epoch-idempotency guard (compaction rewrites at an
-    already-committed epoch). Returns the new manifest."""
+    already-committed epoch). ``retain`` (snapshot retention / time
+    travel): ALSO archive this manifest under ``_manifests/history/`` and
+    skip the GC, so every committed epoch's file set stays reconstructable
+    (`read_manifest_asof`). Returns the new manifest."""
     old = read_manifest(lake_dir, pkey)
     if old is not None and old["epoch"] >= epoch and not force:
         # already committed by a previous (crashed-after-commit) run — the
         # epoch-idempotency guard, reference analog ``persist.py:273-295``
+        if retain and not os.path.exists(history_path(lake_dir, pkey, old["epoch"])):
+            # crashed between current-manifest write and its archive:
+            # backfill the archive from the live manifest
+            atomic_write_json(history_path(lake_dir, pkey, old["epoch"]), old)
         return old
     finals = []
     for tmp in tmp_files:
@@ -89,6 +123,12 @@ def commit_partition(
         finals = list(old["files"]) + finals
     manifest = {"pkey": pkey, "epoch": epoch, "files": sorted(set(finals)), "stats": stats}
     atomic_write_json(manifest_path(lake_dir, pkey), manifest)
+    if retain:
+        # archive AFTER the current manifest is live (a crash between the
+        # two leaves current-state correct; the archive is re-written on
+        # the idempotent recommit)
+        atomic_write_json(history_path(lake_dir, pkey, epoch), manifest)
+        return manifest
     # GC files superseded by this manifest (safe: readers already re-pointed)
     if old is not None:
         for f in old["files"]:
