@@ -850,6 +850,101 @@ def read_lake(
     return ds
 
 
+def diff_snapshots(
+    lake_dir: str, from_epoch: int, to_epoch: int
+) -> "ray.data.Dataset":
+    """Change feed between two committed snapshots (requires
+    ``retain_history``): one row per url whose LIVE state differs —
+    ``change`` ∈ {'added','updated','deleted'}, with the winning
+    (warc_ts, seq) version on each side.
+
+    Scale shape: both snapshots share the url→pkey partitioning, so the
+    comparison is PARTITION-LOCAL — partitions whose archived manifests
+    are identical at both epochs are skipped without reading a byte
+    (manifest-epoch comparison), and the rest are read column-pruned
+    (envelope only, never text/html), tagged per side, and outer-compared
+    per url inside one ``groupby(pkey)`` exchange."""
+    from gene_etl_ray.state.manifest import read_manifest_asof
+
+    meta = read_lake_meta(lake_dir)
+    if meta is None:
+        raise ValueError(f"no lake at {lake_dir}")
+    if from_epoch > to_epoch:
+        raise ValueError("from_epoch must be <= to_epoch")
+    P = meta["num_partitions"]
+    schema = _schema_from_hex(meta["schema_hex"])
+    sides: list[tuple[list[str], int]] = [([], 0), ([], 1)]
+    any_manifest = False
+    for k in range(P):
+        ma = read_manifest_asof(lake_dir, k, from_epoch)
+        mb = read_manifest_asof(lake_dir, k, to_epoch)
+        any_manifest = any_manifest or mb is not None
+        if (ma or {}).get("epoch") == (mb or {}).get("epoch"):
+            continue  # untouched between the two snapshots: skip entirely
+        if ma:
+            sides[0][0].extend(ma["files"])
+        if mb:
+            sides[1][0].extend(mb["files"])
+    if not any_manifest and current_files(lake_dir):
+        raise ValueError(
+            f"no archived manifests ≤ epoch {to_epoch} — was the lake "
+            "written with retain_history=True?"
+        )
+    cols = ["url", "warc_ts", "seq", PKEY_COLUMN, DELETED_COLUMN]
+    read_cols = [c for c in cols if schema.get_field_index(c) >= 0]
+    sub_schema = pa.schema([schema.field(c) for c in read_cols])
+    empty = pa.table(
+        {
+            "url": pa.array([], pa.string()),
+            "change": pa.array([], pa.string()),
+            "warc_ts_from": pa.array([], pa.timestamp("us")),
+            "seq_from": pa.array([], pa.int64()),
+            "warc_ts_to": pa.array([], pa.timestamp("us")),
+            "seq_to": pa.array([], pa.int64()),
+        }
+    )
+    tagged = []
+    for files, side in sides:
+        if not files:
+            continue
+        s = ray.data.read_parquet(files, columns=read_cols, schema=sub_schema)
+        tagged.append(
+            s.map_batches(
+                lambda b, _s=side: b.append_column(
+                    "__side", pa.array([_s] * b.num_rows, pa.int8())
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    if not tagged:
+        return ray.data.from_arrow(empty)
+    both = tagged[0].union(*tagged[1:]) if len(tagged) > 1 else tagged[0]
+
+    def diff_group(g: pd.DataFrame) -> pd.DataFrame:
+        def live(side: int) -> pd.DataFrame:
+            s = g[g["__side"] == side]
+            # per-url LWW resolution (no-op for cow snapshots, required
+            # for mor delta stacks)
+            s = s.sort_values(["url", "warc_ts", "seq"], kind="mergesort")
+            s = s.drop_duplicates("url", keep="last")
+            return s.loc[~s[DELETED_COLUMN], ["url", "warc_ts", "seq"]]
+
+        m = live(0).merge(
+            live(1), on="url", how="outer", suffixes=("_from", "_to"), indicator=True
+        )
+        change = np.where(
+            m["_merge"] == "right_only",
+            "added",
+            np.where(m["_merge"] == "left_only", "deleted", "updated"),
+        )
+        m = m.assign(change=change)
+        same = (m["_merge"] == "both") & (m["seq_from"] == m["seq_to"])
+        m = m.loc[~same, ["url", "change", "warc_ts_from", "seq_from", "warc_ts_to", "seq_to"]]
+        return m
+
+    return both.groupby(PKEY_COLUMN).map_groups(diff_group, batch_format="pandas")
+
+
 def compact_lake(cfg: EngineConfig) -> dict:
     """Fold a merge-on-read partition's delta files back into one file per
     partition (manifest REPLACE at the current epoch). Uses the same

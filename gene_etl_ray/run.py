@@ -198,6 +198,37 @@ def cmd_view(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Change feed between two committed snapshots (requires
+    retain_history): prints per-kind counts and up to --sample rows."""
+    from gene_etl_ray.pipelines.ingest import diff_snapshots
+
+    df = diff_snapshots(args.lake, getattr(args, "from"), args.to).to_pandas()
+    counts = (
+        df["change"].value_counts().to_dict() if "change" in df.columns else {}
+    )
+    sample = (
+        df.sort_values(["change", "url"]).head(args.sample) if len(df) else df
+    )
+    print(
+        json.dumps(
+            {
+                "from": getattr(args, "from"),
+                "to": args.to,
+                "changes": int(len(df)),
+                "added": int(counts.get("added", 0)),
+                "updated": int(counts.get("updated", 0)),
+                "deleted": int(counts.get("deleted", 0)),
+                "sample": [
+                    {"url": r.url, "change": r.change}
+                    for r in sample.itertuples()
+                ],
+            }
+        )
+    )
+    return 0
+
+
 def cmd_lookup(args) -> int:
     """Point lookup — the query/serving surface of the reference's REST
     query endpoint (``app.py:386-428``), as a CLI subcommand over the
@@ -266,6 +297,15 @@ def main(argv: list[str] | None = None) -> int:
     pw.add_argument("--lake", required=True)
     pw.add_argument("--top", type=int, default=10)
     pw.set_defaults(fn=cmd_view)
+
+    pd_ = sub.add_parser(
+        "diff", help="change feed between two snapshots (requires retain_history)"
+    )
+    pd_.add_argument("--lake", required=True)
+    pd_.add_argument("--from", type=int, required=True)
+    pd_.add_argument("--to", type=int, required=True)
+    pd_.add_argument("--sample", type=int, default=10)
+    pd_.set_defaults(fn=cmd_diff)
 
     pl = sub.add_parser("lookup", help="point lookup of urls (partition-pruned read)")
     pl.add_argument("--lake", required=True)

@@ -162,3 +162,19 @@ def test_cli_view_refreshes_and_reports(events_and_config, capsys):
     rep2 = last_json(capsys)
     assert rep2["refreshed_partitions"] == 0
     assert rep2["n_urls"] == rep["n_urls"] and rep2["n_tokens"] == rep["n_tokens"]
+
+
+def test_cli_diff_reports_change_feed(tmp_path, capsys):
+    ev = str(tmp_path / "events")
+    generate_events(ev, n_urls=100, n_events=500, n_epochs=4)
+    cfg_path = str(tmp_path / "cfg.json")
+    lake = str(tmp_path / "lake")
+    with open(cfg_path, "w") as f:
+        json.dump({"lake_dir": lake, "num_partitions": 4,
+                   "epochs_per_commit": 2, "retain_history": True}, f)
+    assert main(["ingest", "--config", cfg_path, "--events", ev]) == 0
+    capsys.readouterr()
+    assert main(["diff", "--lake", lake, "--from", "1", "--to", "3"]) == 0
+    rep = last_json(capsys)
+    assert rep["changes"] == rep["added"] + rep["updated"] + rep["deleted"]
+    assert rep["changes"] > 0 and len(rep["sample"]) <= 10

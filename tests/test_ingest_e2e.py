@@ -557,3 +557,53 @@ class TestTimeTravel:
         pd.testing.assert_frame_equal(before, after)
         # current view still matches the full replay after compaction
         assert_matches_oracle(lake, ev)
+
+
+class TestSnapshotDiff:
+    """diff_snapshots change feed vs an independent expectation computed
+    from the single-process replay of the two WAL prefixes."""
+
+    @pytest.mark.parametrize("mode", ["cow", "mor"])
+    def test_diff_matches_prefix_replays(self, tmp_path, mode):
+        from gene_etl_ray.pipelines.ingest import diff_snapshots
+
+        ev = str(tmp_path / "events")
+        lake = str(tmp_path / f"lake_{mode}")
+        generate_events(ev, n_urls=250, n_events=1400, n_epochs=6, seed=13)
+        cfg = EngineConfig(
+            lake_dir=lake, num_partitions=8, epochs_per_commit=2,
+            merge_mode=mode, retain_history=True,
+        )
+        run_ingest(cfg, ev)
+        seg = sorted(glob.glob(os.path.join(ev, "epoch=*.parquet")))
+
+        def prefix_live(n: int) -> pd.DataFrame:
+            pre = tmp_path / f"pfx_{mode}_{n}"
+            os.makedirs(str(pre), exist_ok=True)
+            for f in seg[:n]:
+                shutil.copy(f, str(pre))
+            return replay_oracle(str(pre)).set_index("url")
+
+        a, b = prefix_live(2), prefix_live(6)  # commit epochs 1 and 5
+        exp = {}
+        for url in set(a.index) - set(b.index):
+            exp[url] = "deleted"
+        for url in set(b.index) - set(a.index):
+            exp[url] = "added"
+        for url in set(a.index) & set(b.index):
+            if int(a.loc[url, "seq"]) != int(b.loc[url, "seq"]):
+                exp[url] = "updated"
+        assert exp, "fixture must actually change things between snapshots"
+
+        got = diff_snapshots(lake, 1, 5).to_pandas()
+        got_map = dict(zip(got["url"], got["change"]))
+        assert got_map == exp
+        # version columns carry each side's winner
+        upd = got[got["change"] == "updated"]
+        for r in upd.itertuples():
+            assert int(r.seq_from) == int(a.loc[r.url, "seq"])
+            assert int(r.seq_to) == int(b.loc[r.url, "seq"])
+
+        # identical snapshots diff to nothing (and read no partitions)
+        empty = diff_snapshots(lake, 5, 5).to_pandas()
+        assert len(empty) == 0
