@@ -31,11 +31,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from gene_etl_ray.queries import ORACLE_SQL, cdc_oracle_sql
+    from gene_etl_ray.queries import (
+        ORACLE_SQL,
+        cdc_diff_oracle_sql,
+        cdc_oracle_sql,
+    )
 
     d = dict(ORACLE_SQL)
     # the driver's gate runs at sf0.01; cdc_oracle_sql generates the
     # deterministic change log (idempotent) so DuckDB can read the same
     # files the engine ingests, regardless of query/oracle run order
     d["cdc_ingest_lake"] = cdc_oracle_sql("/root/testdata/sf0.01")
+    d["cdc_snapshot_diff"] = cdc_diff_oracle_sql("/root/testdata/sf0.01")
     return d

@@ -940,7 +940,9 @@ def diff_snapshots(
         m = m.assign(change=change)
         same = (m["_merge"] == "both") & (m["seq_from"] == m["seq_to"])
         m = m.loc[~same, ["url", "change", "warc_ts_from", "seq_from", "warc_ts_to", "seq_to"]]
-        return m
+        # stable block schema: a group with no added/deleted rows would
+        # otherwise emit int64 seq columns while others emit float64
+        return m.astype({"seq_from": "float64", "seq_to": "float64"})
 
     return both.groupby(PKEY_COLUMN).map_groups(diff_group, batch_format="pandas")
 

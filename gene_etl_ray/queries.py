@@ -1493,6 +1493,58 @@ def cdc_oracle_sql(sf_dir: str) -> str:
     return CDC_SQL_TEMPLATE.format(ev_glob=f"{ev_dir}/epoch=*.parquet")
 
 
+def cdc_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Time-travel change feed under the oracle gate: ingest the flagship
+    change log into a RETAINED lake (``retain_history=True``), then
+    ``diff_snapshots`` between commit epochs 1 and 3 — added / updated /
+    deleted urls with each side's winning seq. The DuckDB twin recomputes
+    both snapshots as QUALIFY-LWW over the same event files (prefix
+    ``epoch <= e``) and full-outer-joins them."""
+    from gene_etl_ray.config import EngineConfig
+    from gene_etl_ray.pipelines.ingest import diff_snapshots, run_ingest
+
+    ev_dir = ensure_cdc_events(sf_dir)
+    lake_dir = f"{_cdc_base_dir(sf_dir)}/lake_tt"
+    cfg = EngineConfig(lake_dir=lake_dir, num_partitions=8, retain_history=True)
+    run_ingest(cfg, ev_dir)  # idempotent: a second call is a no-op
+    df = diff_snapshots(lake_dir, 1, 3).to_pandas()
+    out = df[["url", "change", "seq_from", "seq_to"]].copy()
+    out["seq_from"] = out["seq_from"].astype("float64")  # NaN on 'added'
+    out["seq_to"] = out["seq_to"].astype("float64")  # NaN on 'deleted'
+    return out.sort_values("url").reset_index(drop=True)
+
+
+CDC_DIFF_SQL_TEMPLATE = """
+WITH ev AS (
+    SELECT url, warc_ts, op, seq, epoch
+    FROM read_parquet('{ev_glob}', hive_partitioning = false)
+), a AS (
+    SELECT url, seq, op FROM ev WHERE epoch <= 1
+    QUALIFY row_number() OVER (
+        PARTITION BY url ORDER BY warc_ts DESC, seq DESC) = 1
+), b AS (
+    SELECT url, seq, op FROM ev WHERE epoch <= 3
+    QUALIFY row_number() OVER (
+        PARTITION BY url ORDER BY warc_ts DESC, seq DESC) = 1
+), al AS (SELECT url, seq FROM a WHERE op <> 'D'),
+   bl AS (SELECT url, seq FROM b WHERE op <> 'D')
+SELECT COALESCE(al.url, bl.url) AS url,
+       CASE WHEN al.url IS NULL THEN 'added'
+            WHEN bl.url IS NULL THEN 'deleted'
+            ELSE 'updated' END AS change,
+       CAST(al.seq AS DOUBLE) AS seq_from,
+       CAST(bl.seq AS DOUBLE) AS seq_to
+FROM al FULL OUTER JOIN bl ON al.url = bl.url
+WHERE al.url IS NULL OR bl.url IS NULL OR al.seq <> bl.seq
+ORDER BY url
+"""
+
+
+def cdc_diff_oracle_sql(sf_dir: str) -> str:
+    ev_dir = ensure_cdc_events(sf_dir)
+    return CDC_DIFF_SQL_TEMPLATE.format(ev_glob=f"{ev_dir}/epoch=*.parquet")
+
+
 def media_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: synthesize binary payloads → actor-pool decode
     stub → feature rows (rows-only; decode kernel is stubbed, SURVEY
@@ -1563,6 +1615,7 @@ QUERIES = {
     "embeddings_norm_by_label": embeddings_norm_by_label,
     "embeddings_near_dup": embeddings_near_dup,
     "cdc_ingest_lake": cdc_ingest_lake,
+    "cdc_snapshot_diff": cdc_snapshot_diff,
     "media_features": media_features,
 }
 

@@ -80,6 +80,21 @@ def test_cdc_flagship_matches_duckdb_oracle():
     pd.testing.assert_frame_equal(a, b, check_dtype=True)
 
 
+def test_cdc_snapshot_diff_matches_duckdb_oracle():
+    """Time-travel change feed vs the DuckDB full-outer-join of two
+    QUALIFY-LWW prefix snapshots over the same event files —
+    dtype-strict."""
+    import duckdb
+
+    ray_df = Q.cdc_snapshot_diff(SF)
+    sql_df = duckdb.connect().execute(Q.cdc_diff_oracle_sql(SF)).fetchdf()
+    assert len(ray_df) == len(sql_df) > 0
+    assert set(ray_df["change"]) <= {"added", "updated", "deleted"}
+    a = ray_df.sort_values("url").reset_index(drop=True)
+    b = sql_df.sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=True)
+
+
 def test_corpus_docs_have_at_least_three_tokens():
     """NGRAM_SQL's trigram CTE and ops.dedup._shingles diverge for docs
     with < 3 tokens (engine: whole text as one shingle; SQL: empty list)
