@@ -433,6 +433,15 @@ def _run_ingest(
             f"lake was created with num_partitions={meta['num_partitions']}, "
             f"config says {P}; the partition count of a lake is immutable"
         )
+    # retention is STICKY once on: a later run with retain_history=False
+    # would GC files that archived snapshots still reference — silent
+    # destruction of every snapshot. Enabling mid-life is allowed.
+    if meta is not None and meta.get("retain_history") and not cfg.retain_history:
+        raise ValueError(
+            "lake has snapshot retention enabled (retain_history in lake "
+            "meta); running with retain_history=False would delete files "
+            "archived snapshots reference — keep it enabled for this lake"
+        )
 
     quarantined: list[str] = []
     epochs = discover_epochs(events_dir, quarantine=quarantined)
@@ -537,6 +546,7 @@ def _run_ingest(
             "schema_hex": _schema_to_hex(target),
             "config_hash": cfg.hash(),
             "merge_mode": cfg.merge_mode,
+            "retain_history": cfg.retain_history,
         }
         write_lake_meta(lake_dir, meta)
 
@@ -787,19 +797,12 @@ def read_lake(
     manifest with the greatest epoch ≤ ``asof_epoch`` (a partition first
     touched later simply isn't there yet). Columns follow the CURRENT
     schema; rows are the snapshot's (evolved columns null-backfill)."""
-    from gene_etl_ray.state.manifest import read_manifest_asof
-
     meta = read_lake_meta(lake_dir)
     if asof_epoch is None:
         files = [f for fs in current_files(lake_dir).values() for f in fs]
     else:
         P = (meta or {}).get("num_partitions", 0) or len(current_files(lake_dir))
-        snap = {k: read_manifest_asof(lake_dir, k, asof_epoch) for k in range(P)}
-        if not any(snap.values()) and current_files(lake_dir):
-            raise ValueError(
-                f"no archived manifests ≤ epoch {asof_epoch} — was the lake "
-                "written with retain_history=True?"
-            )
+        snap = _snapshot_manifests(lake_dir, asof_epoch, P)
         files = [f for m in snap.values() if m for f in m["files"]]
     internal = [DELETED_COLUMN, PKEY_COLUMN]
 
@@ -850,6 +853,48 @@ def read_lake(
     return ds
 
 
+def _snapshot_manifests(lake_dir: str, epoch: int, P: int) -> dict[int, dict | None]:
+    """Per-partition manifest resolution for a snapshot at ``epoch``:
+    the archived manifest with the greatest epoch ≤ ``epoch``; a
+    partition untouched since BEFORE retention was enabled falls back to
+    its current manifest (its state cannot have changed after its last
+    commit). FAILS LOUD when a partition demonstrably existed at
+    ``epoch`` (lineage records a commit ≤ it) but neither source covers
+    it — i.e. retention was enabled too late to reconstruct this
+    snapshot — instead of silently dropping the partition. One directory
+    listing total (archived_epochs_index)."""
+    from gene_etl_ray.state.lineage import read_lineage
+    from gene_etl_ray.state.manifest import (
+        archived_epochs_index,
+        read_manifest,
+        read_manifest_asof,
+    )
+
+    index = archived_epochs_index(lake_dir)
+    first_commit: dict[int, int] = {}
+    for r in read_lineage(lake_dir):
+        k, e = int(r["pkey"]), int(r["epoch"])
+        if k not in first_commit or e < first_commit[k]:
+            first_commit[k] = e
+    snap: dict[int, dict | None] = {}
+    for k in range(P):
+        m = read_manifest_asof(lake_dir, k, epoch, index=index)
+        if m is None:
+            cur = read_manifest(lake_dir, k)
+            if cur is not None:
+                if cur["epoch"] <= epoch:
+                    m = cur  # untouched since before retention began
+                elif first_commit.get(k, 1 << 62) <= epoch:
+                    raise ValueError(
+                        f"partition {k} existed at epoch {epoch} (first "
+                        f"commit {first_commit[k]}) but no archived manifest "
+                        f"covers it — retain_history was enabled later; this "
+                        "snapshot is unreconstructable"
+                    )
+        snap[k] = m
+    return snap
+
+
 def diff_snapshots(
     lake_dir: str, from_epoch: int, to_epoch: int
 ) -> "ray.data.Dataset":
@@ -864,8 +909,6 @@ def diff_snapshots(
     (manifest-epoch comparison), and the rest are read column-pruned
     (envelope only, never text/html), tagged per side, and outer-compared
     per url inside one ``groupby(pkey)`` exchange."""
-    from gene_etl_ray.state.manifest import read_manifest_asof
-
     meta = read_lake_meta(lake_dir)
     if meta is None:
         raise ValueError(f"no lake at {lake_dir}")
@@ -873,11 +916,12 @@ def diff_snapshots(
         raise ValueError("from_epoch must be <= to_epoch")
     P = meta["num_partitions"]
     schema = _schema_from_hex(meta["schema_hex"])
+    snap_a = _snapshot_manifests(lake_dir, from_epoch, P)
+    snap_b = _snapshot_manifests(lake_dir, to_epoch, P)
     sides: list[tuple[list[str], int]] = [([], 0), ([], 1)]
     any_manifest = False
     for k in range(P):
-        ma = read_manifest_asof(lake_dir, k, from_epoch)
-        mb = read_manifest_asof(lake_dir, k, to_epoch)
+        ma, mb = snap_a[k], snap_b[k]
         any_manifest = any_manifest or mb is not None
         if (ma or {}).get("epoch") == (mb or {}).get("epoch"):
             continue  # untouched between the two snapshots: skip entirely
@@ -1001,20 +1045,11 @@ def _compact_locked(cfg: EngineConfig, meta: dict) -> dict:
         # compaction replaced this epoch's archive in place; a delta file
         # created AT this epoch is now referenced by no archive at all —
         # GC exactly the files no manifest (current or archived) names
-        import json as _json
+        from gene_etl_ray.state.manifest import archived_files
 
-        referenced: set[str] = set()
+        referenced: set[str] = archived_files(lake_dir)
         for fs in current_files(lake_dir).values():
             referenced.update(fs)
-        hdir = os.path.join(lake_dir, "_manifests", "history")
-        if os.path.isdir(hdir):
-            for n in os.listdir(hdir):
-                if n.endswith(".json"):
-                    try:
-                        with open(os.path.join(hdir, n)) as f:
-                            referenced.update(_json.load(f)["files"])
-                    except (OSError, ValueError, KeyError):
-                        pass
         for f in glob.glob(os.path.join(lake_dir, "part=*", "*.parquet")):
             if f not in referenced and not os.path.basename(f).startswith(".tmp-"):
                 try:
@@ -1062,15 +1097,9 @@ def consistency_report(lake_dir: str) -> dict:
     }
     # under snapshot retention, superseded files are intentionally kept:
     # any file referenced by an ARCHIVED manifest is accounted for too
-    hdir = os.path.join(lake_dir, "_manifests", "history")
-    if os.path.isdir(hdir):
-        for n in os.listdir(hdir):
-            if n.endswith(".json"):
-                try:
-                    with open(os.path.join(hdir, n)) as f:
-                        manifested.update(_json.load(f)["files"])
-                except (OSError, ValueError, KeyError):
-                    pass
+    from gene_etl_ray.state.manifest import archived_files
+
+    manifested.update(archived_files(lake_dir))
     if on_disk - manifested:
         checks["no_orphan_files"] = False
 

@@ -63,23 +63,59 @@ def history_path(lake_dir: str, pkey: int, epoch: int) -> str:
     )
 
 
-def read_manifest_asof(lake_dir: str, pkey: int, epoch: int) -> dict | None:
+def archived_epochs_index(lake_dir: str) -> dict[int, list[int]]:
+    """pkey → sorted archived epochs, from ONE directory listing — the
+    batch-resolution index (per-partition relisting would make snapshot
+    resolution O(P² × commits))."""
+    hdir = os.path.join(lake_dir, "_manifests", "history")
+    out: dict[int, list[int]] = {}
+    if not os.path.isdir(hdir):
+        return out
+    for n in os.listdir(hdir):
+        if n.startswith("part=") and n.endswith(".json") and ".epoch=" in n:
+            k, e = n[5:-5].split(".epoch=")
+            out.setdefault(int(k), []).append(int(e))
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def archived_files(lake_dir: str) -> set[str]:
+    """Every data file referenced by ANY archived manifest — the set a
+    retention-aware GC / orphan check must treat as accounted for."""
+    hdir = os.path.join(lake_dir, "_manifests", "history")
+    out: set[str] = set()
+    if not os.path.isdir(hdir):
+        return out
+    for n in os.listdir(hdir):
+        if n.endswith(".json"):
+            try:
+                with open(os.path.join(hdir, n)) as f:
+                    out.update(json.load(f)["files"])
+            except (OSError, ValueError, KeyError):
+                pass
+    return out
+
+
+def read_manifest_asof(
+    lake_dir: str,
+    pkey: int,
+    epoch: int,
+    index: dict[int, list[int]] | None = None,
+) -> dict | None:
     """The partition's archived manifest with the greatest epoch ≤
     ``epoch`` (time-travel resolution). None if the partition did not
-    exist yet at that epoch, or retention was off."""
-    hdir = os.path.join(lake_dir, "_manifests", "history")
-    if not os.path.isdir(hdir):
+    exist yet at that epoch, or retention was off. Pass ``index`` (from
+    :func:`archived_epochs_index`) when resolving many partitions."""
+    if index is None:
+        index = archived_epochs_index(lake_dir)
+    import bisect
+
+    epochs = index.get(pkey, [])
+    i = bisect.bisect_right(epochs, epoch)
+    if i == 0:
         return None
-    prefix = f"part={pkey:05d}.epoch="
-    best = -1
-    for n in os.listdir(hdir):
-        if n.startswith(prefix) and n.endswith(".json"):
-            e = int(n[len(prefix):-5])
-            if best < e <= epoch:
-                best = e
-    if best < 0:
-        return None
-    with open(history_path(lake_dir, pkey, best)) as f:
+    with open(history_path(lake_dir, pkey, epochs[i - 1])) as f:
         return json.load(f)
 
 

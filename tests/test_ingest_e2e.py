@@ -8,6 +8,7 @@ import os
 import shutil
 
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -530,9 +531,10 @@ class TestTimeTravel:
 
         assert all(consistency_report(lake).values())
 
-        # asof earlier than the first commit: partition-less snapshot fails loud
-        with pytest.raises(ValueError, match="retain_history|archived"):
-            read_lake(lake, asof_epoch=0)
+        # asof earlier than the first commit: on a FULLY retained lake the
+        # history proves the lake was empty, so the snapshot is empty (not
+        # an error — lineage shows every partition's first commit is later)
+        assert read_lake(lake, asof_epoch=0).count() == 0
 
     def test_mor_compaction_preserves_snapshots(self, tmp_path):
         from gene_etl_ray.pipelines.ingest import compact_lake
@@ -557,6 +559,51 @@ class TestTimeTravel:
         pd.testing.assert_frame_equal(before, after)
         # current view still matches the full replay after compaction
         assert_matches_oracle(lake, ev)
+
+    def test_retention_enabled_mid_life(self, tmp_path):
+        """Retention turned on after the lake already has commits:
+        untouched partitions fall back to their current manifest (their
+        state provably didn't change), a reconstructable snapshot reads
+        clean, an unreconstructable one fails loud, and turning retention
+        back OFF is refused (sticky — GC would eat archived snapshots)."""
+        ev = str(tmp_path / "events")
+        lake = str(tmp_path / "lake")
+        generate_events(ev, n_urls=150, n_events=600, n_epochs=2, seed=7)
+        base = dict(lake_dir=lake, num_partitions=8, epochs_per_commit=2)
+        run_ingest(EngineConfig(**base, retain_history=False), ev)
+
+        # phase 2: one more WAL segment touching exactly ONE url (so most
+        # partitions are untouched by the retained commit)
+        t = pq.read_table(os.path.join(ev, "epoch=00001.parquet"))
+        df = t.to_pandas()
+        row = df[df["op"] != "D"].iloc[[-1]].copy()
+        row["seq"] = int(df["seq"].max()) + 1
+        row["warc_ts"] = row["warc_ts"] + pd.Timedelta(days=365)
+        row["epoch"] = 2
+        pq.write_table(
+            pa.Table.from_pandas(row, schema=t.schema, preserve_index=False),
+            os.path.join(ev, "epoch=00002.parquet"),
+        )
+        run_ingest(EngineConfig(**base, retain_history=True), ev)
+
+        # asof the retained commit: archived manifest for the touched
+        # partition + current-manifest fallback for the untouched ones
+        got = (
+            read_lake(lake, asof_epoch=2)
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        gold = replay_oracle(ev).sort_values("url").reset_index(drop=True)
+        cols = sorted(set(got.columns) & set(gold.columns))
+        pd.testing.assert_frame_equal(got[cols], gold[cols], check_dtype=False)
+
+        # asof BEFORE retention began, for a partition that changed after:
+        # unreconstructable — must fail loud, not silently drop/mix state
+        with pytest.raises(ValueError, match="unreconstructable"):
+            read_lake(lake, asof_epoch=1).count()
+
+        # retention is sticky: a later run trying to disable it is refused
+        with pytest.raises(ValueError, match="retain_history"):
+            run_ingest(EngineConfig(**base, retain_history=False), ev)
 
 
 class TestSnapshotDiff:
