@@ -485,3 +485,123 @@ def windowed_agg(
         with_w, [key, "window_start"], sums={"value_sum": value}, counts="n_events"
     )
     return out
+
+
+def lag_lead(
+    ds: ray.data.Dataset,
+    key: str,
+    order: list[str],
+    value: str,
+    lag_name: str = "lag_value",
+    lead_name: str = "lead_value",
+) -> ray.data.Dataset:
+    """Per-key LAG/LEAD window columns (``LAG(value) OVER (PARTITION BY
+    key ORDER BY order)``): one hash shuffle on the key, then a
+    vectorized shift inside each group — partition-local, no global
+    sort. ``order`` must be a deterministic total order within the key
+    (include a tiebreak column) or lag/lead values are ill-defined."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort")
+        g[lag_name] = g[value].shift(1)
+        g[lead_name] = g[value].shift(-1)
+        return g
+
+    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+
+
+def ntile_in_groups(
+    ds: ray.data.Dataset,
+    key: str,
+    order: list[str],
+    n: int,
+    name: str = "tile",
+) -> ray.data.Dataset:
+    """Per-key ``NTILE(n)``: rows ordered by ``order`` within each key
+    are split into ``n`` near-equal tiles, the first ``count % n`` tiles
+    one row larger (exact SQL NTILE semantics; tiles are 1-based). One
+    hash shuffle; ``order`` needs a tiebreak column for determinism."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
+        c = len(g)
+        sizes = np.full(n, c // n, dtype=np.int64)
+        sizes[: c % n] += 1
+        g[name] = np.repeat(np.arange(1, n + 1, dtype=np.int64), sizes)[:c]
+        return g
+
+    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+
+
+def unpivot(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "measure",
+    value_name: str = "value",
+) -> ray.data.Dataset:
+    """UNPIVOT/melt: widen rows into (measure, value) pairs — a pure
+    per-batch reshape (no shuffle, output rows = input × len(value_cols)).
+    The wide→long step feeding per-measure aggregates."""
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        return b.melt(
+            id_vars=id_cols, value_vars=value_cols,
+            var_name=var_name, value_name=value_name,
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def string_agg_per_key(
+    ds: ray.data.Dataset,
+    key: str,
+    value: str,
+    sep: str = ",",
+    out: str = "agg",
+) -> ray.data.Dataset:
+    """Per-key ordered string aggregation (``string_agg(value, sep ORDER
+    BY value)``): hash shuffle on the key, join inside the group. The
+    concatenated value is O(group) — intended for bounded groups (names
+    per dimension key), not payload columns."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(str(v) for v in g[value] if v is not None)
+        return pd.DataFrame(
+            {key: [g[key].iloc[0]], "n": np.int64(len(vals)), out: [sep.join(vals)]}
+        )
+
+    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    key: str,
+    strata: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+    salt: int = 2654435761,
+) -> ray.data.Dataset:
+    """Per-stratum deterministic sampling: each row keeps iff
+    ``hash(key) mod 100 < rates_pct[stratum]`` — the
+    :func:`deterministic_sample` predicate with a per-stratum rate, so
+    every stratum is sampled at its own fraction reproducibly (the
+    class-balancing primitive for training-data curation). Membership is
+    a pure function of (key, stratum) — SQL-expressible. Same key-domain
+    contract as deterministic_sample: non-negative int keys, nulls drop."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t.column(key)
+        if col.null_count:
+            t = t.filter(pc.is_valid(col))
+            col = t.column(key)
+        k = col.to_numpy(zero_copy_only=False)
+        if len(k) and k.min() < 0:
+            raise ValueError(f"stratified_sample: negative {key} keys")
+        k = k.astype(np.uint64)
+        bucket = ((k * np.uint64(salt)) % np.uint64(2**32)) % np.uint64(100)
+        s = t.column(strata).to_pandas()
+        rate = s.map(rates_pct).fillna(default_pct).to_numpy(dtype=np.uint64)
+        return t.filter(pa.array(bucket < rate))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

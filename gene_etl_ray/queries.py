@@ -1562,6 +1562,231 @@ def media_features(sf_dir: str) -> pd.DataFrame:
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# outer joins, window functions, reshape, stratified sampling
+# ---------------------------------------------------------------------------
+
+def customer_orders_left_join(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER partitioned join (customers without orders survive with
+    nulls): customer ⋈ orders bucketed on the customer key — per-bucket
+    left-merge is globally exact because a bucket holds every row of both
+    sides for its keys. Neither side broadcast or driver-materialized."""
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    joined = relational.partitioned_join(
+        cust, orders, "c_custkey", "o_custkey", how="left"
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b["no_order"] = b["o_orderkey"].isna().astype(np.int64)
+        b["spend"] = b["o_totalprice"].fillna(0.0)
+        return b[["c_mktsegment", "no_order", "spend"]]
+
+    out = grouped_aggregate_partial(
+        joined.map_batches(prep, batch_format="pandas"),
+        ["c_mktsegment"],
+        sums={"n_no_orders": "no_order", "spend": "spend"},
+        counts="n_rows",
+    )
+    out["n_no_orders"] = out["n_no_orders"].astype("int64")
+    out["spend"] = out["spend"].round(2)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+LEFT_JOIN_SQL = """
+SELECT c_mktsegment,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_no_orders,
+       ROUND(sum(COALESCE(o_totalprice, 0)), 2) AS spend,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def events_customers_full_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER reconciliation: distinct event users vs the customer
+    dimension, categorized by side presence — the set-difference
+    consistency check (D4) as one partitioned outer join instead of two
+    anti joins. Distinct users come from a distributed groupby (never a
+    driver-side set)."""
+    users = (
+        read(sf_dir, "events", ["user_id"])
+        .groupby("user_id").count()
+        .map_batches(lambda b: b[["user_id"]], batch_format="pandas")
+    )
+    cust = read(sf_dir, "customer", ["c_custkey"])
+    joined = relational.partitioned_join(
+        users, cust, "user_id", "c_custkey", how="outer"
+    )
+
+    def cat(b: pd.DataFrame) -> pd.DataFrame:
+        b["presence"] = np.where(
+            b["user_id"].isna(), "customer_only",
+            np.where(b["c_custkey"].isna(), "event_only", "both"),
+        )
+        return b[["presence"]]
+
+    out = grouped_aggregate_partial(
+        joined.map_batches(cat, batch_format="pandas"),
+        ["presence"], sums={}, counts="n",
+    )
+    return out.sort_values("presence").reset_index(drop=True)
+
+
+FULL_OUTER_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events)
+SELECT CASE WHEN user_id IS NULL THEN 'customer_only'
+            WHEN c_custkey IS NULL THEN 'event_only'
+            ELSE 'both' END AS presence,
+       CAST(count(*) AS BIGINT) AS n
+FROM u FULL OUTER JOIN customer ON user_id = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_value_lag_stats(sf_dir: str) -> pd.DataFrame:
+    """LAG window function: per-user inter-event value deltas (ordered by
+    ts with event_id tiebreak), aggregated per user. One hash shuffle on
+    the key; the shift is vectorized inside each group."""
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    lagged = relational.lag_lead(ds, "user_id", ["ts", "event_id"], "value")
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b["abs_delta"] = (b["value"] - b["lag_value"]).abs().fillna(0.0)
+        b["has_lag"] = b["lag_value"].notna().astype(np.int64)
+        return b[["user_id", "abs_delta", "has_lag"]]
+
+    out = grouped_aggregate_partial(
+        lagged.map_batches(prep, batch_format="pandas"),
+        ["user_id"],
+        sums={"sum_abs_delta": "abs_delta", "n_deltas": "has_lag"},
+        counts="n_events",
+    )
+    out["n_deltas"] = out["n_deltas"].astype("int64")
+    out["sum_abs_delta"] = out["sum_abs_delta"].round(4)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+LAG_SQL = """
+WITH lagged AS (
+  SELECT user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS lag_value
+  FROM events)
+SELECT user_id,
+       ROUND(COALESCE(sum(abs(value - lag_value)), 0), 4) AS sum_abs_delta,
+       CAST(count(lag_value) AS BIGINT) AS n_deltas,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM lagged GROUP BY user_id ORDER BY user_id
+"""
+
+
+def part_price_quartiles(sf_dir: str) -> pd.DataFrame:
+    """NTILE window function: per-brand price quartiles (deterministic
+    order: price then partkey), then per-(brand, tile) stats. Exact SQL
+    NTILE semantics — the first count%n tiles are one row larger."""
+    ds = read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
+    tiled = relational.ntile_in_groups(
+        ds, "p_brand", ["p_retailprice", "p_partkey"], 4, name="tile"
+    )
+    out = grouped_aggregate_partial(
+        tiled, ["p_brand", "tile"], sums={"sum_price": "p_retailprice"}, counts="n"
+    )
+    out["avg_price"] = (out["sum_price"] / out["n"]).round(6)
+    out["sum_price"] = out["sum_price"].round(2)
+    return out.sort_values(["p_brand", "tile"]).reset_index(drop=True)
+
+
+NTILE_SQL = """
+WITH t AS (
+  SELECT p_brand, p_retailprice,
+         ntile(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+             AS tile
+  FROM part)
+SELECT p_brand, CAST(tile AS BIGINT) AS tile,
+       ROUND(sum(p_retailprice), 2) AS sum_price,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(avg(p_retailprice), 6) AS avg_price
+FROM t GROUP BY p_brand, tile ORDER BY p_brand, tile
+"""
+
+
+def lineitem_unpivot_stats(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT/melt: four lineitem measures widened into (measure, value)
+    pairs per batch (pure reshape, no shuffle), then per-measure global
+    stats via partial aggregation."""
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = read(sf_dir, "lineitem", measures)
+    long = relational.unpivot(ds, [], measures)
+    out = grouped_aggregate_partial(
+        long, ["measure"], sums={"sum_value": "value"}, counts="n"
+    )
+    out["avg_value"] = (out["sum_value"] / out["n"]).round(6)
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("measure").reset_index(drop=True)
+
+
+UNPIVOT_SQL = """
+WITH m AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+SELECT measure, ROUND(sum(value), 2) AS sum_value,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(avg(value), 6) AS avg_value
+FROM m GROUP BY measure ORDER BY measure
+"""
+
+
+def supplier_names_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Ordered string aggregation (listagg) per key: supplier names per
+    nation, comma-joined in name order — distributed groupby, value
+    assembly inside the group."""
+    ds = read(sf_dir, "supplier", ["s_nationkey", "s_name"])
+    out = relational.string_agg_per_key(
+        ds, "s_nationkey", "s_name", sep=",", out="names"
+    ).to_pandas()
+    return out.sort_values("s_nationkey").reset_index(drop=True)
+
+
+STRING_AGG_SQL = """
+SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+       string_agg(s_name, ',' ORDER BY s_name) AS names
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+def customer_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Per-stratum deterministic sampling (class balancing): each market
+    segment keeps its own reproducible hash-fraction of customers;
+    membership is a pure function of (key, stratum) so the exact sample
+    is SQL-checkable."""
+    rates = {"BUILDING": 20, "AUTOMOBILE": 10, "MACHINERY": 5}
+    ds = read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    samp = relational.stratified_sample(
+        ds, "c_custkey", "c_mktsegment", rates, default_pct=2
+    )
+    out = grouped_aggregate_partial(
+        samp, ["c_mktsegment"], sums={"sum_acctbal": "c_acctbal"}, counts="n"
+    )
+    out["sum_acctbal"] = out["sum_acctbal"].round(2)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+STRATIFIED_SQL = """
+SELECT c_mktsegment,
+       ROUND(sum(c_acctbal), 2) AS sum_acctbal,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer
+WHERE ((c_custkey * 2654435761) % 4294967296) % 100 <
+      CASE c_mktsegment WHEN 'BUILDING' THEN 20 WHEN 'AUTOMOBILE' THEN 10
+           WHEN 'MACHINERY' THEN 5 ELSE 2 END
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1617,6 +1842,13 @@ QUERIES = {
     "cdc_ingest_lake": cdc_ingest_lake,
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "media_features": media_features,
+    "customer_orders_left_join": customer_orders_left_join,
+    "events_customers_full_outer": events_customers_full_outer,
+    "events_value_lag_stats": events_value_lag_stats,
+    "part_price_quartiles": part_price_quartiles,
+    "lineitem_unpivot_stats": lineitem_unpivot_stats,
+    "supplier_names_by_nation": supplier_names_by_nation,
+    "customer_stratified_sample": customer_stratified_sample,
 }
 
 ORACLE_SQL = {
@@ -1663,4 +1895,11 @@ ORACLE_SQL = {
     "docs_sample": SAMPLE_SQL,
     "docs_ngram_jaccard": NGRAM_SQL,
     "embeddings_norm_by_label": NORM_SQL,
+    "customer_orders_left_join": LEFT_JOIN_SQL,
+    "events_customers_full_outer": FULL_OUTER_SQL,
+    "events_value_lag_stats": LAG_SQL,
+    "part_price_quartiles": NTILE_SQL,
+    "lineitem_unpivot_stats": UNPIVOT_SQL,
+    "supplier_names_by_nation": STRING_AGG_SQL,
+    "customer_stratified_sample": STRATIFIED_SQL,
 }

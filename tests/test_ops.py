@@ -296,6 +296,50 @@ class TestRelational:
         exp = df.groupby("g", as_index=False).agg(sx=("x", "sum"), n=("x", "size"))
         pd.testing.assert_frame_equal(out, exp, check_dtype=False, atol=1e-9)
 
+    def test_ntile_group_smaller_than_n(self):
+        """SQL NTILE with fewer rows than tiles: tiles 1..count, one row
+        each (never empty middle tiles or rows bunched in tile 1)."""
+        df = pd.DataFrame({"g": ["a"] * 2 + ["b"] * 5, "v": [3, 1, 5, 4, 3, 2, 1],
+                           "id": list(range(7))})
+        out = relational.ntile_in_groups(ds_from(df), "g", ["v", "id"], 4).to_pandas()
+        a = out[out["g"] == "a"].sort_values("v")
+        assert a["tile"].tolist() == [1, 2]
+        b = out[out["g"] == "b"].sort_values(["v", "id"])
+        assert b["tile"].tolist() == [1, 1, 2, 3, 4]  # 5 rows, first tile larger
+
+    def test_lag_lead_respects_key_boundaries(self):
+        df = pd.DataFrame({"k": [1, 1, 2], "t": [1, 2, 3], "v": [10.0, 20.0, 30.0]})
+        out = relational.lag_lead(ds_from(df), "k", ["t"], "v").to_pandas()
+        out = out.sort_values(["k", "t"])
+        assert out["lag_value"].tolist()[0] != out["lag_value"].tolist()[0]  # NaN
+        assert out["lag_value"].tolist()[1] == 10.0
+        assert np.isnan(out["lag_value"].tolist()[2])  # k=2 sees no k=1 value
+        assert out["lead_value"].tolist()[0] == 20.0
+
+    def test_string_agg_drops_nulls_and_orders(self):
+        df = pd.DataFrame({"k": [1, 1, 1], "s": ["b", None, "a"]})
+        out = relational.string_agg_per_key(ds_from(df), "k", "s").to_pandas()
+        assert out["agg"].tolist() == ["a,b"] and out["n"].tolist() == [2]
+
+    def test_stratified_sample_contract(self):
+        df = pd.DataFrame({"id": [0, 1, 2, None], "s": ["x", "x", "y", "x"]})
+        out = relational.stratified_sample(
+            ds_from(df), "id", "s", {"x": 100}, default_pct=0
+        ).to_pandas()
+        # null key dropped; stratum y at default 0% dropped; x kept at 100%
+        assert sorted(out["id"].tolist()) == [0.0, 1.0]
+        # wrapped by Ray as RayTaskError(UserCodeException) -> match message
+        with pytest.raises(Exception, match="negative"):
+            relational.stratified_sample(
+                ds_from(pd.DataFrame({"id": [-1], "s": ["x"]})), "id", "s", {"x": 50}
+            ).to_pandas()
+
+    def test_unpivot_reshape(self):
+        df = pd.DataFrame({"id": [1, 2], "a": [1.0, 2.0], "b": [3.0, 4.0]})
+        out = relational.unpivot(ds_from(df), ["id"], ["a", "b"]).to_pandas()
+        assert len(out) == 4 and set(out["measure"]) == {"a", "b"}
+        assert out.loc[(out["id"] == 2) & (out["measure"] == "b"), "value"].item() == 4.0
+
     def test_grouped_count_topk_skewed_with_boundary_ties(self):
         """Zipf-ish counts with several keys tied exactly at the k-th
         count: the per-block widen + (n DESC, key ASC) tie-break must
