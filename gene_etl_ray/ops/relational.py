@@ -574,6 +574,113 @@ def string_agg_per_key(
     return ds.groupby(key).map_groups(fn, batch_format="pandas")
 
 
+def grouped_corr_stats(
+    ds: ray.data.Dataset,
+    key: str,
+    x: str,
+    y: str,
+) -> pd.DataFrame:
+    """Per-group Pearson correlation / sample covariance / regression
+    slope between two numeric columns, from MERGEABLE moment partials:
+    each batch emits one row per key of (n, Σx, Σy, Σx², Σy², Σxy) —
+    six numbers per key per batch, no row shuffle — and the tiny partial
+    frame folds driver-side. The bivariate analog of the grouped
+    variance op (A3); null pairs are dropped exactly as SQL ``corr``
+    drops them. Scale: shuffle volume is O(batches × distinct keys),
+    independent of row count."""
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[key, x, y]].dropna()
+        xv = b[x].to_numpy(dtype=np.float64)
+        yv = b[y].to_numpy(dtype=np.float64)
+        g = b.assign(
+            __n=np.int64(1), __sx=xv, __sy=yv, __sxx=xv * xv, __syy=yv * yv,
+            __sxy=xv * yv,
+        ).groupby(key, as_index=False, sort=False)
+        return g.agg(
+            n=("__n", "sum"), sx=("__sx", "sum"), sy=("__sy", "sum"),
+            sxx=("__sxx", "sum"), syy=("__syy", "sum"), sxy=("__sxy", "sum"),
+        )
+
+    p = ds.map_batches(moments, batch_format="pandas").to_pandas()
+    m = p.groupby(key, as_index=False, sort=False).sum()
+    n = m["n"].to_numpy(dtype=np.float64)
+    # sample (n-1) central moments, the SQL corr/covar_samp definitions
+    cov = (m["sxy"] - m["sx"] * m["sy"] / n) / (n - 1)
+    vx = (m["sxx"] - m["sx"] ** 2 / n) / (n - 1)
+    vy = (m["syy"] - m["sy"] ** 2 / n) / (n - 1)
+    out = pd.DataFrame({key: m[key]})
+    out["n"] = m["n"].astype("int64")
+    out["covar"] = cov
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out["corr"] = cov / np.sqrt(vx * vy)
+        out["slope"] = cov / vx
+    return out
+
+
+def patch_latest_per_key(
+    ds: ray.data.Dataset,
+    key: str,
+    order: list[str],
+    value_cols: list[str],
+) -> ray.data.Dataset:
+    """COLUMN-level last-writer-wins (CDC partial updates / patch
+    semantics): events carry NULL in columns they do not change, and the
+    converged row per key takes each column from the LATEST event where
+    that column is non-null — Debezium-style patch merge, vs the
+    row-level LWW of :func:`latest_per_key`. One hash shuffle on the
+    key; inside each group a vectorized forward-fill over the ordered
+    frame yields the per-column winners in O(rows). Emits one row per
+    key: the patched values plus ``n_versions``. SQL equivalent:
+    ``last_value(col IGNORE NULLS) OVER (... ROWS BETWEEN UNBOUNDED
+    PRECEDING AND UNBOUNDED FOLLOWING)`` + QUALIFY."""
+
+    def patch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort")
+        last = g[value_cols].ffill().iloc[-1:]
+        last.insert(0, key, g[key].iloc[0])
+        last["n_versions"] = np.int64(len(g))
+        return last.reset_index(drop=True)
+
+    return ds.groupby(key).map_groups(patch, batch_format="pandas")
+
+
+def cube_from_finest(
+    finest: pd.DataFrame,
+    keys: list[str],
+    sums: list[str],
+    count: str,
+    sentinels: dict[str, object],
+) -> pd.DataFrame:
+    """GROUP BY CUBE derived from ONE distributed finest-level pass: the
+    fact table is scanned once (per-batch partial aggregation → the
+    finest grouping), and all 2^k coarser grouping sets re-aggregate the
+    finest partials driver-side — they are tiny (distinct finest keys),
+    never the fact rows. Rolled-up keys take COALESCE ``sentinels`` so
+    the dtype contract stays stable (no NULL-ordering ambiguity).
+    Correct for distributive aggregates (sum/count); the ROLLUP op is
+    the chain-subset special case of this."""
+    from itertools import combinations
+
+    frames = [finest]
+    for r in range(len(keys)):
+        for kept in combinations(keys, r):  # grouping sets above finest
+            kept = list(kept)
+            if kept:
+                g = finest.groupby(kept, as_index=False).agg(
+                    **{c: (c, "sum") for c in sums + [count]}
+                )
+            else:
+                g = finest[sums + [count]].sum().to_frame().T
+            for k in keys:
+                if k not in kept:
+                    g[k] = sentinels[k]
+            frames.append(g[keys + sums + [count]])
+    out = pd.concat(frames, ignore_index=True)
+    out[count] = out[count].astype("int64")
+    return out
+
+
 def stratified_sample(
     ds: ray.data.Dataset,
     key: str,

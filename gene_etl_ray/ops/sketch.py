@@ -195,3 +195,115 @@ def approx_distinct(ds: ray.data.Dataset, column: str, p: int = 12) -> float:
     for r in parts:
         acc.merge(HyperLogLog.deserialize(r["sketch"], p))
     return acc.estimate()
+
+
+class SpaceSaving:
+    """SpaceSaving heavy-hitters sketch (Metwally et al. 2005): track at
+    most ``capacity`` (key, count, error) triples; an unseen key evicts
+    the current minimum and inherits its count as overestimation error.
+    Guarantees: estimated_count ∈ [true, true + N/capacity], every key
+    with true count > N/capacity is retained, and — the property the
+    oracle gate uses — when ``capacity ≥ distinct keys`` no eviction
+    ever happens and counts are EXACT. Mergeable (Agarwal et al. 2012):
+    combine counts keywise (missing key in one side takes that side's
+    min-bound 0 here, keeping the one-sided overestimate), re-truncate
+    to capacity."""
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self.counts: dict = {}
+        self.errors: dict = {}
+
+    def add_counted(self, keys, counts) -> None:
+        """Bulk insert of pre-combined (key, count) pairs — the per-batch
+        combiner output, not raw rows."""
+        for k, c in zip(keys, counts):
+            c = int(c)
+            if k in self.counts:
+                self.counts[k] += c
+            elif len(self.counts) < self.capacity:
+                self.counts[k] = c
+                self.errors[k] = 0
+            else:
+                mk = min(self.counts, key=lambda q: (self.counts[q], q))
+                mv = self.counts.pop(mk)
+                self.errors.pop(mk)
+                self.counts[k] = mv + c
+                self.errors[k] = mv
+
+    def _floor(self) -> int:
+        """A key absent from a full sketch may have been seen and
+        evicted; its true count is ≤ the sketch's minimum tracked count.
+        Below capacity nothing was ever evicted, so absent ⇒ count 0."""
+        if len(self.counts) < self.capacity:
+            return 0
+        return min(self.counts.values())
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        """Mergeable-summaries rule (Agarwal et al. 2012): estimate of a
+        key missing from one side takes that side's eviction floor, so
+        the merged count stays a one-sided overestimate; then keep the
+        top ``capacity`` keys, with dropped keys' max folding into the
+        floor via the per-key error."""
+        fs, fo = self._floor(), other._floor()
+        keys = set(self.counts) | set(other.counts)
+        counts, errors = {}, {}
+        for k in keys:
+            cs = self.counts.get(k)
+            co = other.counts.get(k)
+            counts[k] = (cs if cs is not None else fs) + (
+                co if co is not None else fo
+            )
+            errors[k] = (self.errors[k] if cs is not None else fs) + (
+                other.errors[k] if co is not None else fo
+            )
+        if len(counts) > self.capacity:
+            keep = sorted(counts, key=lambda q: (-counts[q], q))[: self.capacity]
+            counts = {k: counts[k] for k in keep}
+            errors = {k: errors[k] for k in keep}
+        self.counts, self.errors = counts, errors
+        return self
+
+    def topk(self, k: int) -> list[tuple[object, int, int]]:
+        """(key, est_count, max_error) for the k largest estimates,
+        tie-broken by key for determinism."""
+        order = sorted(self.counts, key=lambda q: (-self.counts[q], q))[:k]
+        return [(q, self.counts[q], self.errors[q]) for q in order]
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset, column: str, capacity: int, k: int
+) -> pd.DataFrame:
+    """Distributed heavy hitters: per-batch pandas value_counts is the
+    combiner (a hot key's rows collapse before anything moves), one
+    SpaceSaving sketch per batch over the combined counts, sketches
+    merged driver-side — bytes moved = batches × capacity triples,
+    independent of row count AND of distinct-key count. Exact whenever
+    ``capacity ≥`` the per-run distinct count (the oracle-gated
+    configuration); otherwise a one-sided overestimate with
+    error ≤ N/capacity (unit-tested bound)."""
+
+    def sketch(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[column].value_counts()
+        s = SpaceSaving(capacity)
+        s.add_counted(vc.index.to_numpy(), vc.to_numpy())
+        import pickle
+
+        return pd.DataFrame({"sk": [pickle.dumps((s.counts, s.errors))]})
+
+    import pickle
+
+    parts = ds.map_batches(sketch, batch_format="pandas").take_all()
+    acc = SpaceSaving(capacity)
+    for r in parts:
+        o = SpaceSaving(capacity)
+        o.counts, o.errors = pickle.loads(r["sk"])
+        acc.merge(o)
+    rows = acc.topk(k)
+    return pd.DataFrame(
+        {
+            column: [r[0] for r in rows],
+            "est_count": pd.array([r[1] for r in rows], dtype="int64"),
+            "max_error": pd.array([r[2] for r in rows], dtype="int64"),
+        }
+    )

@@ -1787,6 +1787,157 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def lineitem_corr_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Per-group bivariate statistics (corr / covar_samp / regression
+    slope) from mergeable moment partials — six numbers per key per
+    batch move, never the rows."""
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = relational.grouped_corr_stats(
+        ds, "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    out["corr"] = out["corr"].round(6)
+    out["covar"] = out["covar"].round(2)
+    out["slope"] = out["slope"].round(4)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+CORR_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def events_type_hour_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(event_type, hour): one distributed finest-level
+    pass over the fact table; all four grouping sets derived from the
+    tiny finest partials driver-side."""
+    ds = read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": pc.cast(pc.hour(t.column("ts")), pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    finest = grouped_aggregate_partial(
+        ds.map_batches(add_hour, batch_format="pyarrow"),
+        keys=["event_type", "hour"],
+        sums={"sum_value": "value"},
+        counts="n",
+    )
+    out = relational.cube_from_finest(
+        finest, ["event_type", "hour"], ["sum_value"], "n",
+        sentinels={"event_type": "__all__", "hour": -1},
+    )
+    out["hour"] = out["hour"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+CUBE_SQL = """
+SELECT COALESCE(event_type, '__all__') AS event_type,
+       COALESCE(CAST(EXTRACT(hour FROM ts) AS BIGINT), -1) AS hour,
+       round(sum(value), 2) AS sum_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY CUBE(event_type, EXTRACT(hour FROM ts))
+ORDER BY event_type, hour
+"""
+
+
+def events_patch_latest(sf_dir: str) -> pd.DataFrame:
+    """CDC partial updates (column-level LWW / patch merge): events
+    carry NULL in columns they don't change — derived here
+    deterministically (value withheld on event_id % 3 = 0, event_type on
+    event_id % 2 = 0) so the patch path is exercised and the exact same
+    change stream is SQL-constructible. Converged row per user takes
+    each column from the latest non-null event (order ts, event_id)."""
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_id", "value", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id")
+        e = eid.to_numpy(zero_copy_only=False)
+        val = pc.if_else(
+            pa.array(e % 3 == 0), pa.nulls(len(t), pa.float64()),
+            t.column("value"),
+        )
+        typ = pc.if_else(
+            pa.array(e % 2 == 0), pa.nulls(len(t), pa.string()),
+            t.column("event_type"),
+        )
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "event_id": eid,
+                "val_patch": val,
+                "type_patch": typ,
+            }
+        )
+
+    patched = relational.patch_latest_per_key(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        "user_id", ["ts", "event_id"], ["val_patch", "type_patch"],
+    ).to_pandas()
+    # sentinel-fill the never-patched case (all deltas withheld a column)
+    # so the null never reaches the hash compare (NaN vs NULL ambiguity)
+    patched["val_patch"] = patched["val_patch"].round(4).fillna(-1.0)
+    patched["type_patch"] = patched["type_patch"].fillna("__none__")
+    patched["n_versions"] = patched["n_versions"].astype("int64")
+    return patched.sort_values("user_id").reset_index(drop=True)
+
+
+PATCH_SQL = """
+WITH stream AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS val_patch,
+         CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_type END AS type_patch
+  FROM events)
+SELECT user_id,
+       COALESCE(ROUND(last_value(val_patch IGNORE NULLS) OVER w, 4), -1.0)
+           AS val_patch,
+       COALESCE(last_value(type_patch IGNORE NULLS) OVER w, '__none__')
+           AS type_patch,
+       CAST(count(*) OVER w AS BIGINT) AS n_versions
+FROM stream
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+"""
+
+
+def events_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Heavy hitters via a mergeable SpaceSaving sketch: per-batch
+    value_counts combiner → one bounded sketch per batch → driver merge.
+    Bytes moved are capacity-bounded, independent of rows AND distinct
+    keys. Run with capacity ≥ the distinct-user count, where SpaceSaving
+    is provably exact (max_error 0) — hence SQL-oracleable; the
+    approximate regime's error bound is unit-tested separately."""
+    from gene_etl_ray.ops.sketch import heavy_hitters
+
+    ds = read(sf_dir, "events", ["user_id"])
+    out = heavy_hitters(ds, "user_id", capacity=1 << 17, k=25)
+    out["user_id"] = out["user_id"].astype("int64")
+    out["est_count"] = out["est_count"].astype("int64")
+    out["max_error"] = out["max_error"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+HEAVY_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS est_count,
+       CAST(0 AS BIGINT) AS max_error
+FROM events GROUP BY user_id
+ORDER BY est_count DESC, user_id LIMIT 25
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1849,6 +2000,10 @@ QUERIES = {
     "lineitem_unpivot_stats": lineitem_unpivot_stats,
     "supplier_names_by_nation": supplier_names_by_nation,
     "customer_stratified_sample": customer_stratified_sample,
+    "lineitem_corr_by_flag": lineitem_corr_by_flag,
+    "events_type_hour_cube": events_type_hour_cube,
+    "events_patch_latest": events_patch_latest,
+    "events_heavy_hitters": events_heavy_hitters,
 }
 
 ORACLE_SQL = {
@@ -1902,4 +2057,8 @@ ORACLE_SQL = {
     "lineitem_unpivot_stats": UNPIVOT_SQL,
     "supplier_names_by_nation": STRING_AGG_SQL,
     "customer_stratified_sample": STRATIFIED_SQL,
+    "lineitem_corr_by_flag": CORR_SQL,
+    "events_type_hour_cube": CUBE_SQL,
+    "events_patch_latest": PATCH_SQL,
+    "events_heavy_hitters": HEAVY_SQL,
 }

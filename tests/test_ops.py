@@ -553,3 +553,155 @@ class TestComponentsConvergence:
         out = dedup.connected_components(edges, id_col="doc_id")
         assert set(out["cluster_id"]) == {0}
         assert len(out) == 40
+
+
+class TestSpaceSaving:
+    def _zipf_stream(self, seed=7, n=30000, keys=400):
+        rng = np.random.default_rng(seed)
+        return rng.zipf(1.3, n) % keys  # heavy skew, bounded key domain
+
+    def test_exact_when_capacity_covers_distinct(self):
+        from gene_etl_ray.ops.sketch import SpaceSaving
+
+        s = SpaceSaving(capacity=1000)
+        stream = self._zipf_stream()
+        vals, counts = np.unique(stream, return_counts=True)
+        s.add_counted(vals, counts)
+        true = dict(zip(vals.tolist(), counts.tolist()))
+        for k, est, err in s.topk(50):
+            assert est == true[k] and err == 0
+
+    def test_overestimate_bound_small_capacity(self):
+        from gene_etl_ray.ops.sketch import SpaceSaving
+
+        stream = self._zipf_stream()
+        cap = 40
+        s = SpaceSaving(capacity=cap)
+        # feed in chunks with per-chunk combination, as the op does
+        for chunk in np.array_split(stream, 30):
+            vals, counts = np.unique(chunk, return_counts=True)
+            s.add_counted(vals, counts)
+        true = dict(
+            zip(*[a.tolist() for a in np.unique(stream, return_counts=True)])
+        )
+        bound = len(stream) / cap
+        for k, est, err in s.topk(cap):
+            t = true.get(k, 0)
+            assert t <= est <= t + bound  # one-sided overestimate
+            assert est - err <= t  # error bound is honest
+        # every key heavier than N/capacity must be retained
+        kept = {k for k, _, _ in s.topk(cap)}
+        for k, t in true.items():
+            if t > bound:
+                assert k in kept
+
+    def test_merge_keeps_overestimate(self):
+        from gene_etl_ray.ops.sketch import SpaceSaving
+
+        stream = self._zipf_stream(seed=11, n=40000)
+        halves = np.array_split(stream, 2)
+        cap = 50
+        sketches = []
+        for h in halves:
+            s = SpaceSaving(capacity=cap)
+            vals, counts = np.unique(h, return_counts=True)
+            s.add_counted(vals, counts)
+            sketches.append(s)
+        merged = sketches[0].merge(sketches[1])
+        true = dict(
+            zip(*[a.tolist() for a in np.unique(stream, return_counts=True)])
+        )
+        for k, est, err in merged.topk(cap):
+            assert est >= true.get(k, 0)  # merge never undercounts
+
+    def test_heavy_hitters_dataset_exact(self):
+        import ray.data as rd
+        from gene_etl_ray.ops.sketch import heavy_hitters
+
+        df = pd.DataFrame({"k": self._zipf_stream(seed=3)})
+        out = heavy_hitters(rd.from_pandas(df), "k", capacity=1000, k=10)
+        true = df["k"].value_counts()
+        top = true.reset_index().sort_values(
+            ["count", "k"], ascending=[False, True]
+        ).head(10)
+        assert out["est_count"].tolist() == top["count"].tolist()
+        assert (out["max_error"] == 0).all()
+
+
+class TestPatchMerge:
+    def test_column_level_lww(self, ray_session):
+        import ray.data as rd
+        from gene_etl_ray.ops.relational import patch_latest_per_key
+
+        df = pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2, 2, 3],
+                "o": [1, 2, 3, 1, 2, 1],
+                "a": [10.0, None, None, 1.0, 2.0, None],
+                "b": ["x", "y", None, None, "z", None],
+            }
+        )
+        out = (
+            patch_latest_per_key(rd.from_pandas(df), "k", ["o"], ["a", "b"])
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        # k=1: a from o=1 (only non-null), b from o=2; k=3: never patched
+        assert out.loc[0, "a"] == 10.0 and out.loc[0, "b"] == "y"
+        assert out.loc[1, "a"] == 2.0 and out.loc[1, "b"] == "z"
+        assert pd.isna(out.loc[2, "a"]) and pd.isna(out.loc[2, "b"])
+        assert out["n_versions"].tolist() == [3, 2, 1]
+
+    def test_order_not_arrival(self, ray_session):
+        import ray.data as rd
+        from gene_etl_ray.ops.relational import patch_latest_per_key
+
+        # rows arrive out of order; the o=5 value must win, not the last row
+        df = pd.DataFrame(
+            {"k": [1, 1, 1], "o": [5, 1, 3], "a": [50.0, 10.0, 30.0]}
+        )
+        out = patch_latest_per_key(rd.from_pandas(df), "k", ["o"], ["a"]).to_pandas()
+        assert out.loc[0, "a"] == 50.0
+
+
+class TestGroupedCorr:
+    def test_matches_pandas(self, ray_session):
+        import ray.data as rd
+        from gene_etl_ray.ops.relational import grouped_corr_stats
+
+        rng = np.random.default_rng(5)
+        n = 5000
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 4, n),
+                "x": rng.normal(10, 3, n),
+            }
+        )
+        df["y"] = 2.5 * df["x"] + rng.normal(0, 4, n)
+        out = (
+            grouped_corr_stats(rd.from_pandas(df, override_num_blocks=8), "g", "x", "y")
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        for _, row in out.iterrows():
+            sub = df[df["g"] == row["g"]]
+            assert row["n"] == len(sub)
+            assert abs(row["corr"] - sub["x"].corr(sub["y"])) < 1e-9
+            assert abs(row["covar"] - sub["x"].cov(sub["y"])) < 1e-6
+            slope = sub["x"].cov(sub["y"]) / sub["x"].var()
+            assert abs(row["slope"] - slope) < 1e-9
+
+    def test_null_pairs_dropped(self, ray_session):
+        import ray.data as rd
+        from gene_etl_ray.ops.relational import grouped_corr_stats
+
+        df = pd.DataFrame(
+            {
+                "g": [1, 1, 1, 1],
+                "x": [1.0, 2.0, None, 4.0],
+                "y": [2.0, 4.0, 6.0, None],
+            }
+        )
+        out = grouped_corr_stats(rd.from_pandas(df), "g", "x", "y")
+        assert out["n"].tolist() == [2]  # only complete pairs count
