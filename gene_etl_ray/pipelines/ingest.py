@@ -896,7 +896,8 @@ def _snapshot_manifests(lake_dir: str, epoch: int, P: int) -> dict[int, dict | N
 
 
 def diff_snapshots(
-    lake_dir: str, from_epoch: int, to_epoch: int
+    lake_dir: str, from_epoch: int, to_epoch: int,
+    payload_cols: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """Change feed between two committed snapshots (requires
     ``retain_history``): one row per url whose LIVE state differs —
@@ -908,7 +909,14 @@ def diff_snapshots(
     are identical at both epochs are skipped without reading a byte
     (manifest-epoch comparison), and the rest are read column-pruned
     (envelope only, never text/html), tagged per side, and outer-compared
-    per url inside one ``groupby(pkey)`` exchange."""
+    per url inside one ``groupby(pkey)`` exchange.
+
+    ``payload_cols`` additionally carries those columns of each side's
+    WINNING row on the feed as ``<col>_from`` / ``<col>_to`` — what a
+    downstream delta consumer (see ``state.mview.refresh_view_delta``)
+    needs to maintain an aggregate from changes alone. The payload is
+    read only for touched partitions and emitted only for changed urls;
+    numeric payloads are cast to float64 for a stable block schema."""
     meta = read_lake_meta(lake_dir)
     if meta is None:
         raise ValueError(f"no lake at {lake_dir}")
@@ -934,19 +942,27 @@ def diff_snapshots(
             f"no archived manifests ≤ epoch {to_epoch} — was the lake "
             "written with retain_history=True?"
         )
-    cols = ["url", "warc_ts", "seq", PKEY_COLUMN, DELETED_COLUMN]
+    payload = list(payload_cols or [])
+    cols = ["url", "warc_ts", "seq", PKEY_COLUMN, DELETED_COLUMN] + payload
     read_cols = [c for c in cols if schema.get_field_index(c) >= 0]
+    missing = [c for c in payload if c not in read_cols]
+    if missing:
+        raise ValueError(f"payload_cols not in lake schema: {missing}")
     sub_schema = pa.schema([schema.field(c) for c in read_cols])
-    empty = pa.table(
-        {
-            "url": pa.array([], pa.string()),
-            "change": pa.array([], pa.string()),
-            "warc_ts_from": pa.array([], pa.timestamp("us")),
-            "seq_from": pa.array([], pa.int64()),
-            "warc_ts_to": pa.array([], pa.timestamp("us")),
-            "seq_to": pa.array([], pa.int64()),
-        }
-    )
+    empty_cols: dict[str, pa.Array] = {
+        "url": pa.array([], pa.string()),
+        "change": pa.array([], pa.string()),
+        "warc_ts_from": pa.array([], pa.timestamp("us")),
+        "seq_from": pa.array([], pa.int64()),
+        "warc_ts_to": pa.array([], pa.timestamp("us")),
+        "seq_to": pa.array([], pa.int64()),
+    }
+    for c in payload:
+        t = schema.field(c).type
+        t = pa.float64() if pa.types.is_integer(t) or pa.types.is_floating(t) else t
+        empty_cols[f"{c}_from"] = pa.array([], t)
+        empty_cols[f"{c}_to"] = pa.array([], t)
+    empty = pa.table(empty_cols)
     tagged = []
     for files, side in sides:
         if not files:
@@ -964,6 +980,14 @@ def diff_snapshots(
         return ray.data.from_arrow(empty)
     both = tagged[0].union(*tagged[1:]) if len(tagged) > 1 else tagged[0]
 
+    out_cols = ["url", "change", "warc_ts_from", "seq_from", "warc_ts_to", "seq_to"]
+    out_cols += [f"{c}_{s}" for c in payload for s in ("from", "to")]
+    numeric_payload = [
+        c for c in payload
+        if pa.types.is_integer(schema.field(c).type)
+        or pa.types.is_floating(schema.field(c).type)
+    ]
+
     def diff_group(g: pd.DataFrame) -> pd.DataFrame:
         def live(side: int) -> pd.DataFrame:
             s = g[g["__side"] == side]
@@ -971,7 +995,7 @@ def diff_snapshots(
             # for mor delta stacks)
             s = s.sort_values(["url", "warc_ts", "seq"], kind="mergesort")
             s = s.drop_duplicates("url", keep="last")
-            return s.loc[~s[DELETED_COLUMN], ["url", "warc_ts", "seq"]]
+            return s.loc[~s[DELETED_COLUMN], ["url", "warc_ts", "seq"] + payload]
 
         m = live(0).merge(
             live(1), on="url", how="outer", suffixes=("_from", "_to"), indicator=True
@@ -983,10 +1007,14 @@ def diff_snapshots(
         )
         m = m.assign(change=change)
         same = (m["_merge"] == "both") & (m["seq_from"] == m["seq_to"])
-        m = m.loc[~same, ["url", "change", "warc_ts_from", "seq_from", "warc_ts_to", "seq_to"]]
+        m = m.loc[~same, out_cols]
         # stable block schema: a group with no added/deleted rows would
         # otherwise emit int64 seq columns while others emit float64
-        return m.astype({"seq_from": "float64", "seq_to": "float64"})
+        casts = {"seq_from": "float64", "seq_to": "float64"}
+        for c in numeric_payload:
+            casts[f"{c}_from"] = "float64"
+            casts[f"{c}_to"] = "float64"
+        return m.astype(casts)
 
     return both.groupby(PKEY_COLUMN).map_groups(diff_group, batch_format="pandas")
 

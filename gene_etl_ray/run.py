@@ -174,18 +174,38 @@ def cmd_tail(args) -> int:
 
 
 def cmd_view(args) -> int:
-    """Incrementally refresh the domain_stats materialized view
-    (partition-invalidation IVM — only partitions committed to since the
-    last refresh are recomputed) and print the combined view."""
-    from gene_etl_ray.state.mview import read_view, refresh_view
+    """Incrementally refresh the domain_stats materialized view and
+    print it. Default strategy: partition-invalidation IVM (recompute
+    only partitions committed to since the last refresh). ``--delta``:
+    change-feed-driven maintenance (apply diff_snapshots deltas to the
+    O(domains) state — requires retain_history; work is O(changed
+    urls), never a partition rescan after bootstrap)."""
+    if args.delta:
+        from gene_etl_ray.state.mview import read_view_delta, refresh_view_delta
 
-    rep = refresh_view(args.lake)
-    df = read_view(args.lake)
+        rep = refresh_view_delta(args.lake)
+        df = read_view_delta(args.lake)
+        header = {
+            "strategy": "delta",
+            "refreshed": rep["refreshed"],
+            "epoch": rep.get("epoch"),
+            "bootstrap": rep.get("bootstrap", False),
+            "changed_domains": rep.get("changed_domains"),
+        }
+    else:
+        from gene_etl_ray.state.mview import read_view, refresh_view
+
+        rep = refresh_view(args.lake)
+        df = read_view(args.lake)
+        header = {
+            "strategy": "partition",
+            "refreshed_partitions": len(rep["refreshed"]),
+            "fresh_partitions": rep["fresh"],
+        }
     print(
         json.dumps(
             {
-                "refreshed_partitions": len(rep["refreshed"]),
-                "fresh_partitions": rep["fresh"],
+                **header,
                 "domains": len(df),
                 "n_urls": int(df["n_urls"].sum()) if len(df) else 0,
                 "n_tokens": int(df["n_tokens"].sum()) if len(df) else 0,
@@ -296,6 +316,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     pw.add_argument("--lake", required=True)
     pw.add_argument("--top", type=int, default=10)
+    pw.add_argument(
+        "--delta", action="store_true",
+        help="maintain from the change feed (requires retain_history)",
+    )
     pw.set_defaults(fn=cmd_view)
 
     pd_ = sub.add_parser(

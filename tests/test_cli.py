@@ -178,3 +178,27 @@ def test_cli_diff_reports_change_feed(tmp_path, capsys):
     rep = last_json(capsys)
     assert rep["changes"] == rep["added"] + rep["updated"] + rep["deleted"]
     assert rep["changes"] > 0 and len(rep["sample"]) <= 10
+
+
+def test_cli_view_delta_strategy(tmp_path, capsys):
+    """view --delta: bootstrap on first call, pure feed-apply on the
+    second, identical combined numbers to the partition strategy."""
+    ev = str(tmp_path / "events")
+    generate_events(ev, n_urls=120, n_events=600, n_epochs=4)
+    cfg_path = str(tmp_path / "cfg.json")
+    lake = str(tmp_path / "lake")
+    with open(cfg_path, "w") as f:
+        json.dump({"lake_dir": lake, "num_partitions": 4,
+                   "epochs_per_commit": 2, "retain_history": True}, f)
+    assert main(["ingest", "--config", cfg_path, "--events", ev]) == 0
+    capsys.readouterr()
+    assert main(["view", "--lake", lake, "--delta"]) == 0
+    rep = last_json(capsys)
+    assert rep["strategy"] == "delta" and rep["bootstrap"] and rep["refreshed"]
+    assert main(["view", "--lake", lake]) == 0
+    part = last_json(capsys)
+    assert part["n_urls"] == rep["n_urls"] and part["n_tokens"] == rep["n_tokens"]
+    # fresh second delta call
+    assert main(["view", "--lake", lake, "--delta"]) == 0
+    rep2 = last_json(capsys)
+    assert not rep2["refreshed"] and rep2["n_urls"] == rep["n_urls"]

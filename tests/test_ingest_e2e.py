@@ -654,3 +654,79 @@ class TestSnapshotDiff:
         # identical snapshots diff to nothing (and read no partitions)
         empty = diff_snapshots(lake, 5, 5).to_pandas()
         assert len(empty) == 0
+
+
+class TestDeltaView:
+    """Change-feed-driven view maintenance (streaming IVM): applying
+    diff_snapshots deltas to the O(domains) state must equal a full
+    recompute from the live lake at every cursor position, in both sink
+    modes — and must never rescan the base table after bootstrap."""
+
+    @pytest.mark.parametrize("mode", ["cow", "mor"])
+    def test_delta_apply_matches_recompute(self, tmp_path, mode):
+        from gene_etl_ray.state.mview import read_view_delta, refresh_view_delta
+
+        full = tmp_path / "all_events"
+        ev = tmp_path / "events"
+        lake = str(tmp_path / f"lake_{mode}")
+        generate_events(
+            str(full), n_urls=250, n_events=1400, n_epochs=6, seed=33,
+            delete_frac=0.12,
+        )
+        seg = sorted(glob.glob(os.path.join(str(full), "epoch=*.parquet")))
+        os.makedirs(str(ev))
+        cfg = EngineConfig(
+            lake_dir=lake, num_partitions=8, epochs_per_commit=2,
+            merge_mode=mode, retain_history=True,
+        )
+        recompute = TestMaterializedView._recompute
+
+        # wave 1: bootstrap (full distributed compute, cursor = head)
+        for f in seg[:2]:
+            shutil.copy(f, str(ev))
+        run_ingest(cfg, str(ev))
+        r1 = refresh_view_delta(lake)
+        assert r1["refreshed"] and r1["bootstrap"]
+        pd.testing.assert_frame_equal(read_view_delta(lake), recompute(lake))
+
+        # waves 2..3: pure delta application from the change feed
+        for lo, hi in ((2, 4), (4, 6)):
+            for f in seg[lo:hi]:
+                shutil.copy(f, str(ev))
+            run_ingest(cfg, str(ev))
+            r = refresh_view_delta(lake)
+            assert r["refreshed"] and not r["bootstrap"]
+            assert r["changed_domains"] > 0  # the feed really drove it
+            pd.testing.assert_frame_equal(read_view_delta(lake), recompute(lake))
+
+        # idempotent at head
+        r4 = refresh_view_delta(lake)
+        assert not r4["refreshed"] and r4["reason"] == "fresh"
+
+    def test_payload_cols_on_feed(self, tmp_path):
+        """diff_snapshots(payload_cols=...) carries each side's winning
+        payload: an updated url shows old and new text, an added url a
+        null from-side, a deleted url a null to-side."""
+        from gene_etl_ray.pipelines.ingest import diff_snapshots
+
+        ev = str(tmp_path / "events")
+        lake = str(tmp_path / "lake")
+        generate_events(ev, n_urls=120, n_events=700, n_epochs=4, seed=5,
+                        delete_frac=0.15)
+        cfg = EngineConfig(
+            lake_dir=lake, num_partitions=4, epochs_per_commit=1,
+            retain_history=True,
+        )
+        run_ingest(cfg, ev)
+        feed = diff_snapshots(lake, 0, 3, payload_cols=["text"]).to_pandas()
+        assert {"text_from", "text_to"} <= set(feed.columns)
+        assert len(feed) > 0
+        for _, row in feed.iterrows():
+            if row["change"] == "added":
+                assert pd.isna(row["text_from"]) and isinstance(row["text_to"], str)
+            elif row["change"] == "deleted":
+                assert isinstance(row["text_from"], str) and pd.isna(row["text_to"])
+            else:
+                assert isinstance(row["text_from"], str) and isinstance(
+                    row["text_to"], str
+                )
