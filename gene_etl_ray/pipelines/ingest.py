@@ -41,6 +41,7 @@ Scale properties (designed for 10^10 events / multi-node):
 from __future__ import annotations
 
 import glob
+import json
 import os
 import time
 
@@ -174,11 +175,12 @@ def _schema_from_hex(h: str) -> pa.Schema:
 def _clean_stale_tmp(lake_dir: str) -> None:
     """Temp files from a crashed run are invisible to readers (never
     manifested); remove them so they don't accumulate."""
-    for p in glob.glob(os.path.join(lake_dir, "part=*", ".tmp-*.parquet")):
-        try:
-            os.remove(p)
-        except OSError:
-            pass
+    for pat in (".tmp-*.parquet", ".tmp-*.parquet.bloom"):
+        for p in glob.glob(os.path.join(lake_dir, "part=*", pat)):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
 
 
 def _partition_counts(
@@ -309,6 +311,60 @@ def _select_winners(
     return winners, counts
 
 
+def _bloom_sidecar_path(parquet_path: str) -> str:
+    return parquet_path + ".bloom"
+
+
+def _write_bloom_sidecar(parquet_path: str, urls) -> None:
+    """Per-file url Bloom filter, written by the merge task next to its
+    partition file (and committed by the same rename): lets point
+    lookups skip files that cannot contain a url — at 10^10 scale a MOR
+    partition is a stack of delta files and most contain none of the
+    probed urls. ~16 bits/url (fp ≈ 1%), fsynced like the data file."""
+    import base64
+
+    from gene_etl_ray.ops.relational import BloomFilter
+
+    n = len(urls)
+    num_bits = max(8192, ((n * 16 + 63) // 64) * 64)
+    bf = BloomFilter(num_bits=num_bits, num_hashes=5)
+    if n:
+        bf.add(list(urls))
+    payload = {
+        "num_bits": num_bits,
+        "num_hashes": 5,
+        "bits": base64.b64encode(bf.bits.tobytes()).decode("ascii"),
+    }
+    p = _bloom_sidecar_path(parquet_path)
+    with open(p, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def _load_bloom_sidecar(parquet_path: str):
+    """BloomFilter from a sidecar, or None (pre-sidecar lake files)."""
+    import base64
+
+    from gene_etl_ray.ops.relational import BloomFilter
+
+    p = _bloom_sidecar_path(parquet_path)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            payload = json.load(f)
+        bf = BloomFilter(
+            num_bits=payload["num_bits"], num_hashes=payload["num_hashes"]
+        )
+        bf.bits = np.frombuffer(
+            base64.b64decode(payload["bits"]), dtype=np.uint8
+        ).copy()
+        return bf
+    except (ValueError, KeyError, OSError):
+        return None  # corrupt sidecar ⇒ fall back to reading the file
+
+
 def _make_merge_fn(lake_dir: str, commit_epoch: int, tag: str = ""):
     """Per-group LWW merge + partition-file write (phase 1 of the commit).
 
@@ -344,6 +400,7 @@ def _make_merge_fn(lake_dir: str, commit_epoch: int, tag: str = ""):
         # segment writer) — 16k rows ≈ tens of MB of webtext per group
         pq.write_table(t, path, row_group_size=16384)
         _fsync_file(path)
+        _write_bloom_sidecar(path, t.column("url").to_pylist())
         return pa.table(
             {
                 "pkey": pa.array([pkey], pa.int32()),
@@ -767,7 +824,19 @@ def lookup_urls(lake_dir: str, urls: list[str]) -> "pa.Table":
     files = [f for fs in current_files(lake_dir, pkeys).values() for f in fs]
     if not files:
         return _schema_from_hex(meta["schema_hex"]).empty_table()
+    # file-level Bloom pruning inside the probed partitions: skip files
+    # whose sidecar proves none of the urls can be present (a MOR
+    # partition is a delta-file stack; most deltas miss most urls).
+    # Missing/corrupt sidecar ⇒ read the file (no false negatives).
+    pruned = []
+    for f in files:
+        bf = _load_bloom_sidecar(f)
+        if bf is None or bool(bf.contains(canon).any()):
+            pruned.append(f)
+    files = pruned
     target = _schema_from_hex(meta["schema_hex"])
+    if not files:
+        return target.empty_table()
     tables = [conform_table(pq.read_table(f), target) for f in files]
     t = pa.concat_tables(tables)
     t = t.filter(pc.is_in(t.column("url"), value_set=pa.array(canon, pa.string())))
@@ -1080,10 +1149,11 @@ def _compact_locked(cfg: EngineConfig, meta: dict) -> dict:
             referenced.update(fs)
         for f in glob.glob(os.path.join(lake_dir, "part=*", "*.parquet")):
             if f not in referenced and not os.path.basename(f).startswith(".tmp-"):
-                try:
-                    os.remove(f)
-                except OSError:
-                    pass
+                for p in (f, f + ".bloom"):
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
     return {"compacted": len(by_pkey), "epoch": epoch}
 
 

@@ -152,6 +152,10 @@ def commit_partition(
     for tmp in tmp_files:
         d, base = os.path.split(tmp)
         final = os.path.join(d, base.removeprefix(".tmp-"))
+        # commit the file's bloom sidecar with the same rename protocol
+        # (readers treat a missing sidecar as "cannot prune")
+        if os.path.exists(tmp + ".bloom"):
+            os.replace(tmp + ".bloom", final + ".bloom")
         os.replace(tmp, final)
         finals.append(final)
     _fsync_dir(os.path.join(lake_dir, f"part={pkey:05d}"))
@@ -169,10 +173,11 @@ def commit_partition(
     if old is not None:
         for f in old["files"]:
             if f not in manifest["files"]:
-                try:
-                    os.remove(f)
-                except OSError:
-                    pass
+                for p in (f, f + ".bloom"):
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
     return manifest
 
 

@@ -22,6 +22,7 @@ from gene_etl_ray.pipelines.ingest import (
     validate_lake,
 )
 from gene_etl_ray.state.lineage import read_lineage
+from gene_etl_ray.state.manifest import current_files
 
 
 def lake_df(lake_dir: str) -> pd.DataFrame:
@@ -730,3 +731,76 @@ class TestDeltaView:
                 assert isinstance(row["text_from"], str) and isinstance(
                     row["text_to"], str
                 )
+
+
+class TestBloomSidecars:
+    """Per-file url Bloom sidecars: committed with the same rename
+    protocol as the data file, GC'd with it, and used by point lookups
+    to skip files that cannot contain a probed url."""
+
+    def test_sidecars_committed_and_lookup_prunes(self, tmp_path, monkeypatch):
+        import gene_etl_ray.pipelines.ingest as ing
+
+        ev = str(tmp_path / "events")
+        lake = str(tmp_path / "lake")
+        generate_events(ev, n_urls=200, n_events=1000, n_epochs=4, seed=13)
+        cfg = EngineConfig(
+            lake_dir=lake, num_partitions=4, epochs_per_commit=1,
+            merge_mode="mor",  # delta-file stacks: the pruning regime
+        )
+        run_ingest(cfg, ev)
+        files = [f for fs in current_files(lake).values() for f in fs]
+        assert len(files) > 4  # multiple delta files per partition
+        for f in files:
+            assert os.path.exists(f + ".bloom"), f
+        # no stray temp sidecars
+        assert not glob.glob(os.path.join(lake, "part=*", ".tmp-*.bloom"))
+
+        live = lake_df(lake)
+        probe = sorted(live["url"])[:3]
+        reads: list[str] = []
+        real_read = ing.pq.read_table
+
+        def counting_read(path, *a, **k):
+            reads.append(path)
+            return real_read(path, *a, **k)
+
+        monkeypatch.setattr(ing.pq, "read_table", counting_read)
+        got = ing.lookup_urls(lake, probe).to_pandas()
+        monkeypatch.undo()
+        assert sorted(got["url"]) == sorted(probe)
+        # pruning must beat "read every file of the probed partitions"
+        from gene_etl_ray.hashing import partition_keys
+
+        pkeys = sorted(set(int(k) for k in partition_keys(probe, 4)))
+        candidate = [f for fs in current_files(lake, pkeys).values() for f in fs]
+        assert len(reads) < len(candidate), (len(reads), len(candidate))
+
+        # equality with the unpruned read: force sidecars to miss
+        monkeypatch.setattr(ing, "_load_bloom_sidecar", lambda f: None)
+        unpruned = ing.lookup_urls(lake, probe).to_pandas()
+        monkeypatch.undo()
+        pd.testing.assert_frame_equal(
+            got.sort_values("url").reset_index(drop=True),
+            unpruned.sort_values("url").reset_index(drop=True),
+        )
+
+    def test_cow_gc_removes_superseded_sidecars(self, tmp_path):
+        full = tmp_path / "all_events"
+        ev = str(tmp_path / "events")
+        lake = str(tmp_path / "lake")
+        generate_events(str(full), n_urls=150, n_events=800, n_epochs=4, seed=19)
+        seg = sorted(glob.glob(os.path.join(str(full), "epoch=*.parquet")))
+        os.makedirs(ev)
+        cfg = EngineConfig(lake_dir=lake, num_partitions=4, epochs_per_commit=2)
+        for f in seg[:2]:
+            shutil.copy(f, ev)
+        run_ingest(cfg, ev)
+        for f in seg[2:]:
+            shutil.copy(f, ev)
+        run_ingest(cfg, ev)
+        # every on-disk sidecar belongs to a manifested file, and every
+        # manifested file has exactly one sidecar
+        manifested = {f for fs in current_files(lake).values() for f in fs}
+        sidecars = set(glob.glob(os.path.join(lake, "part=*", "*.parquet.bloom")))
+        assert sidecars == {f + ".bloom" for f in manifested}
