@@ -645,6 +645,102 @@ def patch_latest_per_key(
     return ds.groupby(key).map_groups(patch, batch_format="pandas")
 
 
+def grouped_higher_moments(
+    ds: ray.data.Dataset,
+    key: str,
+    x: str,
+) -> pd.DataFrame:
+    """Per-group skewness/kurtosis from MERGEABLE central-moment
+    partials: each batch emits per key (n, mean, M2, M3, M4) about its
+    OWN batch mean; partials fold with the Pébay/Chan parallel update
+    formulas — numerically stable where raw power sums (Σx³, Σx⁴)
+    catastrophically cancel for large-mean data, and the canonical
+    single-pass distributed shape for higher-order statistics. Returns
+    sample-corrected skewness (adjusted Fisher-Pearson G1) and sample
+    excess kurtosis (G2), the SQL ``skewness()`` / ``kurtosis()``
+    definitions."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[key, x]].dropna()
+        g = b.groupby(key, sort=False)
+        mean = g[x].transform("mean")
+        d = (b[x] - mean).to_numpy(dtype=np.float64)
+        p = b.assign(__d2=d * d, __d3=d**3, __d4=d**4).groupby(
+            key, as_index=False, sort=False
+        )
+        out = p.agg(
+            n=(x, "size"), mean=(x, "mean"),
+            M2=("__d2", "sum"), M3=("__d3", "sum"), M4=("__d4", "sum"),
+        )
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+
+    def combine(rows: pd.DataFrame) -> pd.Series:
+        nA = muA = m2A = m3A = m4A = 0.0
+        for r in rows.itertuples(index=False):
+            nB, muB, m2B, m3B, m4B = float(r.n), r.mean, r.M2, r.M3, r.M4
+            n = nA + nB
+            d = muB - muA
+            m4 = (
+                m4A + m4B
+                + d**4 * nA * nB * (nA * nA - nA * nB + nB * nB) / n**3
+                + 6 * d * d * (nA * nA * m2B + nB * nB * m2A) / (n * n)
+                + 4 * d * (nA * m3B - nB * m3A) / n
+            )
+            m3 = (
+                m3A + m3B
+                + d**3 * nA * nB * (nA - nB) / (n * n)
+                + 3 * d * (nA * m2B - nB * m2A) / n
+            )
+            m2 = m2A + m2B + d * d * nA * nB / n
+            muA = muA + d * nB / n
+            nA, m2A, m3A, m4A = n, m2, m3, m4
+        n = nA
+        g1 = np.sqrt(n) * m3A / m2A**1.5 if m2A > 0 else np.nan
+        G1 = g1 * np.sqrt(n * (n - 1)) / (n - 2) if n > 2 else np.nan
+        g2 = n * m4A / (m2A * m2A) - 3.0 if m2A > 0 else np.nan
+        G2 = (
+            ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+            if n > 3 else np.nan
+        )
+        return pd.Series({"n": np.int64(n), "skew": G1, "kurt": G2})
+
+    out = (
+        parts.groupby(key, sort=False).apply(combine, include_groups=False)
+        .reset_index()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def grouped_mode(
+    ds: ray.data.Dataset, key: str, value: str
+) -> pd.DataFrame:
+    """Per-key MODE (most frequent value), deterministically tie-broken
+    by the smallest value: per-batch (key, value) count partials — the
+    combiner, so a hot value's rows collapse before anything moves —
+    merged driver-side (distinct key×value pairs, not rows), then a
+    vectorized per-key argmax."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby([key, value], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    full = parts.groupby([key, value], as_index=False, sort=False).agg(n=("n", "sum"))
+    full = full.sort_values(
+        [key, "n", value], ascending=[True, False, True], kind="mergesort"
+    )
+    out = full.drop_duplicates(key, keep="first").reset_index(drop=True)
+    out = out.rename(columns={value: "mode_value", "n": "mode_count"})
+    out["mode_count"] = out["mode_count"].astype("int64")
+    return out
+
+
 def cube_from_finest(
     finest: pd.DataFrame,
     keys: list[str],

@@ -191,3 +191,26 @@ class Fingerprinter:
         batch["fingerprint"] = fps
         batch["n_fingerprints"] = [len(f) for f in fps]
         return batch
+
+
+def redact_terms(
+    ds: "ray.data.Dataset",
+    pattern: str,
+    replacement: str = "[X]",
+) -> "ray.data.Dataset":
+    """Regex scrubbing over the text column (the PII-redaction shape —
+    emails/phones in real webtext; scrub terms on this corpus): per-doc
+    hit count and the redacted text, fully vectorized (pandas str
+    kernels over compiled RE2-compatible patterns — no lookarounds or
+    backrefs, so the exact predicate is SQL-checkable). Adds
+    ``n_redacted`` and ``redacted_len``; per-batch, no shuffle."""
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        b["n_redacted"] = t.str.count(pattern).astype("int64")
+        b["redacted_len"] = (
+            t.str.replace(pattern, replacement, regex=True).str.len().astype("int64")
+        )
+        return b
+
+    return ds.map_batches(fn, batch_format="pandas")

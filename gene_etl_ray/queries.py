@@ -1938,6 +1938,74 @@ ORDER BY est_count DESC, user_id LIMIT 25
 """
 
 
+def lineitem_skew_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Per-group skewness/kurtosis via Pébay-merged central-moment
+    partials (stable where raw Σx³/Σx⁴ sums cancel) — matches the SQL
+    sample-corrected definitions to machine precision."""
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    out = relational.grouped_higher_moments(ds, "l_returnflag", "l_extendedprice")
+    out["skew"] = out["skew"].round(6)
+    out["kurt"] = out["kurt"].round(6)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SKEW_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       ROUND(skewness(l_extendedprice), 6) AS skew,
+       ROUND(kurtosis(l_extendedprice), 6) AS kurt
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def events_user_mode_type(sf_dir: str) -> pd.DataFrame:
+    """Per-user modal event type (deterministic min-value tie-break):
+    per-batch count combiner, key×value-pair merge, vectorized argmax."""
+    ds = read(sf_dir, "events", ["user_id", "event_type"])
+    out = relational.grouped_mode(ds, "user_id", "event_type")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+MODE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id, event_type AS mode_value, CAST(n AS BIGINT) AS mode_count
+FROM c
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) = 1
+ORDER BY user_id
+"""
+
+_REDACT_PAT = r"\b(spark|hash|merge)\b"
+
+
+def docs_redact_terms(sf_dir: str) -> pd.DataFrame:
+    """Regex scrubbing (the PII-redaction shape, non-vacuous on this
+    corpus): per-doc hit counts + redacted lengths, aggregated per
+    language. Vectorized str kernels; RE2-compatible pattern so the
+    exact predicate is SQL-checkable."""
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    red = text.redact_terms(ds, _REDACT_PAT)
+    out = grouped_aggregate_partial(
+        red, ["lang"],
+        sums={"total_redacted": "n_redacted", "sum_redacted_len": "redacted_len"},
+        counts="n_docs",
+    )
+    out["total_redacted"] = out["total_redacted"].astype("int64")
+    out["sum_redacted_len"] = out["sum_redacted_len"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+REDACT_SQL = r"""
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text, '\b(spark|hash|merge)\b'))) AS BIGINT)
+           AS total_redacted,
+       CAST(sum(length(regexp_replace(text, '\b(spark|hash|merge)\b', '[X]', 'g'))) AS BIGINT)
+           AS sum_redacted_len,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2004,6 +2072,9 @@ QUERIES = {
     "events_type_hour_cube": events_type_hour_cube,
     "events_patch_latest": events_patch_latest,
     "events_heavy_hitters": events_heavy_hitters,
+    "lineitem_skew_by_flag": lineitem_skew_by_flag,
+    "events_user_mode_type": events_user_mode_type,
+    "docs_redact_terms": docs_redact_terms,
 }
 
 ORACLE_SQL = {
@@ -2061,4 +2132,7 @@ ORACLE_SQL = {
     "events_type_hour_cube": CUBE_SQL,
     "events_patch_latest": PATCH_SQL,
     "events_heavy_hitters": HEAVY_SQL,
+    "lineitem_skew_by_flag": SKEW_SQL,
+    "events_user_mode_type": MODE_SQL,
+    "docs_redact_terms": REDACT_SQL,
 }

@@ -705,3 +705,62 @@ class TestGroupedCorr:
         )
         out = grouped_corr_stats(rd.from_pandas(df), "g", "x", "y")
         assert out["n"].tolist() == [2]  # only complete pairs count
+
+
+class TestHigherMoments:
+    def test_matches_scipy_style_definitions(self, ray_session):
+        import ray.data as rd
+        from gene_etl_ray.ops.relational import grouped_higher_moments
+
+        rng = np.random.default_rng(8)
+        # large-mean lognormal: the regime where raw power sums cancel
+        df = pd.DataFrame(
+            {"g": rng.integers(0, 3, 4000), "x": rng.lognormal(10, 1, 4000)}
+        )
+        out = (
+            grouped_higher_moments(rd.from_pandas(df, override_num_blocks=7), "g", "x")
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        for _, row in out.iterrows():
+            x = df.loc[df["g"] == row["g"], "x"].to_numpy()
+            n = len(x)
+            d = x - x.mean()
+            M2, M3, M4 = (d**2).sum(), (d**3).sum(), (d**4).sum()
+            G1 = (np.sqrt(n) * M3 / M2**1.5) * np.sqrt(n * (n - 1)) / (n - 2)
+            G2 = ((n + 1) * (n * M4 / M2**2 - 3) + 6) * (n - 1) / ((n - 2) * (n - 3))
+            assert row["n"] == n
+            assert abs(row["skew"] - G1) < 1e-9  # Pébay merge is stable
+            assert abs(row["kurt"] - G2) < 1e-9
+
+    def test_partial_merge_invariant_to_blocking(self, ray_session):
+        import ray.data as rd
+        from gene_etl_ray.ops.relational import grouped_higher_moments
+
+        rng = np.random.default_rng(12)
+        df = pd.DataFrame({"g": 0, "x": rng.normal(1e6, 5, 3000)})
+        a = grouped_higher_moments(rd.from_pandas(df, override_num_blocks=1), "g", "x")
+        b = grouped_higher_moments(rd.from_pandas(df, override_num_blocks=13), "g", "x")
+        assert abs(a["skew"][0] - b["skew"][0]) < 1e-8
+        assert abs(a["kurt"][0] - b["kurt"][0]) < 1e-8
+
+
+class TestGroupedMode:
+    def test_mode_with_deterministic_ties(self, ray_session):
+        import ray.data as rd
+        from gene_etl_ray.ops.relational import grouped_mode
+
+        df = pd.DataFrame(
+            {
+                "k": [1] * 4 + [2] * 3,
+                "v": ["b", "b", "a", "a", "z", "y", "z"],
+            }
+        )
+        out = (
+            grouped_mode(rd.from_pandas(df, override_num_blocks=3), "k", "v")
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        # k=1: tie a/b at 2 -> min value 'a'; k=2: z wins at 2
+        assert out["mode_value"].tolist() == ["a", "z"]
+        assert out["mode_count"].tolist() == [2, 2]
