@@ -86,11 +86,29 @@ class EngineConfig:
     # of any committed epoch. Off by default: retention trades storage
     # (every superseded partition file is kept) for history.
     retain_history: bool = False
+    # write-audit-publish: each commit group's merged output is STAGED
+    # (data files written, manifests held back in `_manifests/staged/`),
+    # audited distributed (per-file url uniqueness + null keys + stats
+    # reconciliation + optional delete-fraction guard), and only
+    # PUBLISHED — made reader-visible via the normal two-phase commit —
+    # when every check passes. A failed audit leaves the staged state on
+    # disk for inspection and raises AuditFailedError; nothing becomes
+    # visible and no watermark advances (the next run cleans and redoes
+    # the group). The Iceberg-style WAP gate for CDC pipelines.
+    write_audit_publish: bool = False
+    # audit guard: refuse to publish a commit group whose staged output
+    # would tombstone more than this fraction of its rows (a classic
+    # runaway-delete circuit breaker). None = no guard.
+    audit_max_delete_frac: float | None = None
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         if self.merge_mode not in ("cow", "mor"):
             raise ValueError("merge_mode must be 'cow' or 'mor'")
+        if self.audit_max_delete_frac is not None and not (
+            0.0 <= self.audit_max_delete_frac <= 1.0
+        ):
+            raise ValueError("audit_max_delete_frac must be in [0, 1]")
         if self.num_partitions < 1:
             raise ValueError("num_partitions must be >= 1")
         if self.salt_factor < 1:

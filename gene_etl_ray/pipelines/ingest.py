@@ -89,6 +89,128 @@ MANIFEST_ROW_SCHEMA = pa.schema(
 )
 
 
+class AuditFailedError(RuntimeError):
+    """A write-audit-publish gate rejected a staged commit group; the
+    staged files + `_manifests/staged/` snapshot are left for inspection
+    and NOTHING became reader-visible."""
+
+    def __init__(self, report: dict):
+        self.report = report
+        super().__init__(f"staged commit group failed audit: {report}")
+
+
+def _staged_dir(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_manifests", "staged")
+
+
+def _clean_staged(lake_dir: str) -> None:
+    """Unpublished staged state is redone, never resumed: the group's
+    watermarks/checkpoints only advance at publish, so deleting a staged
+    snapshot is always safe (exactly-once is anchored at publish)."""
+    import shutil
+
+    shutil.rmtree(_staged_dir(lake_dir), ignore_errors=True)
+
+
+def _audit_staged(cfg: EngineConfig, by_pkey: dict, commit_epoch: int) -> dict:
+    """The AUDIT of write-audit-publish, over the staged (tmp) files —
+    DISTRIBUTED, same shape as :func:`validate_lake`: column-pruned
+    (url + tombstone) read keyed per file, per-group vectorized checks.
+    Checks: (1) url uniqueness per staged file (gkey groups partition
+    the url space, so per-file uniqueness ⇒ per-partition uniqueness
+    for the staged delta); (2) no null/empty urls; (3) staged stats
+    reconcile with actual file rows; (4) optional delete-fraction
+    circuit breaker (``audit_max_delete_frac``)."""
+    import pandas as pd
+
+    expected_rows = {
+        x["path"]: int(x["rows"]) for rs in by_pkey.values() for x in rs
+    }
+    files = list(expected_rows)
+    checks = {
+        "epoch": commit_epoch,
+        "files": len(files),
+        "unique_urls_per_file": True,
+        "no_null_urls": True,
+        "stats_reconcile": True,
+        "delete_frac_ok": True,
+        "rows": 0,
+        "deleted_rows": 0,
+    }
+    if not files:
+        checks["passed"] = True
+        return checks
+
+    ds = ray.data.read_parquet(
+        files, columns=["url", DELETED_COLUMN], include_paths=True
+    )
+
+    def per_file(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["url"]
+        return pd.DataFrame(
+            {
+                "path": [g["fpath"].iloc[0]],
+                "rows": [len(g)],
+                "deleted": [int(g[DELETED_COLUMN].sum())],
+                "dup": [u.nunique(dropna=False) != len(g)],
+                "null_urls": [int((u.isna() | (u == "")).sum())],
+            }
+        )
+
+    # the implicit `path` column exists only at read time — materialize
+    # it before the shuffle (the groupby planner validates against the
+    # file schema)
+    res = (
+        ds.map_batches(
+            lambda b: b.rename(columns={"path": "fpath"}), batch_format="pandas"
+        )
+        .groupby("fpath")
+        .map_groups(per_file, batch_format="pandas")
+        .to_pandas()
+    )
+    checks["rows"] = int(res["rows"].sum())
+    checks["deleted_rows"] = int(res["deleted"].sum())
+    checks["unique_urls_per_file"] = not bool(res["dup"].any())
+    checks["no_null_urls"] = int(res["null_urls"].sum()) == 0
+    actual = dict(zip(res["path"], res["rows"].astype(int)))
+    checks["stats_reconcile"] = all(
+        actual.get(p) == n for p, n in expected_rows.items()
+    )
+    if cfg.audit_max_delete_frac is not None and checks["rows"]:
+        frac = checks["deleted_rows"] / checks["rows"]
+        checks["delete_frac_ok"] = frac <= cfg.audit_max_delete_frac
+        checks["delete_frac"] = round(frac, 4)
+    checks["passed"] = all(
+        checks[k]
+        for k in (
+            "unique_urls_per_file", "no_null_urls", "stats_reconcile",
+            "delete_frac_ok",
+        )
+    )
+    return checks
+
+
+def _stage_snapshot(lake_dir: str, by_pkey: dict, commit_epoch: int, audit: dict) -> None:
+    """Persist the staged group's plan (tmp file lists + audit report)
+    under ``_manifests/staged/`` — the inspectable artifact of a failed
+    audit."""
+    from gene_etl_ray.state.manifest import atomic_write_json
+
+    for pkey, rs in by_pkey.items():
+        atomic_write_json(
+            os.path.join(_staged_dir(lake_dir), f"part={int(pkey):05d}.json"),
+            {
+                "pkey": int(pkey),
+                "epoch": commit_epoch,
+                "tmp_files": [x["path"] for x in rs],
+                "rows": sum(int(x["rows"]) for x in rs),
+            },
+        )
+    atomic_write_json(
+        os.path.join(_staged_dir(lake_dir), "AUDIT.json"), audit
+    )
+
+
 class CrashInjected(RuntimeError):
     """Raised by the test-only crash hook after N partition commits."""
 
@@ -482,6 +604,7 @@ def _run_ingest(
     lake_dir = cfg.lake_dir
     os.makedirs(lake_dir, exist_ok=True)
     _clean_stale_tmp(lake_dir)
+    _clean_staged(lake_dir)  # unpublished WAP state is redone, not resumed
     P = cfg.num_partitions
 
     meta = read_lake_meta(lake_dir)
@@ -716,6 +839,21 @@ def _run_ingest(
         by_pkey: dict[int, list[dict]] = {}
         for r in rows:
             by_pkey.setdefault(int(r["pkey"]), []).append(r)
+
+        if cfg.write_audit_publish:
+            # AUDIT gate between write and publish: distributed checks
+            # over the staged tmp files; nothing is reader-visible yet
+            # (readers only trust manifests). A failed audit persists
+            # the staged snapshot + report for inspection and aborts —
+            # the inspection window lasts until the next run, which
+            # cleans and redoes the group (publish anchors exactly-once).
+            audit = _audit_staged(cfg, by_pkey, commit_epoch)
+            _stage_snapshot(lake_dir, by_pkey, commit_epoch, audit)
+            report.setdefault("audits", []).append(audit)
+            if not audit["passed"]:
+                raise AuditFailedError(audit)
+            _clean_staged(lake_dir)  # publishing now — snapshot superseded
+
         committed = 0
         applied = 0
         for pkey in sorted(by_pkey):

@@ -44,10 +44,16 @@ def load_config(path: str) -> EngineConfig:
 
 
 def cmd_ingest(args) -> int:
-    from gene_etl_ray.pipelines.ingest import run_ingest
+    from gene_etl_ray.pipelines.ingest import AuditFailedError, run_ingest
 
     cfg = load_config(args.config)
-    report = run_ingest(cfg, args.events)
+    try:
+        report = run_ingest(cfg, args.events)
+    except AuditFailedError as e:
+        # WAP gate tripped: nothing published; staged snapshot kept for
+        # inspection under <lake>/_manifests/staged/
+        print(json.dumps({"audit_failed": True, "audit": e.report}, default=str))
+        return 3
     print(json.dumps(report, default=str))
     return 0
 

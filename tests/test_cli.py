@@ -202,3 +202,21 @@ def test_cli_view_delta_strategy(tmp_path, capsys):
     assert main(["view", "--lake", lake, "--delta"]) == 0
     rep2 = last_json(capsys)
     assert not rep2["refreshed"] and rep2["n_urls"] == rep["n_urls"]
+
+
+def test_cli_ingest_audit_gate_exit_code(tmp_path, capsys):
+    """ingest under write_audit_publish with a tripwire guard exits 3
+    with the audit report; nothing is published."""
+    ev = str(tmp_path / "events")
+    generate_events(ev, n_urls=80, n_events=400, n_epochs=2, delete_frac=0.2)
+    cfg_path = str(tmp_path / "cfg.json")
+    lake = str(tmp_path / "lake")
+    with open(cfg_path, "w") as f:
+        json.dump({"lake_dir": lake, "num_partitions": 4,
+                   "write_audit_publish": True, "audit_max_delete_frac": 0.0}, f)
+    assert main(["ingest", "--config", cfg_path, "--events", ev]) == 3
+    rep = last_json(capsys)
+    assert rep["audit_failed"] and not rep["audit"]["delete_frac_ok"]
+    assert main(["stats", "--lake", lake]) == 0
+    stats = last_json(capsys)
+    assert stats.get("partitions", 0) == 0 or stats.get("rows", 0) == 0

@@ -804,3 +804,61 @@ class TestBloomSidecars:
         manifested = {f for fs in current_files(lake).values() for f in fs}
         sidecars = set(glob.glob(os.path.join(lake, "part=*", "*.parquet.bloom")))
         assert sidecars == {f + ".bloom" for f in manifested}
+
+
+class TestWriteAuditPublish:
+    """WAP gate: staged output is audited distributed before anything
+    becomes reader-visible; a failed audit aborts with the staged
+    snapshot on disk and a clean lake; a passing audit publishes state
+    identical to a plain ingest."""
+
+    @pytest.mark.parametrize("mode", ["cow", "mor"])
+    def test_audited_ingest_matches_oracle(self, tmp_path, mode):
+        ev = str(tmp_path / "events")
+        lake = str(tmp_path / f"lake_{mode}")
+        generate_events(ev, n_urls=150, n_events=800, n_epochs=4, seed=3)
+        cfg = EngineConfig(
+            lake_dir=lake, num_partitions=4, epochs_per_commit=2,
+            merge_mode=mode, write_audit_publish=True,
+        )
+        rep = run_ingest(cfg, ev)
+        audits = rep["audits"]
+        assert len(audits) == 2 and all(a["passed"] for a in audits)
+        assert all(a["rows"] > 0 for a in audits)
+        assert_matches_oracle(lake, ev)
+        # snapshot superseded after publish
+        assert not os.path.exists(os.path.join(lake, "_manifests", "staged"))
+
+    def test_failed_audit_leaves_clean_lake_and_staged_snapshot(self, tmp_path):
+        from gene_etl_ray.pipelines.ingest import AuditFailedError
+
+        ev = str(tmp_path / "events")
+        lake = str(tmp_path / "lake")
+        generate_events(ev, n_urls=120, n_events=600, n_epochs=2,
+                        delete_frac=0.2, seed=7)
+        cfg = EngineConfig(
+            lake_dir=lake, num_partitions=4, epochs_per_commit=2,
+            write_audit_publish=True, audit_max_delete_frac=0.0,  # trip on any delete
+        )
+        with pytest.raises(AuditFailedError) as ei:
+            run_ingest(cfg, ev)
+        assert not ei.value.report["delete_frac_ok"]
+        # nothing visible: no manifests, empty live view
+        assert lake_df(lake).empty if os.path.exists(lake) else True
+        from gene_etl_ray.state.manifest import current_files
+
+        assert current_files(lake) == {}
+        staged = os.path.join(lake, "_manifests", "staged")
+        assert os.path.exists(os.path.join(staged, "AUDIT.json"))
+        assert glob.glob(os.path.join(staged, "part=*.json"))
+
+        # rerun without the tripwire: cleans staged state, publishes,
+        # converges to the oracle
+        cfg2 = EngineConfig(
+            lake_dir=lake, num_partitions=4, epochs_per_commit=2,
+            write_audit_publish=True,
+        )
+        rep = run_ingest(cfg2, ev)
+        assert all(a["passed"] for a in rep["audits"])
+        assert_matches_oracle(lake, ev)
+        assert not os.path.exists(staged)
