@@ -43,4 +43,7 @@ def oracle_sql() -> dict[str, str]:
     # files the engine ingests, regardless of query/oracle run order
     d["cdc_ingest_lake"] = cdc_oracle_sql("/root/testdata/sf0.01")
     d["cdc_snapshot_diff"] = cdc_diff_oracle_sql("/root/testdata/sf0.01")
+    # mid-stream partition scale-out must converge to the SAME final
+    # state — identical LWW oracle, layout-independent by construction
+    d["cdc_repartitioned_lake"] = cdc_oracle_sql("/root/testdata/sf0.01")
     return d

@@ -265,6 +265,8 @@ def _epoch_record_info(lake_dir: str, commit_epoch: int, cfg: EngineConfig) -> d
 
     last_by_pkey: dict[int, int] = {}
     for rec in read_lineage(lake_dir, commit_epoch):
+        if rec.get("kind") == "repartition":
+            continue  # layout change, not an event application
         last_by_pkey[rec["pkey"]] = int(rec.get("event_count", 0))
     if not last_by_pkey:
         return {"noop": True}
@@ -603,6 +605,11 @@ def _run_ingest(
     t0 = time.time()
     lake_dir = cfg.lake_dir
     os.makedirs(lake_dir, exist_ok=True)
+    # materialize a committed-but-unfinalized repartition first (we hold
+    # the writer lock); the overlay stays authoritative until removed
+    from gene_etl_ray.state.manifest import finalize_repartition
+
+    finalize_repartition(lake_dir)
     _clean_stale_tmp(lake_dir)
     _clean_staged(lake_dir)  # unpublished WAP state is redone, not resumed
     P = cfg.num_partitions
@@ -727,6 +734,9 @@ def _run_ingest(
             "config_hash": cfg.hash(),
             "merge_mode": cfg.merge_mode,
             "retain_history": cfg.retain_history,
+            # partition-layout history (repartition_lake appends): the
+            # partition count in force for snapshots as of each epoch
+            "layouts": (meta or {}).get("layouts") or [{"epoch": -1, "P": P}],
         }
         write_lake_meta(lake_dir, meta)
 
@@ -1223,7 +1233,32 @@ def diff_snapshots(
             casts[f"{c}_to"] = "float64"
         return m.astype(casts)
 
+    # Crossing a repartition boundary, a url's pkey differs between the
+    # two snapshots' stored files — group by its url FAMILY instead
+    # (pkey % P_at_from_epoch): growth is by integer factors, so children
+    # of old partition k all satisfy pkey ≡ k (mod P_old) and families
+    # are closed url sets on both sides. Same exchange, coarser key.
+    P_fam = _layout_at(meta, from_epoch)
+    if P_fam != P:
+        def add_fam(b: pa.Table) -> pa.Table:
+            pk = b.column(PKEY_COLUMN).to_numpy(zero_copy_only=False)
+            return b.append_column("__fam", pa.array(pk % P_fam, pa.int32()))
+
+        both = both.map_batches(add_fam, batch_format="pyarrow")
+        return both.groupby("__fam").map_groups(diff_group, batch_format="pandas")
     return both.groupby(PKEY_COLUMN).map_groups(diff_group, batch_format="pandas")
+
+
+def _layout_at(meta: dict, epoch: int) -> int:
+    """Partition count in force for snapshots as of ``epoch`` (the last
+    ``layouts`` entry at/below it; the list is append-only and grow-only,
+    see :func:`repartition_lake`)."""
+    layouts = meta.get("layouts") or [{"epoch": -1, "P": meta["num_partitions"]}]
+    p = layouts[0]["P"]
+    for ent in layouts:
+        if ent["epoch"] <= epoch:
+            p = ent["P"]
+    return int(p)
 
 
 def compact_lake(cfg: EngineConfig) -> dict:
@@ -1240,6 +1275,10 @@ def compact_lake(cfg: EngineConfig) -> dict:
         return {"compacted": 0}
     acquire(lake_dir)
     try:
+        from gene_etl_ray.state.manifest import finalize_repartition
+
+        if finalize_repartition(lake_dir):
+            meta = read_lake_meta(lake_dir)
         return _compact_locked(cfg, meta)
     finally:
         release(lake_dir)
@@ -1293,6 +1332,236 @@ def _compact_locked(cfg: EngineConfig, meta: dict) -> dict:
                     except OSError:
                         pass
     return {"compacted": len(by_pkey), "epoch": epoch}
+
+
+def repartition_lake(cfg: EngineConfig, factor: int) -> dict:
+    """Online partition scale-out: grow the lake's partition count by an
+    integer ``factor`` (P_new = P_old × factor) — the operation a
+    10^10-row lake needs when partitions outgrow merge-task granularity.
+
+    Scale shape — NO shuffle. ``pkey = H(url) % P`` and
+    ``H % (P·F) ≡ H % P (mod P)``, so old partition k's urls land exactly
+    in children ``{k, k+P, …, k+(F-1)·P}``. The split is PARTITION-LOCAL:
+    one task per old partition reads its manifested files (LWW-resolving
+    mor delta stacks, so the split doubles as compaction) and writes its
+    F child files directly — no rows cross old-partition boundaries and
+    bulk data never visits the driver.
+
+    Atomicity — a TOTAL manifest overlay (``_manifests/REPART.json``,
+    published by ONE atomic rename) carries every new per-partition
+    manifest plus the new lake meta; ``read_manifest`` /
+    ``current_files`` / ``read_lake_meta`` consult it first, so readers
+    flip layouts in a single step. The next locked writer (or this call,
+    immediately) finalizes: materializes per-partition manifests, GCs
+    old-layout files, removes the overlay (idempotent — a crash at any
+    step re-runs it).
+
+    Watermarks survive WITHOUT surgery: a child's url set is a subset of
+    its parent's, so the parent's checkpoint ("epochs ≤ e applied") stays
+    true for the child — checkpoints are copied parent → children.
+    Tombstones are retained in stored partitions, so any conservative
+    replay re-applies idempotently (LWW).
+
+    With ``retain_history``, each new manifest is ALSO archived at the
+    parent's manifest epoch (overwriting the parent's archive at that
+    epoch): snapshots at/after it resolve the post-split layout, earlier
+    snapshots resolve pre-split archives untouched — each url family is
+    internally consistent either way. ``diff_snapshots`` groups by the
+    url FAMILY (``pkey % P_at_from_epoch``) when the interval crosses a
+    layout change, so relocated-but-unchanged urls never show up as
+    delete+add pairs.
+
+    Reference analog: none — the reference's table layout is fixed at
+    schema-creation (``models.py:122-161``); this is the piece a
+    fixed-size lake needs to keep partition granularity bounded as data
+    grows 100×.
+    """
+    from gene_etl_ray.state.lock import acquire, release
+    from gene_etl_ray.state.manifest import (
+        archived_files,
+        atomic_write_json,
+        finalize_repartition,
+        read_manifest,
+        repart_overlay_path,
+    )
+
+    if int(factor) != factor or factor < 2:
+        raise ValueError("factor must be an integer >= 2")
+    factor = int(factor)
+    lake_dir = cfg.lake_dir
+    acquire(lake_dir)
+    try:
+        finalize_repartition(lake_dir)  # any previously committed overlay
+        _clean_stale_tmp(lake_dir)
+        meta = read_lake_meta(lake_dir)
+        if meta is None:
+            raise ValueError(f"no lake at {lake_dir}")
+        t0 = time.time()
+        P_old = int(meta["num_partitions"])
+        P_new = P_old * factor
+        e0 = last_global_epoch(lake_dir)
+        layouts = meta.get("layouts") or [{"epoch": -1, "P": P_old}]
+        meta_new = {
+            **meta,
+            "num_partitions": P_new,
+            "layouts": layouts + [{"epoch": e0, "P": P_new}],
+        }
+        by_part = current_files(lake_dir)
+        if not by_part:
+            # no data yet: the layout flip is pure metadata
+            write_lake_meta(lake_dir, meta_new)
+            return {"from_partitions": P_old, "to_partitions": P_new,
+                    "files": 0, "rows": 0, "duration_sec": time.time() - t0}
+        parents = {k: read_manifest(lake_dir, k) for k in by_part}
+        target = _schema_from_hex(meta["schema_hex"])
+        target_hex = meta["schema_hex"]
+
+        def split_parent(batch: "pd.DataFrame") -> "pd.DataFrame":
+            """One task per old partition: read → LWW-resolve → split by
+            H(url) % P_new into ≤F child tmp files (bounded row groups +
+            bloom sidecars, same as merge tasks)."""
+            import pandas as pd
+
+            from gene_etl_ray.hashing import hash_urls
+
+            tgt = _schema_from_hex(target_hex)
+            out: list[dict] = []
+            for _, row in batch.iterrows():
+                k = int(row["pkey"])
+                epoch = int(row["epoch"])
+                t = pa.concat_tables(
+                    [conform_table(pq.read_table(f), tgt) for f in row["files"]]
+                )
+                t = _resolve_lww(t)  # no-op for cow; folds mor delta stacks
+                urls = t.column("url").to_numpy(zero_copy_only=False)
+                pk_new = (hash_urls(urls) % np.uint64(P_new)).astype(np.int32)
+                pk_idx = t.schema.get_field_index(PKEY_COLUMN)
+                t = t.set_column(pk_idx, PKEY_COLUMN, pa.array(pk_new, pa.int32()))
+                for j in range(factor):
+                    m = k + j * P_old
+                    sub = t.filter(pc.equal(t.column(PKEY_COLUMN), m))
+                    if sub.num_rows == 0:
+                        continue
+                    part_dir = os.path.join(lake_dir, f"part={m:05d}")
+                    os.makedirs(part_dir, exist_ok=True)
+                    path = os.path.join(
+                        part_dir, f".tmp-epoch={epoch:05d}-g{m:09d}-repart.parquet"
+                    )
+                    pq.write_table(sub, path, row_group_size=16384)
+                    _fsync_file(path)
+                    _write_bloom_sidecar(path, sub.column("url").to_pylist())
+                    live = sub.num_rows - (
+                        pc.sum(sub.column(DELETED_COLUMN)).as_py() or 0
+                    )
+                    out.append(
+                        {
+                            "pkey": m, "parent": k, "epoch": epoch, "path": path,
+                            "rows": sub.num_rows, "live_rows": int(live),
+                            "max_seq": pc.max(sub.column("seq")).as_py(),
+                        }
+                    )
+            return pd.DataFrame(
+                out,
+                columns=["pkey", "parent", "epoch", "path", "rows",
+                         "live_rows", "max_seq"],
+            )
+
+        items = [
+            {"pkey": k, "epoch": int(parents[k]["epoch"]), "files": fs}
+            for k, fs in sorted(by_part.items())
+        ]
+        rows = (
+            ray.data.from_items(items)
+            .map_batches(split_parent, batch_size=1, batch_format="pandas")
+            .to_pandas()
+        )
+
+        # phase 1.5: rename tmp → final (finals without a manifest entry
+        # stay invisible; deterministic names make a redo overwrite-safe)
+        finals: list[str] = []
+        for p in rows["path"]:
+            final = os.path.join(
+                os.path.dirname(p), os.path.basename(p).removeprefix(".tmp-")
+            )
+            if os.path.exists(p + ".bloom"):
+                os.replace(p + ".bloom", final + ".bloom")
+            os.replace(p, final)
+            finals.append(final)
+        rows = rows.assign(path=finals)
+
+        # children inherit the parent's checkpoint: child urls ⊆ parent
+        # urls, so the parent's "epochs ≤ e applied" claim holds for them
+        from gene_etl_ray.state.checkpoint import read_checkpoint
+
+        for k in by_part:
+            ck = read_checkpoint(lake_dir, k)
+            if ck is not None:
+                for j in range(1, factor):
+                    write_checkpoint(
+                        lake_dir, k + j * P_old,
+                        ck["last_committed_epoch"], ck.get("max_seq", -1),
+                    )
+
+        manifests: dict[str, dict] = {}
+        old_files = [f for fs in by_part.values() for f in fs]
+        for m_key, grp in rows.groupby("pkey"):
+            epoch = int(grp["epoch"].iloc[0])
+            man = {
+                "pkey": int(m_key),
+                "epoch": epoch,
+                "files": sorted(grp["path"]),
+                "stats": {
+                    "rows": int(grp["rows"].sum()),
+                    "live_rows": int(grp["live_rows"].sum()),
+                    "repartitioned_from": int(grp["parent"].iloc[0]),
+                },
+            }
+            manifests[str(int(m_key))] = man
+            append_lineage(
+                lake_dir,
+                {
+                    "epoch": epoch, "pkey": int(m_key), "kind": "repartition",
+                    "input_files": by_part[int(grp["parent"].iloc[0])],
+                    "event_count": 0, "rows": man["stats"]["rows"],
+                    "live_rows": man["stats"]["live_rows"],
+                },
+            )
+            if meta.get("retain_history"):
+                # snapshots at/after this epoch resolve the post-split
+                # layout for this url family; earlier archives untouched
+                from gene_etl_ray.state.manifest import history_path
+
+                atomic_write_json(history_path(lake_dir, int(m_key), epoch), man)
+
+        if meta.get("retain_history"):
+            referenced = archived_files(lake_dir)
+            gc = [f for f in old_files if f not in referenced]
+        else:
+            gc = old_files
+
+        # derived partition-shard caches are layout-bound: drop them
+        # BEFORE the flip so a crash can't leave stale shards that pass
+        # the epoch-freshness check against relocated partitions
+        for p in glob.glob(os.path.join(lake_dir, "_mv", "*", "part=*.parquet")):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+        overlay = {
+            "from_partitions": P_old, "to_partitions": P_new, "epoch": e0,
+            "meta": meta_new, "manifests": manifests, "gc": gc,
+        }
+        # THE COMMIT POINT: one atomic rename publishes the new layout
+        atomic_write_json(repart_overlay_path(lake_dir), overlay)
+        finalize_repartition(lake_dir)
+        return {
+            "from_partitions": P_old, "to_partitions": P_new,
+            "files": len(finals), "rows": int(rows["rows"].sum()),
+            "epoch": e0, "duration_sec": time.time() - t0,
+        }
+    finally:
+        release(lake_dir)
 
 
 def consistency_report(lake_dir: str) -> dict:
@@ -1360,6 +1629,8 @@ def consistency_report(lake_dir: str) -> dict:
     # and re-lineage that partition.
     by_epoch_pkey: dict[tuple[int, int], int] = {}
     for rec in lineage:
+        if rec.get("kind") == "repartition":
+            continue  # layout change: applied no events
         by_epoch_pkey[(rec["epoch"], rec["pkey"])] = int(rec.get("event_count", 0))
     by_epoch: dict[int, int] = {}
     for (ep, _pk), c in by_epoch_pkey.items():
@@ -1388,8 +1659,12 @@ def consistency_report(lake_dir: str) -> dict:
                 if c.get("last_committed_epoch", -1) > g:
                     checks["checkpoints_within_global"] = False
 
-    # 6: a single config hash across meta and all lineage records
-    hashes = {r.get("config_hash") for r in lineage} | (
+    # 6: a single config hash across meta and all lineage records of the
+    # CURRENT layout era — a repartition legitimately changes
+    # num_partitions (hence the hash), so earlier eras' records are
+    # layout history, not drift
+    era = (meta.get("layouts") or [{"epoch": -1}])[-1]["epoch"]
+    hashes = {r.get("config_hash") for r in lineage if r["epoch"] > era} | (
         {meta.get("config_hash")} if meta else set()
     )
     hashes.discard(None)

@@ -1545,6 +1545,40 @@ def cdc_diff_oracle_sql(sf_dir: str) -> str:
     return CDC_DIFF_SQL_TEMPLATE.format(ev_glob=f"{ev_dir}/epoch=*.parquet")
 
 
+def cdc_repartitioned_lake(sf_dir: str) -> pd.DataFrame:
+    """Online partition scale-out under the oracle gate: ingest the first
+    half of the flagship change log at P=4, ``repartition_lake`` ×2 (the
+    shuffle-free factor split + atomic overlay flip), ingest the rest at
+    P=8, return the live table. The DuckDB twin is the SAME LWW QUALIFY
+    oracle as ``cdc_ingest_lake`` — the final state is layout-independent,
+    which is exactly the invariant the repartition must preserve."""
+    import shutil
+
+    from gene_etl_ray.config import EngineConfig
+    from gene_etl_ray.pipelines.ingest import (
+        read_lake,
+        repartition_lake,
+        run_ingest,
+    )
+    from gene_etl_ray.state.checkpoint import read_lake_meta
+
+    ev_dir = ensure_cdc_events(sf_dir)
+    base = _cdc_base_dir(sf_dir)
+    lake_dir = f"{base}/lake_repart"
+    first = f"{base}/events_first2"
+    os.makedirs(first, exist_ok=True)
+    for n in ("epoch=00000.parquet", "epoch=00001.parquet"):
+        if not os.path.exists(os.path.join(first, n)):
+            shutil.copy(os.path.join(ev_dir, n), first)
+    if read_lake_meta(lake_dir) is None:
+        run_ingest(EngineConfig(lake_dir=lake_dir, num_partitions=4), first)
+    if read_lake_meta(lake_dir)["num_partitions"] == 4:  # idempotent rerun
+        repartition_lake(EngineConfig(lake_dir=lake_dir, num_partitions=4), 2)
+    run_ingest(EngineConfig(lake_dir=lake_dir, num_partitions=8), ev_dir)
+    df = read_lake(lake_dir).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def media_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: synthesize binary payloads → actor-pool decode
     stub → feature rows (rows-only; decode kernel is stubbed, SURVEY
@@ -2060,6 +2094,7 @@ QUERIES = {
     "embeddings_near_dup": embeddings_near_dup,
     "cdc_ingest_lake": cdc_ingest_lake,
     "cdc_snapshot_diff": cdc_snapshot_diff,
+    "cdc_repartitioned_lake": cdc_repartitioned_lake,
     "media_features": media_features,
     "customer_orders_left_join": customer_orders_left_join,
     "events_customers_full_outer": events_customers_full_outer,

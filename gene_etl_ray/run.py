@@ -111,6 +111,18 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_repartition(args) -> int:
+    """Online partition scale-out: grow the lake's partition count by an
+    integer factor (shuffle-free per-partition split, atomic overlay
+    publish — see ``pipelines.ingest.repartition_lake``). Subsequent
+    ingest configs must carry the new ``num_partitions``."""
+    from gene_etl_ray.pipelines.ingest import repartition_lake
+
+    cfg = load_config(args.config)
+    print(json.dumps(repartition_lake(cfg, args.factor)))
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Lake summary — parity with the statistics endpoint
     (``app.py:323-383``) and the grouped summary view
@@ -308,6 +320,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     pc_.add_argument("--config", required=True)
     pc_.set_defaults(fn=cmd_compact)
+
+    pr = sub.add_parser(
+        "repartition",
+        help="grow the lake's partition count by an integer factor "
+        "(shuffle-free split, atomic layout flip)",
+    )
+    pr.add_argument("--config", required=True)
+    pr.add_argument("--factor", type=int, required=True)
+    pr.set_defaults(fn=cmd_repartition)
 
     pt = sub.add_parser("tail", help="loop ingest passes as new WAL segments appear")
     pt.add_argument("--config", required=True)

@@ -80,6 +80,14 @@ def meta_path(lake_dir: str) -> str:
 
 
 def read_lake_meta(lake_dir: str) -> dict | None:
+    # a committed-but-unfinalized repartition overlay carries the NEW
+    # meta (num_partitions flip) — it and the manifest set publish in one
+    # atomic rename, so readers must take both from the same source
+    from gene_etl_ray.state.manifest import read_repart_overlay
+
+    ov = read_repart_overlay(lake_dir)
+    if ov is not None and "meta" in ov:
+        return ov["meta"]
     p = meta_path(lake_dir)
     if not os.path.exists(p):
         return None

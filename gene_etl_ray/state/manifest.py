@@ -49,7 +49,51 @@ def manifest_path(lake_dir: str, pkey: int) -> str:
     return os.path.join(lake_dir, "_manifests", f"part={pkey:05d}.json")
 
 
+def repart_overlay_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_manifests", "REPART.json")
+
+
+def read_repart_overlay(lake_dir: str) -> dict | None:
+    """The repartition overlay — a TOTAL manifest set published by ONE
+    atomic rename (`pipelines.ingest.repartition_lake`). While present it
+    is authoritative for every partition manifest AND the lake meta; the
+    per-partition JSON files on disk are the superseded layout. The next
+    locked writer materializes it (:func:`finalize_repartition`)."""
+    p = repart_overlay_path(lake_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def finalize_repartition(lake_dir: str) -> bool:
+    """Materialize a committed repartition overlay: write each partition's
+    manifest file, persist the new lake meta, GC old-layout data files,
+    then remove the overlay (LAST — it stays authoritative throughout, so
+    a crash at any step just re-runs this idempotently). Callers must hold
+    the writer lock. Returns True if an overlay was finalized."""
+    ov = read_repart_overlay(lake_dir)
+    if ov is None:
+        return False
+    for k, m in ov["manifests"].items():
+        atomic_write_json(manifest_path(lake_dir, int(k)), m)
+    # meta path duplicated from state.checkpoint to avoid an import cycle
+    atomic_write_json(os.path.join(lake_dir, "_meta", "lake.json"), ov["meta"])
+    for f in ov.get("gc", []):
+        for p in (f, f + ".bloom"):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+    os.remove(repart_overlay_path(lake_dir))
+    _fsync_dir(os.path.join(lake_dir, "_manifests"))
+    return True
+
+
 def read_manifest(lake_dir: str, pkey: int) -> dict | None:
+    ov = read_repart_overlay(lake_dir)
+    if ov is not None:
+        return ov["manifests"].get(str(pkey))
     p = manifest_path(lake_dir, pkey)
     if not os.path.exists(p):
         return None
@@ -186,6 +230,12 @@ def current_files(lake_dir: str, pkeys: list[int] | None = None) -> dict[int, li
     mdir = os.path.join(lake_dir, "_manifests")
     if not os.path.isdir(mdir):
         return {}
+    ov = read_repart_overlay(lake_dir)
+    if ov is not None:
+        ms = {int(k): m for k, m in ov["manifests"].items()}
+        if pkeys is not None:
+            ms = {k: ms[k] for k in pkeys if k in ms}
+        return {k: ms[k]["files"] for k in sorted(ms)}
     out: dict[int, list[str]] = {}
     if pkeys is None:
         names = [n for n in os.listdir(mdir) if n.startswith("part=") and n.endswith(".json")]

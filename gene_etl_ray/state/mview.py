@@ -98,12 +98,12 @@ def refresh_view(lake_dir: str, view: str = DOMAIN_VIEW) -> dict:
     meta = read_lake_meta(lake_dir)
     if meta is None:
         return {"refreshed": [], "fresh": 0}
-    mdir = os.path.join(lake_dir, "_manifests")
-    pkeys = [
-        int(n[5:-5])
-        for n in os.listdir(mdir)
-        if n.startswith("part=") and n.endswith(".json")
-    ] if os.path.isdir(mdir) else []
+    # enumerate via current_files (overlay-aware): during a repartition's
+    # commit window the overlay is the authoritative partition set, not
+    # the superseded per-partition JSON files on disk
+    from gene_etl_ray.state.manifest import current_files
+
+    pkeys = list(current_files(lake_dir))
     shards = shard_epochs(lake_dir, view)
     manifests = {k: read_manifest(lake_dir, k) for k in pkeys}
     stale = {

@@ -220,3 +220,23 @@ def test_cli_ingest_audit_gate_exit_code(tmp_path, capsys):
     assert main(["stats", "--lake", lake]) == 0
     stats = last_json(capsys)
     assert stats.get("partitions", 0) == 0 or stats.get("rows", 0) == 0
+
+
+def test_cli_repartition(events_and_config, tmp_path, capsys):
+    """repartition subcommand: layout flip + continued ingest with a
+    new-P config; the lake stays queryable throughout."""
+    ev, cfg, lake = events_and_config
+    assert main(["ingest", "--config", cfg, "--events", ev]) == 0
+    capsys.readouterr()
+    assert main(["repartition", "--config", cfg, "--factor", "2"]) == 0
+    rep = last_json(capsys)
+    assert rep["from_partitions"] == 4 and rep["to_partitions"] == 8
+    assert main(["stats", "--lake", lake]) == 0
+    stats = last_json(capsys)
+    assert stats["num_partitions"] == 8
+    # subsequent ingests must carry the new partition count
+    cfg8 = str(tmp_path / "cfg8.json")
+    with open(cfg8, "w") as f:
+        json.dump({"lake_dir": lake, "num_partitions": 8}, f)
+    assert main(["ingest", "--config", cfg8, "--events", ev]) == 0
+    assert main(["validate", "--lake", lake]) == 0

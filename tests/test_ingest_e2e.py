@@ -862,3 +862,183 @@ class TestWriteAuditPublish:
         assert all(a["passed"] for a in rep["audits"])
         assert_matches_oracle(lake, ev)
         assert not os.path.exists(staged)
+
+
+class TestRepartition:
+    """Online partition scale-out (repartition_lake): shuffle-free
+    factor-growth split, atomic overlay publish, watermark inheritance.
+    The lake must converge to the replay oracle across the layout change,
+    resume cleanly from the overlay crash window, and keep snapshots /
+    change feeds correct on retained lakes."""
+
+    @pytest.mark.parametrize("mode", ["cow", "mor"])
+    def test_split_then_ingest_matches_oracle(self, tmp_path, mode):
+        from gene_etl_ray.pipelines.ingest import (
+            consistency_report,
+            lookup_urls,
+            repartition_lake,
+        )
+        from gene_etl_ray.state.checkpoint import read_lake_meta
+
+        ev = str(tmp_path / "events")
+        lake = str(tmp_path / f"lake_{mode}")
+        generate_events(ev, n_urls=300, n_events=1500, n_epochs=6, seed=17)
+        # stage the WAL: first 3 epochs, repartition, then the rest
+        first = str(tmp_path / "first")
+        os.makedirs(first)
+        seg = sorted(glob.glob(os.path.join(ev, "epoch=*.parquet")))
+        for f in seg[:3]:
+            shutil.copy(f, first)
+        cfg = EngineConfig(lake_dir=lake, num_partitions=4, merge_mode=mode,
+                           epochs_per_commit=2)
+        run_ingest(cfg, first)
+        mid = lake_df(lake)
+
+        rep = repartition_lake(cfg, 2)
+        assert rep["from_partitions"] == 4 and rep["to_partitions"] == 8
+        meta = read_lake_meta(lake)
+        assert meta["num_partitions"] == 8
+        assert meta["layouts"][-1]["P"] == 8
+        # the split changed no logical rows
+        pd.testing.assert_frame_equal(mid, lake_df(lake))
+        # rows really moved: children beyond the old P hold data
+        assert any(k >= 4 for k in current_files(lake))
+        # overlay finalized: no REPART.json left
+        assert not os.path.exists(os.path.join(lake, "_manifests", "REPART.json"))
+
+        # continue the WAL under the new layout (resume must not re-apply:
+        # children inherited their parents' checkpoints)
+        cfg8 = EngineConfig(lake_dir=lake, num_partitions=8, merge_mode=mode,
+                            epochs_per_commit=2)
+        rep2 = run_ingest(cfg8, ev)
+        assert rep2["events_in"] > 0
+        assert_matches_oracle(lake, ev)
+        checks = validate_lake(lake)
+        assert checks["one_row_per_url"]
+        cons = consistency_report(lake)
+        assert all(cons.values()), cons
+        # point lookups hash with the new P
+        gold = replay_oracle(ev)
+        probe = list(gold["url"].head(5))
+        got = lookup_urls(lake, probe).to_pandas().sort_values("url")
+        assert list(got["url"]) == sorted(probe)
+
+    def test_overlay_crash_window_is_readable_and_finalized_by_next_writer(
+        self, tmp_path, monkeypatch
+    ):
+        """Crash after the overlay commit, before finalize: readers see
+        the NEW layout (overlay authoritative); the next locked writer
+        finalizes and ingest continues to convergence."""
+        import gene_etl_ray.state.manifest as mstate
+        from gene_etl_ray.pipelines.ingest import repartition_lake
+        from gene_etl_ray.state.checkpoint import read_lake_meta
+
+        ev = str(tmp_path / "events")
+        lake = str(tmp_path / "lake")
+        generate_events(ev, n_urls=200, n_events=900, n_epochs=4, seed=29)
+        first = str(tmp_path / "first")
+        os.makedirs(first)
+        seg = sorted(glob.glob(os.path.join(ev, "epoch=*.parquet")))
+        for f in seg[:2]:
+            shutil.copy(f, first)
+        cfg = EngineConfig(lake_dir=lake, num_partitions=4)
+        run_ingest(cfg, first)
+        before = lake_df(lake)
+
+        real = mstate.finalize_repartition
+        monkeypatch.setattr(mstate, "finalize_repartition", lambda d: False)
+        repartition_lake(cfg, 2)
+        monkeypatch.setattr(mstate, "finalize_repartition", real)
+
+        # overlay present: readers already on the new layout
+        assert os.path.exists(os.path.join(lake, "_manifests", "REPART.json"))
+        assert read_lake_meta(lake)["num_partitions"] == 8
+        pd.testing.assert_frame_equal(before, lake_df(lake))
+
+        # next writer finalizes and applies the rest of the WAL
+        cfg8 = EngineConfig(lake_dir=lake, num_partitions=8)
+        run_ingest(cfg8, ev)
+        assert not os.path.exists(os.path.join(lake, "_manifests", "REPART.json"))
+        assert_matches_oracle(lake, ev)
+
+    @pytest.mark.parametrize("mode", ["cow", "mor"])
+    def test_retained_snapshots_and_diff_across_boundary(self, tmp_path, mode):
+        """Time travel to pre-split epochs still equals the WAL-prefix
+        replay, and diff_snapshots across the layout change reports
+        url-level changes only (relocation is not change)."""
+        from gene_etl_ray.pipelines.ingest import diff_snapshots, repartition_lake
+
+        ev = str(tmp_path / "events")
+        lake = str(tmp_path / f"lake_{mode}")
+        generate_events(ev, n_urls=220, n_events=1100, n_epochs=6, seed=31)
+        seg = sorted(glob.glob(os.path.join(ev, "epoch=*.parquet")))
+        first = str(tmp_path / "first")
+        os.makedirs(first)
+        for f in seg[:4]:
+            shutil.copy(f, first)
+        cfg = EngineConfig(lake_dir=lake, num_partitions=4, merge_mode=mode,
+                           epochs_per_commit=2, retain_history=True)
+        run_ingest(cfg, first)
+        repartition_lake(cfg, 2)
+        cfg8 = EngineConfig(lake_dir=lake, num_partitions=8, merge_mode=mode,
+                            epochs_per_commit=2, retain_history=True)
+        run_ingest(cfg8, ev)
+        assert_matches_oracle(lake, ev)
+
+        def prefix_oracle(n):
+            pre = tmp_path / f"pre_{mode}_{n}"
+            os.makedirs(str(pre), exist_ok=True)
+            for f in seg[:n]:
+                shutil.copy(f, str(pre))
+            return replay_oracle(str(pre)).sort_values("url").reset_index(drop=True)
+
+        for commit_epoch, n_seg in [(1, 2), (3, 4), (5, 6)]:
+            got = (
+                read_lake(lake, asof_epoch=commit_epoch)
+                .to_pandas().sort_values("url").reset_index(drop=True)
+            )
+            gold = prefix_oracle(n_seg)
+            cols = sorted(set(got.columns) & set(gold.columns))
+            pd.testing.assert_frame_equal(
+                got[cols], gold[cols].reset_index(drop=True), check_dtype=False
+            )
+
+        # change feed across the boundary: equals the url-level diff of
+        # the two prefix replays (no relocation noise)
+        a, b = prefix_oracle(2).set_index("url"), prefix_oracle(6).set_index("url")
+        exp_added = set(b.index) - set(a.index)
+        exp_deleted = set(a.index) - set(b.index)
+        both_urls = set(a.index) & set(b.index)
+        exp_updated = {u for u in both_urls if a.loc[u, "seq"] != b.loc[u, "seq"]}
+        got = diff_snapshots(lake, 1, 5).to_pandas()
+        assert set(got.loc[got["change"] == "added", "url"]) == exp_added
+        assert set(got.loc[got["change"] == "deleted", "url"]) == exp_deleted
+        assert set(got.loc[got["change"] == "updated", "url"]) == exp_updated
+
+    def test_rejects_bad_factor_and_missing_lake(self, tmp_path):
+        from gene_etl_ray.pipelines.ingest import repartition_lake
+
+        cfg = EngineConfig(lake_dir=str(tmp_path / "none"), num_partitions=4)
+        with pytest.raises(ValueError, match="factor"):
+            repartition_lake(cfg, 1)
+        with pytest.raises(ValueError, match="no lake"):
+            repartition_lake(cfg, 2)
+
+    def test_view_refresh_correct_after_repartition(self, tmp_path):
+        """Partition-shard caches are layout-bound: repartition drops
+        them and the next refresh equals a full recompute."""
+        from gene_etl_ray.pipelines.ingest import repartition_lake
+        from gene_etl_ray.state.mview import read_view, refresh_view
+
+        ev = str(tmp_path / "events")
+        lake = str(tmp_path / "lake")
+        generate_events(ev, n_urls=150, n_events=700, n_epochs=2, seed=13)
+        cfg = EngineConfig(lake_dir=lake, num_partitions=4)
+        run_ingest(cfg, ev)
+        refresh_view(lake)
+        before = read_view(lake).sort_values("domain").reset_index(drop=True)
+        repartition_lake(cfg, 2)
+        rep = refresh_view(lake)
+        assert len(rep["refreshed"]) > 0  # shards were dropped, recomputed
+        after = read_view(lake).sort_values("domain").reset_index(drop=True)
+        pd.testing.assert_frame_equal(before, after)

@@ -80,6 +80,21 @@ def test_cdc_flagship_matches_duckdb_oracle():
     pd.testing.assert_frame_equal(a, b, check_dtype=True)
 
 
+def test_cdc_repartitioned_lake_matches_duckdb_oracle():
+    """Mid-stream partition scale-out (ingest half → repartition ×2 →
+    ingest rest) must converge to the SAME final state as the straight
+    ingest — identical LWW QUALIFY oracle, dtype-strict."""
+    import duckdb
+
+    ray_df = to_df(Q.cdc_repartitioned_lake(SF))
+    sql_df = duckdb.connect().execute(Q.cdc_oracle_sql(SF)).fetchdf()
+    cols = sorted(ray_df.columns)
+    a = ray_df[cols].sort_values(cols).reset_index(drop=True)
+    b = sql_df[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=True)
+
+
 def test_cdc_snapshot_diff_matches_duckdb_oracle():
     """Time-travel change feed vs the DuckDB full-outer-join of two
     QUALIFY-LWW prefix snapshots over the same event files —
