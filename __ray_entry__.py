@@ -35,6 +35,7 @@ def oracle_sql() -> dict[str, str]:
         ORACLE_SQL,
         cdc_diff_oracle_sql,
         cdc_oracle_sql,
+        cdc_since_oracle_sql,
     )
 
     d = dict(ORACLE_SQL)
@@ -46,4 +47,6 @@ def oracle_sql() -> dict[str, str]:
     # mid-stream partition scale-out must converge to the SAME final
     # state — identical LWW oracle, layout-independent by construction
     d["cdc_repartitioned_lake"] = cdc_oracle_sql("/root/testdata/sf0.01")
+    # recency feed: live rows whose winning warc_ts >= T (zone-map read)
+    d["cdc_changed_since"] = cdc_since_oracle_sql("/root/testdata/sf0.01")
     return d

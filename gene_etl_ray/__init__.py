@@ -26,4 +26,4 @@ from gene_etl_ray.config import EngineConfig, config_hash
 from gene_etl_ray.schema import EVENT_SCHEMA, lake_schema_for
 
 __all__ = ["EngineConfig", "config_hash", "EVENT_SCHEMA", "lake_schema_for"]
-__version__ = "0.2.0"
+__version__ = "0.3.0"

@@ -85,6 +85,11 @@ MANIFEST_ROW_SCHEMA = pa.schema(
         # count on the no-counts (fresh-lake / mor-resume) path, where the
         # group contains only watermark-surviving delta rows
         ("events_in", pa.int64()),
+        # zone map: the file's winning-version warc_ts range (µs since
+        # epoch) — recorded in the manifest so time-range reads prune
+        # files with ZERO file IO (no footer reads at 10^10 scale)
+        ("ts_min_us", pa.int64()),
+        ("ts_max_us", pa.int64()),
     ]
 )
 
@@ -209,6 +214,22 @@ def _stage_snapshot(lake_dir: str, by_pkey: dict, commit_epoch: int, audit: dict
     atomic_write_json(
         os.path.join(_staged_dir(lake_dir), "AUDIT.json"), audit
     )
+
+
+def _file_stats_of(rs: list[dict]) -> dict[str, dict]:
+    """Per-file zone maps from merge-task manifest rows, keyed by FINAL
+    basename (the commit rename strips the ``.tmp-`` prefix)."""
+    out = {}
+    for x in rs:
+        if x.get("ts_min_us") is None:
+            continue
+        base = os.path.basename(x["path"]).removeprefix(".tmp-")
+        out[base] = {
+            "rows": int(x["rows"]),
+            "ts_min_us": int(x["ts_min_us"]),
+            "ts_max_us": int(x["ts_max_us"]),
+        }
+    return out
 
 
 class CrashInjected(RuntimeError):
@@ -525,6 +546,7 @@ def _make_merge_fn(lake_dir: str, commit_epoch: int, tag: str = ""):
         pq.write_table(t, path, row_group_size=16384)
         _fsync_file(path)
         _write_bloom_sidecar(path, t.column("url").to_pylist())
+        ts = pc.cast(t.column("warc_ts"), pa.int64())
         return pa.table(
             {
                 "pkey": pa.array([pkey], pa.int32()),
@@ -534,6 +556,8 @@ def _make_merge_fn(lake_dir: str, commit_epoch: int, tag: str = ""):
                 "live_rows": pa.array([live], pa.int64()),
                 "max_seq": pa.array([pc.max(t.column("seq")).as_py()], pa.int64()),
                 "events_in": pa.array([n], pa.int64()),
+                "ts_min_us": pa.array([pc.min(ts).as_py()], pa.int64()),
+                "ts_max_us": pa.array([pc.max(ts).as_py()], pa.int64()),
             }
         )
 
@@ -881,6 +905,9 @@ def _run_ingest(
                 "rows": sum(int(x["rows"]) for x in rs),
                 "live_rows": sum(int(x["live_rows"]) for x in rs),
                 "events": pkey_events,
+                # per-file zone maps, keyed by FINAL basename (stable
+                # across the commit rename) — time-range file pruning
+                "file_stats": _file_stats_of(rs),
             }
             commit_partition(
                 lake_dir,
@@ -994,11 +1021,57 @@ def lookup_urls(lake_dir: str, urls: list[str]) -> "pa.Table":
     return t.drop_columns([DELETED_COLUMN, PKEY_COLUMN])
 
 
+def _ts_us(x) -> int | None:
+    """Timestamp-ish → µs since epoch (pd.Timestamp / str / datetime /
+    int µs)."""
+    if x is None:
+        return None
+    if isinstance(x, (int, np.integer)):
+        return int(x)
+    import pandas as pd
+
+    return int(pd.Timestamp(x).value // 1000)
+
+
+def _prune_files_by_ts(
+    manifests, lo_us: int | None, hi_us: int | None, allow_upper: bool
+) -> tuple[list[str], int]:
+    """Zone-map file pruning: drop files whose manifest-recorded warc_ts
+    range provably misses [lo, hi]. Files without stats are kept (no
+    false negatives). ``allow_upper`` gates ts_min > hi pruning — UNSAFE
+    under mor LWW, where a winner above ``hi`` must still be read to
+    suppress older in-range versions of the same url. Returns
+    (kept_files, pruned_count)."""
+    kept: list[str] = []
+    pruned = 0
+    for m in manifests:
+        if not m:
+            continue
+        fstats = m.get("file_stats") or {}
+        for f in m["files"]:
+            s = fstats.get(os.path.basename(f))
+            if s is not None:
+                if lo_us is not None and s["ts_max_us"] < lo_us:
+                    pruned += 1
+                    continue
+                if (
+                    allow_upper
+                    and hi_us is not None
+                    and s["ts_min_us"] > hi_us
+                ):
+                    pruned += 1
+                    continue
+            kept.append(f)
+    return kept, pruned
+
+
 def read_lake(
     lake_dir: str,
     live_only: bool = True,
     columns: list[str] | None = None,
     asof_epoch: int | None = None,
+    ts_min=None,
+    ts_max=None,
 ) -> "ray.data.Dataset":
     """Dataset over the lake's manifested current files (only committed
     data is ever visible). For merge-on-read lakes the per-partition LWW
@@ -1013,14 +1086,33 @@ def read_lake(
     superseded files survive. Resolution is per partition: the archived
     manifest with the greatest epoch ≤ ``asof_epoch`` (a partition first
     touched later simply isn't there yet). Columns follow the CURRENT
-    schema; rows are the snapshot's (evolved columns null-backfill)."""
+    schema; rows are the snapshot's (evolved columns null-backfill).
+
+    ``ts_min`` / ``ts_max`` (time-range read): rows whose WINNING version's
+    ``warc_ts`` falls in the inclusive range — the "changed since T" feed
+    a downstream CDC consumer polls. Files are pruned with ZERO file IO
+    via the manifests' per-file zone maps (mor delta files are
+    epoch-aligned, so a recency query touches only recent deltas at
+    10^10 scale); exactness comes from a post-LWW row filter. Under mor,
+    only the lower bound prunes files (an out-of-range winner must still
+    be read to suppress older in-range versions of its url)."""
+    from gene_etl_ray.state.manifest import read_manifest
+
     meta = read_lake_meta(lake_dir)
+    needs_resolve0 = bool(meta and meta.get("merge_mode") == "mor")
+    lo_us, hi_us = _ts_us(ts_min), _ts_us(ts_max)
     if asof_epoch is None:
-        files = [f for fs in current_files(lake_dir).values() for f in fs]
+        pkeys = sorted(current_files(lake_dir))
+        manifests = [read_manifest(lake_dir, k) for k in pkeys]
     else:
         P = (meta or {}).get("num_partitions", 0) or len(current_files(lake_dir))
-        snap = _snapshot_manifests(lake_dir, asof_epoch, P)
-        files = [f for m in snap.values() if m for f in m["files"]]
+        manifests = list(_snapshot_manifests(lake_dir, asof_epoch, P).values())
+    if lo_us is not None or hi_us is not None:
+        files, _ = _prune_files_by_ts(
+            manifests, lo_us, hi_us, allow_upper=not needs_resolve0
+        )
+    else:
+        files = [f for m in manifests if m for f in m["files"]]
     internal = [DELETED_COLUMN, PKEY_COLUMN]
 
     def empty_result() -> "ray.data.Dataset":
@@ -1050,6 +1142,8 @@ def read_lake(
         need = list(columns) + [DELETED_COLUMN, PKEY_COLUMN]
         if needs_resolve:
             need += ["url", "warc_ts", "seq"]
+        if lo_us is not None or hi_us is not None:
+            need += ["warc_ts"]
         read_cols = [c for c in dict.fromkeys(need) if schema.get_field_index(c) >= 0]
         sub_schema = pa.schema([schema.field(c) for c in read_cols])
         ds = ray.data.read_parquet(files, columns=read_cols, schema=sub_schema)
@@ -1059,6 +1153,19 @@ def read_lake(
         ds = ray.data.read_parquet(files, partitioning=None, schema=schema)
     if needs_resolve:
         ds = ds.groupby(PKEY_COLUMN).map_groups(_resolve_lww, batch_format="pyarrow")
+    if lo_us is not None or hi_us is not None:
+        # exactness filter on the WINNING version's warc_ts (post-LWW)
+        def ts_filter(b: pa.Table) -> pa.Table:
+            ts = pc.cast(b.column("warc_ts"), pa.int64())
+            mask = None
+            if lo_us is not None:
+                mask = pc.greater_equal(ts, lo_us)
+            if hi_us is not None:
+                hi_mask = pc.less_equal(ts, hi_us)
+                mask = hi_mask if mask is None else pc.and_(mask, hi_mask)
+            return b.filter(mask)
+
+        ds = ds.map_batches(ts_filter, batch_format="pyarrow")
     if live_only:
         def live(b: pa.Table) -> pa.Table:
             b = b.filter(pc.invert(b.column(DELETED_COLUMN)))
@@ -1308,7 +1415,8 @@ def _compact_locked(cfg: EngineConfig, meta: dict) -> dict:
             pkey,
             epoch,
             [x["path"] for x in rs],
-            {"rows": sum(int(x["rows"]) for x in rs), "compaction": True},
+            {"rows": sum(int(x["rows"]) for x in rs), "compaction": True,
+             "file_stats": _file_stats_of(rs)},
             force=True,
             # compaction rewrites the CURRENT epoch: under retention the
             # archive for this epoch is replaced too (same live rows) and
@@ -1453,17 +1561,20 @@ def repartition_lake(cfg: EngineConfig, factor: int) -> dict:
                     live = sub.num_rows - (
                         pc.sum(sub.column(DELETED_COLUMN)).as_py() or 0
                     )
+                    ts = pc.cast(sub.column("warc_ts"), pa.int64())
                     out.append(
                         {
                             "pkey": m, "parent": k, "epoch": epoch, "path": path,
                             "rows": sub.num_rows, "live_rows": int(live),
                             "max_seq": pc.max(sub.column("seq")).as_py(),
+                            "ts_min_us": pc.min(ts).as_py(),
+                            "ts_max_us": pc.max(ts).as_py(),
                         }
                     )
             return pd.DataFrame(
                 out,
                 columns=["pkey", "parent", "epoch", "path", "rows",
-                         "live_rows", "max_seq"],
+                         "live_rows", "max_seq", "ts_min_us", "ts_max_us"],
             )
 
         items = [
@@ -1514,6 +1625,14 @@ def repartition_lake(cfg: EngineConfig, factor: int) -> dict:
                     "rows": int(grp["rows"].sum()),
                     "live_rows": int(grp["live_rows"].sum()),
                     "repartitioned_from": int(grp["parent"].iloc[0]),
+                },
+                "file_stats": {
+                    os.path.basename(r["path"]): {
+                        "rows": int(r["rows"]),
+                        "ts_min_us": int(r["ts_min_us"]),
+                        "ts_max_us": int(r["ts_max_us"]),
+                    }
+                    for _, r in grp.iterrows()
                 },
             }
             manifests[str(int(m_key))] = man

@@ -37,13 +37,10 @@ def canonicalize_url_one(url: str | None) -> str | None:
     return url
 
 
-def normalize_batch(batch: pa.Table) -> pa.Table:
-    """Canonicalize urls; drop rows with null/empty url, invalid op, or
-    null warc_ts/seq (the merge key and version must exist).
-
-    Fast path: urls already canonical (the overwhelming case for crawl
-    data) are detected vectorized and left untouched.
-    """
+def _canonicalized(batch: pa.Table) -> pa.Table:
+    """Canonicalize the url column in place (fast path: urls already
+    canonical — the overwhelming case for crawl data — are detected
+    vectorized and left untouched)."""
     urls = batch.column("url")
     # Vectorized fast-path detector: a url needs the slow row-wise path if
     # it has a fragment, is empty, starts/ends with anything outside
@@ -65,14 +62,51 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
         batch = batch.set_column(
             batch.schema.get_field_index("url"), "url", pa.array(fixed, pa.string())
         )
-        urls = batch.column("url")
-    keep = pc.and_(
-        pc.and_(pc.is_valid(urls), pc.is_in(batch.column("op"), value_set=pa.array(VALID_OPS))),
-        pc.and_(pc.is_valid(batch.column("warc_ts")), pc.is_valid(batch.column("seq"))),
+    return batch
+
+
+def _keep_mask(batch: pa.Table):
+    """Admission rule: url present (post-canonicalization), op valid,
+    warc_ts + seq present (the merge key and version must exist)."""
+    return pc.and_(
+        pc.and_(
+            pc.is_valid(batch.column("url")),
+            pc.is_in(batch.column("op"), value_set=pa.array(VALID_OPS)),
+        ),
+        pc.and_(
+            pc.is_valid(batch.column("warc_ts")), pc.is_valid(batch.column("seq"))
+        ),
     )
+
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """Canonicalize urls; drop rows failing the admission rule
+    (:func:`_keep_mask`). :func:`dead_letter_batch` is the exact
+    complement — together they partition every batch."""
+    batch = _canonicalized(batch)
+    keep = _keep_mask(batch)
     if pc.all(keep).as_py():
         return batch
     return batch.filter(keep)
+
+
+def dead_letter_batch(batch: pa.Table) -> pa.Table:
+    """The rows :func:`normalize_batch` rejects, with a ``reason`` column
+    (first failing rule: null_url → invalid_op → null_version) — the
+    dead-letter sink's payload, kept replayable after the producer fixes
+    the defect."""
+    batch = _canonicalized(batch)
+    rej = batch.filter(pc.invert(_keep_mask(batch)))
+    if rej.num_rows == 0:
+        return rej.append_column("reason", pa.array([], pa.string()))
+    import numpy as np
+
+    null_url = pc.is_null(rej.column("url")).to_numpy(zero_copy_only=False)
+    bad_op = pc.invert(
+        pc.is_in(rej.column("op"), value_set=pa.array(VALID_OPS))
+    ).to_numpy(zero_copy_only=False)
+    reason = np.where(null_url, "null_url", np.where(bad_op, "invalid_op", "null_version"))
+    return rej.append_column("reason", pa.array(reason, pa.string()))
 
 
 def prevalidate_counts(table: pa.Table) -> dict:

@@ -1545,6 +1545,51 @@ def cdc_diff_oracle_sql(sf_dir: str) -> str:
     return CDC_DIFF_SQL_TEMPLATE.format(ev_glob=f"{ev_dir}/epoch=*.parquet")
 
 
+def _cdc_since_ts_us(sf_dir: str) -> int:
+    """Deterministic changed-since cut: the DISCRETE median of per-url
+    winning warc_ts over the change log (computed identically by the
+    query and the oracle builder, so the cut is non-vacuous at any sf)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    ev_dir = ensure_cdc_events(sf_dir)
+    frames = [
+        pq.read_table(f, columns=["url", "warc_ts"]).to_pandas()
+        for f in sorted(_glob.glob(f"{ev_dir}/epoch=*.parquet"))
+    ]
+    w = pd.concat(frames).groupby("url")["warc_ts"].max().sort_values()
+    return int(w.iloc[len(w) // 2].value // 1000)
+
+
+def cdc_changed_since(sf_dir: str) -> pd.DataFrame:
+    """Recency feed over the flagship lake: live rows whose WINNING
+    version's warc_ts ≥ T — what a downstream CDC consumer polls. File
+    pruning comes from the manifests' per-file zone maps
+    (``read_lake(ts_min=...)``); exactness from the post-LWW row filter.
+    The DuckDB twin filters the same LWW QUALIFY oracle on warc_ts."""
+    from gene_etl_ray.config import EngineConfig
+    from gene_etl_ray.pipelines.ingest import read_lake, run_ingest
+
+    ev_dir = ensure_cdc_events(sf_dir)
+    lake_dir = f"{_cdc_base_dir(sf_dir)}/lake"
+    cfg = EngineConfig(lake_dir=lake_dir, num_partitions=8)
+    run_ingest(cfg, ev_dir)  # idempotent: shares the flagship lake
+    df = read_lake(lake_dir, ts_min=_cdc_since_ts_us(sf_dir)).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def cdc_since_oracle_sql(sf_dir: str) -> str:
+    base = CDC_SQL_TEMPLATE.format(
+        ev_glob=f"{ensure_cdc_events(sf_dir)}/epoch=*.parquet"
+    )
+    t = pd.Timestamp(_cdc_since_ts_us(sf_dir) * 1000).isoformat(sep=" ")
+    return (
+        f"SELECT * FROM ({base.replace('ORDER BY url', '')}) "
+        f"WHERE warc_ts >= TIMESTAMP '{t}' ORDER BY url"
+    )
+
+
 def cdc_repartitioned_lake(sf_dir: str) -> pd.DataFrame:
     """Online partition scale-out under the oracle gate: ingest the first
     half of the flagship change log at P=4, ``repartition_lake`` ×2 (the
@@ -2095,6 +2140,7 @@ QUERIES = {
     "cdc_ingest_lake": cdc_ingest_lake,
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "cdc_repartitioned_lake": cdc_repartitioned_lake,
+    "cdc_changed_since": cdc_changed_since,
     "media_features": media_features,
     "customer_orders_left_join": customer_orders_left_join,
     "events_customers_full_outer": events_customers_full_outer,

@@ -93,6 +93,8 @@ def cmd_export(args) -> int:
         live_only=not args.include_tombstones,
         columns=cols,
         asof_epoch=args.asof,
+        ts_min=args.since,
+        ts_max=args.until,
     )
     out: dict = {"out": args.out}
     if args.count:
@@ -309,6 +311,11 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--asof", type=int, default=None,
                     help="time travel: export the lake as of this committed "
                          "epoch (requires retain_history)")
+    pe.add_argument("--since", default=None,
+                    help="only rows whose winning warc_ts >= this timestamp "
+                         "(zone-map file pruning — the changed-since-T feed)")
+    pe.add_argument("--until", default=None,
+                    help="only rows whose winning warc_ts <= this timestamp")
     pe.set_defaults(fn=cmd_export)
 
     ps = sub.add_parser("stats", help="lake summary + last run metrics")

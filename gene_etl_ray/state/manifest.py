@@ -205,7 +205,17 @@ def commit_partition(
     _fsync_dir(os.path.join(lake_dir, f"part={pkey:05d}"))
     if append and old is not None:
         finals = list(old["files"]) + finals
+    # per-file zone maps (basename → {rows, ts_min_us, ts_max_us}):
+    # carried at manifest top level, merged across mor appends, pruned to
+    # the surviving file set — readers prune time-range scans with zero
+    # file IO (`read_lake(ts_min/ts_max)`)
+    file_stats = dict((old or {}).get("file_stats") or {}) if append else {}
+    file_stats.update(stats.pop("file_stats", {}) or {})
     manifest = {"pkey": pkey, "epoch": epoch, "files": sorted(set(finals)), "stats": stats}
+    keep = {os.path.basename(f) for f in manifest["files"]}
+    file_stats = {b: s for b, s in file_stats.items() if b in keep}
+    if file_stats:
+        manifest["file_stats"] = file_stats
     atomic_write_json(manifest_path(lake_dir, pkey), manifest)
     if retain:
         # archive AFTER the current manifest is live (a crash between the

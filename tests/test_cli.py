@@ -240,3 +240,18 @@ def test_cli_repartition(events_and_config, tmp_path, capsys):
         json.dump({"lake_dir": lake, "num_partitions": 8}, f)
     assert main(["ingest", "--config", cfg8, "--events", ev]) == 0
     assert main(["validate", "--lake", lake]) == 0
+
+
+def test_cli_export_since(events_and_config, tmp_path, capsys):
+    """export --since: time-range export via zone-map pruned read."""
+    ev, cfg, lake = events_and_config
+    assert main(["ingest", "--config", cfg, "--events", ev]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "exp_since")
+    assert main(["export", "--lake", lake, "--out", out,
+                 "--since", "2035-01-01", "--count"]) == 0
+    assert last_json(capsys)["rows"] == 0  # far-future cut: empty feed
+    out2 = str(tmp_path / "exp_all")
+    assert main(["export", "--lake", lake, "--out", out2,
+                 "--since", "2000-01-01", "--count"]) == 0
+    assert last_json(capsys)["rows"] > 0

@@ -1042,3 +1042,134 @@ class TestRepartition:
         assert len(rep["refreshed"]) > 0  # shards were dropped, recomputed
         after = read_view(lake).sort_values("domain").reset_index(drop=True)
         pd.testing.assert_frame_equal(before, after)
+
+
+class TestZoneMaps:
+    """Manifest-level warc_ts zone maps: time-range reads prune files
+    with zero file IO and stay exact on the WINNING version (the
+    changed-since-T feed a downstream CDC consumer polls)."""
+
+    @pytest.mark.parametrize("mode", ["cow", "mor"])
+    def test_ts_range_read_matches_oracle_filter(self, tmp_path, mode):
+        from gene_etl_ray.pipelines.ingest import _prune_files_by_ts
+        from gene_etl_ray.state.manifest import read_manifest
+
+        ev = str(tmp_path / "events")
+        lake = str(tmp_path / f"lake_{mode}")
+        generate_events(ev, n_urls=250, n_events=1400, n_epochs=6, seed=41)
+        cfg = EngineConfig(lake_dir=lake, num_partitions=4, merge_mode=mode,
+                           epochs_per_commit=2)
+        run_ingest(cfg, ev)
+        gold = replay_oracle(ev)
+        t_lo = gold["warc_ts"].quantile(0.5)
+        t_hi = gold["warc_ts"].quantile(0.9)
+
+        # every manifested file carries a zone map
+        manifests = [read_manifest(lake, k) for k in current_files(lake)]
+        for m in manifests:
+            assert set(m["file_stats"]) == {os.path.basename(f) for f in m["files"]}
+
+        def got(**kw):
+            df = read_lake(lake, **kw).to_pandas()
+            if "url" not in df.columns:
+                return df
+            return df.sort_values("url").reset_index(drop=True)
+
+        def want(mask):
+            g = gold[mask].sort_values("url").reset_index(drop=True)
+            return g
+
+        for kw, mask in [
+            ({"ts_min": t_lo}, gold["warc_ts"] >= t_lo),
+            ({"ts_max": t_hi}, gold["warc_ts"] <= t_hi),
+            ({"ts_min": t_lo, "ts_max": t_hi},
+             (gold["warc_ts"] >= t_lo) & (gold["warc_ts"] <= t_hi)),
+        ]:
+            a, b = got(**kw), want(mask)
+            assert len(a) == len(b) > 0, (kw, len(a), len(b))
+            cols = sorted(set(a.columns) & set(b.columns))
+            pd.testing.assert_frame_equal(
+                a[cols], b[cols].reset_index(drop=True), check_dtype=False
+            )
+
+        # sanity: kept+pruned partitions the file set (no pruning expected
+        # on THIS fixture — its warc_ts is revision-based, so every delta
+        # file's range reaches back to the base ts)
+        lo_us = int(pd.Timestamp(t_lo).value // 1000)
+        kept, pruned = _prune_files_by_ts(manifests, lo_us, None, False)
+        total = sum(len(m["files"]) for m in manifests)
+        assert len(kept) + pruned == total
+
+    def test_recency_query_prunes_time_advancing_wal(self, tmp_path):
+        """The actual 10^10-scale payoff: on a WAL whose warc_ts advances
+        with the stream (the normal CDC case), a changed-since-T read over
+        a mor delta stack skips the older delta files entirely — and the
+        rows still match a full-read filter."""
+        from gene_etl_ray.pipelines.ingest import _prune_files_by_ts
+        from gene_etl_ray.state.manifest import read_manifest
+
+        ev = str(tmp_path / "events")
+        lake = str(tmp_path / "lake")
+        generate_events(ev, n_urls=200, n_events=1000, n_epochs=5, seed=47,
+                        out_of_order_frac=0.0, tie_frac=0.0)
+        # remap warc_ts := base + seq (monotone with the stream) so epoch
+        # files carry disjoint time ranges
+        base = pd.Timestamp("2021-01-01").value // 1000
+        for f in sorted(glob.glob(os.path.join(ev, "epoch=*.parquet"))):
+            t = pq.read_table(f)
+            seq = t.column("seq").to_numpy()
+            ts = pa.array(base + seq * 1_000_000, pa.timestamp("us"))
+            pq.write_table(
+                t.set_column(t.schema.get_field_index("warc_ts"), "warc_ts", ts), f
+            )
+        cfg = EngineConfig(lake_dir=lake, num_partitions=4, merge_mode="mor",
+                           epochs_per_commit=1)
+        run_ingest(cfg, ev)
+        # T at the last epoch's start: all earlier delta files must prune
+        t_lo = pd.Timestamp(base * 1000 + 800 * 1_000_000_000)
+        manifests = [read_manifest(lake, k) for k in current_files(lake)]
+        kept, pruned = _prune_files_by_ts(
+            manifests, int(t_lo.value // 1000), None, False
+        )
+        total = sum(len(m["files"]) for m in manifests)
+        assert pruned > 0 and len(kept) < total
+        # every kept file belongs to the final commit's delta layer
+        assert all("epoch=00004" in f for f in kept)
+        # and the pruned read is exact vs the full-read filter
+        full = read_lake(lake).to_pandas()
+        want = full[full["warc_ts"] >= t_lo].sort_values("url").reset_index(drop=True)
+        got = read_lake(lake, ts_min=t_lo).to_pandas().sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+        assert len(got) > 0
+
+    def test_zone_maps_survive_compaction_and_repartition(self, tmp_path):
+        from gene_etl_ray.pipelines.ingest import compact_lake, repartition_lake
+        from gene_etl_ray.state.manifest import read_manifest
+
+        ev = str(tmp_path / "events")
+        lake = str(tmp_path / "lake")
+        generate_events(ev, n_urls=180, n_events=900, n_epochs=4, seed=43)
+        cfg = EngineConfig(lake_dir=lake, num_partitions=4, merge_mode="mor",
+                           epochs_per_commit=2)
+        run_ingest(cfg, ev)
+        gold = replay_oracle(ev)
+        t = gold["warc_ts"].quantile(0.6)
+        want = gold[gold["warc_ts"] >= t].sort_values("url").reset_index(drop=True)
+
+        def check():
+            a = read_lake(lake, ts_min=t).to_pandas().sort_values("url").reset_index(drop=True)
+            cols = sorted(set(a.columns) & set(want.columns))
+            pd.testing.assert_frame_equal(
+                a[cols], want[cols].reset_index(drop=True), check_dtype=False
+            )
+            for k in current_files(lake):
+                m = read_manifest(lake, k)
+                assert set(m["file_stats"]) == {
+                    os.path.basename(f) for f in m["files"]
+                }
+
+        check()
+        compact_lake(cfg)
+        check()
+        repartition_lake(cfg, 2)
+        check()

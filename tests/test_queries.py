@@ -146,3 +146,20 @@ def test_lsh_recall_vs_bruteforce():
         inter += len(e & a) / max(1, len(e))
     recall = inter / exact["query_id"].nunique()
     assert recall >= 0.3, recall  # self-match alone guarantees > 0
+
+
+def test_cdc_changed_since_matches_duckdb_oracle():
+    """Recency feed (winning warc_ts >= T via zone-map read) vs the
+    filtered LWW QUALIFY oracle — dtype-strict, non-vacuous both ways."""
+    import duckdb
+
+    ray_df = to_df(Q.cdc_changed_since(SF))
+    sql_df = duckdb.connect().execute(Q.cdc_since_oracle_sql(SF)).fetchdf()
+    cols = sorted(ray_df.columns)
+    a = ray_df[cols].sort_values(cols).reset_index(drop=True)
+    b = sql_df[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    # the cut actually splits the corpus (both sides non-trivial)
+    full = to_df(Q.cdc_ingest_lake(SF))
+    assert 0 < len(a) < len(full)
+    pd.testing.assert_frame_equal(a, b, check_dtype=True)
