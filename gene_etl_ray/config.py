@@ -86,6 +86,14 @@ class EngineConfig:
     # of any committed epoch. Off by default: retention trades storage
     # (every superseded partition file is kept) for history.
     retain_history: bool = False
+    # dead-letter sink: rows failing the admission rule (null url after
+    # canonicalization, invalid op, null warc_ts/seq) are WRITTEN to
+    # `<lake>/_deadletter/epoch=<e>.parquet` with a `reason` column
+    # instead of being silently dropped — replayable after the producer
+    # fixes the defect. One deterministic file per WAL segment
+    # (idempotent overwrite on re-run). Off by default: the counters in
+    # pre-validation already expose the totals.
+    dead_letter: bool = False
     # write-audit-publish: each commit group's merged output is STAGED
     # (data files written, manifests held back in `_manifests/staged/`),
     # audited distributed (per-file url uniqueness + null keys + stats

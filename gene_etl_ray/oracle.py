@@ -31,7 +31,15 @@ def replay_oracle(events_dir: str, keep_html: bool = False) -> pd.DataFrame:
     df = pd.concat(frames, ignore_index=True, sort=False)
 
     df["url"] = df["url"].map(canonicalize_url_one)
-    df = df[df["url"].notna()]
+    # the admission rule (normalize._keep_mask): malformed events are
+    # REJECTED, never merged — url present post-canonicalization, op
+    # valid, version columns present
+    df = df[
+        df["url"].notna()
+        & df["op"].isin(["I", "U", "D"])
+        & df["warc_ts"].notna()
+        & df["seq"].notna()
+    ]
 
     ex = HtmlTextExtractor()
     need = df["text"].isna() & df["html"].notna()

@@ -232,6 +232,60 @@ def _file_stats_of(rs: list[dict]) -> dict[str, dict]:
     return out
 
 
+def _dead_letter_path(lake_dir: str, epoch: int) -> str:
+    return os.path.join(lake_dir, "_deadletter", f"epoch={epoch:05d}.parquet")
+
+
+def _write_dead_letters(lake_dir: str, files_by_epoch: dict[int, str]) -> dict[int, int]:
+    """Dead-letter sink: rows the admission rule rejects, written ONE
+    deterministic file per WAL segment (`_deadletter/epoch=<e>.parquet`,
+    original columns + `reason`) — replayable after the producer fixes
+    the defect, idempotent on re-run (same segment ⇒ same rejects ⇒
+    overwrite). Distributed one task per segment; segments with zero
+    rejects write nothing (and clear any stale file). Returns
+    epoch → reject count (nonzero only)."""
+    import pandas as pd
+
+    from gene_etl_ray.pipelines.normalize import dead_letter_batch
+
+    os.makedirs(os.path.join(lake_dir, "_deadletter"), exist_ok=True)
+    items = [{"epoch": int(e), "path": p} for e, p in sorted(files_by_epoch.items())]
+
+    def per_segment(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in batch.iterrows():
+            e = int(row["epoch"])
+            rej = dead_letter_batch(pq.read_table(row["path"]))
+            final = _dead_letter_path(lake_dir, e)
+            if rej.num_rows:
+                tmp = final + f".tmp{os.getpid()}"
+                pq.write_table(rej, tmp)
+                _fsync_file(tmp)
+                os.replace(tmp, final)
+            else:
+                try:
+                    os.remove(final)  # stale file from an older segment
+                except OSError:
+                    pass
+            out.append({"epoch": e, "rejects": rej.num_rows})
+        return pd.DataFrame(out, columns=["epoch", "rejects"])
+
+    res = (
+        ray.data.from_items(items)
+        .map_batches(per_segment, batch_size=1, batch_format="pandas")
+        .to_pandas()
+    )
+    return {int(r["epoch"]): int(r["rejects"]) for _, r in res.iterrows() if r["rejects"]}
+
+
+def read_dead_letters(lake_dir: str) -> "ray.data.Dataset":
+    """Dataset over the dead-letter sink (empty if none)."""
+    files = sorted(glob.glob(os.path.join(lake_dir, "_deadletter", "epoch=*.parquet")))
+    if not files:
+        return ray.data.from_arrow(pa.table({"reason": pa.array([], pa.string())}))
+    return ray.data.read_parquet(files, partitioning=None)
+
+
 class CrashInjected(RuntimeError):
     """Raised by the test-only crash hook after N partition commits."""
 
@@ -685,6 +739,14 @@ def _run_ingest(
     if not todo:
         report["duration_sec"] = time.time() - t0
         return report
+
+    if cfg.dead_letter:
+        # route admission-rule rejects to the replayable sink BEFORE the
+        # merge pipeline silently drops them (normalize_batch and
+        # dead_letter_batch partition every batch exactly)
+        dl = _write_dead_letters(lake_dir, {e: epochs[e] for e in todo})
+        report["dead_letter"] = {str(e): n for e, n in dl.items()}
+        report["dead_letter_rows"] = int(sum(dl.values()))
 
     wm_arr = np.array([wm[k] for k in range(P)], dtype=np.int64)
 

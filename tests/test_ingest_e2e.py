@@ -1173,3 +1173,67 @@ class TestZoneMaps:
         check()
         repartition_lake(cfg, 2)
         check()
+
+
+class TestDeadLetter:
+    """Dead-letter sink: admission-rule rejects are written to a
+    replayable per-segment file with reasons instead of being silently
+    dropped; the lake still converges to the oracle (which applies the
+    same admission rule)."""
+
+    def test_malformed_rows_routed_and_lake_converges(self, tmp_path):
+        from gene_etl_ray.pipelines.ingest import read_dead_letters
+
+        ev = str(tmp_path / "events")
+        lake = str(tmp_path / "lake")
+        generate_events(ev, n_urls=150, n_events=700, n_epochs=3, seed=53)
+        # inject malformed rows into segment 1: null url, invalid op,
+        # null warc_ts, null seq
+        f = os.path.join(ev, "epoch=00001.parquet")
+        t = pq.read_table(f)
+        base = t.slice(0, 4).to_pydict()
+        base["url"] = [None, base["url"][1], base["url"][2], base["url"][3]]
+        base["op"] = [base["op"][0], "X", base["op"][2], base["op"][3]]
+        base["warc_ts"] = [base["warc_ts"][0], base["warc_ts"][1], None, base["warc_ts"][3]]
+        base["seq"] = [9001, 9002, 9003, None]
+        bad = pa.table(base, schema=t.schema)
+        pq.write_table(pa.concat_tables([t, bad]), f)
+
+        cfg = EngineConfig(lake_dir=lake, num_partitions=4, dead_letter=True)
+        rep = run_ingest(cfg, ev)
+        assert rep["dead_letter_rows"] == 4
+        assert rep["dead_letter"] == {"1": 4}
+        assert_matches_oracle(lake, ev)
+
+        dl = read_dead_letters(lake).to_pandas()
+        assert len(dl) == 4
+        assert sorted(dl["reason"]) == [
+            "invalid_op", "null_url", "null_version", "null_version"
+        ]
+        # replayable: original columns survive alongside the reason
+        assert {"url", "op", "warc_ts", "seq", "html"} <= set(dl.columns)
+
+        # idempotent: a fresh lake over the same WAL writes the same sink
+        lake2 = str(tmp_path / "lake2")
+        rep2 = run_ingest(
+            EngineConfig(lake_dir=lake2, num_partitions=4, dead_letter=True), ev
+        )
+        assert rep2["dead_letter_rows"] == 4
+        dl2 = read_dead_letters(lake2).to_pandas()
+        pd.testing.assert_frame_equal(
+            dl.sort_values("reason").reset_index(drop=True),
+            dl2.sort_values("reason").reset_index(drop=True),
+        )
+
+    def test_clean_wal_writes_no_sink(self, tmp_path):
+        from gene_etl_ray.pipelines.ingest import read_dead_letters
+
+        ev = str(tmp_path / "events")
+        lake = str(tmp_path / "lake")
+        generate_events(ev, n_urls=80, n_events=300, n_epochs=2, seed=59)
+        rep = run_ingest(
+            EngineConfig(lake_dir=lake, num_partitions=4, dead_letter=True), ev
+        )
+        assert rep["dead_letter_rows"] == 0 and rep["dead_letter"] == {}
+        assert len(read_dead_letters(lake).to_pandas()) == 0
+        assert not glob.glob(os.path.join(lake, "_deadletter", "*.parquet"))
