@@ -226,12 +226,17 @@ def _candidates_from_bands(
     if pairs.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
     pairs = pairs.drop_duplicates().reset_index(drop=True)
-    # signature lookup for candidate ids only (the small surviving set)
-    need = set(pairs["id_a"]) | set(pairs["id_b"])
+    # signature lookup for candidate ids only (the small surviving set).
+    # Arrow-side filter: keeps `minhash` a fixed-size-list column (an
+    # empty pandas block with an object column trips Ray's block-size
+    # estimator — the BENCH_r01 'cannot call vectorize' log noise)
+    need_arr = pa.array(sorted(set(pairs["id_a"]) | set(pairs["id_b"])))
     sig_df = (
         sig_ds.map_batches(
-            lambda b: b.loc[b[id_col].isin(need), [id_col, "minhash"]],
-            batch_format="pandas",
+            lambda b: b.select([id_col, "minhash"]).filter(
+                pc.is_in(b.column(id_col), value_set=need_arr)
+            ),
+            batch_format="pyarrow",
         )
         .to_pandas()
     )
