@@ -1605,6 +1605,20 @@ def repartition_lake(cfg: EngineConfig, factor: int) -> dict:
                 t = _resolve_lww(t)  # no-op for cow; folds mor delta stacks
                 urls = t.column("url").to_numpy(zero_copy_only=False)
                 pk_new = (hash_urls(urls) % np.uint64(P_new)).astype(np.int32)
+                # row-conservation guard BEFORE anything becomes durable:
+                # every resolved row must land in one of this parent's F
+                # children (H % (P·F) ≡ k (mod P) for every url stored
+                # under k) — a violation means the hash fn or the stored
+                # layout is inconsistent, and committing would silently
+                # lose rows
+                if not ((pk_new % P_old) == k).all():
+                    stray = int(((pk_new % P_old) != k).sum())
+                    raise RuntimeError(
+                        f"repartition residue violation: {stray} rows of "
+                        f"partition {k} hash outside its family — lake "
+                        "layout and hash function disagree; aborting "
+                        "before the flip"
+                    )
                 pk_idx = t.schema.get_field_index(PKEY_COLUMN)
                 t = t.set_column(pk_idx, PKEY_COLUMN, pa.array(pk_new, pa.int32()))
                 for j in range(factor):

@@ -1237,3 +1237,42 @@ class TestDeadLetter:
         assert rep["dead_letter_rows"] == 0 and rep["dead_letter"] == {}
         assert len(read_dead_letters(lake).to_pandas()) == 0
         assert not glob.glob(os.path.join(lake, "_deadletter", "*.parquet"))
+
+
+def test_repartition_residue_guard_aborts_before_flip(tmp_path):
+    """A stored row whose url hashes outside its partition's family
+    (layout/hash inconsistency) must abort the repartition BEFORE the
+    overlay commit — nothing changes, the old layout stays readable."""
+    from gene_etl_ray.hashing import partition_keys
+    from gene_etl_ray.pipelines.ingest import repartition_lake
+
+    ev = str(tmp_path / "events")
+    lake = str(tmp_path / "lake")
+    generate_events(ev, n_urls=120, n_events=500, n_epochs=2, seed=61)
+    cfg = EngineConfig(lake_dir=lake, num_partitions=4)
+    run_ingest(cfg, ev)
+    before = lake_df(lake)
+
+    # tamper: rewrite one manifested file, replacing its first url with
+    # one that hashes to a DIFFERENT partition
+    victim_pkey, files = next(iter(sorted(current_files(lake).items())))
+    t = pq.read_table(files[0])
+    foreign = next(
+        u for i in range(10000)
+        for u in [f"https://tamper.example.com/{i}"]
+        if int(partition_keys([u], 4)[0]) != victim_pkey
+    )
+    urls = t.column("url").to_pylist()
+    urls[0] = foreign
+    t = t.set_column(t.schema.get_field_index("url"), "url", pa.array(urls, pa.string()))
+    pq.write_table(t, files[0])
+
+    with pytest.raises(Exception, match="residue violation"):
+        repartition_lake(cfg, 2)
+    # nothing flipped: old layout intact and readable
+    from gene_etl_ray.state.checkpoint import read_lake_meta
+
+    assert read_lake_meta(lake)["num_partitions"] == 4
+    assert not os.path.exists(os.path.join(lake, "_manifests", "REPART.json"))
+    after = lake_df(lake)
+    assert len(after) == len(before)
