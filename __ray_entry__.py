@@ -34,6 +34,9 @@ def oracle_sql() -> dict[str, str]:
     from gene_etl_ray.queries import (
         ORACLE_SQL,
         cdc_diff_oracle_sql,
+        cdc_domain_stats_oracle_sql,
+        cdc_late_dl_oracle_sql,
+        cdc_late_oracle_sql,
         cdc_oracle_sql,
         cdc_since_oracle_sql,
     )
@@ -49,4 +52,11 @@ def oracle_sql() -> dict[str, str]:
     d["cdc_repartitioned_lake"] = cdc_oracle_sql("/root/testdata/sf0.01")
     # recency feed: live rows whose winning warc_ts >= T (zone-map read)
     d["cdc_changed_since"] = cdc_since_oracle_sql("/root/testdata/sf0.01")
+    # event-time lateness contract: watermark-rejected events must be
+    # absent from the lake (SQL simulates the per-group watermark with
+    # window functions) and present — with reason — in the dead-letter sink
+    d["cdc_lateness_lake"] = cdc_late_oracle_sql("/root/testdata/sf0.01")
+    d["cdc_late_dead_letters"] = cdc_late_dl_oracle_sql("/root/testdata/sf0.01")
+    # incremental materialized view == full recomputation from the log
+    d["cdc_domain_stats_view"] = cdc_domain_stats_oracle_sql("/root/testdata/sf0.01")
     return d

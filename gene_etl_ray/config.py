@@ -108,6 +108,21 @@ class EngineConfig:
     # would tombstone more than this fraction of its rows (a classic
     # runaway-delete circuit breaker). None = no guard.
     audit_max_delete_frac: float | None = None
+    # event-time watermark + allowed lateness (µs of warc_ts time). When
+    # set, events whose warc_ts is older than (committed event-time
+    # watermark − allowed_lateness_us) at admission are REJECTED (dead-
+    # lettered with reason "late" when the sink is on) — the standard
+    # streaming lateness contract. The watermark is the max warc_ts ever
+    # committed, recorded per commit group in the global epoch record, so
+    # admission decisions are deterministic across crash/resume (a group
+    # always sees the watermark of fully-committed groups only, never its
+    # own partially-committed partitions). The contract is what makes
+    # TOMBSTONE GC safe: a tombstone older than the cutoff can be
+    # physically dropped (cow merge / mor compaction), because any event
+    # that could lose LWW to it is inadmissible — at 10^10 events the
+    # delete markers no longer accumulate forever. None (default) keeps
+    # the retain-forever semantics.
+    allowed_lateness_us: int | None = None
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -123,6 +138,8 @@ class EngineConfig:
             raise ValueError("salt_factor must be >= 1")
         if self.epochs_per_commit < 1:
             raise ValueError("epochs_per_commit must be >= 1")
+        if self.allowed_lateness_us is not None and self.allowed_lateness_us < 0:
+            raise ValueError("allowed_lateness_us must be >= 0")
 
     def hash(self) -> str:
         return config_hash(asdict(self))

@@ -187,12 +187,19 @@ def generate_events(
 
 
 def events_from_documents(
-    sf_dir: str, out_dir: str, n_epochs: int = 4, revisions: int = 2, seed: int = 42
+    sf_dir: str,
+    out_dir: str,
+    n_epochs: int = 4,
+    revisions: int = 2,
+    seed: int = 42,
+    subdomain_urls: bool = False,
 ) -> dict:
     """Derive a deterministic change log from the driver-provided
     ``documents`` table (TESTDATA.md): each document becomes a url whose
     html wraps the document text; ``revisions`` update rounds + a few
-    deletes. Ties the flagship pipeline to the sanctioned test inputs."""
+    deletes. Ties the flagship pipeline to the sanctioned test inputs.
+    ``subdomain_urls`` keys the url host by the document's ``source``
+    (20 distinct domains) so per-domain aggregates are non-trivial."""
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
     n = len(docs)
     rng = np.random.RandomState(seed)
@@ -202,7 +209,10 @@ def events_from_documents(
         order = rng.permutation(n)
         for j in order:
             doc = docs.iloc[j]
-            url = f"https://docs.example.org/{doc['source']}/{int(doc['doc_id']):08d}"
+            if subdomain_urls:
+                url = f"https://{doc['source']}.docs.example.org/{int(doc['doc_id']):08d}"
+            else:
+                url = f"https://docs.example.org/{doc['source']}/{int(doc['doc_id']):08d}"
             if r > 0 and rng.random() < 0.04:
                 rows.append((url, None, None, r, "D", seq))
             else:
@@ -238,3 +248,89 @@ def events_from_documents(
         pq.write_table(table, path)
         files.append(path)
     return {"n_events": n_events, "n_epochs": n_epochs, "files": files}
+
+
+LATE_LATENESS_US = 1_800_000_000  # 30 min of event time
+
+
+def late_events_from_documents(sf_dir: str, out_dir: str) -> dict:
+    """Derive a deterministic change log from the sanctioned ``documents``
+    table that EXERCISES the event-time lateness contract
+    (``EngineConfig.allowed_lateness_us = LATE_LATENESS_US``): besides
+    inserts / updates / deletes it plants stale events — updates whose
+    ``warc_ts`` lags the committed watermark by more than the allowed
+    lateness, including attempts to resurrect deleted urls — that a
+    lateness-enforcing engine must reject. Pure doc_id arithmetic, no RNG.
+
+    Epoch plan (T0 = base, j = row index within the doc order):
+      0: INSERT every doc at T0+j
+      1: doc_id%7==0 → DELETE at T0+1h+j; doc_id%5==0 → UPDATE at T0+1h+j
+      2: doc_id%3==0 → UPDATE at T0+6h+j (watermark jump);
+         doc_id%11==0 → stale UPDATE at T0+10min+j  (late: W≈T0+1h, L=30min)
+      3: doc_id%13==0 → stale UPDATE at T0+2h+j     (late: W≈T0+6h)
+         doc_id%7==0 and doc_id%2==0 → UPDATE at T0+8h+j (legitimate
+         resurrection: on time and NEWER than the tombstone — wins LWW)
+         doc_id%7==0 and doc_id%2==1 → stale UPDATE at T0+30min+j
+         (blocked resurrection: older than the tombstone AND late)
+    """
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang", "source"]
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    T0 = _BASE_TS_US
+    H = 3_600_000_000
+
+    def html_of(doc, r):
+        body = str(doc["text"])[:2000]
+        return (
+            f"<html><head><title>doc {int(doc['doc_id'])} r{r}</title></head>"
+            f"<body><script>var r={r};</script><p>{body}</p></body></html>"
+        ).encode("utf-8")
+
+    def url_of(doc):
+        return f"https://docs.example.org/{doc['source']}/{int(doc['doc_id']):08d}"
+
+    per_epoch: list[list[tuple]] = [[], [], [], []]
+    seq = 0
+    for j, doc in docs.iterrows():
+        d = int(doc["doc_id"])
+        u, lang = url_of(doc), str(doc["lang"])
+        per_epoch[0].append((u, html_of(doc, 0), lang, T0 + j, "I", None))
+        if d % 7 == 0:
+            per_epoch[1].append((u, None, None, T0 + H + j, "D", None))
+        elif d % 5 == 0:
+            per_epoch[1].append((u, html_of(doc, 1), lang, T0 + H + j, "U", None))
+        if d % 3 == 0:
+            per_epoch[2].append((u, html_of(doc, 2), lang, T0 + 6 * H + j, "U", None))
+        if d % 11 == 0:
+            per_epoch[2].append((u, html_of(doc, 92), lang, T0 + 600_000_000 + j, "U", None))
+        if d % 13 == 0:
+            per_epoch[3].append((u, html_of(doc, 93), lang, T0 + 2 * H + j, "U", None))
+        if d % 7 == 0:
+            if d % 2 == 0:
+                per_epoch[3].append((u, html_of(doc, 3), lang, T0 + 8 * H + j, "U", None))
+            else:
+                per_epoch[3].append((u, html_of(doc, 94), lang, T0 + H // 2 + j, "U", None))
+
+    os.makedirs(out_dir, exist_ok=True)
+    files = []
+    n_events = 0
+    for e, chunk in enumerate(per_epoch):
+        chunk = [(c[0], c[1], c[2], c[3], c[4], seq + i) for i, c in enumerate(chunk)]
+        seq += len(chunk)
+        n_events += len(chunk)
+        table = pa.table(
+            {
+                "url": pa.array([c[0] for c in chunk], pa.string()),
+                "warc_ts": pa.array([c[3] for c in chunk], pa.timestamp("us")),
+                "html": pa.array([c[1] for c in chunk], pa.binary()),
+                "text": pa.nulls(len(chunk), pa.string()),
+                "lang": pa.array([c[2] for c in chunk], pa.string()),
+                "op": pa.array([c[4] for c in chunk], pa.string()),
+                "seq": pa.array([c[5] for c in chunk], pa.int64()),
+                "epoch": pa.array([e] * len(chunk), pa.int32()),
+            }
+        )
+        path = os.path.join(out_dir, f"epoch={e:05d}.parquet")
+        pq.write_table(table, path, row_group_size=16384)
+        files.append(path)
+    return {"n_events": n_events, "n_epochs": 4, "files": files}

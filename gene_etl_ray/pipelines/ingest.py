@@ -64,6 +64,7 @@ from gene_etl_ray.schema import (
 )
 from gene_etl_ray.state.checkpoint import (
     effective_watermarks,
+    event_time_watermark,
     last_global_epoch,
     read_lake_meta,
     write_checkpoint,
@@ -236,7 +237,11 @@ def _dead_letter_path(lake_dir: str, epoch: int) -> str:
     return os.path.join(lake_dir, "_deadletter", f"epoch={epoch:05d}.parquet")
 
 
-def _write_dead_letters(lake_dir: str, files_by_epoch: dict[int, str]) -> dict[int, int]:
+def _write_dead_letters(
+    lake_dir: str,
+    files_by_epoch: dict[int, str],
+    late_cutoff_us: int | None = None,
+) -> dict[int, int]:
     """Dead-letter sink: rows the admission rule rejects, written ONE
     deterministic file per WAL segment (`_deadletter/epoch=<e>.parquet`,
     original columns + `reason`) — replayable after the producer fixes
@@ -255,7 +260,7 @@ def _write_dead_letters(lake_dir: str, files_by_epoch: dict[int, str]) -> dict[i
         out = []
         for _, row in batch.iterrows():
             e = int(row["epoch"])
-            rej = dead_letter_batch(pq.read_table(row["path"]))
+            rej = dead_letter_batch(pq.read_table(row["path"]), late_cutoff_us)
             final = _dead_letter_path(lake_dir, e)
             if rej.num_rows:
                 tmp = final + f".tmp{os.getpid()}"
@@ -339,17 +344,27 @@ def _epoch_record_info(lake_dir: str, commit_epoch: int, cfg: EngineConfig) -> d
     from gene_etl_ray.state.lineage import read_lineage
 
     last_by_pkey: dict[int, int] = {}
+    max_ts: int | None = None
     for rec in read_lineage(lake_dir, commit_epoch):
         if rec.get("kind") == "repartition":
             continue  # layout change, not an event application
         last_by_pkey[rec["pkey"]] = int(rec.get("event_count", 0))
+        m = rec.get("max_warc_ts_us")
+        if m is not None and (max_ts is None or int(m) > max_ts):
+            max_ts = int(m)
     if not last_by_pkey:
         return {"noop": True}
-    return {
+    info = {
         "partitions": sorted(last_by_pkey),
         "events": sum(last_by_pkey.values()),
         "config_hash": cfg.hash(),
     }
+    # event-time watermark contribution: max warc_ts this group committed
+    # (drives lateness admission for LATER groups; absent on pre-0.4
+    # lineage, which simply under-enforces lateness until new commits)
+    if max_ts is not None:
+        info["max_warc_ts_us"] = max_ts
+    return info
 
 
 def _fsync_file(path: str) -> None:
@@ -383,7 +398,10 @@ def _clean_stale_tmp(lake_dir: str) -> None:
 
 
 def _partition_counts(
-    files: list[str], cfg: EngineConfig, wm_arr: np.ndarray | None = None
+    files: list[str],
+    cfg: EngineConfig,
+    wm_arr: np.ndarray | None = None,
+    late_cutoff_us: int | None = None,
 ) -> tuple[dict[int, int], dict]:
     """Per-partition TO-APPLY event counts + pre-validation totals, via
     per-batch partial aggregation over a column-pruned envelope read (no
@@ -398,6 +416,12 @@ def _partition_counts(
     def partials(batch: pa.Table) -> pa.Table:
         v = prevalidate_counts(batch)
         nb = normalize_batch(batch)
+        if late_cutoff_us is not None:
+            kept = normalize_batch(nb, late_cutoff_us)
+            v["late_events"] = nb.num_rows - kept.num_rows
+            nb = kept
+        else:
+            v["late_events"] = 0
         pk, _ = group_keys(nb.column("url").to_numpy(zero_copy_only=False), P, 1, None)
         if wm_arr is not None:
             ep = nb.column("epoch").to_numpy(zero_copy_only=False)
@@ -412,7 +436,14 @@ def _partition_counts(
 
     parts = env.map_batches(partials, batch_format="pyarrow").take_all()
     total = np.zeros(P, dtype=np.int64)
-    val = {"events": 0, "null_url": 0, "invalid_op": 0, "null_warc_ts": 0, "duplicate_seq": 0}
+    val = {
+        "events": 0,
+        "null_url": 0,
+        "invalid_op": 0,
+        "null_warc_ts": 0,
+        "duplicate_seq": 0,
+        "late_events": 0,
+    }
     for r in parts:
         total += np.asarray(r["pkey_counts"], dtype=np.int64)
         for k in val:
@@ -463,7 +494,12 @@ def _make_lake_side_stage(cfg: EngineConfig, hot: set[int], target: pa.Schema):
 
 
 def _select_winners(
-    files: list[str], cfg: EngineConfig, wm_arr: np.ndarray, commit_epoch: int, hot: set[int]
+    files: list[str],
+    cfg: EngineConfig,
+    wm_arr: np.ndarray,
+    commit_epoch: int,
+    hot: set[int],
+    late_cutoff_us: int | None = None,
 ) -> tuple[np.ndarray, dict[int, int]]:
     """Phase A of late extraction: LWW winner seq per url over the DELTA,
     computed from envelope columns only (column-pruned read, tiny
@@ -474,7 +510,9 @@ def _select_winners(
     the group's pre-dedup size), so the no-counts late path gets exact
     applied accounting without a second envelope read."""
     env = ray.data.read_parquet(files, columns=["url", "warc_ts", "op", "seq", "epoch"])
-    env = env.map_batches(normalize_batch, batch_format="pyarrow")
+    env = env.map_batches(
+        lambda b: normalize_batch(b, late_cutoff_us), batch_format="pyarrow"
+    )
     env = env.map_batches(
         _make_key_stage(cfg, hot, wm_arr.copy(), commit_epoch), batch_format="pyarrow"
     )
@@ -564,7 +602,12 @@ def _load_bloom_sidecar(parquet_path: str):
         return None  # corrupt sidecar ⇒ fall back to reading the file
 
 
-def _make_merge_fn(lake_dir: str, commit_epoch: int, tag: str = ""):
+def _make_merge_fn(
+    lake_dir: str,
+    commit_epoch: int,
+    tag: str = "",
+    drop_tombstones_before_us: int | None = None,
+):
     """Per-group LWW merge + partition-file write (phase 1 of the commit).
 
     Sort by (url, warc_ts, seq); the last row per url is the winner —
@@ -572,6 +615,14 @@ def _make_merge_fn(lake_dir: str, commit_epoch: int, tag: str = ""):
     rows (at-least-once delivery) collapse to one. Tombstone winners are
     RETAINED in the stored partition so later-arriving older versions
     cannot resurrect a deleted url; live-view reads filter them.
+    Exception — bounded tombstone retention: under the lateness contract
+    (``EngineConfig.allowed_lateness_us``) a tombstone with
+    ``warc_ts < drop_tombstones_before_us`` (the group's admission
+    cutoff) is physically DROPPED after LWW resolution: every event that
+    could lose LWW to it is inadmissible (admission rejects
+    ``warc_ts < cutoff``), and any admissible event is strictly newer and
+    beats it regardless — dropping it cannot change any future LWW
+    outcome. Without the contract delete markers accumulate forever.
     Reference analog: canonical-order + unique-key insert-or-skip
     (``persist.py:114-117``, ``persist.py:164-177``) generalized from
     first-writer-wins-at-batch-grain to last-writer-wins-at-event-grain.
@@ -590,6 +641,20 @@ def _make_merge_fn(lake_dir: str, commit_epoch: int, tag: str = ""):
             neq = pc.not_equal(u.slice(0, n - 1), u.slice(1, n - 1))
             last = pa.chunked_array([neq, pa.array([True])])
             t = t.filter(last)
+        if drop_tombstones_before_us is not None and t.num_rows:
+            gc = pc.and_(
+                pc.fill_null(t.column(DELETED_COLUMN), False),
+                pc.less(
+                    pc.cast(t.column("warc_ts"), pa.int64()),
+                    pa.scalar(drop_tombstones_before_us, pa.int64()),
+                ),
+            )
+            if pc.any(gc).as_py():
+                t = t.filter(pc.invert(gc))
+        if t.num_rows == 0:
+            # a partition of nothing but GC-able tombstones: emit no file;
+            # the old manifest stays in force (correct — nothing changed)
+            return MANIFEST_ROW_SCHEMA.empty_table()
         live = t.num_rows - (pc.sum(t.column(DELETED_COLUMN)).as_py() or 0)
         part_dir = os.path.join(lake_dir, f"part={pkey:05d}")
         os.makedirs(part_dir, exist_ok=True)
@@ -740,15 +805,12 @@ def _run_ingest(
         report["duration_sec"] = time.time() - t0
         return report
 
-    if cfg.dead_letter:
-        # route admission-rule rejects to the replayable sink BEFORE the
-        # merge pipeline silently drops them (normalize_batch and
-        # dead_letter_batch partition every batch exactly)
-        dl = _write_dead_letters(lake_dir, {e: epochs[e] for e in todo})
-        report["dead_letter"] = {str(e): n for e, n in dl.items()}
-        report["dead_letter_rows"] = int(sum(dl.values()))
-
     wm_arr = np.array([wm[k] for k in range(P)], dtype=np.int64)
+    # committed event-time watermark (µs of warc_ts) — from global epoch
+    # records ONLY, so a resume of a half-committed group recomputes the
+    # exact watermark the crashed attempt used (its own partitions'
+    # manifests never feed admission decisions)
+    ev_time_wm = event_time_watermark(lake_dir) if cfg.allowed_lateness_us is not None else None
 
     from gene_etl_ray.state.lock import heartbeat
 
@@ -757,6 +819,28 @@ def _run_ingest(
         group_epochs = todo[i : i + cfg.epochs_per_commit]
         commit_epoch = max(group_epochs)
         files = [epochs[e] for e in group_epochs]
+        # lateness admission cutoff for THIS group: fixed at group start
+        # from fully-committed state, identical across crash/resume
+        late_cutoff = (
+            ev_time_wm - cfg.allowed_lateness_us
+            if cfg.allowed_lateness_us is not None and ev_time_wm is not None
+            else None
+        )
+
+        if cfg.dead_letter:
+            # route admission-rule rejects (incl. "late") to the
+            # replayable sink BEFORE the merge pipeline silently drops
+            # them (normalize_batch and dead_letter_batch partition every
+            # batch exactly; the group's cutoff applies to both)
+            dl = _write_dead_letters(
+                lake_dir, {e: epochs[e] for e in group_epochs}, late_cutoff
+            )
+            report.setdefault("dead_letter", {}).update(
+                {str(e): n for e, n in dl.items()}
+            )
+            report["dead_letter_rows"] = report.get("dead_letter_rows", 0) + int(
+                sum(dl.values())
+            )
 
         t_grp = time.time()
         group_events = sum(pq.read_metadata(f).num_rows for f in files)
@@ -767,7 +851,7 @@ def _run_ingest(
         # output then determines the affected set post-hoc.
         has_lake = bool(current_files(lake_dir))
         if cfg.prevalidate or (has_lake and cfg.merge_mode == "cow"):
-            counts, val = _partition_counts(files, cfg, wm_arr)
+            counts, val = _partition_counts(files, cfg, wm_arr, late_cutoff)
             for k, v in val.items():
                 report["validation"][k] = report["validation"].get(k, 0) + v
             hot = {k for k, c in counts.items() if c > cfg.hot_partition_threshold}
@@ -777,10 +861,15 @@ def _run_ingest(
                 # touched partition but died before the global record —
                 # recover the epoch total from lineage rather than
                 # writing an events-less noop
-                write_global_epoch(
-                    lake_dir, commit_epoch, _epoch_record_info(lake_dir, commit_epoch, cfg)
-                )
+                noop_info = _epoch_record_info(lake_dir, commit_epoch, cfg)
+                write_global_epoch(lake_dir, commit_epoch, noop_info)
                 wm_arr[:] = np.maximum(wm_arr, commit_epoch)
+                if (
+                    cfg.allowed_lateness_us is not None
+                    and noop_info.get("max_warc_ts_us") is not None
+                ):
+                    m = int(noop_info["max_warc_ts_us"])
+                    ev_time_wm = m if ev_time_wm is None else max(ev_time_wm, m)
                 continue
         else:
             counts, hot, affected = {}, set(), []
@@ -838,7 +927,7 @@ def _run_ingest(
             # to the object store ONCE and read zero-copy by every filter
             # task — never re-shipped per task closure.
             winners, fused_counts = _select_winners(
-                files, cfg, wm_arr, commit_epoch, hot
+                files, cfg, wm_arr, commit_epoch, hot, late_cutoff
             )
             if not counts:
                 # no-counts path: the fused per-partition event counts
@@ -874,7 +963,9 @@ def _run_ingest(
 
             ev_ds = ev_ds.map_batches(winner_filter, batch_format="pyarrow")
 
-        ds = ev_ds.map_batches(normalize_batch, batch_format="pyarrow")
+        ds = ev_ds.map_batches(
+            lambda b, _c=late_cutoff: normalize_batch(b, _c), batch_format="pyarrow"
+        )
         # Autoscaling pool, min = half max: a fixed-size pool that reserves
         # every CPU starves the read/shuffle stages (deadlock at small
         # clusters), while min=1 pays a slow ramp-up (~4s at 32 CPUs).
@@ -912,7 +1003,8 @@ def _run_ingest(
                 ds = ds.union(old)
 
         merged = ds.groupby("gkey").map_groups(
-            _make_merge_fn(lake_dir, commit_epoch), batch_format="pyarrow"
+            _make_merge_fn(lake_dir, commit_epoch, drop_tombstones_before_us=late_cutoff),
+            batch_format="pyarrow",
         )
         t_pipe = time.time()
         rows = merged.take_all()  # one tiny manifest row per merge group
@@ -981,6 +1073,7 @@ def _run_ingest(
                 retain=cfg.retain_history,
             )
             write_checkpoint(lake_dir, pkey, commit_epoch, max(int(x["max_seq"]) for x in rs))
+            ts_maxes = [x["ts_max_us"] for x in rs if x.get("ts_max_us") is not None]
             append_lineage(
                 lake_dir,
                 {
@@ -990,6 +1083,8 @@ def _run_ingest(
                     "event_count": pkey_events,
                     "rows": stats["rows"],
                     "live_rows": stats["live_rows"],
+                    # feeds the global record's event-time watermark
+                    "max_warc_ts_us": max(ts_maxes) if ts_maxes else None,
                     "config_hash": cfg.hash(),
                 },
             )
@@ -1005,10 +1100,18 @@ def _run_ingest(
         # crashed run may already have committed + lineage'd some
         # partitions (this run watermark-skipped them) — `applied` stays
         # the THIS-RUN number for the run report.
-        write_global_epoch(
-            lake_dir, commit_epoch, _epoch_record_info(lake_dir, commit_epoch, cfg)
-        )
+        grp_info = _epoch_record_info(lake_dir, commit_epoch, cfg)
+        write_global_epoch(lake_dir, commit_epoch, grp_info)
         wm_arr[:] = np.maximum(wm_arr, commit_epoch)
+        if cfg.allowed_lateness_us is not None:
+            # the group is now fully committed — advance the event-time
+            # watermark for the NEXT group's admission cutoff. Use the
+            # RECORD's max (lineage-derived: includes partitions a crashed
+            # earlier attempt committed), so a mid-run group sees exactly
+            # the watermark a fresh-process resume would read back
+            m = grp_info.get("max_warc_ts_us")
+            if m is not None:
+                ev_time_wm = int(m) if ev_time_wm is None else max(ev_time_wm, int(m))
         report["events_applied"] += applied
         report["commits"].append(
             {
@@ -1462,10 +1565,20 @@ def _compact_locked(cfg: EngineConfig, meta: dict) -> dict:
     if not multi:
         return {"compacted": 0}
     files = [f for fs in multi.values() for f in fs]
+    # bounded tombstone retention: compaction is where MOR lakes shed
+    # delete markers older than the lateness cutoff (cow sheds them in
+    # the merge itself) — admission has already made them unbeatable
+    gc_cutoff = None
+    if cfg.allowed_lateness_us is not None:
+        w = event_time_watermark(lake_dir)
+        gc_cutoff = w - cfg.allowed_lateness_us if w is not None else None
     ds = ray.data.read_parquet(files, partitioning=None, schema=target)
     ds = ds.map_batches(_make_lake_side_stage(cfg, set(), target), batch_format="pyarrow")
     merged = ds.groupby("gkey").map_groups(
-        _make_merge_fn(lake_dir, epoch, tag="-compact"), batch_format="pyarrow"
+        _make_merge_fn(
+            lake_dir, epoch, tag="-compact", drop_tombstones_before_us=gc_cutoff
+        ),
+        batch_format="pyarrow",
     )
     rows = merged.take_all()
     by_pkey: dict[int, list[dict]] = {}

@@ -65,10 +65,12 @@ def _canonicalized(batch: pa.Table) -> pa.Table:
     return batch
 
 
-def _keep_mask(batch: pa.Table):
+def _keep_mask(batch: pa.Table, late_cutoff_us: int | None = None):
     """Admission rule: url present (post-canonicalization), op valid,
-    warc_ts + seq present (the merge key and version must exist)."""
-    return pc.and_(
+    warc_ts + seq present (the merge key and version must exist), and —
+    when the lateness contract is active — ``warc_ts >= late_cutoff_us``
+    (the committed event-time watermark minus the allowed lateness)."""
+    keep = pc.and_(
         pc.and_(
             pc.is_valid(batch.column("url")),
             pc.is_in(batch.column("op"), value_set=pa.array(VALID_OPS)),
@@ -77,26 +79,35 @@ def _keep_mask(batch: pa.Table):
             pc.is_valid(batch.column("warc_ts")), pc.is_valid(batch.column("seq"))
         ),
     )
+    if late_cutoff_us is not None:
+        ts = pc.cast(batch.column("warc_ts"), pa.int64())
+        # kleene: null warc_ts already rejected above; fill false so the
+        # combined mask stays null-free
+        on_time = pc.fill_null(
+            pc.greater_equal(ts, pa.scalar(late_cutoff_us, pa.int64())), False
+        )
+        keep = pc.and_(keep, on_time)
+    return keep
 
 
-def normalize_batch(batch: pa.Table) -> pa.Table:
+def normalize_batch(batch: pa.Table, late_cutoff_us: int | None = None) -> pa.Table:
     """Canonicalize urls; drop rows failing the admission rule
     (:func:`_keep_mask`). :func:`dead_letter_batch` is the exact
     complement — together they partition every batch."""
     batch = _canonicalized(batch)
-    keep = _keep_mask(batch)
+    keep = _keep_mask(batch, late_cutoff_us)
     if pc.all(keep).as_py():
         return batch
     return batch.filter(keep)
 
 
-def dead_letter_batch(batch: pa.Table) -> pa.Table:
+def dead_letter_batch(batch: pa.Table, late_cutoff_us: int | None = None) -> pa.Table:
     """The rows :func:`normalize_batch` rejects, with a ``reason`` column
-    (first failing rule: null_url → invalid_op → null_version) — the
-    dead-letter sink's payload, kept replayable after the producer fixes
-    the defect."""
+    (first failing rule: null_url → invalid_op → null_version → late) —
+    the dead-letter sink's payload, kept replayable after the producer
+    fixes the defect."""
     batch = _canonicalized(batch)
-    rej = batch.filter(pc.invert(_keep_mask(batch)))
+    rej = batch.filter(pc.invert(_keep_mask(batch, late_cutoff_us)))
     if rej.num_rows == 0:
         return rej.append_column("reason", pa.array([], pa.string()))
     import numpy as np
@@ -105,7 +116,14 @@ def dead_letter_batch(batch: pa.Table) -> pa.Table:
     bad_op = pc.invert(
         pc.is_in(rej.column("op"), value_set=pa.array(VALID_OPS))
     ).to_numpy(zero_copy_only=False)
-    reason = np.where(null_url, "null_url", np.where(bad_op, "invalid_op", "null_version"))
+    null_ver = pc.or_(
+        pc.is_null(rej.column("warc_ts")), pc.is_null(rej.column("seq"))
+    ).to_numpy(zero_copy_only=False)
+    reason = np.where(
+        null_url,
+        "null_url",
+        np.where(bad_op, "invalid_op", np.where(null_ver, "null_version", "late")),
+    )
     return rej.append_column("reason", pa.array(reason, pa.string()))
 
 

@@ -1455,8 +1455,10 @@ CDC_SQL_TEMPLATE = """
 WITH ev AS (
     SELECT url, warc_ts, decode(html) AS h, lang, op, seq, epoch
     FROM read_parquet('{ev_glob}', hive_partitioning = false)
-), w AS (
-    SELECT * FROM ev
+    WHERE url IS NOT NULL AND op IN ('I', 'U', 'D')
+      AND warc_ts IS NOT NULL AND seq IS NOT NULL
+){admit_ctes}, w AS (
+    SELECT * FROM {src}
     QUALIFY row_number() OVER (
         PARTITION BY url ORDER BY warc_ts DESC, seq DESC
     ) = 1
@@ -1486,11 +1488,33 @@ ORDER BY url
 """
 
 
+# Per-commit-group event-time watermark, in SQL (epochs_per_commit=1 ⇒
+# group == epoch): W(e) = max warc_ts over PRIOR epochs' events; an event
+# is admitted iff no prior watermark exists or warc_ts >= W - L. Using the
+# max over ALL prior (structurally valid) events is provably identical to
+# the engine's max over ADMITTED events: a late-rejected event has
+# warc_ts < W_prior - L <= W_prior, so it can never raise the running max
+# (induction over groups; mirrored by oracle.replay_oracle's simulation).
+CDC_LATE_CTES = """, em AS (
+    SELECT epoch, max(warc_ts) AS ts_max FROM ev GROUP BY epoch
+), wm AS (
+    SELECT epoch, max(ts_max) OVER (
+        ORDER BY epoch ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS W FROM em
+), adm AS (
+    SELECT ev.* FROM ev JOIN wm ON ev.epoch = wm.epoch
+    WHERE wm.W IS NULL
+       OR epoch_us(ev.warc_ts) >= epoch_us(wm.W) - {lateness_us}
+)"""
+
+
 def cdc_oracle_sql(sf_dir: str) -> str:
     """Materialized-for-sf_dir flagship oracle (generates the change log
     if needed so DuckDB can read it regardless of run order)."""
     ev_dir = ensure_cdc_events(sf_dir)
-    return CDC_SQL_TEMPLATE.format(ev_glob=f"{ev_dir}/epoch=*.parquet")
+    return CDC_SQL_TEMPLATE.format(
+        ev_glob=f"{ev_dir}/epoch=*.parquet", admit_ctes="", src="ev"
+    )
 
 
 def cdc_snapshot_diff(sf_dir: str) -> pd.DataFrame:
@@ -1581,7 +1605,9 @@ def cdc_changed_since(sf_dir: str) -> pd.DataFrame:
 
 def cdc_since_oracle_sql(sf_dir: str) -> str:
     base = CDC_SQL_TEMPLATE.format(
-        ev_glob=f"{ensure_cdc_events(sf_dir)}/epoch=*.parquet"
+        ev_glob=f"{ensure_cdc_events(sf_dir)}/epoch=*.parquet",
+        admit_ctes="",
+        src="ev",
     )
     t = pd.Timestamp(_cdc_since_ts_us(sf_dir) * 1000).isoformat(sep=" ")
     return (
@@ -1622,6 +1648,148 @@ def cdc_repartitioned_lake(sf_dir: str) -> pd.DataFrame:
     run_ingest(EngineConfig(lake_dir=lake_dir, num_partitions=8), ev_dir)
     df = read_lake(lake_dir).to_pandas()
     return df.sort_values("url").reset_index(drop=True)
+
+
+def ensure_late_events(sf_dir: str) -> str:
+    """Deterministically derive (once) the lateness-exercising change log
+    (stale updates + blocked resurrections) from the documents table."""
+    from gene_etl_ray.fixtures import late_events_from_documents
+
+    ev_dir = f"{_cdc_base_dir(sf_dir)}/events_late"
+    if not os.path.isdir(ev_dir):
+        late_events_from_documents(sf_dir, ev_dir)
+    return ev_dir
+
+
+def cdc_lateness_lake(sf_dir: str) -> pd.DataFrame:
+    """Event-time watermark / allowed-lateness contract under the oracle
+    gate: ingest a change log planted with stale events (older than the
+    committed watermark minus ``LATE_LATENESS_US``, including attempts to
+    resurrect deleted urls) with ``allowed_lateness_us`` set — the engine
+    must reject them at admission (dead-lettered with reason "late") and
+    GC aged tombstones. The DuckDB twin simulates the same per-commit-
+    group watermark with window functions (``CDC_LATE_CTES``)."""
+    from gene_etl_ray.config import EngineConfig
+    from gene_etl_ray.fixtures import LATE_LATENESS_US
+    from gene_etl_ray.pipelines.ingest import read_lake, run_ingest
+
+    ev_dir = ensure_late_events(sf_dir)
+    lake_dir = f"{_cdc_base_dir(sf_dir)}/lake_late"
+    cfg = EngineConfig(
+        lake_dir=lake_dir,
+        num_partitions=8,
+        allowed_lateness_us=LATE_LATENESS_US,
+        dead_letter=True,
+    )
+    run_ingest(cfg, ev_dir)  # idempotent: a second call is a no-op
+    df = read_lake(lake_dir).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def cdc_late_oracle_sql(sf_dir: str) -> str:
+    from gene_etl_ray.fixtures import LATE_LATENESS_US
+
+    ev_dir = ensure_late_events(sf_dir)
+    return CDC_SQL_TEMPLATE.format(
+        ev_glob=f"{ev_dir}/epoch=*.parquet",
+        admit_ctes=CDC_LATE_CTES.format(lateness_us=LATE_LATENESS_US),
+        src="adm",
+    )
+
+
+CDC_LATE_DL_TEMPLATE = """
+WITH ev AS (
+    SELECT url, warc_ts, op, seq, epoch
+    FROM read_parquet('{ev_glob}', hive_partitioning = false)
+    WHERE url IS NOT NULL AND op IN ('I', 'U', 'D')
+      AND warc_ts IS NOT NULL AND seq IS NOT NULL
+){admit_ctes}
+SELECT ev.url, ev.warc_ts, ev.seq, ev.epoch, 'late' AS reason
+FROM ev JOIN wm ON ev.epoch = wm.epoch
+WHERE wm.W IS NOT NULL
+  AND epoch_us(ev.warc_ts) < epoch_us(wm.W) - {lateness_us}
+ORDER BY seq
+"""
+
+
+def cdc_late_dead_letters(sf_dir: str) -> pd.DataFrame:
+    """The complement feed: every event the lateness contract rejected,
+    read back from the replayable dead-letter sink with its reason. The
+    DuckDB twin inverts the admission predicate over the same files —
+    together with ``cdc_lateness_lake`` the two oracles pin that admitted
+    ∪ rejected is exactly the change log (nothing silently dropped)."""
+    from gene_etl_ray.pipelines.ingest import read_dead_letters
+
+    cdc_lateness_lake(sf_dir)  # idempotent: ensure lake + sink exist
+    lake_dir = f"{_cdc_base_dir(sf_dir)}/lake_late"
+    df = read_dead_letters(lake_dir).to_pandas()
+    out = df[["url", "warc_ts", "seq", "epoch", "reason"]].copy()
+    return out.sort_values("seq").reset_index(drop=True)
+
+
+def cdc_late_dl_oracle_sql(sf_dir: str) -> str:
+    from gene_etl_ray.fixtures import LATE_LATENESS_US
+
+    ev_dir = ensure_late_events(sf_dir)
+    return CDC_LATE_DL_TEMPLATE.format(
+        ev_glob=f"{ev_dir}/epoch=*.parquet",
+        admit_ctes=CDC_LATE_CTES.format(lateness_us=LATE_LATENESS_US),
+        lateness_us=LATE_LATENESS_US,
+    )
+
+
+def ensure_mv_events(sf_dir: str) -> str:
+    """Deterministic multi-domain change log (url host keyed by the
+    document's ``source``) so the domain_stats view has 20 groups."""
+    from gene_etl_ray.fixtures import events_from_documents
+
+    ev_dir = f"{_cdc_base_dir(sf_dir)}/events_mv"
+    if not os.path.isdir(ev_dir):
+        events_from_documents(sf_dir, ev_dir, subdomain_urls=True)
+    return ev_dir
+
+
+def cdc_domain_stats_view(sf_dir: str) -> pd.DataFrame:
+    """Incremental materialized view under the oracle gate: ingest a
+    multi-domain change log, ``refresh_view`` (partition-invalidation IVM
+    — only shards behind their partition's manifest epoch recompute),
+    read the combined per-domain stats. The DuckDB twin recomputes the
+    view from scratch over the raw change log (LWW winners → extracted
+    text → per-domain url/whitespace-token totals) — the invariant is
+    that incremental maintenance equals full recomputation."""
+    from gene_etl_ray.config import EngineConfig
+    from gene_etl_ray.pipelines.ingest import run_ingest
+    from gene_etl_ray.state.mview import read_view, refresh_view
+
+    ev_dir = ensure_mv_events(sf_dir)
+    lake_dir = f"{_cdc_base_dir(sf_dir)}/lake_mv"
+    cfg = EngineConfig(lake_dir=lake_dir, num_partitions=8)
+    run_ingest(cfg, ev_dir)  # idempotent: a second call is a no-op
+    refresh_view(lake_dir)  # incremental: no-op when shards are current
+    return read_view(lake_dir)
+
+
+DOMAIN_STATS_SQL_TEMPLATE = """
+WITH lww AS ({lww_sql})
+SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(coalesce(CASE
+           WHEN length(trim(text, ' ' || chr(10) || chr(9))) = 0 THEN 0
+           ELSE len(regexp_split_to_array(
+                    trim(text, ' ' || chr(10) || chr(9)), '\\s+'))
+       END, 0)) AS BIGINT) AS n_tokens
+FROM lww
+GROUP BY domain
+ORDER BY domain
+"""
+
+
+def cdc_domain_stats_oracle_sql(sf_dir: str) -> str:
+    ev_dir = ensure_mv_events(sf_dir)
+    lww = CDC_SQL_TEMPLATE.format(
+        ev_glob=f"{ev_dir}/epoch=*.parquet", admit_ctes="", src="ev"
+    ).replace("ORDER BY url", "")
+    return DOMAIN_STATS_SQL_TEMPLATE.format(lww_sql=lww)
 
 
 def media_features(sf_dir: str) -> pd.DataFrame:
@@ -2141,6 +2309,9 @@ QUERIES = {
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "cdc_repartitioned_lake": cdc_repartitioned_lake,
     "cdc_changed_since": cdc_changed_since,
+    "cdc_lateness_lake": cdc_lateness_lake,
+    "cdc_late_dead_letters": cdc_late_dead_letters,
+    "cdc_domain_stats_view": cdc_domain_stats_view,
     "media_features": media_features,
     "customer_orders_left_join": customer_orders_left_join,
     "events_customers_full_outer": events_customers_full_outer,

@@ -51,6 +51,23 @@ def write_global_epoch(lake_dir: str, epoch: int, info: dict) -> None:
     )
 
 
+def event_time_watermark(lake_dir: str) -> int | None:
+    """Committed event-time watermark: max ``max_warc_ts_us`` over every
+    global epoch record (µs), or None on a fresh lake / pre-0.4 records.
+    Derived ONLY from the per-group records written LAST in the commit
+    sequence — never from partition manifests — so a resume of a
+    half-committed group computes exactly the watermark the crashed
+    attempt used and re-makes identical lateness admission decisions."""
+    out: int | None = None
+    for f in glob.glob(os.path.join(lake_dir, "_epochs", "epoch=*.json")):
+        with open(f) as fh:
+            rec = json.load(fh)
+        m = rec.get("max_warc_ts_us")
+        if m is not None and (out is None or int(m) > out):
+            out = int(m)
+    return out
+
+
 def last_global_epoch(lake_dir: str) -> int:
     files = glob.glob(os.path.join(lake_dir, "_epochs", "epoch=*.json"))
     if not files:

@@ -148,6 +148,60 @@ def test_lsh_recall_vs_bruteforce():
     assert recall >= 0.3, recall  # self-match alone guarantees > 0
 
 
+def test_cdc_lateness_lake_matches_duckdb_oracle():
+    """Watermark/lateness-enforcing ingest vs the DuckDB twin that
+    simulates the per-commit-group watermark with window functions —
+    dtype-strict, and non-vacuous (the contract rejected events: the
+    lateness lake differs from the retain-everything LWW result)."""
+    import duckdb
+
+    ray_df = to_df(Q.cdc_lateness_lake(SF))
+    sql_df = duckdb.connect().execute(Q.cdc_late_oracle_sql(SF)).fetchdf()
+    cols = sorted(ray_df.columns)
+    a = ray_df[cols].sort_values(cols).reset_index(drop=True)
+    b = sql_df[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=True)
+    # the admission rule must have BITTEN: the no-lateness LWW over the
+    # same files keeps seqs the lateness lake rejected
+    full_sql = Q.CDC_SQL_TEMPLATE.format(
+        ev_glob=f"{Q.ensure_late_events(SF)}/epoch=*.parquet",
+        admit_ctes="",
+        src="ev",
+    )
+    full = duckdb.connect().execute(full_sql).fetchdf()
+    assert set(full["seq"]) - set(a["seq"]), "lateness contract rejected nothing"
+
+
+def test_cdc_late_dead_letters_match_duckdb_oracle():
+    """The dead-letter sink is the exact complement of admission: every
+    watermark-rejected event appears once with reason 'late' — the DuckDB
+    twin inverts the admission predicate over the same change log."""
+    import duckdb
+
+    ray_df = Q.cdc_late_dead_letters(SF)
+    sql_df = duckdb.connect().execute(Q.cdc_late_dl_oracle_sql(SF)).fetchdf()
+    assert len(ray_df) == len(sql_df) > 0
+    assert set(ray_df["reason"]) == {"late"}
+    a = ray_df.sort_values("seq").reset_index(drop=True)
+    b = sql_df.sort_values("seq").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=True)
+
+
+def test_cdc_domain_stats_view_matches_duckdb_oracle():
+    """Incremental materialized view (partition-invalidation IVM) vs a
+    from-scratch DuckDB recomputation of the same per-domain stats over
+    the raw change log — dtype-strict, multi-group (20 domains)."""
+    import duckdb
+
+    ray_df = Q.cdc_domain_stats_view(SF)
+    sql_df = duckdb.connect().execute(Q.cdc_domain_stats_oracle_sql(SF)).fetchdf()
+    assert len(ray_df) == len(sql_df) > 1, "view must have multiple domains"
+    a = ray_df.sort_values("domain").reset_index(drop=True)
+    b = sql_df.sort_values("domain").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=True)
+
+
 def test_cdc_changed_since_matches_duckdb_oracle():
     """Recency feed (winning warc_ts >= T via zone-map read) vs the
     filtered LWW QUALIFY oracle — dtype-strict, non-vacuous both ways."""
