@@ -335,6 +335,44 @@ def discover_epochs(events_dir: str, quarantine: list[str] | None = None) -> dic
     return out
 
 
+def truncate_wal(
+    cfg: EngineConfig, events_dir: str, archive_dir: str | None = None
+) -> dict:
+    """Prefix-only WAL cleanup: remove (or move to ``archive_dir``) every
+    segment whose effects are durably committed for EVERY partition, so an
+    endlessly-tailed WAL doesn't grow without bound at 10^10-event scale.
+
+    The safe bound is ``last_global_epoch(lake)``: global epoch records
+    are written LAST in the commit sequence and groups commit in
+    contiguous order, so every epoch ≤ the bound is fully applied, and
+    ``effective_watermarks`` guarantees no resume ever re-reads one (each
+    partition's watermark is ≥ the bound). A crashed HALF-committed group
+    has no global record yet, so its segments — which the resume needs —
+    always survive. Deleting a prefix is exactly what
+    :func:`discover_epochs`' contiguity rule permits (it anchors at the
+    min PRESENT epoch); mid-range deletion would stall the tail loop by
+    design. Safe to run concurrently with an ingest: a live run only ever
+    reads epochs above its start-of-run watermark, which is ≥ this bound.
+
+    Idempotent; with ``archive_dir`` the segments stay replayable (the
+    cold-storage tier of the log-retention story)."""
+    bound = last_global_epoch(cfg.lake_dir)
+    removed: list[int] = []
+    kept: list[int] = []
+    for f in sorted(glob.glob(os.path.join(events_dir, "epoch=*.parquet"))):
+        e = int(os.path.basename(f)[6:-8])
+        if e <= bound:
+            if archive_dir is not None:
+                os.makedirs(archive_dir, exist_ok=True)
+                os.replace(f, os.path.join(archive_dir, os.path.basename(f)))
+            else:
+                os.remove(f)
+            removed.append(e)
+        else:
+            kept.append(e)
+    return {"truncated_through": bound, "removed": removed, "kept": kept}
+
+
 def _epoch_record_info(lake_dir: str, commit_epoch: int, cfg: EngineConfig) -> dict:
     """Global-epoch record payload: the commit group's total applied
     events across ALL attempts, derived from per-partition lineage

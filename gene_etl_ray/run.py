@@ -58,6 +58,16 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_truncate(args) -> int:
+    """Prefix-only WAL cleanup (segments fully committed for every
+    partition; optionally archived instead of deleted)."""
+    from gene_etl_ray.pipelines.ingest import truncate_wal
+
+    cfg = load_config(args.config)
+    print(json.dumps(truncate_wal(cfg, args.events, args.archive)))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from gene_etl_ray.pipelines.ingest import consistency_report, validate_lake
 
@@ -295,6 +305,15 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--config", required=True)
     pi.add_argument("--events", required=True)
     pi.set_defaults(fn=cmd_ingest)
+
+    pt_ = sub.add_parser(
+        "truncate", help="prefix-only WAL cleanup of fully-committed segments"
+    )
+    pt_.add_argument("--config", required=True)
+    pt_.add_argument("--events", required=True)
+    pt_.add_argument("--archive", default=None,
+                     help="move segments here instead of deleting (replayable)")
+    pt_.set_defaults(fn=cmd_truncate)
 
     pv = sub.add_parser("validate", help="post-validation checks on the lake")
     pv.add_argument("--lake", required=True)
