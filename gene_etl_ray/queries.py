@@ -424,19 +424,23 @@ def orders_moving_avg(sf_dir: str) -> ray.data.Dataset:
 
     def moving(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
-        g["moving_avg"] = (
-            g["o_totalprice"].rolling(5, min_periods=1).mean().round(2)
+        # moving SUM, not avg: prices are exact multiples of 0.01, so the
+        # true window value is ≥ 0.005 from every round(2) boundary and a
+        # 1-ulp accumulation difference vs the SQL engine can never flip
+        # the rounding (avg/5 lands exactly ON half-cent ties and did)
+        g["moving_sum"] = (
+            g["o_totalprice"].rolling(5, min_periods=1).sum().round(2)
         )
-        return g[["o_custkey", "o_orderkey", "moving_avg"]]
+        return g[["o_custkey", "o_orderkey", "moving_sum"]]
 
     return ds.groupby("o_custkey").map_groups(moving, batch_format="pandas")
 
 
 MOVING_AVG_SQL = """
 SELECT o_custkey, o_orderkey,
-       round(avg(o_totalprice) OVER (
+       round(sum(o_totalprice) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS moving_avg
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS moving_sum
 FROM orders ORDER BY o_custkey, o_orderkey
 """
 
