@@ -808,3 +808,72 @@ def stratified_sample(
         return t.filter(pa.array(bucket < rate))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def merge_into(
+    target: ray.data.Dataset,
+    source: ray.data.Dataset,
+    on: str,
+    update_cols: list[str],
+    delete_col: str | None = None,
+    insert: bool = True,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """SQL ``MERGE INTO`` over two large Datasets (the conditional
+    upsert/delete the reference applies row-by-row through its ORM
+    session, ``etl/persist.py`` upsert loop — here one co-located bucket
+    pass): matched target rows take ``update_cols`` from the source
+    (WHEN MATCHED THEN UPDATE), matched rows whose source ``delete_col``
+    is true are dropped (WHEN MATCHED AND <cond> THEN DELETE), and
+    source rows with no target match are appended (WHEN NOT MATCHED THEN
+    INSERT), with target columns the source lacks null-filled.
+
+    Both sides are hash-co-located on ``on`` via the shared
+    :func:`_bucket_union` machinery — ONE shuffle, neither side
+    broadcast or driver-materialized, so target and source can both be
+    fact-sized. Within a bucket every occurrence of a key from either
+    side is present, so match/anti decisions made per bucket are
+    globally exact. Enforces the SQL MERGE contract that the source has
+    at most one row per key (a duplicate raises, exactly like DuckDB /
+    the standard's cardinality violation). CDC convention: a
+    delete-flagged source row whose key is NOT in the target is a no-op
+    (a delete for an absent key), not an insert."""
+    tcols = [c for c in target.schema().names]
+    scols = [c for c in source.schema().names]
+    out_cols = list(tcols)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.loc[g["__side"] == "l", tcols]
+        s = g.loc[g["__side"] == "r", scols]
+        if s[on].duplicated().any():
+            raise ValueError(f"merge_into: duplicate source keys on {on!r}")
+        s2 = s.rename(columns={c: c + "__s" for c in scols if c != on})
+        m = t.merge(s2, on=on, how="left", indicator=True)
+        matched = (m["_merge"] == "both").to_numpy()
+        for c in update_cols:
+            m[c] = np.where(matched, m[c + "__s"], m[c])
+        keep = np.ones(len(m), dtype=bool)
+        if delete_col is not None:
+            flag = (
+                m[delete_col + "__s"].astype("boolean").fillna(False)
+                .to_numpy(dtype=bool)
+            )
+            keep = ~(matched & flag)
+        out = m.loc[keep, out_cols]
+        if insert:
+            anti = s.loc[~s[on].isin(t[on])]
+            if delete_col is not None:
+                anti = anti.loc[~anti[delete_col].astype(bool)]
+            if len(anti):
+                ins = pd.DataFrame(
+                    {
+                        c: (anti[c].to_numpy() if c in anti.columns
+                            else np.full(len(anti), np.nan))
+                        for c in out_cols
+                    }
+                )
+                out = pd.concat([out, ins], ignore_index=True)
+        return out.reset_index(drop=True)
+
+    both, _, _ = _bucket_union(target, source, on, on, num_buckets)
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -2257,6 +2257,80 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def orders_merge_corrections(sf_dir: str) -> pd.DataFrame:
+    """SQL ``MERGE INTO`` as one co-located bucket pass
+    (``relational.merge_into``): a deterministic corrections feed derived
+    from orders — price updates (keys ≡ 3 mod 10: price + 100.0),
+    deletes (keys ≡ 7 mod 100), and brand-new rows (keys ≡ 11 mod 1000,
+    re-keyed +100 000 000, half price, status 'NEW') — merged into the
+    orders table in a single shuffle with neither side broadcast. All
+    source arithmetic is exact-IEEE (add / halve, no decimal rounding)
+    so engine and oracle agree bit-for-bit. The three key families are
+    disjoint (last digit 3 / last-two 07 / re-keyed), satisfying MERGE's
+    unique-source-key contract."""
+    target = read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    base = read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+    def corrections(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        s = t.column("o_orderstatus").to_pandas().to_numpy(dtype=object)
+        upd, dele, ins = k % 10 == 3, k % 100 == 7, k % 1000 == 11
+        keys = np.concatenate([k[upd], k[dele], k[ins] + 100_000_000])
+        price = np.concatenate([p[upd] + 100.0, p[dele], p[ins] * 0.5])
+        status = np.concatenate(
+            [s[upd], s[dele], np.full(int(ins.sum()), "NEW", dtype=object)]
+        )
+        flag = np.concatenate(
+            [np.zeros(int(upd.sum()), bool), np.ones(int(dele.sum()), bool),
+             np.zeros(int(ins.sum()), bool)]
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_totalprice": pa.array(price, pa.float64()),
+                "o_orderstatus": pa.array(list(status), pa.string()),
+                "is_delete": pa.array(flag, pa.bool_()),
+            }
+        )
+
+    source = base.map_batches(corrections, batch_format="pyarrow")
+    merged = relational.merge_into(
+        target, source, on="o_orderkey",
+        update_cols=["o_totalprice"], delete_col="is_delete",
+    )
+    # The merged table IS the deliverable (same contract as
+    # orders_running_total): collect and order it for the compare.
+    out = merged.to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+MERGE_SQL = """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice + 100.0 AS price, FALSE AS is_delete,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, TRUE, o_orderstatus
+  FROM orders WHERE o_orderkey % 100 = 7
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice * 0.5, FALSE, 'NEW'
+  FROM orders WHERE o_orderkey % 1000 = 11
+)
+SELECT t.o_orderkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.price
+            ELSE t.o_totalprice END AS o_totalprice,
+       t.o_orderstatus
+FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+WHERE s.o_orderkey IS NULL OR NOT s.is_delete
+UNION ALL
+SELECT s.o_orderkey, s.price AS o_totalprice, s.status AS o_orderstatus
+FROM src s LEFT JOIN orders t ON s.o_orderkey = t.o_orderkey
+WHERE t.o_orderkey IS NULL AND NOT s.is_delete
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2331,6 +2405,7 @@ QUERIES = {
     "lineitem_skew_by_flag": lineitem_skew_by_flag,
     "events_user_mode_type": events_user_mode_type,
     "docs_redact_terms": docs_redact_terms,
+    "orders_merge_corrections": orders_merge_corrections,
 }
 
 ORACLE_SQL = {
@@ -2391,4 +2466,5 @@ ORACLE_SQL = {
     "lineitem_skew_by_flag": SKEW_SQL,
     "events_user_mode_type": MODE_SQL,
     "docs_redact_terms": REDACT_SQL,
+    "orders_merge_corrections": MERGE_SQL,
 }

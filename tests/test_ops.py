@@ -764,3 +764,50 @@ class TestGroupedMode:
         # k=1: tie a/b at 2 -> min value 'a'; k=2: z wins at 2
         assert out["mode_value"].tolist() == ["a", "z"]
         assert out["mode_count"].tolist() == [2, 2]
+
+
+class TestMergeInto:
+    def _run(self, tgt, src, **kw):
+        import ray.data as rd
+        from gene_etl_ray.ops.relational import merge_into
+
+        out = merge_into(
+            rd.from_pandas(tgt, override_num_blocks=2),
+            rd.from_pandas(src, override_num_blocks=2),
+            num_buckets=4,
+            **kw,
+        )
+        return out.to_pandas().sort_values("k").reset_index(drop=True)
+
+    def test_update_delete_insert_and_absent_delete_noop(self, ray_session):
+        tgt = pd.DataFrame({"k": [1, 2, 3, 4], "v": [10.0, 20.0, 30.0, 40.0],
+                            "tag": ["a", "b", "c", "d"]})
+        src = pd.DataFrame({
+            "k": [2, 3, 5, 9],
+            "v": [99.0, 0.0, 55.0, 0.0],
+            "tag": ["B", "C", "E", "X"],
+            "dead": [False, True, False, True],  # 9 = delete of absent key
+        })
+        out = self._run(tgt, src, on="k", update_cols=["v"], delete_col="dead")
+        assert out["k"].tolist() == [1, 2, 4, 5]       # 3 deleted, 9 no-op
+        assert out["v"].tolist() == [10.0, 99.0, 40.0, 55.0]
+        # matched rows keep the TARGET's non-update columns; inserts take
+        # the source's
+        assert out["tag"].tolist() == ["a", "b", "d", "E"]
+
+    def test_insert_nullfills_target_only_columns(self, ray_session):
+        tgt = pd.DataFrame({"k": [1], "v": [1.0], "only_t": [7.0]})
+        src = pd.DataFrame({"k": [2], "v": [2.0]})
+        out = self._run(tgt, src, on="k", update_cols=["v"])
+        assert out["k"].tolist() == [1, 2]
+        assert out["only_t"].tolist()[0] == 7.0
+        assert pd.isna(out["only_t"].tolist()[1])
+
+    def test_duplicate_source_keys_raise(self, ray_session):
+        import pytest as _pt
+        import ray.exceptions
+
+        tgt = pd.DataFrame({"k": [1], "v": [1.0]})
+        src = pd.DataFrame({"k": [2, 2], "v": [2.0, 3.0]})
+        with _pt.raises((ValueError, ray.exceptions.RayTaskError)):
+            self._run(tgt, src, on="k", update_cols=["v"])
