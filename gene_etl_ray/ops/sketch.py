@@ -74,10 +74,10 @@ def order_statistics(
     gather_limit: int = 200_000,
     max_passes: int = 8,
 ) -> dict[float, float]:
-    """EXACT q-quantiles (``quantile_disc`` semantics: the element at
-    0-indexed rank ``floor(q*(n-1))`` of the sorted non-null column)
-    WITHOUT a global sort — iterative histogram refinement, the
-    distributed-selection algorithm.
+    """EXACT q-quantiles (``quantile_disc`` semantics, probed against
+    DuckDB: the element at 0-indexed rank ``ceil(q*n) - 1`` of the
+    sorted non-null column) WITHOUT a global sort — iterative histogram
+    refinement, the distributed-selection algorithm.
 
     Each pass is ONE ``map_batches`` scan that emits fixed-size per-range
     histograms (tiny partials, merged driver-side); the value interval
@@ -113,7 +113,7 @@ def order_statistics(
     if glo == ghi:  # constant column: every order statistic IS that value
         return {q: glo for q in qs}
     # state per target rank: [lo, hi] known to contain it; below = #rows < lo
-    tgt = {q: {"k": int(np.floor(q * (n - 1))), "lo": glo, "hi": ghi,
+    tgt = {q: {"k": max(0, int(np.ceil(q * n)) - 1), "lo": glo, "hi": ghi,
                "below": 0, "in_range": n, "done": None} for q in qs}
 
     for _ in range(max_passes):
@@ -195,6 +195,145 @@ def approx_distinct(ds: ray.data.Dataset, column: str, p: int = 12) -> float:
     for r in parts:
         acc.merge(HyperLogLog.deserialize(r["sketch"], p))
     return acc.estimate()
+
+
+class KLLQuantiles:
+    """KLL-style mergeable quantile sketch (Karnin, Lang & Liberty 2016,
+    uniform-capacity deterministic variant): level-``l`` buffers hold
+    items of weight ``2**l``; a buffer past ``k`` items sorts, promotes
+    every other item to the next level (alternating parity offset — the
+    deterministic derandomization, so results are reproducible), and
+    keeps an odd leftover in place, conserving total weight exactly.
+
+    Properties: total weight always equals the item count (unit-tested);
+    with ``n ≤ k`` nothing ever compacts and every quantile is EXACT
+    (the oracle-gated regime, mirroring SpaceSaving's exact-regime
+    gate); in the approx regime the rank error grows O(n·log(n/k)/k)
+    (bound pinned by a deterministic unit test). Merging concatenates
+    level-wise then re-compresses — a few KB of state per sketch at any
+    scale, so grouped quantiles over 10^10 rows move sketches, not rows:
+    the one-pass companion to the exact multi-pass
+    :func:`order_statistics`."""
+
+    def __init__(self, k: int = 256):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.parity: list[int] = [0]
+        self.n = 0
+
+    def add(self, values) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return
+        self.n += int(v.size)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+
+    def _compress(self) -> None:
+        lvl = 0
+        while lvl < len(self.levels):
+            buf = self.levels[lvl]
+            if buf.size > self.k:
+                s = np.sort(buf, kind="mergesort")
+                off = self.parity[lvl]
+                self.parity[lvl] ^= 1
+                m = s.size - (s.size % 2)
+                promoted = s[off:m:2]
+                self.levels[lvl] = s[m:]  # odd leftover stays, weight kept
+                if lvl + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                    self.parity.append(0)
+                self.levels[lvl + 1] = np.concatenate(
+                    [self.levels[lvl + 1], promoted]
+                )
+            lvl += 1
+
+    def merge(self, other: "KLLQuantiles") -> "KLLQuantiles":
+        assert self.k == other.k
+        for lvl, buf in enumerate(other.levels):
+            if lvl == len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+                self.parity.append(0)
+            self.levels[lvl] = np.concatenate([self.levels[lvl], buf])
+        self.n += other.n
+        self._compress()
+        return self
+
+    def total_weight(self) -> int:
+        return int(sum(b.size << lvl for lvl, b in enumerate(self.levels)))
+
+    def quantile(self, q: float) -> float:
+        """``quantile_disc`` semantics (probed against DuckDB: 0-indexed
+        rank ``ceil(q*n) - 1``): the stored value whose cumulative weight
+        first reaches 1-based rank ``max(1, ceil(q*n))``."""
+        if self.n == 0:
+            return float("nan")
+        vals = np.concatenate(self.levels)
+        w = np.concatenate(
+            [np.full(b.size, 1 << lvl, dtype=np.int64)
+             for lvl, b in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="mergesort")
+        cum = np.cumsum(w[order])
+        rank = max(1, int(np.ceil(q * self.n)))
+        i = min(int(np.searchsorted(cum, rank, side="left")), len(cum) - 1)
+        return float(vals[order][i])
+
+    def serialize(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.k, self.n, self.parity,
+                             [b for b in self.levels]))
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "KLLQuantiles":
+        import pickle
+
+        k, n, parity, levels = pickle.loads(data)
+        s = cls(k)
+        s.n, s.parity, s.levels = n, parity, levels
+        return s
+
+
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    key: str,
+    column: str,
+    qs: list[float],
+    k: int = 1 << 12,
+) -> pd.DataFrame:
+    """Per-group quantiles in ONE streaming pass: each batch emits one
+    serialized :class:`KLLQuantiles` per key it contains (the combiner),
+    the tiny sketches merge driver-side per key — bytes moved are
+    ``batches × groups × O(k)``, never row-count-bound, and there is no
+    shuffle at all (contrast: a ``groupby().map_groups`` percentile
+    moves every row once). Exact when ``k ≥`` the largest group's row
+    count (the oracle-gated regime); approximate with the KLL rank bound
+    beyond it."""
+
+    def sketch_batch(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in b.groupby(key, sort=False, observed=True):
+            s = KLLQuantiles(k)
+            s.add(sub[column].to_numpy())
+            rows.append((g, s.serialize()))
+        return pd.DataFrame({"g": [r[0] for r in rows],
+                             "sk": [r[1] for r in rows]})
+
+    parts = ds.map_batches(sketch_batch, batch_format="pandas").take_all()
+    acc: dict = {}
+    for r in parts:
+        s = KLLQuantiles.deserialize(r["sk"])
+        if r["g"] in acc:
+            acc[r["g"]].merge(s)
+        else:
+            acc[r["g"]] = s
+    keys = sorted(acc)
+    out = {key: keys}
+    for q in qs:
+        out[f"p{int(round(q * 100))}"] = [acc[g].quantile(q) for g in keys]
+    return pd.DataFrame(out)
 
 
 class SpaceSaving:

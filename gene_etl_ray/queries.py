@@ -2257,6 +2257,32 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def lineitem_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
+    """Per-group quantiles from a MERGEABLE KLL sketch in one streaming
+    pass — no shuffle, bytes moved are sketch-sized (the 10^10-row scale
+    path; the exact multi-pass alternative is ``order_statistics``).
+    Run with capacity ≥ the largest group, where the sketch is provably
+    exact and therefore SQL-oracleable (``quantile_disc``); the approx
+    regime's rank-error bound is unit-tested separately — the same
+    exact-regime-gate pattern as ``events_heavy_hitters``."""
+    from gene_etl_ray.ops.sketch import grouped_quantiles
+
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    out = grouped_quantiles(
+        ds, "l_returnflag", "l_extendedprice", [0.5, 0.9, 0.99], k=1 << 17
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+QUANTILE_SKETCH_SQL = """
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.5) AS p50,
+       quantile_disc(l_extendedprice, 0.9) AS p90,
+       quantile_disc(l_extendedprice, 0.99) AS p99
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def orders_merge_corrections(sf_dir: str) -> pd.DataFrame:
     """SQL ``MERGE INTO`` as one co-located bucket pass
     (``relational.merge_into``): a deterministic corrections feed derived
@@ -2406,6 +2432,7 @@ QUERIES = {
     "events_user_mode_type": events_user_mode_type,
     "docs_redact_terms": docs_redact_terms,
     "orders_merge_corrections": orders_merge_corrections,
+    "lineitem_quantiles_sketch": lineitem_quantiles_sketch,
 }
 
 ORACLE_SQL = {
@@ -2467,4 +2494,5 @@ ORACLE_SQL = {
     "events_user_mode_type": MODE_SQL,
     "docs_redact_terms": REDACT_SQL,
     "orders_merge_corrections": MERGE_SQL,
+    "lineitem_quantiles_sketch": QUANTILE_SKETCH_SQL,
 }

@@ -411,7 +411,7 @@ class TestSketch:
         """Exact k-th order statistics under forced multi-pass histogram
         refinement (tiny gather_limit, coarse bins) on duplicate-heavy
         data with extreme outliers — every quantile must equal the
-        sorted-array element at floor(q*(n-1))."""
+        sorted-array element at ceil(q*n)-1 (the DuckDB quantile_disc rank)."""
         from gene_etl_ray.ops.sketch import order_statistics
 
         rng = np.random.default_rng(7)
@@ -429,7 +429,7 @@ class TestSketch:
         sv = np.sort(vals)
         n = len(sv)
         for q in qs:
-            want = float(sv[int(np.floor(q * (n - 1)))])
+            want = float(sv[max(0, int(np.ceil(q * n)) - 1)])
             assert got[q] == want, (q, got[q], want)
 
     def test_order_statistics_all_equal_and_empty(self):
@@ -811,3 +811,72 @@ class TestMergeInto:
         src = pd.DataFrame({"k": [2, 2], "v": [2.0, 3.0]})
         with _pt.raises((ValueError, ray.exceptions.RayTaskError)):
             self._run(tgt, src, on="k", update_cols=["v"])
+
+
+class TestKLLQuantiles:
+    def _disc(self, v, q):
+        s = np.sort(np.asarray(v, dtype=np.float64))
+        return float(s[max(0, int(np.ceil(q * len(s))) - 1)])
+
+    def test_exact_regime_matches_quantile_disc(self):
+        from gene_etl_ray.ops.sketch import KLLQuantiles
+
+        rng = np.random.default_rng(11)
+        v = rng.normal(100, 25, size=5000)
+        s = KLLQuantiles(k=8192)
+        for chunk in np.array_split(v, 7):
+            s.add(chunk)
+        for q in (0.0, 0.25, 0.5, 0.9, 0.99, 1.0):
+            assert s.quantile(q) == self._disc(v, q)
+        assert s.total_weight() == len(v)
+
+    def test_approx_regime_rank_error_bound_and_weight(self):
+        from gene_etl_ray.ops.sketch import KLLQuantiles
+
+        rng = np.random.default_rng(5)
+        n, k = 200_000, 256
+        v = rng.uniform(0, 1, size=n)
+        s = KLLQuantiles(k=k)
+        for chunk in np.array_split(v, 40):
+            s.add(chunk)
+        assert s.total_weight() == n
+        sv = np.sort(v)
+        # deterministic compaction -> this bound is reproducible, not flaky
+        bound = n * (np.log2(n / k) + 2) / k  # O(n log(n/k) / k)
+        for q in (0.1, 0.5, 0.9, 0.99):
+            est = s.quantile(q)
+            true_rank = max(0, int(np.ceil(q * n)) - 1)
+            est_rank = int(np.searchsorted(sv, est))
+            assert abs(est_rank - true_rank) <= bound, (q, est_rank, true_rank)
+
+    def test_merge_equals_bound_under_any_blocking(self):
+        from gene_etl_ray.ops.sketch import KLLQuantiles
+
+        rng = np.random.default_rng(9)
+        n, k = 60_000, 256
+        v = rng.exponential(3.0, size=n)
+        sv = np.sort(v)
+        bound = n * (np.log2(n / k) + 2) / k
+        for pieces in (3, 17):
+            sks = []
+            for chunk in np.array_split(v, pieces):
+                s = KLLQuantiles(k=k)
+                s.add(chunk)
+                sks.append(s)
+            acc = sks[0]
+            for s in sks[1:]:
+                acc.merge(s)
+            assert acc.total_weight() == n
+            for q in (0.5, 0.95):
+                est_rank = int(np.searchsorted(sv, acc.quantile(q)))
+                assert abs(est_rank - (int(np.ceil(q * n)) - 1)) <= bound
+
+    def test_serialize_roundtrip_and_empty(self):
+        from gene_etl_ray.ops.sketch import KLLQuantiles
+
+        s = KLLQuantiles(k=64)
+        assert np.isnan(s.quantile(0.5))
+        s.add(np.arange(1000, dtype=float))
+        t = KLLQuantiles.deserialize(s.serialize())
+        assert t.quantile(0.5) == s.quantile(0.5)
+        assert t.total_weight() == 1000
