@@ -510,6 +510,39 @@ def lag_lead(
     return ds.groupby(key).map_groups(fn, batch_format="pandas")
 
 
+def trailing_window_count(
+    ds: ray.data.Dataset,
+    key: str,
+    order_col: str,
+    window,
+    id_col: str,
+    out: str = "n_window",
+) -> ray.data.Dataset:
+    """Time-RANGE window frame: ``COUNT(*) OVER (PARTITION BY key ORDER
+    BY order_col RANGE BETWEEN window PRECEDING AND CURRENT ROW)`` —
+    the event-time twin of the rows-frame moving average. One hash
+    shuffle on the key; inside each group the count is two vectorized
+    ``searchsorted`` probes over the sorted timestamps (``[t-w, t]``
+    inclusive both ends, exactly SQL's RANGE bounds), which — unlike a
+    pandas time-rolling — counts ALL timestamp peers, including ones
+    that sort after the current row, matching SQL's peer-group
+    semantics for tied order keys. ``window`` is anything subtractable
+    from the order column's numpy values (``np.timedelta64`` for
+    timestamps, a number for numerics)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="mergesort")
+        ts = g[order_col].to_numpy()
+        lo = np.searchsorted(ts, ts - window, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        return pd.DataFrame(
+            {id_col: g[id_col].to_numpy(),
+             out: (hi - lo).astype("int64")}
+        )
+
+    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+
+
 def ntile_in_groups(
     ds: ray.data.Dataset,
     key: str,

@@ -2257,6 +2257,32 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def orders_trailing_90d_count(sf_dir: str) -> pd.DataFrame:
+    """Event-time RANGE window frame (``RANGE BETWEEN INTERVAL 90 DAY
+    PRECEDING AND CURRENT ROW``): per order, the count of the same
+    customer's orders in the trailing 90 days INCLUSIVE of timestamp
+    peers — one hash shuffle on the customer key, two vectorized
+    searchsorted probes per group (``relational.trailing_window_count``).
+    Complements the rows-frame ``orders_moving_avg`` (positional frame)
+    and the ``orders_repeat_within_90d`` range JOIN (forward-looking,
+    join-shaped) with the SQL window-function event-time frame."""
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    out = relational.trailing_window_count(
+        ds, "o_custkey", "o_orderdate", np.timedelta64(90, "D"),
+        "o_orderkey", out="n_90d",
+    )
+    return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+
+
+TRAILING_90D_SQL = """
+SELECT o_orderkey,
+       CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_90d
+FROM orders ORDER BY o_orderkey
+"""
+
+
 def lineitem_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
     """Per-group quantiles from a MERGEABLE KLL sketch in one streaming
     pass — no shuffle, bytes moved are sketch-sized (the 10^10-row scale
@@ -2433,6 +2459,7 @@ QUERIES = {
     "docs_redact_terms": docs_redact_terms,
     "orders_merge_corrections": orders_merge_corrections,
     "lineitem_quantiles_sketch": lineitem_quantiles_sketch,
+    "orders_trailing_90d_count": orders_trailing_90d_count,
 }
 
 ORACLE_SQL = {
@@ -2495,4 +2522,5 @@ ORACLE_SQL = {
     "docs_redact_terms": REDACT_SQL,
     "orders_merge_corrections": MERGE_SQL,
     "lineitem_quantiles_sketch": QUANTILE_SKETCH_SQL,
+    "orders_trailing_90d_count": TRAILING_90D_SQL,
 }

@@ -880,3 +880,36 @@ class TestKLLQuantiles:
         t = KLLQuantiles.deserialize(s.serialize())
         assert t.quantile(0.5) == s.quantile(0.5)
         assert t.total_weight() == 1000
+
+
+class TestTrailingWindowCount:
+    def test_peer_ties_counted_like_sql_range(self, ray_session):
+        import ray.data as rd
+        from gene_etl_ray.ops.relational import trailing_window_count
+
+        # key 1: ts 0, 5, 5, 5, 20 with window 10 — every ts=5 row must
+        # count ALL three peers (SQL RANGE peer-group), plus ts=0 in range
+        df = pd.DataFrame(
+            {
+                "k": [1, 1, 1, 1, 1, 2],
+                "ts": [0.0, 5.0, 5.0, 5.0, 20.0, 5.0],
+                "id": [10, 11, 12, 13, 14, 20],
+            }
+        )
+        out = (
+            trailing_window_count(
+                rd.from_pandas(df, override_num_blocks=3),
+                "k", "ts", 10.0, "id", out="n",
+            )
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert out["n"].tolist() == [1, 4, 4, 4, 1, 1]
+        # inclusive left bound: ts=20 w=15 would include ts=5 peers
+        out2 = (
+            trailing_window_count(
+                rd.from_pandas(df, override_num_blocks=2),
+                "k", "ts", 15.0, "id", out="n",
+            )
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert out2.loc[out2["id"] == 14, "n"].item() == 4
