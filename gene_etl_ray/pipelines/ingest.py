@@ -2080,3 +2080,108 @@ def validate_lake(lake_dir: str) -> dict:
             if want is not None and actual.get(pkey, 0) != want:
                 checks["manifest_rows_match"] = False
     return checks
+
+
+def export_lake(
+    lake_dir: str,
+    out_dir: str,
+    columns: list[str] | None = None,
+    live_only: bool = True,
+    resume: bool = True,
+) -> dict:
+    """RESUMABLE partitioned export of the live view: one output
+    directory per lake partition, the file named by the partition's
+    manifest epoch (``part=<k>/data.epoch=<E>.parquet``), each written
+    by its own Ray task via tmp + atomic rename. A re-run (a) SKIPS
+    partitions whose current epoch is already exported — a failed
+    100-TB export resumes where it died instead of rewriting finished
+    shards — and (b) re-exports partitions the lake has since committed
+    to, then GCs their superseded outputs. The epoch embedded in the
+    FILENAME is the staleness contract: resume never trusts an output
+    that doesn't match the partition's current manifest epoch, so a
+    half-finished export interleaved with more ingests still converges
+    to exactly the current live view. (A compaction rewrite at an
+    unchanged epoch is view-preserving by construction, so its output
+    staying "stale" is still byte-correct.) Reference analog: the
+    paginated Parquet archival export (``io.py:289-335``), made
+    shard-resumable; the plain streaming export stays available as
+    ``read_lake(...).write_parquet`` for one-shot runs."""
+    from gene_etl_ray.state.manifest import read_manifest
+
+    meta = read_lake_meta(lake_dir)
+    if meta is None:
+        return {"partitions": 0, "exported": 0, "skipped": 0, "rows": 0}
+    mor = meta.get("merge_mode") == "mor"
+    schema_hex = meta["schema_hex"]
+    files_by_part = current_files(lake_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote(num_cpus=1)
+    def export_one(k: int, files: list[str], epoch: int) -> int:
+        schema = _schema_from_hex(schema_hex)
+        need = None
+        if columns:
+            want = list(columns) + ([DELETED_COLUMN] if live_only else [])
+            if mor:
+                want += ["url", "warc_ts", "seq"]
+            need = [c for c in dict.fromkeys(want)
+                    if schema.get_field_index(c) >= 0]
+            sub = pa.schema([schema.field(c) for c in need])
+        target = sub if need else schema
+        tabs = []
+        for f in files:
+            have = pq.read_schema(f).names
+            t = pq.read_table(f, columns=[c for c in (need or schema.names)
+                                          if c in have])
+            tabs.append(conform_table(t, target))
+        t = pa.concat_tables(tabs) if tabs else target.empty_table()
+        if mor and t.num_rows:
+            t = _resolve_lww(t)
+        if live_only:
+            t = t.filter(pc.invert(t.column(DELETED_COLUMN)))
+            t = t.drop_columns(
+                [c for c in (DELETED_COLUMN, PKEY_COLUMN)
+                 if c in t.schema.names]
+            )
+        if columns:
+            t = t.select(list(columns))
+        pdir = os.path.join(out_dir, f"part={k:05d}")
+        os.makedirs(pdir, exist_ok=True)
+        dest = os.path.join(pdir, f"data.epoch={epoch:05d}.parquet")
+        tmp = os.path.join(
+            pdir, f".tmp-data.epoch={epoch:05d}.{os.getpid()}.parquet"
+        )
+        pq.write_table(t, tmp)
+        os.replace(tmp, dest)
+        # GC superseded epochs + orphan tmps only AFTER the new file is live
+        for n in os.listdir(pdir):
+            p = os.path.join(pdir, n)
+            if p != dest:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+        return t.num_rows
+
+    exported = skipped = 0
+    futs = []
+    for k in sorted(files_by_part):
+        m = read_manifest(lake_dir, k)
+        if m is None:
+            continue
+        epoch = int(m["epoch"])
+        dest = os.path.join(
+            out_dir, f"part={k:05d}", f"data.epoch={epoch:05d}.parquet"
+        )
+        if resume and os.path.exists(dest):
+            skipped += 1
+            continue
+        futs.append(export_one.remote(k, files_by_part[k], epoch))
+        exported += 1
+    rows = int(sum(ray.get(futs))) if futs else 0
+    return {
+        "partitions": len(files_by_part),
+        "exported": exported,
+        "skipped": skipped,
+        "rows": rows,
+    }

@@ -98,6 +98,20 @@ def cmd_export(args) -> int:
                 raise SystemExit(
                     f"unknown columns: {unknown}; lake has {sorted(known)}"
                 )
+    if args.resumable:
+        if args.asof is not None or args.since or args.until:
+            raise SystemExit(
+                "--resumable exports the CURRENT live view; it cannot be "
+                "combined with --asof/--since/--until"
+            )
+        from gene_etl_ray.pipelines.ingest import export_lake
+
+        rep = export_lake(
+            args.lake, args.out, columns=cols,
+            live_only=not args.include_tombstones,
+        )
+        print(json.dumps({"out": args.out, **rep}))
+        return 0
     ds = read_lake(
         args.lake,
         live_only=not args.include_tombstones,
@@ -327,6 +341,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated column subset (pruned at the read)")
     pe.add_argument("--count", action="store_true",
                     help="also report the row count (extra pass over the lake)")
+    pe.add_argument("--resumable", action="store_true",
+                    help="partitioned resumable export: one epoch-named file "
+                         "per lake partition, re-runs skip finished partitions "
+                         "and refresh stale ones (current live view only; "
+                         "incompatible with --asof/--since/--until)")
     pe.add_argument("--asof", type=int, default=None,
                     help="time travel: export the lake as of this committed "
                          "epoch (requires retain_history)")

@@ -255,3 +255,22 @@ def test_cli_export_since(events_and_config, tmp_path, capsys):
     assert main(["export", "--lake", lake, "--out", out2,
                  "--since", "2000-01-01", "--count"]) == 0
     assert last_json(capsys)["rows"] > 0
+
+
+def test_cli_export_resumable(events_and_config, tmp_path, capsys):
+    ev, cfg, lake = events_and_config
+    assert main(["ingest", "--config", cfg, "--events", ev]) == 0
+    capsys.readouterr()
+    out_dir = str(tmp_path / "rexport")
+    assert main(["export", "--lake", lake, "--out", out_dir, "--resumable"]) == 0
+    rep = last_json(capsys)
+    assert rep["exported"] > 0 and rep["skipped"] == 0 and rep["rows"] > 0
+    # re-run resumes: everything skips
+    assert main(["export", "--lake", lake, "--out", out_dir, "--resumable"]) == 0
+    rep2 = last_json(capsys)
+    assert rep2["exported"] == 0 and rep2["skipped"] == rep["partitions"]
+    # time-travel flags are a different contract
+    import pytest as _pt
+    with _pt.raises(SystemExit):
+        main(["export", "--lake", lake, "--out", out_dir,
+              "--resumable", "--asof", "1"])
