@@ -812,6 +812,72 @@ class TestMergeInto:
         with _pt.raises((ValueError, ray.exceptions.RayTaskError)):
             self._run(tgt, src, on="k", update_cols=["v"])
 
+    def test_randomized_differential_vs_pandas_reference(self, ray_session):
+        """Seeded random MERGE configs vs a row-by-row pure-pandas
+        reference implementing SQL MERGE semantics (matched update /
+        matched+flag delete / unmatched insert, duplicate TARGET keys
+        each updated). Covers overlap patterns bucketing must get right."""
+        import ray.data as rd
+        from gene_etl_ray.ops.relational import merge_into
+
+        def reference(tgt, src, on, update_cols, delete_col):
+            s = src.set_index(on)
+            rows = []
+            for _, r in tgt.iterrows():
+                k = r[on]
+                if k in s.index:
+                    sr = s.loc[k]
+                    if bool(sr[delete_col]):
+                        continue
+                    r = r.copy()
+                    for c in update_cols:
+                        r[c] = sr[c]
+                rows.append(r)
+            out = pd.DataFrame(rows, columns=tgt.columns)
+            ins = src[~src[on].isin(tgt[on]) & ~src[delete_col].astype(bool)]
+            if len(ins):
+                add = pd.DataFrame(
+                    {c: (ins[c].to_numpy() if c in ins.columns
+                         else np.full(len(ins), np.nan))
+                     for c in tgt.columns}
+                )
+                out = pd.concat([out, add], ignore_index=True)
+            return out
+
+        for seed in range(8):
+            rng = np.random.default_rng(seed)
+            nt, ns = int(rng.integers(1, 40)), int(rng.integers(1, 25))
+            tgt = pd.DataFrame({
+                "k": rng.integers(0, 30, nt),          # dup target keys allowed
+                "v": rng.normal(size=nt).round(3),
+                "w": rng.normal(size=nt).round(3),     # target-only column
+            })
+            skeys = rng.choice(np.arange(0, 60), size=ns, replace=False)
+            src = pd.DataFrame({
+                "k": skeys,
+                "v": rng.normal(size=ns).round(3),
+                "dead": rng.random(ns) < 0.3,
+            })
+            got = (
+                merge_into(
+                    rd.from_pandas(tgt, override_num_blocks=2),
+                    rd.from_pandas(src, override_num_blocks=2),
+                    on="k", update_cols=["v"], delete_col="dead",
+                    num_buckets=3,
+                )
+                .to_pandas()[["k", "v", "w"]]
+                .sort_values(["k", "v", "w"]).reset_index(drop=True)
+            )
+            want = (
+                reference(tgt, src, "k", ["v"], "dead")[["k", "v", "w"]]
+                .sort_values(["k", "v", "w"]).reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                got, want, check_dtype=False, atol=1e-9
+            ), seed
+
+
+
 
 class TestKLLQuantiles:
     def _disc(self, v, q):
