@@ -67,6 +67,8 @@ def partitioned_join(
     num_buckets: int = 32,
     how: str = "inner",
     bucket_post=None,
+    hot_keys: list | None = None,
+    salt: int = 8,
 ) -> ray.data.Dataset:
     """Both-sides-large hash join: add ``bucket = H(key) % B`` to each
     side, tag the side, union, shuffle once on the bucket, and merge the
@@ -80,9 +82,70 @@ def partitioned_join(
     (TPC-H-style disjoint prefixes assumed). Ray 2.49 also ships a native
     ``Dataset.join`` (hash-partitioned); this explicit form is kept
     because it composes with the engine's url-deterministic salting and
-    makes the single-shuffle cost model visible."""
+    makes the single-shuffle cost model visible.
+
+    ``hot_keys`` (skew handling): join keys whose row count would
+    overwhelm a single bucket task are SALTED — each hot key gets
+    ``salt`` dedicated sub-buckets; its LEFT rows scatter round-robin
+    across them while its RIGHT rows replicate into every sub-bucket,
+    so matching stays complete and the hot key's work spreads over
+    ``salt`` tasks instead of stalling one straggler (the standard
+    skew-join decomposition; the ingest path salts hot domains the same
+    way). Inner/left only: an outer join would emit an unmatched
+    replicated right row once per sub-bucket."""
+    if hot_keys:
+        if how not in ("inner", "left"):
+            raise ValueError("hot_keys salting supports inner/left joins only")
+        hot = set(hot_keys)
+
+        def presalt(side: str):
+            def fn(t: pa.Table) -> pa.Table:
+                col = t.column(left_on if side == "l" else right_on)
+                keys = col.to_numpy(zero_copy_only=False)
+                is_hot = np.isin(keys, list(hot))
+                n_hot = int(is_hot.sum())
+                if not n_hot:
+                    return t.append_column("__salt", pa.array(
+                        np.full(len(keys), -1, np.int64), pa.int64()))
+                j = np.full(len(keys), -1, dtype=np.int64)
+                if side == "l":
+                    # scatter the hot rows round-robin over the sub-buckets
+                    j[is_hot] = np.arange(n_hot, dtype=np.int64) % salt
+                    t = t.append_column("__salt", pa.array(j, pa.int64()))
+                    return t
+                # right side: replicate each hot row into every sub-bucket
+                idx = np.arange(len(keys), dtype=np.int64)
+                rep = np.repeat(idx[is_hot], salt)
+                keep = t.append_column("__salt", pa.array(j, pa.int64()))
+                keep = keep.filter(pa.array(~is_hot))
+                dup = t.take(rep).append_column(
+                    "__salt",
+                    pa.array(np.tile(np.arange(salt, dtype=np.int64), n_hot),
+                             pa.int64()),
+                )
+                return pa.concat_tables([keep, dup])
+
+            return fn
+
+        left = left.map_batches(presalt("l"), batch_format="pyarrow")
+        right = right.map_batches(presalt("r"), batch_format="pyarrow")
 
     both, lcols, rcols = _bucket_union(left, right, left_on, right_on, num_buckets)
+    if hot_keys:
+        # dedicated bucket namespace per (hot key, sub-bucket): shift the
+        # salted rows out of the hash buckets so the hot key never lands
+        # in one task. key identity folds into the hash bucket id.
+        def rebucket(t: pa.Table) -> pa.Table:
+            b = t.column("__bucket").to_numpy(zero_copy_only=False).copy()
+            j = t.column("__salt").to_numpy(zero_copy_only=False)
+            m = j >= 0
+            b[m] = num_buckets + (b[m] * np.int64(salt) + j[m])
+            t = t.drop_columns(["__bucket", "__salt"])
+            return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+        both = both.map_batches(rebucket, batch_format="pyarrow")
+        lcols = [c for c in lcols if c != "__salt"]
+        rcols = [c for c in rcols if c != "__salt"]
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g.loc[g["__side"] == "l", lcols]

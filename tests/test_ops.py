@@ -979,3 +979,59 @@ class TestTrailingWindowCount:
             .to_pandas().sort_values("id").reset_index(drop=True)
         )
         assert out2.loc[out2["id"] == 14, "n"].item() == 4
+
+
+class TestSkewJoin:
+    def test_hot_key_salting_matches_unsalted(self, ray_session):
+        import ray.data as rd
+        from gene_etl_ray.ops.relational import partitioned_join
+
+        rng = np.random.default_rng(3)
+        n = 4000
+        # one pathological key carries half the left side
+        lk = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 200, n))
+        left = pd.DataFrame({"lk": lk, "lv": np.arange(n)})
+        right = pd.DataFrame(
+            {"rk": np.arange(0, 200), "rv": np.arange(0, 200) * 10}
+        )
+
+        def run(**kw):
+            out = partitioned_join(
+                rd.from_pandas(left, override_num_blocks=4),
+                rd.from_pandas(right, override_num_blocks=2),
+                "lk", "rk", num_buckets=8, **kw,
+            ).to_pandas()
+            return out.sort_values(["lk", "lv"]).reset_index(drop=True)[
+                ["lk", "lv", "rk", "rv"]
+            ]
+
+        plain = run(how="inner")
+        salted = run(how="inner", hot_keys=[7], salt=4)
+        pd.testing.assert_frame_equal(plain, salted, check_dtype=False)
+
+        # left join: unmatched-left rows survive salting identically
+        right2 = right[right["rk"] % 3 == 0]
+        def run2(**kw):
+            out = partitioned_join(
+                rd.from_pandas(left, override_num_blocks=4),
+                rd.from_pandas(right2, override_num_blocks=2),
+                "lk", "rk", num_buckets=8, **kw,
+            ).to_pandas()
+            return out.sort_values(["lk", "lv"]).reset_index(drop=True)[
+                ["lk", "lv", "rk", "rv"]
+            ]
+        pd.testing.assert_frame_equal(
+            run2(how="left"), run2(how="left", hot_keys=[7], salt=4),
+            check_dtype=False,
+        )
+
+    def test_outer_with_hot_keys_rejected(self, ray_session):
+        import ray.data as rd
+        from gene_etl_ray.ops.relational import partitioned_join
+
+        df = pd.DataFrame({"k": [1], "v": [1]})
+        with pytest.raises(ValueError):
+            partitioned_join(
+                rd.from_pandas(df), rd.from_pandas(df.rename(columns={"k": "k2", "v": "v2"})),
+                "k", "k2", how="outer", hot_keys=[1],
+            )
