@@ -254,3 +254,76 @@ def decode_media(ds: ray.data.Dataset, concurrency: int = 4, batch_size: int = 6
         batch_size=batch_size,
         concurrency=(1, concurrency),
     )
+
+
+class MediaResizer:
+    """Actor-pool resize / frame-sample stage over opaque binary media
+    columns — REAL kernels for the formats the stdlib codecs above
+    cover, loud NotImplementedError at the exact slot a PIL/ffmpeg
+    kernel plugs into for the rest.
+
+    - ``image/png``: decode → NEAREST-NEIGHBOR resample of the grayscale
+      plane to ``size × size`` (index-map resample, pure numpy — the
+      deterministic stand-in for a PIL resize) → re-encode PNG.
+    - ``audio/wav``: FRAME-SAMPLE — keep every ``stride``-th PCM frame
+      and divide the sample rate by ``stride``, preserving duration
+      (the audio analog of video frame sampling).
+    - anything else (JPEG / MP3 / video/*): NotImplementedError.
+
+    Output rows keep metadata, replace ``payload`` with the resampled
+    bytes, and add ``out_h/out_w`` (images; -1 for audio) and
+    ``out_frames`` (audio; -1 for images). Same byte-budget batching
+    contract as :class:`MediaDecoder`."""
+
+    def __init__(self, size: int = 16, stride: int = 4):
+        if size < 1 or stride < 1:
+            raise ValueError("size and stride must be >= 1")
+        self.size = size
+        self.stride = stride
+
+    def _one(self, payload: bytes, mime: str) -> tuple[bytes, int, int, int]:
+        if mime == "image/png":
+            img = png_decode_gray(payload)
+            h, w = img.shape
+            rr = (np.arange(self.size) * h) // self.size
+            cc = (np.arange(self.size) * w) // self.size
+            out = img[rr][:, cc]
+            return png_encode_gray(out), self.size, self.size, -1
+        if mime == "audio/wav":
+            samples, rate = wav_decode_pcm16(payload)
+            dec = samples[:: self.stride]
+            return (
+                wav_encode_pcm16(dec, max(1, rate // self.stride)),
+                -1, -1, int(dec.size),
+            )
+        raise NotImplementedError(
+            f"resampling {mime} requires an external media library not "
+            "present in this environment; plug PIL/ffmpeg here"
+        )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        res = [self._one(p, m) for p, m in zip(batch["payload"], batch["mime"])]
+        out = batch.copy()
+        out["payload"] = [r[0] for r in res]
+        out["out_h"] = pd.array([r[1] for r in res], dtype="int64")
+        out["out_w"] = pd.array([r[2] for r in res], dtype="int64")
+        out["out_frames"] = pd.array([r[3] for r in res], dtype="int64")
+        return out
+
+
+def resize_media(
+    ds: ray.data.Dataset,
+    size: int = 16,
+    stride: int = 4,
+    concurrency: int = 4,
+    batch_size: int = 64,
+):
+    """Resize/frame-sample stage wiring: byte-budgeted batches, actor
+    pool (codec state + index maps live per actor, not per batch)."""
+    return ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"size": size, "stride": stride},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )

@@ -1809,6 +1809,24 @@ def media_features(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def media_resized(sf_dir: str) -> pd.DataFrame:
+    """Multimodal resize / frame-sample: synthesize binary payloads →
+    actor-pool resample (REAL nearest-neighbor PNG resize + PCM
+    frame-decimation via the stdlib codecs; JPEG/video raise at the
+    PIL/ffmpeg slot) → re-decode the RESIZED payloads through the
+    feature stage to prove the output bytes are themselves valid media.
+    Rows-only (binary kernels aren't SQL-expressible); kernel values are
+    pinned by unit tests."""
+    docs = read(sf_dir, "documents", ["doc_id"])
+    media = multimodal.synthesize_media(docs)
+    resized = multimodal.resize_media(media, size=12, stride=4)
+    out = multimodal.decode_media(resized).to_pandas()
+    return out[
+        ["media_id", "media_type", "mime", "out_h", "out_w", "out_frames",
+         "payload_bytes"]
+    ].sort_values("media_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2443,6 +2461,7 @@ QUERIES = {
     "cdc_late_dead_letters": cdc_late_dead_letters,
     "cdc_domain_stats_view": cdc_domain_stats_view,
     "media_features": media_features,
+    "media_resized": media_resized,
     "customer_orders_left_join": customer_orders_left_join,
     "events_customers_full_outer": events_customers_full_outer,
     "events_value_lag_stats": events_value_lag_stats,

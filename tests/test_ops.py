@@ -1035,3 +1035,56 @@ class TestSkewJoin:
                 rd.from_pandas(df), rd.from_pandas(df.rename(columns={"k": "k2", "v": "v2"})),
                 "k", "k2", how="outer", hot_keys=[1],
             )
+
+
+class TestMediaResize:
+    def test_png_nearest_neighbor_values(self):
+        from gene_etl_ray.ops.multimodal import (
+            MediaResizer, png_decode_gray, png_encode_gray,
+        )
+
+        img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3)
+        payload, h, w, fr = MediaResizer(size=4)._one(
+            png_encode_gray(img), "image/png"
+        )
+        assert (h, w, fr) == (4, 4, -1)
+        got = png_decode_gray(payload)
+        rr = (np.arange(4) * 8) // 4
+        np.testing.assert_array_equal(got, img[rr][:, rr])
+
+    def test_wav_frame_sample_decimates_and_keeps_duration(self):
+        from gene_etl_ray.ops.multimodal import (
+            MediaResizer, wav_decode_pcm16, wav_encode_pcm16,
+        )
+
+        s = (np.sin(np.linspace(0, 20, 800)) * 20000).astype(np.int16)
+        payload, h, w, fr = MediaResizer(stride=4)._one(
+            wav_encode_pcm16(s, rate=8000), "audio/wav"
+        )
+        assert (h, w) == (-1, -1) and fr == 200
+        dec, rate = wav_decode_pcm16(payload)
+        np.testing.assert_array_equal(dec, s[::4])
+        assert rate == 2000  # duration preserved: 800/8000 == 200/2000
+
+    def test_unsupported_mime_raises_at_the_library_slot(self):
+        from gene_etl_ray.ops.multimodal import MediaResizer
+
+        with pytest.raises(NotImplementedError):
+            MediaResizer()._one(b"\xff\xd8\xff", "image/jpeg")
+
+    def test_pipeline_resized_payloads_are_valid_media(self, ray_session):
+        import ray.data as rd
+        from gene_etl_ray.ops import multimodal
+
+        docs = rd.from_pandas(
+            pd.DataFrame({"doc_id": np.arange(1, 13)}), override_num_blocks=2
+        )
+        media = multimodal.synthesize_media(docs)
+        out = multimodal.decode_media(
+            multimodal.resize_media(media, size=5, stride=3)
+        ).to_pandas()
+        assert len(out) == 12
+        img = out[out["media_type"] == "image"]
+        assert (img["out_h"] == 5).all() and (img["out_w"] == 5).all()
+        aud = out[out["media_type"] == "audio"]
+        assert (aud["out_frames"] > 0).all()
