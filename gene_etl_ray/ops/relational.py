@@ -513,18 +513,46 @@ class BloomFilter:
 
 
 def bloom_semi_filter(
-    ds: ray.data.Dataset, column: str, values, num_bits: int = 1 << 20
+    ds: ray.data.Dataset, column: str, values=None, num_bits: int = 1 << 20,
+    bloom: "BloomFilter | None" = None,
 ) -> ray.data.Dataset:
-    """Semi join via a broadcast Bloom filter of the key set. Approximate
-    (bounded false positives) — follow with an exact check when exactness
-    matters; at 10^10 scale this prunes the shuffle input first."""
-    bf = BloomFilter(num_bits=num_bits)
-    bf.add(list(values))
+    """Semi join via a broadcast Bloom filter of the key set (pass either
+    the key ``values`` or a pre-built ``bloom`` from :func:`build_bloom`).
+    Approximate (bounded false positives) — follow with an exact check
+    when exactness matters; at 10^10 scale this prunes the shuffle input
+    first."""
+    if bloom is None:
+        bloom = BloomFilter(num_bits=num_bits)
+        bloom.add(list(values))
+    bf = bloom
 
     def fn(b: pd.DataFrame) -> pd.DataFrame:
         return b[bf.contains(b[column].to_numpy(dtype=object))]
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def build_bloom(
+    ds: ray.data.Dataset, column: str,
+    num_bits: int = 1 << 20, num_hashes: int = 5,
+) -> BloomFilter:
+    """DISTRIBUTED Bloom build — the build-side twin of
+    :func:`bloom_semi_filter` for key sets too large to gather: each
+    batch emits its own bitmap (``m/8`` bytes, never the keys), the
+    bitmaps OR-merge driver-side (Bloom union is exact). Driver bytes
+    are ``batches × m/8``, independent of key count."""
+
+    def part(b: pa.Table) -> pa.Table:
+        bf = BloomFilter(num_bits=num_bits, num_hashes=num_hashes)
+        v = b.column(column).to_numpy(zero_copy_only=False)
+        if len(v):
+            bf.add(v)
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    acc = BloomFilter(num_bits=num_bits, num_hashes=num_hashes)
+    for r in ds.map_batches(part, batch_format="pyarrow").take_all():
+        acc.bits |= np.frombuffer(r["bits"], dtype=np.uint8)
+    return acc
 
 
 def windowed_agg(

@@ -2301,6 +2301,43 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+def lineitem_bloom_semi_revenue(sf_dir: str) -> pd.DataFrame:
+    """The bloom-prune → exact-verify semi-join pattern at fact⋈fact
+    scale: the high-value order key set becomes a DISTRIBUTED Bloom
+    filter (per-batch bitmaps OR-merged — the keys are never gathered),
+    lineitem is pre-pruned by the broadcast bloom (no false negatives →
+    no lost rows; false positives bounded), and only the survivors enter
+    the EXACT partitioned semi join — the shuffle sees ~selectivity·N
+    rows instead of N. Result is exact, so it's fully SQL-oracleable."""
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def hv(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("o_totalprice"), pa.scalar(450000.0)))
+
+    hv_orders = orders.map_batches(hv, batch_format="pyarrow")
+    bf = relational.build_bloom(hv_orders, "o_orderkey")
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice"])
+    pruned = relational.bloom_semi_filter(li, "l_orderkey", bloom=bf)
+    joined = relational.partitioned_join(
+        pruned, hv_orders, "l_orderkey", "o_orderkey"
+    )
+    out = grouped_aggregate_partial(
+        joined, ["l_returnflag"],
+        sums={"revenue": "l_extendedprice"}, counts="n_items",
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+BLOOM_SEMI_SQL = """
+SELECT l_returnflag, round(sum(l_extendedprice), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 450000
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def lineitem_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
     """Per-group quantiles from a MERGEABLE KLL sketch in one streaming
     pass — no shuffle, bytes moved are sketch-sized (the 10^10-row scale
@@ -2479,6 +2516,7 @@ QUERIES = {
     "orders_merge_corrections": orders_merge_corrections,
     "lineitem_quantiles_sketch": lineitem_quantiles_sketch,
     "orders_trailing_90d_count": orders_trailing_90d_count,
+    "lineitem_bloom_semi_revenue": lineitem_bloom_semi_revenue,
 }
 
 ORACLE_SQL = {
@@ -2542,4 +2580,5 @@ ORACLE_SQL = {
     "orders_merge_corrections": MERGE_SQL,
     "lineitem_quantiles_sketch": QUANTILE_SKETCH_SQL,
     "orders_trailing_90d_count": TRAILING_90D_SQL,
+    "lineitem_bloom_semi_revenue": BLOOM_SEMI_SQL,
 }

@@ -1088,3 +1088,18 @@ class TestMediaResize:
         assert (img["out_h"] == 5).all() and (img["out_w"] == 5).all()
         aud = out[out["media_type"] == "audio"]
         assert (aud["out_frames"] > 0).all()
+
+
+class TestDistributedBloom:
+    def test_build_bloom_union_equals_single_build(self, ray_session):
+        import ray.data as rd
+        from gene_etl_ray.ops.relational import BloomFilter, build_bloom
+
+        keys = np.arange(0, 5000, dtype=np.int64)
+        ds = rd.from_pandas(pd.DataFrame({"k": keys}), override_num_blocks=7)
+        dist = build_bloom(ds, "k", num_bits=1 << 16)
+        solo = BloomFilter(num_bits=1 << 16)
+        solo.add(keys)
+        np.testing.assert_array_equal(dist.bits, solo.bits)
+        # no false negatives through the distributed build
+        assert dist.contains(keys.astype(object)).all()
