@@ -415,6 +415,32 @@ def grouped_count_topk(ds: ray.data.Dataset, key: str, k: int) -> pd.DataFrame:
     )
 
 
+def grouped_count_distinct(
+    ds: ray.data.Dataset, key: str, value: str, out: str = "n_distinct"
+) -> pd.DataFrame:
+    """Exact per-group COUNT(DISTINCT value): per-batch (key, value)
+    dedup is the combiner — repeated pairs collapse BEFORE anything
+    moves, so the shuffle carries at most the distinct-pair count, never
+    the row count — then one groupby counts the surviving uniques per
+    key. The exact companion to the HLL sketch (`approx_distinct`) for
+    group-level cardinalities."""
+
+    def dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return b[[key, value]].drop_duplicates()
+
+    def count_unique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {key: [g[key].iloc[0]], out: [int(g[value].nunique())]}
+        )
+
+    return (
+        ds.map_batches(dedup, batch_format="pandas")
+        .groupby(key)
+        .map_groups(count_unique, batch_format="pandas")
+        .to_pandas()
+    )
+
+
 def latest_per_key(
     ds: ray.data.Dataset, key: str, order: list[str]
 ) -> ray.data.Dataset:

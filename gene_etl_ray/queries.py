@@ -2301,6 +2301,24 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+def events_user_distinct_types(sf_dir: str) -> pd.DataFrame:
+    """Per-group exact COUNT(DISTINCT): per-batch (user, type) dedup
+    combiner shrinks the exchange to the distinct-pair count before the
+    single groupby (``relational.grouped_count_distinct``)."""
+    ds = read(sf_dir, "events", ["user_id", "event_type"])
+    out = relational.grouped_count_distinct(
+        ds, "user_id", "event_type", out="n_types"
+    )
+    out["n_types"] = out["n_types"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+USER_DISTINCT_SQL = """
+SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def lineitem_bloom_semi_revenue(sf_dir: str) -> pd.DataFrame:
     """The bloom-prune → exact-verify semi-join pattern at fact⋈fact
     scale: the high-value order key set becomes a DISTRIBUTED Bloom
@@ -2517,6 +2535,7 @@ QUERIES = {
     "lineitem_quantiles_sketch": lineitem_quantiles_sketch,
     "orders_trailing_90d_count": orders_trailing_90d_count,
     "lineitem_bloom_semi_revenue": lineitem_bloom_semi_revenue,
+    "events_user_distinct_types": events_user_distinct_types,
 }
 
 ORACLE_SQL = {
@@ -2581,4 +2600,5 @@ ORACLE_SQL = {
     "lineitem_quantiles_sketch": QUANTILE_SKETCH_SQL,
     "orders_trailing_90d_count": TRAILING_90D_SQL,
     "lineitem_bloom_semi_revenue": BLOOM_SEMI_SQL,
+    "events_user_distinct_types": USER_DISTINCT_SQL,
 }
