@@ -1027,3 +1027,148 @@ def merge_into(
 
     both, _, _ = _bucket_union(target, source, on, on, num_buckets)
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def percent_rank_cume_dist(
+    ds: ray.data.Dataset,
+    key: str,
+    value: str,
+    pct_name: str = "pct_rank",
+    cume_name: str = "cume_dist",
+) -> ray.data.Dataset:
+    """PERCENT_RANK() and CUME_DIST() OVER (PARTITION BY key ORDER BY
+    value): one hash shuffle on the key, vectorized rank arithmetic
+    inside each group (reference capability family: windowed rank
+    transforms, correlate.py). SQL tie semantics exactly — percent_rank
+    uses rank-with-gaps ((rank-1)/(n-1), 0 for a single row), cume_dist
+    counts ALL peers ≤ current ((max-rank)/n) — so tied values get
+    identical scores, unlike a positional rank."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        r_min = g[value].rank(method="min").to_numpy()
+        r_max = g[value].rank(method="max").to_numpy()
+        g[pct_name] = (r_min - 1.0) / (n - 1.0) if n > 1 else 0.0
+        g[cume_name] = r_max / float(n)
+        return g
+
+    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+
+
+def histogram_fixed(
+    ds: ray.data.Dataset,
+    col: str,
+    by: str,
+    width: float,
+    nbins: int,
+    lo: float = 0.0,
+) -> pd.DataFrame:
+    """Fixed-width grouped histogram: bucket = min(floor((x-lo)/width),
+    nbins-1), counted with a per-batch combiner — each batch emits at
+    most |groups|·nbins partial rows, so the only exchange is a groupby
+    over the (by, bucket) partials, never the rows. The same
+    floor-divide runs in float64 on both the engine and the SQL oracle,
+    so boundary values bucket identically."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[col].to_numpy(dtype=np.float64)
+        bucket = np.minimum(
+            np.floor((x - lo) / width), nbins - 1
+        ).astype(np.int64)
+        out = (
+            pd.DataFrame({by: b[by], "bucket": bucket})
+            .groupby([by, "bucket"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return out
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                by: [g[by].iloc[0]],
+                "bucket": [g["bucket"].iloc[0]],
+                "n": [int(g["n"].sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([by, "bucket"])
+        .map_groups(total, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def set_op(
+    ds_a: ray.data.Dataset, ds_b: ray.data.Dataset, col: str, op: str
+) -> pd.DataFrame:
+    """Distributed INTERSECT / EXCEPT over distinct values of ``col``:
+    per-batch dedup is the combiner (the exchange carries at most the
+    per-batch distinct count), sides are tagged and co-partitioned by
+    the value itself in ONE groupby, and membership is decided
+    per-group — neither side is broadcast or gathered. SQL bag
+    semantics for set ops on DISTINCT inputs."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be intersect|except, got {op!r}")
+
+    def tag(side: str):
+        def fn(b: pa.Table) -> pa.Table:
+            vals = pc.unique(b.column(col))
+            return pa.table(
+                {col: vals, "__side": pa.array([side] * len(vals))}
+            )
+
+        return fn
+
+    a = ds_a.map_batches(tag("a"), batch_format="pyarrow")
+    b = ds_b.map_batches(tag("b"), batch_format="pyarrow")
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        sides = set(g["__side"])
+        keep = (
+            ("a" in sides and "b" in sides)
+            if op == "intersect"
+            else ("a" in sides and "b" not in sides)
+        )
+        if not keep:
+            return pd.DataFrame({col: []}).astype({col: g[col].dtype})
+        return pd.DataFrame({col: [g[col].iloc[0]]})
+
+    return (
+        a.union(b)
+        .groupby(col)
+        .map_groups(decide, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def grouped_entropy(
+    ds: ray.data.Dataset, key: str, value: str, out: str = "entropy"
+) -> pd.DataFrame:
+    """Per-key Shannon entropy (nats) of the ``value`` distribution:
+    per-batch (key, value) count partials are the combiner — the
+    exchange carries distinct-pair partials, never rows — then one
+    groupby folds partials per key and computes -Σ p·ln(p) over the
+    value frequencies."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby([key, value], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(value)["n"].sum().to_numpy(dtype=np.float64)
+        p = c / c.sum()
+        return pd.DataFrame(
+            {key: [g[key].iloc[0]], out: [float(-(p * np.log(p)).sum())]}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key)
+        .map_groups(entropy, batch_format="pandas")
+        .to_pandas()
+    )

@@ -2456,6 +2456,114 @@ ORDER BY o_orderkey
 """
 
 
+def orders_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """PERCENT_RANK / CUME_DIST window per order status
+    (``relational.percent_rank_cume_dist``): one hash shuffle,
+    vectorized SQL-tie-exact rank arithmetic in each group."""
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    out = relational.percent_rank_cume_dist(
+        ds, "o_orderstatus", "o_totalprice"
+    ).to_pandas()
+    out["pct_rank"] = out["pct_rank"].round(6)
+    out["cume_dist"] = out["cume_dist"].round(6)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+PCT_RANK_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+ORDER BY o_orderkey
+"""
+
+
+def orders_price_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width grouped histogram (``relational.histogram_fixed``):
+    per-batch (status, bucket) count partials are the combiner, so the
+    exchange carries at most |statuses|·nbins rows per batch."""
+    ds = read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    out = relational.histogram_fixed(
+        ds, "o_totalprice", by="o_orderstatus", width=25000.0, nbins=8
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["o_orderstatus", "bucket"]).reset_index(drop=True)
+
+
+HISTOGRAM_SQL = """
+SELECT o_orderstatus,
+       CAST(least(floor(o_totalprice / 25000.0), 7) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderstatus, bucket
+ORDER BY o_orderstatus, bucket
+"""
+
+
+def events_type_set_ops(sf_dir: str) -> pd.DataFrame:
+    """Distributed INTERSECT / EXCEPT (``relational.set_op``): users who
+    both clicked and purchased, and users who clicked but never
+    purchased — per-batch distinct combiner, sides co-partitioned by the
+    value itself, neither side broadcast."""
+    ev = read(sf_dir, "events", ["user_id", "event_type"])
+
+    def only_type(t: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("event_type"), t))
+
+        return fn
+
+    clicks = ev.map_batches(only_type("click"), batch_format="pyarrow")
+    buys = ev.map_batches(only_type("purchase"), batch_format="pyarrow")
+    both = relational.set_op(clicks, buys, "user_id", "intersect")
+    both["set_op"] = "both"
+    only = relational.set_op(clicks, buys, "user_id", "except")
+    only["set_op"] = "click_only"
+    out = pd.concat([both, only], ignore_index=True)
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values(["set_op", "user_id"]).reset_index(drop=True)
+
+
+SET_OPS_SQL = """
+WITH clicks AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     buys AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT user_id, 'both' AS set_op FROM (
+  SELECT user_id FROM clicks INTERSECT SELECT user_id FROM buys)
+UNION ALL
+SELECT user_id, 'click_only' AS set_op FROM (
+  SELECT user_id FROM clicks EXCEPT SELECT user_id FROM buys)
+ORDER BY set_op, user_id
+"""
+
+
+def events_user_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-user Shannon entropy of the event-type distribution
+    (``relational.grouped_entropy``): distinct-pair count partials per
+    batch, one groupby; the behavioral-diversity score used to flag
+    bot-like (zero-entropy) traffic in web logs."""
+    ds = read(sf_dir, "events", ["user_id", "event_type"])
+    out = relational.grouped_entropy(ds, "user_id", "event_type")
+    out["entropy"] = out["entropy"].round(6)
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY user_id, event_type
+), t AS (
+  SELECT user_id, sum(n) AS total FROM c GROUP BY user_id
+)
+SELECT c.user_id,
+       round(sum(-(c.n / t.total) * ln(c.n / t.total)), 6) AS entropy
+FROM c JOIN t ON c.user_id = t.user_id
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2536,6 +2644,10 @@ QUERIES = {
     "orders_trailing_90d_count": orders_trailing_90d_count,
     "lineitem_bloom_semi_revenue": lineitem_bloom_semi_revenue,
     "events_user_distinct_types": events_user_distinct_types,
+    "orders_percent_rank": orders_percent_rank,
+    "orders_price_histogram": orders_price_histogram,
+    "events_type_set_ops": events_type_set_ops,
+    "events_user_entropy": events_user_entropy,
 }
 
 ORACLE_SQL = {
@@ -2601,4 +2713,8 @@ ORACLE_SQL = {
     "orders_trailing_90d_count": TRAILING_90D_SQL,
     "lineitem_bloom_semi_revenue": BLOOM_SEMI_SQL,
     "events_user_distinct_types": USER_DISTINCT_SQL,
+    "orders_percent_rank": PCT_RANK_SQL,
+    "orders_price_histogram": HISTOGRAM_SQL,
+    "events_type_set_ops": SET_OPS_SQL,
+    "events_user_entropy": ENTROPY_SQL,
 }
