@@ -525,3 +525,83 @@ def simhash_near_dup_pairs(
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
     )
+
+
+def dedup_chunks(
+    ds: ray.data.Dataset,
+    chunk_tokens: int = 15,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Cross-document CHUNK-level dedup (the CCNet/RefinedWeb passage
+    pattern): every document is split into fixed ``chunk_tokens``-token
+    chunks, a chunk that appears in >= ``min_docs`` DISTINCT documents is
+    removed from ALL of them, and each document is reassembled from its
+    surviving chunks in order (documents with nothing left are dropped).
+    Boilerplate/template passages shared across pages vanish corpus-wide
+    without deleting the unique remainder of any page.
+
+    Two passes, both streaming:
+
+    1. frequency: per-batch distinct (chunk, doc) pairs are the combiner,
+       ONE groupby on the chunk text counts distinct docs; only chunks at
+       or above the threshold — the duplicated tail, tiny relative to the
+       corpus — are gathered and broadcast via ``ray.put`` (for key sets
+       too large to gather, swap the exact set for ``build_bloom`` +
+       exact re-verify, the same composite the semi-join path uses).
+    2. rewrite: a second pass over the corpus re-chunks each doc, drops
+       banned chunks, and reassembles — no shuffle at all.
+
+    Reference capability family: composite-key uniqueness / dedup
+    (models.py keyed-results uniqueness), re-expressed at passage
+    granularity for webtext.
+    """
+
+    def chunks_of(text: str) -> list[str]:
+        toks = text.split(" ")
+        return [
+            " ".join(toks[i : i + chunk_tokens])
+            for i in range(0, len(toks), chunk_tokens)
+        ]
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        ids, chs = [], []
+        for did, txt in zip(b[id_col].to_numpy(), b[text_col]):
+            for ch in chunks_of(txt):
+                ids.append(did)
+                chs.append(ch)
+        return pd.DataFrame({"chunk": chs, id_col: ids}).drop_duplicates()
+
+    def ndocs(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g[id_col].nunique())
+        if n < min_docs:
+            return pd.DataFrame({"chunk": pd.Series([], dtype="object")})
+        return pd.DataFrame({"chunk": [g["chunk"].iloc[0]]})
+
+    banned = (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("chunk")
+        .map_groups(ndocs, batch_format="pandas")
+        .to_pandas()["chunk"]
+    )
+    banned_ref = ray.put(frozenset(banned))
+
+    def rewrite(b: pd.DataFrame) -> pd.DataFrame:
+        ban = ray.get(banned_ref)
+        out_ids, out_txt, out_n = [], [], []
+        for did, txt in zip(b[id_col].to_numpy(), b[text_col]):
+            kept = [c for c in chunks_of(txt) if c not in ban]
+            if kept:
+                out_ids.append(did)
+                out_txt.append(" ".join(kept))
+                out_n.append(len(kept))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(out_ids, dtype="int64"),
+                "text_clean": pd.Series(out_txt, dtype="object"),
+                "n_chunks_kept": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(rewrite, batch_format="pandas")

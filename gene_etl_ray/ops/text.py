@@ -214,3 +214,72 @@ def redact_terms(
         return b
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def tfidf_topk(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Top-k TF-IDF terms per document: tf(term, doc) · ln(N / df(term)).
+
+    Document frequency is computed with the distinct-(term, doc)-pair
+    combiner (per batch, before anything moves) and ONE vocab-sized
+    groupby — the same exchange shape as ``docs_term_df``. The resulting
+    term→df map is broadcast once via ``ray.put`` (bounded-vocab
+    assumption: natural-language vocabularies are millions of terms at
+    most, O(100 MB) — far below fact-table scale; were the "vocabulary"
+    unbounded, swap the broadcast for a partitioned join on term).
+    TF and the per-doc top-k then run entirely inside ``map_batches``
+    (documents never straddle batches), so the whole scoring pass is
+    shuffle-free. Ties break by term ascending, deterministically."""
+    import ray
+
+    def term_doc_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.set_index(id_col)[text_col].str.split(" ").explode()
+        return (
+            pd.DataFrame({id_col: s.index, "term": s.to_numpy()})
+            .drop_duplicates()
+        )
+
+    def df_count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"term": [g["term"].iloc[0]], "df": [int(g[id_col].nunique())]}
+        )
+
+    n_docs = ds.count()
+    df_tbl = (
+        ds.map_batches(term_doc_pairs, batch_format="pandas")
+        .groupby("term")
+        .map_groups(df_count, batch_format="pandas")
+        .to_pandas()
+    )
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"].astype(float))))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        dfm = ray.get(df_ref)
+        s = b.set_index(id_col)[text_col].str.split(" ").explode()
+        tf = (
+            pd.DataFrame({id_col: s.index, "term": s.to_numpy()})
+            .groupby([id_col, "term"], as_index=False)
+            .size()
+        )
+        dfv = tf["term"].map(dfm).to_numpy(dtype=np.float64)
+        tf["tfidf"] = tf["size"].to_numpy(dtype=np.float64) * np.log(
+            float(n_docs) / dfv
+        )
+        tf = tf.sort_values(
+            [id_col, "tfidf", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = tf.groupby(id_col, as_index=False).head(k)
+        return out[[id_col, "term", "tfidf"]]
+
+    return (
+        ds.map_batches(score, batch_format="pandas")
+        .to_pandas()
+        .sort_values([id_col, "tfidf", "term"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )

@@ -2564,6 +2564,199 @@ ORDER BY c.user_id
 """
 
 
+def docs_chunk_dedup(sf_dir: str) -> pd.DataFrame:
+    """Cross-document chunk-level dedup (``dedup.dedup_chunks``, the
+    CCNet/RefinedWeb passage pattern) over a corpus with deterministic
+    planted duplicates (every doc_id % 10 == 3 re-enters as a copy):
+    shared 15-token chunks are removed corpus-wide, docs reassemble from
+    their surviving chunks, fully-duplicated docs vanish."""
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def dup_subset(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        m = b.filter(pa.array(ids % 10 == 3))
+        return pa.table(
+            {
+                "doc_id": pc.add(m.column("doc_id"), 1000000),
+                "text": m.column("text"),
+            }
+        )
+
+    corpus = docs.union(docs.map_batches(dup_subset, batch_format="pyarrow"))
+    out = dedup.dedup_chunks(corpus, chunk_tokens=15, min_docs=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+CHUNK_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 3
+),
+docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+idx AS (SELECT doc_id, toks,
+        unnest(range(CAST(ceil(len(toks) / 15.0) AS BIGINT))) AS chunk_idx
+        FROM docs),
+chunks AS (SELECT doc_id, chunk_idx,
+           array_to_string(toks[chunk_idx * 15 + 1 : chunk_idx * 15 + 15],
+                           ' ') AS chunk
+           FROM idx),
+freq AS (SELECT chunk, count(DISTINCT doc_id) AS ndocs
+         FROM chunks GROUP BY chunk),
+kept AS (SELECT c.doc_id, c.chunk_idx, c.chunk
+         FROM chunks c JOIN freq f USING (chunk) WHERE f.ndocs < 2)
+SELECT doc_id,
+       string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_clean,
+       CAST(count(*) AS BIGINT) AS n_chunks_kept
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def docs_tfidf_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-3 TF-IDF terms per document (``text.tfidf_topk``): DF via the
+    distinct-pair combiner + one vocab-sized groupby, broadcast df map,
+    shuffle-free per-batch scoring and per-doc top-k."""
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    out = text.tfidf_topk(docs, k=3)
+    out["tfidf"] = out["tfidf"].round(6)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+       FROM toks GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT doc_id, term, round(tf * ln(n.n / df.df), 6) AS tfidf
+FROM tf JOIN df USING (term), n
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id ORDER BY tf * ln(n.n / df.df) DESC, term) <= 3
+ORDER BY doc_id, tfidf DESC, term
+"""
+
+
+def events_funnel_stages(sf_dir: str) -> pd.DataFrame:
+    """Ordered funnel analysis (view → click → purchase, each stage
+    strictly after the previous): per-user stage computed vectorized
+    inside ONE user-keyed group pass, then per-batch stage-count
+    partials — the exchange carries users once and stages four times,
+    never raw events."""
+    ds = read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def stage_of(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy()
+        et = g["event_type"].to_numpy()
+        stage = 0
+        v = ts[et == "view"]
+        if v.size:
+            stage = 1
+            c = ts[(et == "click") & (ts > v.min())]
+            if c.size:
+                stage = 2
+                p = ts[(et == "purchase") & (ts > c.min())]
+                if p.size:
+                    stage = 3
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "stage": [stage]}
+        )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("stage", as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+
+    per_user = ds.groupby("user_id").map_groups(stage_of, batch_format="pandas")
+    out = (
+        per_user.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("stage", as_index=False)["n_users"]
+        .sum()
+    )
+    out["stage"] = out["stage"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("stage").reset_index(drop=True)
+
+
+FUNNEL_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+staged AS (
+  SELECT u.user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN 3
+              WHEN c.user_id IS NOT NULL THEN 2
+              WHEN v.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN v USING (user_id)
+  LEFT JOIN c USING (user_id)
+  LEFT JOIN p USING (user_id)
+)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_users
+FROM staged GROUP BY stage ORDER BY stage
+"""
+
+
+def events_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention: users grouped by first-activity day, distinct
+    users active per (cohort, day offset) — the first-touch day and the
+    distinct active-day offsets both derive inside ONE user-keyed group
+    pass (each user contributes exactly one row per offset), then
+    per-batch (cohort, offset) count partials feed a tiny groupby."""
+    ds = read(sf_dir, "events", ["user_id", "ts"])
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        days = g["ts"].dt.floor("D")
+        cohort = days.min()
+        offs = np.unique((days - cohort).dt.days.to_numpy())
+        return pd.DataFrame(
+            {"cohort": np.repeat(cohort, offs.size), "offset_days": offs}
+        )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["cohort", "offset_days"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(offsets, batch_format="pandas")
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["cohort", "offset_days"], as_index=False)["n_users"]
+        .sum()
+    )
+    out["offset_days"] = out["offset_days"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort", "offset_days"]).reset_index(drop=True)
+
+
+COHORT_SQL = """
+WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, f.cohort,
+             date_diff('day', f.cohort, date_trunc('day', e.ts)) AS offset_days
+      FROM events e JOIN f USING (user_id))
+SELECT cohort, offset_days, CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY cohort, offset_days ORDER BY cohort, offset_days
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2648,6 +2841,10 @@ QUERIES = {
     "orders_price_histogram": orders_price_histogram,
     "events_type_set_ops": events_type_set_ops,
     "events_user_entropy": events_user_entropy,
+    "docs_chunk_dedup": docs_chunk_dedup,
+    "docs_tfidf_topk": docs_tfidf_topk,
+    "events_funnel_stages": events_funnel_stages,
+    "events_cohort_retention": events_cohort_retention,
 }
 
 ORACLE_SQL = {
@@ -2717,4 +2914,8 @@ ORACLE_SQL = {
     "orders_price_histogram": HISTOGRAM_SQL,
     "events_type_set_ops": SET_OPS_SQL,
     "events_user_entropy": ENTROPY_SQL,
+    "docs_chunk_dedup": CHUNK_DEDUP_SQL,
+    "docs_tfidf_topk": TFIDF_SQL,
+    "events_funnel_stages": FUNNEL_SQL,
+    "events_cohort_retention": COHORT_SQL,
 }

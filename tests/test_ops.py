@@ -1103,3 +1103,71 @@ class TestDistributedBloom:
         np.testing.assert_array_equal(dist.bits, solo.bits)
         # no false negatives through the distributed build
         assert dist.contains(keys.astype(object)).all()
+
+
+class TestChunkDedup:
+    def test_cross_doc_removal_and_within_doc_survival(self):
+        """A chunk shared by TWO docs is removed from both; the same
+        chunk repeated twice within ONE doc counts one distinct doc and
+        survives; unique docs pass through untouched; a fully-duplicated
+        doc vanishes."""
+        shared = " ".join(["dup"] * 3)
+        uniq_a = " ".join([f"a{i}" for i in range(3)])
+        uniq_b = " ".join([f"b{i}" for i in range(3)])
+        inner = " ".join(["inner"] * 3)
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    f"{shared} {uniq_a}",        # loses shared, keeps uniq_a
+                    f"{shared} {uniq_b}",        # loses shared, keeps uniq_b
+                    f"{inner} {inner}",          # within-doc repeat: kept
+                    "solo only words here zz",   # untouched
+                    shared,                      # fully duplicated: vanishes
+                ],
+            }
+        )
+        out = (
+            dedup.dedup_chunks(ds_from(df), chunk_tokens=3, min_docs=2)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert 5 not in out.index
+        assert out.loc[1, "text_clean"] == uniq_a
+        assert out.loc[2, "text_clean"] == uniq_b
+        assert out.loc[3, "text_clean"] == f"{inner} {inner}"
+        assert out.loc[4, "text_clean"] == "solo only words here zz"
+        assert out.loc[1, "n_chunks_kept"] == 1
+        assert out.loc[3, "n_chunks_kept"] == 2
+
+    def test_short_tail_chunk_participates(self):
+        """The trailing sub-width chunk deduplicates like any other."""
+        df = pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["x1 x2 x3 tail", "y1 y2 y3 tail"]}
+        )
+        out = (
+            dedup.dedup_chunks(ds_from(df), chunk_tokens=3, min_docs=2)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[1, "text_clean"] == "x1 x2 x3"
+        assert out.loc[2, "text_clean"] == "y1 y2 y3"
+
+
+class TestTfidf:
+    def test_matches_sklearn_free_reference(self):
+        """tf·ln(N/df) against a tiny hand-computed corpus, ties by term."""
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["cat cat dog", "dog fish", "cat fish fish"],
+            }
+        )
+        out = text.tfidf_topk(ds_from(df), k=2)
+        top1 = out[out["doc_id"] == 1].iloc[0]
+        # doc1: cat tf=2 df=2 -> 2*ln(3/2); dog tf=1 df=2 -> ln(3/2)
+        assert top1["term"] == "cat"
+        np.testing.assert_allclose(top1["tfidf"], 2 * np.log(3 / 2), rtol=1e-12)
+        d2 = out[out["doc_id"] == 2]
+        # doc2: dog and fish both tf=1 df=2 — tie breaks by term asc
+        assert list(d2["term"]) == ["dog", "fish"]
