@@ -1172,3 +1172,51 @@ def grouped_entropy(
         .map_groups(entropy, batch_format="pandas")
         .to_pandas()
     )
+
+
+def rolling_count_distinct(
+    ds: ray.data.Dataset,
+    entity: str,
+    time_col: str,
+    window_days: int,
+    out: str = "n_distinct",
+) -> pd.DataFrame:
+    """Per-day TRAILING-window distinct-entity counts (the DAU/WAU/MAU
+    family): for every activity day d, COUNT(DISTINCT entity) active in
+    [d-window+1, d]. SQL cannot express COUNT(DISTINCT) OVER a frame;
+    the distributed shape is an expansion combiner — per batch, distinct
+    (entity, day) pairs each replicate to the ``window_days`` window-end
+    days they fall into, deduped again per batch — feeding the exact
+    distinct-pair groupby (`grouped_count_distinct`). The exchange
+    carries ≤ distinct-pairs × window rows, never raw events; output
+    rows are restricted to days with actual activity (SQL twin's days
+    CTE)."""
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        day = b[time_col].dt.floor("D")
+        p = pd.DataFrame({entity: b[entity], "day": day}).drop_duplicates()
+        reps = pd.concat(
+            [
+                p.assign(win_day=p["day"] + pd.Timedelta(days=i))
+                for i in range(window_days)
+            ],
+            ignore_index=True,
+        )
+        return reps[[entity, "win_day"]].drop_duplicates()
+
+    def day_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"day": b[time_col].dt.floor("D").unique()}
+        )
+
+    expanded = ds.map_batches(pairs, batch_format="pandas")
+    counts = grouped_count_distinct(expanded, "win_day", entity, out=out)
+    active_days = set(
+        ds.map_batches(day_partial, batch_format="pandas").to_pandas()["day"]
+    )
+    counts = counts[counts["win_day"].isin(active_days)]
+    return (
+        counts.rename(columns={"win_day": "day"})
+        .sort_values("day")
+        .reset_index(drop=True)
+    )

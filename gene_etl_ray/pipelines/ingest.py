@@ -645,6 +645,7 @@ def _make_merge_fn(
     commit_epoch: int,
     tag: str = "",
     drop_tombstones_before_us: int | None = None,
+    cluster_rows: int | None = None,
 ):
     """Per-group LWW merge + partition-file write (phase 1 of the commit).
 
@@ -693,28 +694,62 @@ def _make_merge_fn(
             # a partition of nothing but GC-able tombstones: emit no file;
             # the old manifest stays in force (correct — nothing changed)
             return MANIFEST_ROW_SCHEMA.empty_table()
-        live = t.num_rows - (pc.sum(t.column(DELETED_COLUMN)).as_py() or 0)
         part_dir = os.path.join(lake_dir, f"part={pkey:05d}")
         os.makedirs(part_dir, exist_ok=True)
-        path = os.path.join(part_dir, f".tmp-epoch={commit_epoch:05d}-g{gkey:09d}{tag}.parquet")
-        # bounded row groups: a single-row-group partition file caps any
-        # later reader at one task per file (same lesson as the WAL
-        # segment writer) — 16k rows ≈ tens of MB of webtext per group
-        pq.write_table(t, path, row_group_size=16384)
-        _fsync_file(path)
-        _write_bloom_sidecar(path, t.column("url").to_pylist())
-        ts = pc.cast(t.column("warc_ts"), pa.int64())
+        if cluster_rows is not None and t.num_rows > cluster_rows:
+            # time-CLUSTERED layout: winners sorted by warc_ts, sliced
+            # into files with tight, near-disjoint zone-map ranges — a
+            # later read_lake(ts_min/ts_max) then prunes WITHIN the
+            # partition, not just across partitions. Safe because every
+            # url appears exactly once post-LWW (the manifest's
+            # `compaction` flag certifies the set is fully resolved, so
+            # even MOR readers may upper-bound-prune it).
+            t = t.sort_by([("warc_ts", "ascending"), ("url", "ascending")])
+            subs = [
+                t.slice(i, cluster_rows)
+                for i in range(0, t.num_rows, cluster_rows)
+            ]
+        else:
+            subs = [t]
+        rows_out: list[dict] = []
+        for j, s in enumerate(subs):
+            suffix = f"-c{j:03d}" if len(subs) > 1 else ""
+            path = os.path.join(
+                part_dir,
+                f".tmp-epoch={commit_epoch:05d}-g{gkey:09d}{tag}{suffix}.parquet",
+            )
+            # bounded row groups: a single-row-group partition file caps
+            # any later reader at one task per file (same lesson as the
+            # WAL segment writer) — 16k rows ≈ tens of MB of webtext
+            pq.write_table(s, path, row_group_size=16384)
+            _fsync_file(path)
+            _write_bloom_sidecar(path, s.column("url").to_pylist())
+            ts = pc.cast(s.column("warc_ts"), pa.int64())
+            live = s.num_rows - (pc.sum(s.column(DELETED_COLUMN)).as_py() or 0)
+            rows_out.append(
+                {
+                    "pkey": pkey,
+                    "gkey": gkey,
+                    "path": path,
+                    "rows": s.num_rows,
+                    "live_rows": live,
+                    "max_seq": pc.max(s.column("seq")).as_py(),
+                    "events_in": n if j == 0 else 0,
+                    "ts_min_us": pc.min(ts).as_py(),
+                    "ts_max_us": pc.max(ts).as_py(),
+                }
+            )
         return pa.table(
             {
-                "pkey": pa.array([pkey], pa.int32()),
-                "gkey": pa.array([gkey], pa.int64()),
-                "path": pa.array([path], pa.string()),
-                "rows": pa.array([t.num_rows], pa.int64()),
-                "live_rows": pa.array([live], pa.int64()),
-                "max_seq": pa.array([pc.max(t.column("seq")).as_py()], pa.int64()),
-                "events_in": pa.array([n], pa.int64()),
-                "ts_min_us": pa.array([pc.min(ts).as_py()], pa.int64()),
-                "ts_max_us": pa.array([pc.max(ts).as_py()], pa.int64()),
+                "pkey": pa.array([r["pkey"] for r in rows_out], pa.int32()),
+                "gkey": pa.array([r["gkey"] for r in rows_out], pa.int64()),
+                "path": pa.array([r["path"] for r in rows_out], pa.string()),
+                "rows": pa.array([r["rows"] for r in rows_out], pa.int64()),
+                "live_rows": pa.array([r["live_rows"] for r in rows_out], pa.int64()),
+                "max_seq": pa.array([r["max_seq"] for r in rows_out], pa.int64()),
+                "events_in": pa.array([r["events_in"] for r in rows_out], pa.int64()),
+                "ts_min_us": pa.array([r["ts_min_us"] for r in rows_out], pa.int64()),
+                "ts_max_us": pa.array([r["ts_max_us"] for r in rows_out], pa.int64()),
             }
         )
 
@@ -1243,25 +1278,27 @@ def _prune_files_by_ts(
     range provably misses [lo, hi]. Files without stats are kept (no
     false negatives). ``allow_upper`` gates ts_min > hi pruning — UNSAFE
     under mor LWW, where a winner above ``hi`` must still be read to
-    suppress older in-range versions of the same url. Returns
-    (kept_files, pruned_count)."""
+    suppress older in-range versions of the same url — EXCEPT for a
+    manifest whose current file set came whole from one compaction
+    (``stats.compaction``): that set is fully LWW-resolved (each url in
+    exactly one file), so an out-of-range file cannot be suppressing
+    anything and both bounds prune. The next MOR append replaces the
+    stats, the certificate disappears, and the manifest falls back to
+    lower-bound-only automatically. Returns (kept_files, pruned_count)."""
     kept: list[str] = []
     pruned = 0
     for m in manifests:
         if not m:
             continue
         fstats = m.get("file_stats") or {}
+        au = allow_upper or bool((m.get("stats") or {}).get("compaction"))
         for f in m["files"]:
             s = fstats.get(os.path.basename(f))
             if s is not None:
                 if lo_us is not None and s["ts_max_us"] < lo_us:
                     pruned += 1
                     continue
-                if (
-                    allow_upper
-                    and hi_us is not None
-                    and s["ts_min_us"] > hi_us
-                ):
+                if au and hi_us is not None and s["ts_min_us"] > hi_us:
                     pruned += 1
                     continue
             kept.append(f)
@@ -1571,12 +1608,23 @@ def _layout_at(meta: dict, epoch: int) -> int:
     return int(p)
 
 
-def compact_lake(cfg: EngineConfig) -> dict:
+def compact_lake(cfg: EngineConfig, cluster_rows: int | None = None) -> dict:
     """Fold a merge-on-read partition's delta files back into one file per
     partition (manifest REPLACE at the current epoch). Uses the same
     merge/commit machinery as cow ingest, so compaction inherits the
     exactly-once protocol: a crash mid-compaction leaves the old manifests
-    pointing at the old files."""
+    pointing at the old files.
+
+    ``cluster_rows``: time-CLUSTERED compaction — instead of one file per
+    partition, winners are sorted by ``warc_ts`` and written as files of
+    at most ``cluster_rows`` rows with tight, near-disjoint zone-map
+    ranges, so ``read_lake(ts_min/ts_max)`` and ``export --since`` prune
+    files WITHIN partitions. The manifest's ``compaction`` flag certifies
+    the file set is fully LWW-resolved, which is what lets MOR readers
+    apply upper-bound pruning to it (normally unsafe under a delta
+    stack); the next MOR append replaces the stats and the certificate
+    disappears with it — readers fall back to lower-bound-only pruning
+    automatically."""
     from gene_etl_ray.state.lock import acquire, release
 
     lake_dir = cfg.lake_dir
@@ -1589,17 +1637,24 @@ def compact_lake(cfg: EngineConfig) -> dict:
 
         if finalize_repartition(lake_dir):
             meta = read_lake_meta(lake_dir)
-        return _compact_locked(cfg, meta)
+        return _compact_locked(cfg, meta, cluster_rows=cluster_rows)
     finally:
         release(lake_dir)
 
 
-def _compact_locked(cfg: EngineConfig, meta: dict) -> dict:
+def _compact_locked(
+    cfg: EngineConfig, meta: dict, cluster_rows: int | None = None
+) -> dict:
     lake_dir = cfg.lake_dir
     target = _schema_from_hex(meta["schema_hex"])
     epoch = last_global_epoch(lake_dir)
     by_part = current_files(lake_dir)
-    multi = {k: fs for k, fs in by_part.items() if len(fs) > 1}
+    if cluster_rows is not None:
+        # clustering rewrites even single-file partitions — the point is
+        # the file LAYOUT, not the delta-stack fold
+        multi = {k: fs for k, fs in by_part.items() if fs}
+    else:
+        multi = {k: fs for k, fs in by_part.items() if len(fs) > 1}
     if not multi:
         return {"compacted": 0}
     files = [f for fs in multi.values() for f in fs]
@@ -1614,7 +1669,11 @@ def _compact_locked(cfg: EngineConfig, meta: dict) -> dict:
     ds = ds.map_batches(_make_lake_side_stage(cfg, set(), target), batch_format="pyarrow")
     merged = ds.groupby("gkey").map_groups(
         _make_merge_fn(
-            lake_dir, epoch, tag="-compact", drop_tombstones_before_us=gc_cutoff
+            lake_dir,
+            epoch,
+            tag="-compact",
+            drop_tombstones_before_us=gc_cutoff,
+            cluster_rows=cluster_rows,
         ),
         batch_format="pyarrow",
     )

@@ -2757,6 +2757,29 @@ FROM a GROUP BY cohort, offset_days ORDER BY cohort, offset_days
 """
 
 
+def events_weekly_active_users(sf_dir: str) -> pd.DataFrame:
+    """Trailing-7-day distinct active users per day
+    (``relational.rolling_count_distinct``): the rolling COUNT(DISTINCT)
+    SQL windows can't express — expansion combiner feeding the exact
+    distinct-pair groupby; exchange ≤ pairs × 7, never raw events."""
+    ds = read(sf_dir, "events", ["user_id", "ts"])
+    out = relational.rolling_count_distinct(
+        ds, "user_id", "ts", window_days=7, out="wau"
+    )
+    out["wau"] = out["wau"].astype("int64")
+    return out
+
+
+WAU_SQL = """
+WITH p AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+days AS (SELECT DISTINCT day FROM p)
+SELECT d.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+FROM days d JOIN p
+  ON p.day >= d.day - INTERVAL 6 DAY AND p.day <= d.day
+GROUP BY d.day ORDER BY d.day
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2845,6 +2868,7 @@ QUERIES = {
     "docs_tfidf_topk": docs_tfidf_topk,
     "events_funnel_stages": events_funnel_stages,
     "events_cohort_retention": events_cohort_retention,
+    "events_weekly_active_users": events_weekly_active_users,
 }
 
 ORACLE_SQL = {
@@ -2918,4 +2942,5 @@ ORACLE_SQL = {
     "docs_tfidf_topk": TFIDF_SQL,
     "events_funnel_stages": FUNNEL_SQL,
     "events_cohort_retention": COHORT_SQL,
+    "events_weekly_active_users": WAU_SQL,
 }

@@ -133,7 +133,7 @@ def cmd_compact(args) -> int:
     from gene_etl_ray.pipelines.ingest import compact_lake
 
     cfg = load_config(args.config)
-    print(json.dumps(compact_lake(cfg)))
+    print(json.dumps(compact_lake(cfg, cluster_rows=args.cluster_rows)))
     return 0
 
 
@@ -364,6 +364,14 @@ def main(argv: list[str] | None = None) -> int:
         "compact", help="fold merge-on-read delta files back to one per partition"
     )
     pc_.add_argument("--config", required=True)
+    pc_.add_argument(
+        "--cluster-rows",
+        type=int,
+        default=None,
+        help="time-clustered layout: sort winners by warc_ts and write "
+        "files of at most this many rows (tight zone-map ranges; enables "
+        "within-partition pruning for time-range reads)",
+    )
     pc_.set_defaults(fn=cmd_compact)
 
     pr = sub.add_parser(

@@ -1276,3 +1276,99 @@ def test_repartition_residue_guard_aborts_before_flip(tmp_path):
     assert not os.path.exists(os.path.join(lake, "_manifests", "REPART.json"))
     after = lake_df(lake)
     assert len(after) == len(before)
+
+
+def test_clustered_compaction_prunes_within_partitions(tmp_events, tmp_lake):
+    """Time-clustered compaction: winners sorted by warc_ts, sliced into
+    bounded files with tight zone-map ranges. The manifest's compaction
+    certificate lets even a MOR reader prune by BOTH bounds (each url
+    lives in exactly one file), time-range reads stay exact, and the next
+    MOR append revokes the certificate so upper pruning falls back off."""
+    from gene_etl_ray.pipelines.ingest import (
+        _prune_files_by_ts,
+        compact_lake,
+        read_lake,
+    )
+    from gene_etl_ray.state.manifest import read_manifest
+
+    staged = tmp_events + "-staged"
+    generate_events(
+        staged, n_urls=400, n_events=2400, n_epochs=8,
+        tie_frac=0.1, out_of_order_frac=0.2,
+    )
+    os.makedirs(tmp_events)
+    seg_names = sorted(os.listdir(staged))
+    for f in seg_names[:6]:
+        shutil.copy(os.path.join(staged, f), os.path.join(tmp_events, f))
+    cfg = EngineConfig(
+        lake_dir=tmp_lake, num_partitions=4, epochs_per_commit=2,
+        merge_mode="mor",
+    )
+    run_ingest(cfg, tmp_events)
+    before = lake_df(tmp_lake)
+
+    rep = compact_lake(cfg, cluster_rows=25)
+    assert rep["compacted"] > 0
+    # layout: multiple bounded files per partition, state unchanged
+    by_part = current_files(tmp_lake)
+    assert max(len(fs) for fs in by_part.values()) > 1
+    pd.testing.assert_frame_equal(before, lake_df(tmp_lake))
+    for k, fs in by_part.items():
+        for f in fs:
+            assert pq.read_metadata(f).num_rows <= 25
+
+    manifests = [read_manifest(tmp_lake, k) for k in sorted(by_part)]
+    for m in manifests:
+        assert m["stats"].get("compaction") is True
+        # within a partition the clustered ranges are non-overlapping
+        spans = sorted(
+            (s["ts_min_us"], s["ts_max_us"]) for s in m["file_stats"].values()
+        )
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+            assert a_hi <= b_lo
+
+    # pick a mid-range window; BOTH bounds must prune under MOR thanks to
+    # the compaction certificate (allow_upper=False globally)
+    all_ts = sorted(
+        t for m in manifests for s in m["file_stats"].values()
+        for t in (s["ts_min_us"], s["ts_max_us"])
+    )
+    lo_us = all_ts[len(all_ts) // 3]
+    hi_us = all_ts[2 * len(all_ts) // 3]
+    kept, pruned = _prune_files_by_ts(manifests, lo_us, hi_us, allow_upper=False)
+    n_files = sum(len(m["files"]) for m in manifests)
+    assert pruned > 0 and len(kept) < n_files
+    kept_lower_only, _ = _prune_files_by_ts(manifests, lo_us, None, allow_upper=False)
+    assert len(kept) < len(kept_lower_only)  # the upper bound did real work
+
+    # exactness: the pruned time-range read equals filter-after-full-read
+    got = (
+        read_lake(
+            tmp_lake,
+            ts_min=pd.Timestamp(lo_us, unit="us"),
+            ts_max=pd.Timestamp(hi_us, unit="us"),
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    full = lake_df(tmp_lake)
+    ts_us = full["warc_ts"].astype("datetime64[ns]").astype("int64") // 1000
+    want = (
+        full[(ts_us >= lo_us) & (ts_us <= hi_us)]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+    # a later MOR append revokes the certificate: stats.compaction gone,
+    # upper-bound pruning disabled again for the appended partitions
+    for f in seg_names[6:]:
+        shutil.copy(os.path.join(staged, f), os.path.join(tmp_events, f))
+    run_ingest(cfg, tmp_events)
+    manifests2 = [read_manifest(tmp_lake, k) for k in sorted(current_files(tmp_lake))]
+    touched = [m for m in manifests2 if not (m.get("stats") or {}).get("compaction")]
+    assert touched, "append should have replaced stats on touched partitions"
+    assert_matches_oracle(tmp_lake, tmp_events)
