@@ -37,6 +37,7 @@ def oracle_sql() -> dict[str, str]:
         cdc_domain_stats_oracle_sql,
         cdc_late_dl_oracle_sql,
         cdc_late_oracle_sql,
+        cdc_mux_oracle_sql,
         cdc_oracle_sql,
         cdc_since_oracle_sql,
     )
@@ -47,6 +48,9 @@ def oracle_sql() -> dict[str, str]:
     # files the engine ingests, regardless of query/oracle run order
     d["cdc_ingest_lake"] = cdc_oracle_sql("/root/testdata/sf0.01")
     d["cdc_snapshot_diff"] = cdc_diff_oracle_sql("/root/testdata/sf0.01")
+    # multi-producer shards muxed into one consumer WAL: the oracle
+    # replays the MUXED files, gating renumbering + envelope restamp
+    d["cdc_mux_ingest"] = cdc_mux_oracle_sql("/root/testdata/sf0.01")
     # mid-stream partition scale-out must converge to the SAME final
     # state — identical LWW oracle, layout-independent by construction
     d["cdc_repartitioned_lake"] = cdc_oracle_sql("/root/testdata/sf0.01")

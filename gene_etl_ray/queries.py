@@ -1521,6 +1521,67 @@ def cdc_oracle_sql(sf_dir: str) -> str:
     )
 
 
+def ensure_cdc_shards(sf_dir: str) -> str:
+    """Split the canonical change log into two PRODUCER shards (even/odd
+    epochs, shard-locally renumbered and restamped — each shard is a
+    self-consistent contiguous WAL, as a real binlog shard would be) and
+    mux them back into one consumer WAL (`pipelines.mux.merge_wals`).
+    Returns the muxed WAL directory. Idempotent per sf_dir."""
+    import pyarrow.parquet as _pq
+
+    from gene_etl_ray.pipelines.mux import merge_wals
+
+    base = _cdc_base_dir(sf_dir)
+    ev_dir = ensure_cdc_events(sf_dir)
+    mux_dir = f"{base}/wal_mux"
+    if os.path.isdir(mux_dir):
+        return mux_dir
+    shards = [f"{base}/shard0", f"{base}/shard1"]
+    for d in shards:
+        os.makedirs(d, exist_ok=True)
+    import glob as _glob
+
+    for f in sorted(_glob.glob(f"{ev_dir}/epoch=*.parquet")):
+        e = int(os.path.basename(f)[6:-8])
+        local = e // 2
+        t = _pq.read_table(f)
+        i = t.schema.get_field_index("epoch")
+        t = t.set_column(
+            i, t.schema.field(i),
+            pa.array([local] * t.num_rows, t.schema.field(i).type),
+        )
+        _pq.write_table(t, os.path.join(shards[e % 2], f"epoch={local:05d}.parquet"))
+    merge_wals(shards, mux_dir)
+    return mux_dir
+
+
+def cdc_mux_ingest(sf_dir: str) -> pd.DataFrame:
+    """Multi-producer CDC: the flagship change log split across two
+    binlog-style shards, multiplexed into one consumer WAL
+    (reserve-then-copy protocol, epochs restamped globally), ingested to
+    LWW convergence. The DuckDB twin replays the MUXED files, so epoch
+    renumbering, interleaving, and the restamped envelope are all under
+    the gate."""
+    from gene_etl_ray.config import EngineConfig
+    from gene_etl_ray.pipelines.ingest import read_lake, run_ingest
+
+    mux_dir = ensure_cdc_shards(sf_dir)
+    lake_dir = f"{_cdc_base_dir(sf_dir)}/lake_mux"
+    cfg = EngineConfig(lake_dir=lake_dir, num_partitions=8)
+    run_ingest(cfg, mux_dir)  # idempotent
+    df = read_lake(lake_dir).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def cdc_mux_oracle_sql(sf_dir: str) -> str:
+    """Oracle for the multi-shard flagship: QUALIFY-LWW replay of the
+    MUXED consumer WAL (same template as the single-WAL flagship)."""
+    mux_dir = ensure_cdc_shards(sf_dir)
+    return CDC_SQL_TEMPLATE.format(
+        ev_glob=f"{mux_dir}/epoch=*.parquet", admit_ctes="", src="ev"
+    )
+
+
 def cdc_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     """Time-travel change feed under the oracle gate: ingest the flagship
     change log into a RETAINED lake (``retain_history=True``), then
@@ -2833,6 +2894,7 @@ QUERIES = {
     "embeddings_norm_by_label": embeddings_norm_by_label,
     "embeddings_near_dup": embeddings_near_dup,
     "cdc_ingest_lake": cdc_ingest_lake,
+    "cdc_mux_ingest": cdc_mux_ingest,
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "cdc_repartitioned_lake": cdc_repartitioned_lake,
     "cdc_changed_since": cdc_changed_since,

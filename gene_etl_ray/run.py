@@ -68,6 +68,15 @@ def cmd_truncate(args) -> int:
     return 0
 
 
+def cmd_mux(args) -> int:
+    """Multi-producer WAL multiplexer: merge N producer shards into the
+    single consumer WAL (crash-safe reserve-then-copy, idempotent)."""
+    from gene_etl_ray.pipelines.mux import merge_wals
+
+    print(json.dumps(merge_wals(args.sources, args.out)))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from gene_etl_ray.pipelines.ingest import consistency_report, validate_lake
 
@@ -328,6 +337,14 @@ def main(argv: list[str] | None = None) -> int:
     pt_.add_argument("--archive", default=None,
                      help="move segments here instead of deleting (replayable)")
     pt_.set_defaults(fn=cmd_truncate)
+
+    pm = sub.add_parser(
+        "mux", help="merge N producer WAL shards into one consumer WAL"
+    )
+    pm.add_argument("--sources", nargs="+", required=True,
+                    help="producer WAL directories (binlog shards)")
+    pm.add_argument("--out", required=True, help="consumer WAL directory")
+    pm.set_defaults(fn=cmd_mux)
 
     pv = sub.add_parser("validate", help="post-validation checks on the lake")
     pv.add_argument("--lake", required=True)

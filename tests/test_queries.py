@@ -217,3 +217,28 @@ def test_cdc_changed_since_matches_duckdb_oracle():
     full = to_df(Q.cdc_ingest_lake(SF))
     assert 0 < len(a) < len(full)
     pd.testing.assert_frame_equal(a, b, check_dtype=True)
+
+
+def test_cdc_mux_ingest_matches_duckdb_oracle():
+    """Multi-producer flagship: two binlog-style shards muxed into one
+    consumer WAL, ingested, compared dtype-strict against the QUALIFY-LWW
+    replay of the MUXED files — epoch renumbering, interleaving, and the
+    restamped envelope are all under the gate."""
+    import duckdb
+
+    ray_df = to_df(Q.cdc_mux_ingest(SF))
+    sql_df = duckdb.connect().execute(Q.cdc_mux_oracle_sql(SF)).fetchdf()
+    cols = sorted(ray_df.columns)
+    a = ray_df[cols].sort_values(cols).reset_index(drop=True)
+    b = sql_df[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=True)
+    # and the mux view is equivalent to the single-WAL flagship on
+    # everything except the (renumbered) epoch column
+    single = to_df(Q.cdc_ingest_lake(SF))
+    c = [x for x in cols if x != "epoch"]
+    pd.testing.assert_frame_equal(
+        a[c].sort_values(c).reset_index(drop=True),
+        single[c].sort_values(c).reset_index(drop=True),
+        check_dtype=True,
+    )
