@@ -283,3 +283,49 @@ def tfidf_topk(
         .sort_values([id_col, "tfidf", "term"], ascending=[True, False, True])
         .reset_index(drop=True)
     )
+
+
+def ngram_topk(
+    ds: ray.data.Dataset,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Corpus-wide top-k word n-grams (the LM-preprocessing count table):
+    per-batch n-gram count partials are the combiner — a hot n-gram's
+    occurrences collapse to one row per batch before anything moves —
+    then the skew-safe ``grouped_sum_topk`` merge. The n-gram join is
+    fully vectorized: all batch tokens concatenate into one flat array,
+    windows shift against it, and cross-document windows are masked out
+    by boundary arithmetic (no per-document Python loop)."""
+    from gene_etl_ray.ops.relational import grouped_sum_topk
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks_per_doc = b[text_col].str.split(" ")
+        lens = toks_per_doc.str.len().to_numpy(dtype=np.int64)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks_per_doc])
+        total = len(flat)
+        if total < n:
+            return pd.DataFrame({"ngram": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        gram = flat[: total - n + 1].astype(object)
+        for j in range(1, n):
+            gram = gram + " "
+            gram = gram + flat[j : total - n + 1 + j]
+        # a window starting within the last n-1 tokens of a doc crosses
+        # into the next doc — mask it out via the doc-end boundaries
+        ends = np.cumsum(lens)
+        ok = np.ones(total - n + 1, dtype=bool)
+        for j in range(1, n):
+            cut = ends - j  # window starts that would straddle the end
+            cut = cut[(cut >= 0) & (cut < total - n + 1)]
+            ok[cut] = False
+        vc = pd.Series(gram[ok]).value_counts()
+        return pd.DataFrame(
+            {"ngram": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = grouped_sum_topk(partials, "ngram", "n", k)
+    out["n"] = out["n"].astype("int64")
+    return out

@@ -2841,6 +2841,23 @@ GROUP BY d.day ORDER BY d.day
 """
 
 
+def docs_top_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide top-15 word bigrams (``text.ngram_topk``): vectorized
+    flat-array window join with cross-document masking, per-batch count
+    partials, skew-safe top-k merge — the LM-preprocessing count table."""
+    docs = read(sf_dir, "documents", ["text"])
+    out = text.ngram_topk(docs, n=2, k=15)
+    return out.rename(columns={"ngram": "bigram"})
+
+
+BIGRAM_SQL = """
+WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+b AS (SELECT unnest(list_zip(toks[1:len(toks) - 1], toks[2:])) AS pair FROM d)
+SELECT pair[1] || ' ' || pair[2] AS bigram, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 15
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2931,6 +2948,7 @@ QUERIES = {
     "events_funnel_stages": events_funnel_stages,
     "events_cohort_retention": events_cohort_retention,
     "events_weekly_active_users": events_weekly_active_users,
+    "docs_top_bigrams": docs_top_bigrams,
 }
 
 ORACLE_SQL = {
@@ -3005,4 +3023,5 @@ ORACLE_SQL = {
     "events_funnel_stages": FUNNEL_SQL,
     "events_cohort_retention": COHORT_SQL,
     "events_weekly_active_users": WAU_SQL,
+    "docs_top_bigrams": BIGRAM_SQL,
 }

@@ -1171,3 +1171,22 @@ class TestTfidf:
         d2 = out[out["doc_id"] == 2]
         # doc2: dog and fish both tf=1 df=2 — tie breaks by term asc
         assert list(d2["term"]) == ["dog", "fish"]
+
+
+class TestNgramTopk:
+    def test_cross_document_windows_are_masked(self):
+        """No n-gram may span two documents; counts are corpus-wide."""
+        df = pd.DataFrame(
+            {"text": ["a b c", "c a b", "b c a"], "doc_id": [1, 2, 3]}
+        )
+        out = text.ngram_topk(ds_from(df), n=3, k=10)
+        # each doc contributes exactly one trigram; no "c c a" / "b b c"
+        assert set(out["ngram"]) == {"a b c", "c a b", "b c a"}
+        assert (out["n"] == 1).all()
+
+    def test_bigram_counts_and_tiebreak(self):
+        df = pd.DataFrame({"text": ["x y x y", "y x"], "doc_id": [1, 2]})
+        out = text.ngram_topk(ds_from(df), n=2, k=2)
+        # corpus bigrams: "x y" ×2, "y x" ×2 — tie broken by name asc
+        assert list(out["ngram"]) == ["x y", "y x"]
+        assert list(out["n"]) == [2, 2]
