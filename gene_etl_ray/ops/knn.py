@@ -356,3 +356,115 @@ def ivf_topk(
             }
         )
     return brute_force_topk(ray.data.read_parquet(paths), q, k=k, id_col=id_col, dtype=np.float32)
+
+
+def kmeans(
+    ds: ray.data.Dataset,
+    k: int,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, float]:
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Deterministic throughout: centroids initialize from the ``k`` lowest
+    ids (no RNG), every iteration broadcasts the centroid matrix ONCE via
+    ``ray.put`` and each batch emits a MERGEABLE partial — per-cluster
+    vector sums, counts, and squared-distance sums — so the driver sees
+    O(k·dim) bytes per batch regardless of corpus size and no iteration
+    materializes the dataset. An emptied cluster keeps its previous
+    centroid. Returns (centroids float64 [k, dim], final inertia).
+
+    Blocking-invariant: partial sums are exact in float64, so any batch
+    split yields the same centroids up to float addition order (pinned in
+    tests at 1e-9)."""
+    import ray
+
+    def min_ids(b: pd.DataFrame) -> pd.DataFrame:
+        o = b.nsmallest(k, id_col)
+        return o[[id_col, vec_col]]
+
+    seed = (
+        ds.map_batches(min_ids, batch_format="pandas")
+        .to_pandas()
+        .nsmallest(k, id_col)
+        .sort_values(id_col)
+    )
+    cents = _to_matrix(seed[vec_col]).astype(np.float64)
+
+    inertia = float("inf")
+    for _ in range(n_iters):
+        cref = ray.put(cents)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            x = _to_matrix(b[vec_col]).astype(np.float64)
+            # squared L2 to every centroid; argmin with index tie-break
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * x @ c.T
+                + (c * c).sum(axis=1)[None, :]
+            )
+            a = d2.argmin(axis=1)
+            rows = []
+            for j in np.unique(a):
+                m = a == j
+                rows.append(
+                    {
+                        "cluster": int(j),
+                        "n": int(m.sum()),
+                        "sum": x[m].sum(axis=0).tobytes(),
+                        "d2": float(np.maximum(d2[m, j], 0.0).sum()),
+                    }
+                )
+            return pd.DataFrame(rows, columns=["cluster", "n", "sum", "d2"])
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        new = cents.copy()
+        inertia = float(parts["d2"].sum())
+        for j, g in parts.groupby("cluster"):
+            s = np.sum(
+                [np.frombuffer(x, dtype=np.float64) for x in g["sum"]], axis=0
+            )
+            new[int(j)] = s / g["n"].sum()
+        if np.allclose(new, cents, rtol=0, atol=1e-12):
+            cents = new
+            break
+        cents = new
+    return cents, inertia
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """One assignment pass against a broadcast centroid matrix: per-batch
+    float64 distance matmul, argmin with lowest-cluster tie-break —
+    exactly SQL's ``QUALIFY row_number() OVER (... ORDER BY dist,
+    cluster) = 1`` semantics. Returns (id, cluster, dist)."""
+    import ray
+
+    cref = ray.put(centroids.astype(np.float64))
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        x = _to_matrix(b[vec_col]).astype(np.float64)
+        diff = x[:, None, :] - c[None, :, :]
+        d = np.sqrt((diff * diff).sum(axis=2))
+        a = d.argmin(axis=1)  # np argmin takes the FIRST minimum: ties
+        return pd.DataFrame(  # break toward the lowest cluster index
+            {
+                id_col: b[id_col].to_numpy(),
+                "cluster": a.astype(np.int64),
+                "dist": d[np.arange(len(a)), a],
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pandas")
+        .to_pandas()
+        .sort_values(id_col)
+        .reset_index(drop=True)
+    )

@@ -2858,6 +2858,47 @@ FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 15
 """
 
 
+def embeddings_kmeans_assign(sf_dir: str) -> pd.DataFrame:
+    """k-means assignment step under the SQL gate (``knn.kmeans_assign``):
+    centroids = the 4 lowest vec_ids (deterministic, no RNG), one
+    broadcast + per-batch float64 distance matmul, argmin tie-broken
+    toward the lowest cluster — the building block the full distributed
+    Lloyd's iteration (``knn.kmeans``) repeats with mergeable partials."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seed = (
+        ds.map_batches(
+            lambda b: b.nsmallest(4, "vec_id"), batch_format="pandas"
+        )
+        .to_pandas()
+        .nsmallest(4, "vec_id")
+        .sort_values("vec_id")
+    )
+    cents = np.stack(seed["embedding"].to_numpy()).astype(np.float64)
+    out = knn.kmeans_assign(ds, cents)
+    out["dist"] = out["dist"].round(6)
+    out["cluster"] = out["cluster"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
+KMEANS_SQL = """
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
+),
+e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      FROM embeddings),
+d AS (SELECT e.vec_id, c.cluster, list_distance(ev, cv) AS dist
+      FROM e CROSS JOIN c)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, round(dist, 6) AS dist
+FROM d
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2949,6 +2990,7 @@ QUERIES = {
     "events_cohort_retention": events_cohort_retention,
     "events_weekly_active_users": events_weekly_active_users,
     "docs_top_bigrams": docs_top_bigrams,
+    "embeddings_kmeans_assign": embeddings_kmeans_assign,
 }
 
 ORACLE_SQL = {
@@ -3024,4 +3066,5 @@ ORACLE_SQL = {
     "events_cohort_retention": COHORT_SQL,
     "events_weekly_active_users": WAU_SQL,
     "docs_top_bigrams": BIGRAM_SQL,
+    "embeddings_kmeans_assign": KMEANS_SQL,
 }

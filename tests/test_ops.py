@@ -1190,3 +1190,48 @@ class TestNgramTopk:
         # corpus bigrams: "x y" ×2, "y x" ×2 — tie broken by name asc
         assert list(out["ngram"]) == ["x y", "y x"]
         assert list(out["n"]) == [2, 2]
+
+
+class TestKmeans:
+    def _ds(self, n=120, dim=8, blocks=1):
+        rng = np.random.RandomState(3)
+        centers = rng.randn(3, dim) * 4
+        ids = np.arange(n, dtype=np.int64)
+        # blob membership = vec_id % 3 so the lowest-id seeds (the
+        # deterministic init) land one per blob
+        x = (centers[ids % 3] + rng.randn(n, dim) * 0.1).astype(np.float32)
+        df = pd.DataFrame({"vec_id": ids, "embedding": list(x)})
+        return rd.from_pandas(df, override_num_blocks=blocks)
+
+    def test_inertia_non_increasing_and_recovers_clusters(self):
+        ds = self._ds()
+        inertias = []
+        for it in (1, 2, 5):
+            _, inertia = knn.kmeans(ds, k=3, n_iters=it)
+            inertias.append(inertia)
+        assert inertias[0] >= inertias[1] >= inertias[2]
+        cents, _ = knn.kmeans(ds, k=3, n_iters=10)
+        a = knn.kmeans_assign(ds, cents)
+        # planted blobs of 40: each recovered cluster is pure
+        sizes = sorted(a.groupby("cluster").size())
+        assert sizes == [40, 40, 40]
+
+    def test_blocking_invariance(self):
+        c1, i1 = knn.kmeans(self._ds(blocks=1), k=3, n_iters=4)
+        c7, i7 = knn.kmeans(self._ds(blocks=7), k=3, n_iters=4)
+        np.testing.assert_allclose(c1, c7, atol=1e-9)
+        np.testing.assert_allclose(i1, i7, rtol=1e-12)
+
+    def test_empty_cluster_keeps_centroid(self):
+        # k=3 over 2 tight blobs: one seed centroid may win nothing
+        rng = np.random.RandomState(5)
+        x = np.concatenate(
+            [np.zeros((20, 4)), np.ones((20, 4)) * 9]
+        ) + rng.randn(40, 4) * 0.01
+        df = pd.DataFrame(
+            {"vec_id": np.arange(40, dtype=np.int64),
+             "embedding": list(x.astype(np.float32))}
+        )
+        ds = rd.from_pandas(df)
+        cents, _ = knn.kmeans(ds, k=3, n_iters=5)
+        assert np.isfinite(cents).all()  # no NaN from a 0-count division
