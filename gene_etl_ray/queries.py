@@ -2704,11 +2704,13 @@ ORDER BY doc_id, tfidf DESC, term
 
 def events_funnel_stages(sf_dir: str) -> pd.DataFrame:
     """Ordered funnel analysis (view → click → purchase, each stage
-    strictly after the previous): per-user stage computed vectorized
-    inside ONE user-keyed group pass, then per-batch stage-count
-    partials — the exchange carries users once and stages four times,
-    never raw events."""
+    strictly after the previous AND within a 7-day conversion window —
+    the windowing keeps stages discriminating even on long event
+    histories): per-user stage computed vectorized inside ONE user-keyed
+    group pass, then per-batch stage-count partials — the exchange
+    carries users once and stages four times, never raw events."""
     ds = read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    win = np.timedelta64(7, "D")
 
     def stage_of(g: pd.DataFrame) -> pd.DataFrame:
         ts = g["ts"].to_numpy()
@@ -2717,10 +2719,12 @@ def events_funnel_stages(sf_dir: str) -> pd.DataFrame:
         v = ts[et == "view"]
         if v.size:
             stage = 1
-            c = ts[(et == "click") & (ts > v.min())]
+            t1 = v.min()
+            c = ts[(et == "click") & (ts > t1) & (ts <= t1 + win)]
             if c.size:
                 stage = 2
-                p = ts[(et == "purchase") & (ts > c.min())]
+                t2 = c.min()
+                p = ts[(et == "purchase") & (ts > t2) & (ts <= t2 + win)]
                 if p.size:
                     stage = 3
         return pd.DataFrame(
@@ -2751,9 +2755,11 @@ WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
            WHERE event_type = 'view' GROUP BY user_id),
 c AS (SELECT e.user_id, min(e.ts) AS t2
       FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL 7 DAY
       WHERE e.event_type = 'click' GROUP BY e.user_id),
 p AS (SELECT e.user_id, min(e.ts) AS t3
       FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL 7 DAY
       WHERE e.event_type = 'purchase' GROUP BY e.user_id),
 staged AS (
   SELECT u.user_id,
