@@ -2905,6 +2905,53 @@ ORDER BY vec_id
 """
 
 
+def events_cumulative_types(sf_dir: str) -> pd.DataFrame:
+    """Cumulative distinct-count window (COUNT(DISTINCT) OVER a running
+    frame — not directly expressible in SQL): per user, how many distinct
+    event types seen up to and including each event. One hash shuffle on
+    the user key; in-group it reduces to a vectorized first-occurrence
+    marker + cumsum, which is also how the SQL twin rewrites it."""
+    ds = read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        first = ~g["event_type"].duplicated()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "n_types_seen": first.cumsum().to_numpy(dtype=np.int64),
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    out["n_types_seen"] = out["n_types_seen"].astype("int64")
+    return out
+
+
+CUMULATIVE_TYPES_SQL = """
+WITH m AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(first_seen) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_types_seen
+FROM m ORDER BY event_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2997,6 +3044,7 @@ QUERIES = {
     "events_weekly_active_users": events_weekly_active_users,
     "docs_top_bigrams": docs_top_bigrams,
     "embeddings_kmeans_assign": embeddings_kmeans_assign,
+    "events_cumulative_types": events_cumulative_types,
 }
 
 ORACLE_SQL = {
@@ -3073,4 +3121,5 @@ ORACLE_SQL = {
     "events_weekly_active_users": WAU_SQL,
     "docs_top_bigrams": BIGRAM_SQL,
     "embeddings_kmeans_assign": KMEANS_SQL,
+    "events_cumulative_types": CUMULATIVE_TYPES_SQL,
 }
