@@ -1695,6 +1695,25 @@ def _compact_locked(
             # superseded files must survive — older snapshots reference them
             retain=cfg.retain_history,
         )
+        # lineage must follow the rewrite or the manifest-vs-lineage rows
+        # reconciliation (consistency_report check 3) reports drift: the
+        # compacted manifest's row count is the folded winner count, not
+        # the last delta's. kind="compaction" keeps the record out of the
+        # per-epoch applied-events accounting (check 4), like repartition.
+        ts_maxes = [x["ts_max_us"] for x in rs if x.get("ts_max_us") is not None]
+        append_lineage(
+            lake_dir,
+            {
+                "kind": "compaction",
+                "epoch": epoch,
+                "pkey": pkey,
+                "event_count": 0,
+                "rows": sum(int(x["rows"]) for x in rs),
+                "live_rows": sum(int(x["live_rows"]) for x in rs),
+                "max_warc_ts_us": max(ts_maxes) if ts_maxes else None,
+                "config_hash": cfg.hash(),
+            },
+        )
     if cfg.retain_history:
         # compaction replaced this epoch's archive in place; a delta file
         # created AT this epoch is now referenced by no archive at all —
@@ -2034,8 +2053,8 @@ def consistency_report(lake_dir: str) -> dict:
     # and re-lineage that partition.
     by_epoch_pkey: dict[tuple[int, int], int] = {}
     for rec in lineage:
-        if rec.get("kind") == "repartition":
-            continue  # layout change: applied no events
+        if rec.get("kind") in ("repartition", "compaction"):
+            continue  # layout/layout-rewrite records: applied no events
         by_epoch_pkey[(rec["epoch"], rec["pkey"])] = int(rec.get("event_count", 0))
     by_epoch: dict[int, int] = {}
     for (ep, _pk), c in by_epoch_pkey.items():

@@ -274,3 +274,30 @@ def test_cli_export_resumable(events_and_config, tmp_path, capsys):
     with _pt.raises(SystemExit):
         main(["export", "--lake", lake, "--out", out_dir,
               "--resumable", "--asof", "1"])
+
+
+def test_cli_compact_cluster_rows(tmp_path, capsys):
+    """compact --cluster-rows: time-clustered layout via the CLI — the
+    MOR lake folds into bounded warc_ts-sorted files per partition and
+    stays validate-clean."""
+    ev = str(tmp_path / "events")
+    generate_events(ev, n_urls=200, n_events=900, n_epochs=4)
+    lake = str(tmp_path / "lake")
+    cfg = str(tmp_path / "cfg.json")
+    with open(cfg, "w") as f:
+        json.dump(
+            {"lake_dir": lake, "num_partitions": 2,
+             "epochs_per_commit": 2, "merge_mode": "mor"}, f,
+        )
+    assert main(["ingest", "--config", cfg, "--events", ev]) == 0
+    capsys.readouterr()
+    assert main(["compact", "--config", cfg, "--cluster-rows", "30"]) == 0
+    rep = last_json(capsys)
+    assert rep["compacted"] == 2
+    from gene_etl_ray.state.manifest import current_files
+
+    by_part = current_files(lake)
+    assert max(len(fs) for fs in by_part.values()) > 1  # clustered layout
+    assert main(["validate", "--lake", lake]) == 0
+    v = last_json(capsys)
+    assert v["one_row_per_url"] is True
