@@ -86,6 +86,15 @@ class EngineConfig:
     # of any committed epoch. Off by default: retention trades storage
     # (every superseded partition file is kept) for history.
     retain_history: bool = False
+    # GC grace period (seconds): with the default 0, files superseded by
+    # a commit / compaction / repartition are deleted immediately (safe
+    # single-reader-host semantics). On shared object stores a reader
+    # that listed files from a manifest snapshot may still be streaming
+    # them when a writer supersedes — set a grace > the longest expected
+    # read and superseded files become DEFERRED orphans instead, removed
+    # only by an explicit `vacuum` once older than the grace (the
+    # Iceberg/Delta expire+vacuum contract).
+    gc_grace_seconds: int = 0
     # dead-letter sink: rows failing the admission rule (null url after
     # canonicalization, invalid op, null warc_ts/seq) are WRITTEN to
     # `<lake>/_deadletter/epoch=<e>.parquet` with a `reason` column

@@ -982,6 +982,7 @@ def _run_ingest(
             "config_hash": cfg.hash(),
             "merge_mode": cfg.merge_mode,
             "retain_history": cfg.retain_history,
+            "gc_grace_seconds": cfg.gc_grace_seconds,
             # partition-layout history (repartition_lake appends): the
             # partition count in force for snapshots as of each epoch
             "layouts": (meta or {}).get("layouts") or [{"epoch": -1, "P": P}],
@@ -1144,6 +1145,7 @@ def _run_ingest(
                 stats,
                 append=(cfg.merge_mode == "mor"),
                 retain=cfg.retain_history,
+                defer_gc=cfg.gc_grace_seconds > 0,
             )
             write_checkpoint(lake_dir, pkey, commit_epoch, max(int(x["max_seq"]) for x in rs))
             ts_maxes = [x["ts_max_us"] for x in rs if x.get("ts_max_us") is not None]
@@ -1694,6 +1696,7 @@ def _compact_locked(
             # archive for this epoch is replaced too (same live rows) and
             # superseded files must survive — older snapshots reference them
             retain=cfg.retain_history,
+            defer_gc=cfg.gc_grace_seconds > 0,
         )
         # lineage must follow the rewrite or the manifest-vs-lineage rows
         # reconciliation (consistency_report check 3) reports drift: the
@@ -1714,10 +1717,11 @@ def _compact_locked(
                 "config_hash": cfg.hash(),
             },
         )
-    if cfg.retain_history:
+    if cfg.retain_history and not cfg.gc_grace_seconds:
         # compaction replaced this epoch's archive in place; a delta file
         # created AT this epoch is now referenced by no archive at all —
         # GC exactly the files no manifest (current or archived) names
+        # (under a GC grace they become deferred orphans for `vacuum`)
         from gene_etl_ray.state.manifest import archived_files
 
         referenced: set[str] = archived_files(lake_dir)
@@ -1957,7 +1961,11 @@ def repartition_lake(cfg: EngineConfig, factor: int) -> dict:
 
                 atomic_write_json(history_path(lake_dir, int(m_key), epoch), man)
 
-        if meta.get("retain_history"):
+        if meta.get("gc_grace_seconds"):
+            # GC grace: the old layout's files become deferred orphans
+            # for `vacuum` instead of vanishing under in-flight readers
+            gc = []
+        elif meta.get("retain_history"):
             referenced = archived_files(lake_dir)
             gc = [f for f in old_files if f not in referenced]
         else:
@@ -1984,6 +1992,53 @@ def repartition_lake(cfg: EngineConfig, factor: int) -> dict:
             "files": len(finals), "rows": int(rows["rows"].sum()),
             "epoch": e0, "duration_sec": time.time() - t0,
         }
+    finally:
+        release(lake_dir)
+
+
+def vacuum_lake(cfg: EngineConfig, now: float | None = None) -> dict:
+    """Remove deferred-GC orphans older than the grace period.
+
+    With ``gc_grace_seconds > 0`` every commit / compaction /
+    repartition leaves superseded data files on disk so readers that
+    listed a manifest snapshot can finish streaming them (the
+    Iceberg/Delta expire+vacuum contract). This op deletes exactly the
+    files (and their bloom sidecars / stale tmps) that (a) no current or
+    archived manifest references and (b) have been untouched longer than
+    the grace. Takes the writer lock so a concurrent commit can't stage
+    files while the listing runs; referenced files are NEVER deleted, so
+    a vacuum is always safe to re-run. Returns deleted/deferred counts."""
+    import time as _time
+
+    from gene_etl_ray.state.lock import acquire, release
+    from gene_etl_ray.state.manifest import archived_files
+
+    lake_dir = cfg.lake_dir
+    grace = cfg.gc_grace_seconds
+    t_now = _time.time() if now is None else now
+    acquire(lake_dir)
+    try:
+        referenced: set[str] = set(archived_files(lake_dir))
+        for fs in current_files(lake_dir).values():
+            referenced.update(fs)
+        deleted = deferred = 0
+        for f in glob.glob(os.path.join(lake_dir, "part=*", "*.parquet")):
+            if f in referenced:
+                continue
+            try:
+                age = t_now - os.path.getmtime(f)
+            except OSError:
+                continue  # raced with another cleaner
+            if age < grace:
+                deferred += 1
+                continue
+            for p in (f, f + ".bloom"):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            deleted += 1
+        return {"deleted": deleted, "deferred": deferred, "grace_seconds": grace}
     finally:
         release(lake_dir)
 
@@ -2029,8 +2084,14 @@ def consistency_report(lake_dir: str) -> dict:
     from gene_etl_ray.state.manifest import archived_files
 
     manifested.update(archived_files(lake_dir))
-    if on_disk - manifested:
-        checks["no_orphan_files"] = False
+    orphans = on_disk - manifested
+    if orphans:
+        if meta.get("gc_grace_seconds"):
+            # deferred-GC contract: superseded files legitimately outlive
+            # their manifests until `vacuum` — report, don't fail
+            checks["deferred_gc_files"] = len(orphans)
+        else:
+            checks["no_orphan_files"] = False
 
     # 3: each partition's manifest stats match its latest lineage record
     lineage = read_lineage(lake_dir)

@@ -77,6 +77,15 @@ def cmd_mux(args) -> int:
     return 0
 
 
+def cmd_vacuum(args) -> int:
+    """Delete deferred-GC orphans older than the configured grace."""
+    from gene_etl_ray.pipelines.ingest import vacuum_lake
+
+    cfg = load_config(args.config)
+    print(json.dumps(vacuum_lake(cfg)))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from gene_etl_ray.pipelines.ingest import consistency_report, validate_lake
 
@@ -345,6 +354,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="producer WAL directories (binlog shards)")
     pm.add_argument("--out", required=True, help="consumer WAL directory")
     pm.set_defaults(fn=cmd_mux)
+
+    pvac = sub.add_parser(
+        "vacuum",
+        help="delete superseded files past the gc_grace_seconds window",
+    )
+    pvac.add_argument("--config", required=True)
+    pvac.set_defaults(fn=cmd_vacuum)
 
     pv = sub.add_parser("validate", help="post-validation checks on the lake")
     pv.add_argument("--lake", required=True)

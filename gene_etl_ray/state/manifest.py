@@ -172,6 +172,7 @@ def commit_partition(
     append: bool = False,
     force: bool = False,
     retain: bool = False,
+    defer_gc: bool = False,
 ) -> dict:
     """Phase 2 for one partition: rename temp files to final names, then
     atomically publish the manifest. ``append=False`` (copy-on-write):
@@ -223,7 +224,12 @@ def commit_partition(
         # the idempotent recommit)
         atomic_write_json(history_path(lake_dir, pkey, epoch), manifest)
         return manifest
-    # GC files superseded by this manifest (safe: readers already re-pointed)
+    # GC files superseded by this manifest (safe: readers already
+    # re-pointed). ``defer_gc`` (gc_grace_seconds > 0): leave superseded
+    # files on disk for in-flight readers; `vacuum_lake` removes them
+    # once older than the grace.
+    if defer_gc:
+        return manifest
     if old is not None:
         for f in old["files"]:
             if f not in manifest["files"]:

@@ -301,3 +301,30 @@ def test_cli_compact_cluster_rows(tmp_path, capsys):
     assert main(["validate", "--lake", lake]) == 0
     v = last_json(capsys)
     assert v["one_row_per_url"] is True
+
+
+def test_cli_vacuum(tmp_path, capsys):
+    """vacuum subcommand: deferred orphans removed once past grace."""
+    ev = str(tmp_path / "events")
+    generate_events(ev, n_urls=60, n_events=240, n_epochs=2)
+    lake = str(tmp_path / "lake")
+    cfg = str(tmp_path / "cfg.json")
+    with open(cfg, "w") as f:
+        json.dump(
+            {"lake_dir": lake, "num_partitions": 2,
+             "epochs_per_commit": 1, "gc_grace_seconds": 3600}, f,
+        )
+    assert main(["ingest", "--config", cfg, "--events", ev]) == 0
+    capsys.readouterr()
+    assert main(["vacuum", "--config", cfg]) == 0
+    rep = last_json(capsys)
+    assert rep["deleted"] == 0 and rep["deferred"] > 0
+    import glob as g
+    import os
+
+    for f in g.glob(os.path.join(lake, "part=*", "*.parquet")):
+        os.utime(f, (1, 1))
+    assert main(["vacuum", "--config", cfg]) == 0
+    rep2 = last_json(capsys)
+    assert rep2["deleted"] == rep["deferred"] and rep2["deferred"] == 0
+    assert main(["validate", "--lake", lake]) == 0

@@ -1372,3 +1372,105 @@ def test_clustered_compaction_prunes_within_partitions(tmp_events, tmp_lake):
     touched = [m for m in manifests2 if not (m.get("stats") or {}).get("compaction")]
     assert touched, "append should have replaced stats on touched partitions"
     assert_matches_oracle(tmp_lake, tmp_events)
+
+
+class TestGcGraceVacuum:
+    """gc_grace_seconds + vacuum_lake: superseded files outlive their
+    manifests for in-flight readers; an explicit vacuum removes exactly
+    the unreferenced-and-aged set (the Iceberg/Delta expire+vacuum
+    contract)."""
+
+    def _ingest_two_waves(self, tmp_path, **cfg_kw):
+        from gene_etl_ray.pipelines.ingest import run_ingest
+
+        staged = str(tmp_path / "staged")
+        ev = str(tmp_path / "ev")
+        generate_events(staged, n_urls=150, n_events=800, n_epochs=4, seed=9)
+        os.makedirs(ev)
+        names = sorted(os.listdir(staged))
+        cfg = EngineConfig(
+            lake_dir=str(tmp_path / "lake"), num_partitions=2,
+            epochs_per_commit=2, **cfg_kw,
+        )
+        for f in names[:2]:
+            shutil.copy(os.path.join(staged, f), os.path.join(ev, f))
+        run_ingest(cfg, ev)
+        for f in names[2:]:
+            shutil.copy(os.path.join(staged, f), os.path.join(ev, f))
+        run_ingest(cfg, ev)
+        return cfg, ev
+
+    def test_superseded_files_survive_then_vacuum(self, tmp_path):
+        from gene_etl_ray.pipelines.ingest import (
+            consistency_report,
+            vacuum_lake,
+        )
+        from gene_etl_ray.state.manifest import current_files
+
+        cfg, ev = self._ingest_two_waves(tmp_path, gc_grace_seconds=3600)
+        lake = cfg.lake_dir
+        referenced = {f for fs in current_files(lake).values() for f in fs}
+        on_disk = set(glob.glob(os.path.join(lake, "part=*", "*.parquet")))
+        orphans = {
+            f for f in on_disk - referenced
+            if not os.path.basename(f).startswith(".tmp-")
+        }
+        assert orphans, "cow second commit should have superseded files"
+        # consistency stays green — orphans are the deferred-GC contract
+        rep = consistency_report(lake)
+        assert rep["no_orphan_files"] is True
+        assert rep["deferred_gc_files"] == len(orphans)
+        # young orphans: vacuum is a no-op
+        v0 = vacuum_lake(cfg)
+        assert v0["deleted"] == 0 and v0["deferred"] == len(orphans)
+        assert all(os.path.exists(f) for f in orphans)
+        # age them past the grace: vacuum removes exactly the orphan set
+        for f in orphans:
+            os.utime(f, (1, 1))
+        v1 = vacuum_lake(cfg)
+        assert v1["deleted"] == len(orphans) and v1["deferred"] == 0
+        assert not any(os.path.exists(f) for f in orphans)
+        assert all(os.path.exists(f) for f in referenced)
+        assert consistency_report(lake)["no_orphan_files"] is True
+        assert "deferred_gc_files" not in consistency_report(lake)
+        # the live view never flinched
+        assert_matches_oracle(lake, ev)
+
+    def test_vacuum_never_touches_archived_snapshots(self, tmp_path):
+        from gene_etl_ray.pipelines.ingest import read_lake, vacuum_lake
+
+        cfg, ev = self._ingest_two_waves(
+            tmp_path, gc_grace_seconds=3600, retain_history=True
+        )
+        lake = cfg.lake_dir
+        snap1 = read_lake(lake, asof_epoch=1).to_pandas()
+        for f in glob.glob(os.path.join(lake, "part=*", "*.parquet")):
+            os.utime(f, (1, 1))  # everything "old"
+        vacuum_lake(cfg)
+        # archived-manifest-referenced files survived: the old snapshot
+        # is still byte-identically reconstructable
+        snap1_after = read_lake(lake, asof_epoch=1).to_pandas()
+        cols = sorted(snap1.columns)
+        pd.testing.assert_frame_equal(
+            snap1[cols].sort_values(cols).reset_index(drop=True),
+            snap1_after[cols].sort_values(cols).reset_index(drop=True),
+        )
+
+    def test_mor_compact_with_grace_defers_delta_files(self, tmp_path):
+        from gene_etl_ray.pipelines.ingest import compact_lake, vacuum_lake
+        from gene_etl_ray.state.manifest import current_files
+
+        cfg, ev = self._ingest_two_waves(
+            tmp_path, gc_grace_seconds=3600, merge_mode="mor"
+        )
+        lake = cfg.lake_dir
+        pre_files = {f for fs in current_files(lake).values() for f in fs}
+        assert compact_lake(cfg)["compacted"] > 0
+        # the folded delta files are deferred, not deleted
+        survivors = [f for f in pre_files if os.path.exists(f)]
+        assert survivors
+        for f in survivors:
+            os.utime(f, (1, 1))
+        v = vacuum_lake(cfg)
+        assert v["deleted"] >= len(survivors)
+        assert_matches_oracle(lake, ev)
