@@ -1474,3 +1474,41 @@ class TestGcGraceVacuum:
         v = vacuum_lake(cfg)
         assert v["deleted"] >= len(survivors)
         assert_matches_oracle(lake, ev)
+
+
+def test_reader_survives_concurrent_compaction_with_grace(tmp_path):
+    """The point of the grace period, end-to-end: a reader that has
+    already listed (and partially consumed) the pre-compaction file set
+    finishes its scan AFTER a compaction supersedes those files, because
+    deferred GC leaves them on disk; the stream's total content equals
+    the oracle."""
+    from gene_etl_ray.pipelines.ingest import (
+        compact_lake,
+        read_lake,
+        run_ingest,
+    )
+
+    ev = str(tmp_path / "ev")
+    lake = str(tmp_path / "lake")
+    generate_events(ev, n_urls=200, n_events=900, n_epochs=4, seed=21)
+    cfg = EngineConfig(
+        lake_dir=lake, num_partitions=2, epochs_per_commit=2,
+        merge_mode="mor", gc_grace_seconds=3600,
+    )
+    run_ingest(cfg, ev)
+
+    ds = read_lake(lake)  # lists the PRE-compaction manifests lazily
+    it = iter(ds.iter_batches(batch_size=32, batch_format="pandas"))
+    got = [next(it)]  # reader is mid-stream when the writer compacts
+    assert compact_lake(cfg)["compacted"] > 0
+    got.extend(it)  # the superseded delta files must still be readable
+    streamed = pd.concat(got, ignore_index=True).sort_values("url")
+    want = (
+        replay_oracle(ev)
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    cols = sorted(set(streamed.columns) & set(want.columns))
+    pd.testing.assert_frame_equal(
+        streamed[cols].reset_index(drop=True), want[cols], check_dtype=False
+    )
