@@ -94,8 +94,10 @@ def partitioned_join(
     way). Inner/left only: an outer join would emit an unmatched
     replicated right row once per sub-bucket."""
     if hot_keys:
-        if how not in ("inner", "left"):
-            raise ValueError("hot_keys salting supports inner/left joins only")
+        if how not in ("inner", "left", "semi", "anti"):
+            raise ValueError(
+                "hot_keys salting supports inner/left/semi/anti joins only"
+            )
         hot = set(hot_keys)
 
         def presalt(side: str):
@@ -150,7 +152,17 @@ def partitioned_join(
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g.loc[g["__side"] == "l", lcols]
         rg = g.loc[g["__side"] == "r", rcols]
-        out = lg.merge(rg, left_on=left_on, right_on=right_on, how=how)
+        if how in ("semi", "anti"):
+            # big⋈big SEMI / ANTI: membership against the co-located
+            # right key set — per-bucket decisions are globally exact
+            # because a key's rows land in exactly one bucket (and under
+            # salting, every hot right row is replicated into each of the
+            # hot key's sub-buckets, so membership stays complete there
+            # too). Left columns only; right rows never multiply output.
+            m = lg[left_on].isin(set(rg[right_on]))
+            out = lg[m] if how == "semi" else lg[~m]
+        else:
+            out = lg.merge(rg, left_on=left_on, right_on=right_on, how=how)
         return bucket_post(out) if bucket_post is not None else out
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

@@ -2952,6 +2952,36 @@ FROM m ORDER BY event_id
 """
 
 
+def orders_anti_join_bulk(sf_dir: str) -> pd.DataFrame:
+    """Big⋈big partitioned ANTI join: orders with NO high-quantity
+    lineitem — both fact tables co-partitioned by the join key in ONE
+    shuffle, per-bucket set-membership anti (globally exact; neither
+    side broadcast, right rows never multiply output)."""
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def hot(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("l_quantity"), 45.0))
+
+    big = li.map_batches(hot, batch_format="pyarrow")
+    out = relational.partitioned_join(
+        orders, big, "o_orderkey", "l_orderkey", how="anti"
+    ).to_pandas()
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+ANTI_BULK_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45.0
+)
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3045,6 +3075,7 @@ QUERIES = {
     "docs_top_bigrams": docs_top_bigrams,
     "embeddings_kmeans_assign": embeddings_kmeans_assign,
     "events_cumulative_types": events_cumulative_types,
+    "orders_anti_join_bulk": orders_anti_join_bulk,
 }
 
 ORACLE_SQL = {
@@ -3122,4 +3153,5 @@ ORACLE_SQL = {
     "docs_top_bigrams": BIGRAM_SQL,
     "embeddings_kmeans_assign": KMEANS_SQL,
     "events_cumulative_types": CUMULATIVE_TYPES_SQL,
+    "orders_anti_join_bulk": ANTI_BULK_SQL,
 }

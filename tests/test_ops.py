@@ -1235,3 +1235,42 @@ class TestKmeans:
         ds = rd.from_pandas(df)
         cents, _ = knn.kmeans(ds, k=3, n_iters=5)
         assert np.isfinite(cents).all()  # no NaN from a 0-count division
+
+
+class TestSemiAntiJoin:
+    def test_semi_anti_partition_exactness_and_salting(self):
+        rng = np.random.RandomState(2)
+        lk = np.arange(200, dtype=np.int64)
+        rk = rng.choice(100, 500, replace=True).astype(np.int64)
+        left = rd.from_pandas(
+            pd.DataFrame({"k": lk, "v": lk * 2.0}), override_num_blocks=5
+        )
+        right = rd.from_pandas(
+            pd.DataFrame({"rk": rk, "w": rk * 1.0}), override_num_blocks=5
+        )
+        semi = relational.partitioned_join(
+            left, right, "k", "rk", how="semi"
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        anti = relational.partitioned_join(
+            left, right, "k", "rk", how="anti"
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        present = set(rk)
+        assert list(semi["k"]) == sorted(set(lk) & present)
+        assert list(anti["k"]) == sorted(set(lk) - present)
+        # right multiplicity never multiplies output; left cols only
+        assert list(semi.columns) == ["k", "v"]
+        # salting a hot key changes nothing semantically
+        anti_s = relational.partitioned_join(
+            left, right, "k", "rk", how="anti",
+            hot_keys=[int(rk[0])], salt=4,
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(anti, anti_s)
+
+    def test_outer_with_hot_keys_still_rejected(self):
+        left = rd.from_pandas(pd.DataFrame({"k": [1], "v": [1.0]}))
+        right = rd.from_pandas(pd.DataFrame({"rk": [1], "w": [2.0]}))
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="inner/left/semi/anti"):
+            relational.partitioned_join(
+                left, right, "k", "rk", how="outer", hot_keys=[1]
+            )
