@@ -1,0 +1,376 @@
+"""Rank statistics: Spearman / Kendall / Pearson grouped correlation,
+blocked all-pairs correlation matrices, and Benjamini-Hochberg FDR.
+
+This closes the reference's actual statistical engine LITERALLY (not just
+by shape): the ``spearmanr/pearsonr/kendalltau`` method dispatch
+(``/root/reference/etl/correlate.py:124-131``), the blocked
+upper-triangle all-pairs correlation driver
+(``correlate.py:34-113``, block loop ``:63-77``) and the per-cohort
+BH-FDR rank transform (``correlate.py:149-189``) — re-expressed Ray-Data
+first:
+
+- grouped two-column correlation = ONE hash shuffle on the cohort key +
+  a vectorized in-group kernel (ranks are a per-group transform, so the
+  group is the natural barrier — the A7 "full-group barrier" operator);
+- the all-pairs matrix = per-cohort pivot + tiled numpy matmuls over
+  upper-triangle blocks (the reference's ``block_size`` tiling, as Arrow
+  batch tiles);
+- BH-FDR = the percent-rank machinery applied to p-values: sort p within
+  the cohort, q_i = suffix-min of p_(j)·n/j, clipped to 1 — exactly
+  ``multipletests(method='fdr_bh')`` semantics (tie-order invariant: all
+  tied p share the same suffix, hence the same q).
+
+No scipy in this environment, so the t-distribution survival function
+used for Spearman/Pearson p-values is the standard regularized
+incomplete-beta continued fraction (Lentz), pure numpy; its invariants
+(p∈[0,1], monotone in |rho|, q ≥ p after BH) are pinned the same way the
+reference pins its own p-values (``tests/test_correlate.py:46-47``,
+``:139``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def _rank_average(x: np.ndarray) -> np.ndarray:
+    """Average ranks (1-based, ties → mean of tied positions) — the
+    spearmanr tie convention, vectorized."""
+    order = np.argsort(x, kind="mergesort")
+    sx = x[order]
+    # rank span per tie-group: first..last position, average them
+    n = len(x)
+    first = np.zeros(n, dtype=np.int64)
+    new = np.ones(n, dtype=bool)
+    new[1:] = sx[1:] != sx[:-1]
+    grp = np.cumsum(new) - 1
+    counts = np.bincount(grp)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    avg = starts[grp] + (counts[grp] + 1) / 2.0  # 1-based average rank
+    out = np.empty(n, dtype=np.float64)
+    out[order] = avg
+    return out
+
+
+def _pearson(x: np.ndarray, y: np.ndarray) -> float:
+    xm = x - x.mean()
+    ym = y - y.mean()
+    denom = np.sqrt((xm * xm).sum() * (ym * ym).sum())
+    if denom == 0.0:
+        return np.nan
+    return float((xm * ym).sum() / denom)
+
+
+def _kendall_tau_b(x: np.ndarray, y: np.ndarray, block: int = 2048) -> float:
+    """Kendall tau-b via blocked pairwise sign comparison: O(n²) work
+    tiled into ``block``-sized strips so memory stays O(n·block). For
+    cohort-sized groups (the reference's unit of work) this is the
+    simple exact kernel; beyond ~10⁵ rows per cohort switch to the
+    O(n log n) merge-sort inversion count."""
+    n = len(x)
+    if n < 2:
+        return np.nan
+    cd = 0  # C - D
+    for i0 in range(0, n, block):
+        xi = x[i0 : i0 + block, None]
+        yi = y[i0 : i0 + block, None]
+        # only pairs (i, j) with j > i: compare strip against the tail
+        xj = x[None, i0 + 1 :]
+        yj = y[None, i0 + 1 :]
+        # mask to strict upper triangle within the strip offset
+        ii = np.arange(i0, min(i0 + block, n))[:, None]
+        jj = np.arange(i0 + 1, n)[None, :]
+        mask = jj > ii
+        s = np.sign(xi - xj) * np.sign(yi - yj)
+        cd += int(s[mask].sum())
+    n0 = n * (n - 1) // 2
+
+    def tie_term(v: np.ndarray) -> int:
+        _, c = np.unique(v, return_counts=True)
+        return int((c * (c - 1) // 2).sum())
+
+    n1, n2 = tie_term(x), tie_term(y)
+    denom = np.sqrt(float(n0 - n1) * float(n0 - n2))
+    if denom == 0.0:
+        return np.nan
+    return float(cd / denom)
+
+
+def _betacf(a: float, b: float, x: np.ndarray) -> np.ndarray:
+    """Continued fraction for the regularized incomplete beta (Lentz),
+    vectorized over x — standard public-domain numerics."""
+    MAXIT, EPS, FPMIN = 200, 3e-12, 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = np.ones_like(x)
+    d = 1.0 - qab * x / qap
+    d = np.where(np.abs(d) < FPMIN, FPMIN, d)
+    d = 1.0 / d
+    h = d.copy()
+    for m in range(1, MAXIT + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        d = np.where(np.abs(d) < FPMIN, FPMIN, d)
+        c = 1.0 + aa / c
+        c = np.where(np.abs(c) < FPMIN, FPMIN, c)
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        d = np.where(np.abs(d) < FPMIN, FPMIN, d)
+        c = 1.0 + aa / c
+        c = np.where(np.abs(c) < FPMIN, FPMIN, c)
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if np.all(np.abs(delta - 1.0) < EPS):
+            break
+    return h
+
+
+def _betainc_reg(a: float, b: float, x: np.ndarray) -> np.ndarray:
+    """Regularized incomplete beta I_x(a, b), vectorized."""
+    from math import lgamma
+
+    x = np.clip(np.asarray(x, dtype=np.float64), 0.0, 1.0)
+    ln_beta = lgamma(a + b) - lgamma(a) - lgamma(b)
+    with np.errstate(divide="ignore"):
+        front = np.exp(
+            ln_beta + a * np.log(np.where(x > 0, x, 1.0))
+            + b * np.log1p(-np.where(x < 1, x, 0.0))
+        )
+    use_direct = x < (a + 1.0) / (a + b + 2.0)
+    out = np.empty_like(x)
+    xd = np.where(use_direct, x, 0.5)
+    out_d = front * _betacf(a, b, xd) / a
+    xs = np.where(~use_direct, x, 0.5)
+    front_s = np.exp(
+        ln_beta + a * np.log(np.where(xs > 0, xs, 1.0))
+        + b * np.log1p(-np.where(xs < 1, xs, 0.0))
+    )
+    out_s = 1.0 - front_s * _betacf(b, a, 1.0 - xs) / b
+    out = np.where(use_direct, out_d, out_s)
+    out = np.where(x <= 0.0, 0.0, out)
+    out = np.where(x >= 1.0, 1.0, out)
+    return out
+
+
+def t_sf_two_sided(t: np.ndarray, df: float) -> np.ndarray:
+    """Two-sided Student-t survival p-value: P(|T| >= |t|) =
+    I_{df/(df+t²)}(df/2, 1/2)."""
+    t = np.asarray(t, dtype=np.float64)
+    x = df / (df + t * t)
+    return _betainc_reg(df / 2.0, 0.5, x)
+
+
+def corr_p_value(rho: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """t-test p-value for a (Spearman/Pearson) correlation — the
+    reference's per-pair significance (``correlate.py:124-135``)."""
+    rho = np.asarray(rho, dtype=np.float64)
+    n = np.asarray(n, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = rho * np.sqrt((n - 2.0) / np.maximum(1.0 - rho * rho, 1e-300))
+    out = np.ones_like(rho)
+    ok = (n > 2) & np.isfinite(rho)
+    if ok.any():
+        # df varies per row; group identical df values (cohort-constant
+        # in practice) to keep the betainc calls vectorized
+        for df in np.unique(n[ok]):
+            m = ok & (n == df)
+            out[m] = t_sf_two_sided(t[m], df - 2.0)
+    out = np.where(ok & (np.abs(rho) >= 1.0), 0.0, out)
+    return np.clip(out, 0.0, 1.0)
+
+
+def bh_fdr(p: np.ndarray) -> np.ndarray:
+    """Benjamini-Hochberg adjusted q-values (``fdr_bh`` semantics):
+    sort p, q_(i) = min_{j>=i} p_(j)·n/j clipped to 1, unsort. Tie-order
+    invariant. Vectorized (one sort + one reverse cummin)."""
+    p = np.asarray(p, dtype=np.float64)
+    n = len(p)
+    if n == 0:
+        return p.copy()
+    order = np.argsort(p, kind="mergesort")
+    ranked = p[order] * n / np.arange(1, n + 1)
+    q_sorted = np.minimum.accumulate(ranked[::-1])[::-1]
+    q_sorted = np.clip(q_sorted, 0.0, 1.0)
+    out = np.empty(n, dtype=np.float64)
+    out[order] = q_sorted
+    return out
+
+
+def grouped_corr(
+    ds: ray.data.Dataset,
+    key: str,
+    x: str,
+    y: str,
+    method: str = "spearman",
+    rho_name: str = "rho",
+) -> pd.DataFrame:
+    """Per-cohort two-column correlation with the reference's method
+    dispatch (spearman | pearson | kendall, ``correlate.py:124-131``):
+    ONE hash shuffle on the cohort key, then a fully vectorized in-group
+    kernel (average-rank transform for spearman, blocked pairwise signs
+    for kendall). Returns (key, rho, n) sorted by key."""
+    if method not in ("spearman", "pearson", "kendall"):
+        raise ValueError(f"unknown correlation method {method!r}")
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        xv = g[x].to_numpy(dtype=np.float64)
+        yv = g[y].to_numpy(dtype=np.float64)
+        if method == "spearman":
+            rho = _pearson(_rank_average(xv), _rank_average(yv))
+        elif method == "pearson":
+            rho = _pearson(xv, yv)
+        else:
+            rho = _kendall_tau_b(xv, yv)
+        return pd.DataFrame(
+            {key: [g[key].iloc[0]], rho_name: [rho], "n": [np.int64(len(g))]}
+        )
+
+    out = (
+        ds.groupby(key)
+        .map_groups(per_group, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def grouped_bh_fdr(
+    ds: ray.data.Dataset,
+    key: str,
+    p_col: str,
+    q_name: str = "q_value",
+) -> ray.data.Dataset:
+    """Per-cohort BH-FDR (``correlate.py:149-189``): the A7 full-group
+    barrier — every p of a cohort must be ranked together, so the cohort
+    is the shuffle key and the correction is a vectorized per-group
+    transform. Appends ``q_name``; row set unchanged."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g[q_name] = bh_fdr(g[p_col].to_numpy(dtype=np.float64))
+        return g
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+def pairwise_corr_matrix(
+    ds: ray.data.Dataset,
+    var_col: str,
+    sample_col: str,
+    value_col: str,
+    group_col: str | None = None,
+    method: str = "pearson",
+    fill: float = 0.0,
+    block_size: int = 256,
+) -> pd.DataFrame:
+    """Blocked all-pairs correlation (the reference's flagship compute,
+    ``correlate.py:34-113``): pivot the long (sample, var, value) table
+    to a samples × vars matrix per cohort (missing cells → ``fill``,
+    parity with ``pivot(...).fill_null(0.0)`` at ``filters.py:60-64``),
+    then correlate every var pair via UPPER-TRIANGLE BLOCK TILES — each
+    tile is one centered matmul, O(block² · samples) — and emit long
+    rows (var_a < var_b, rho, n). One shuffle on the cohort key; within
+    a cohort the matrix is the barrier, exactly like the reference's
+    per-cohort matrix.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    one cohort's pivoted matrix fits a worker — vars_per_cohort ×
+    samples doubles. At 10-TB fact scale with bounded cohort width
+    that holds; an unbounded-width cohort needs the tile loop hoisted
+    to its own task fan-out (tile ids as a Dataset)."""
+
+    def per_cohort(g: pd.DataFrame) -> pd.DataFrame:
+        mat = g.pivot_table(
+            index=sample_col,
+            columns=var_col,
+            values=value_col,
+            aggfunc="first",
+            fill_value=fill,
+        ).sort_index(axis=1)
+        names = list(mat.columns)
+        m = mat.to_numpy(dtype=np.float64)  # samples × vars
+        if method == "spearman":
+            m = np.apply_along_axis(_rank_average, 0, m)
+        elif method != "pearson":
+            raise ValueError(f"matrix method {method!r} not supported")
+        n_samples, n_vars = m.shape
+        mc = m - m.mean(axis=0, keepdims=True)
+        norms = np.sqrt((mc * mc).sum(axis=0))
+        rows_a, rows_b, rhos = [], [], []
+        for a0 in range(0, n_vars, block_size):
+            a1 = min(a0 + block_size, n_vars)
+            for b0 in range(a0, n_vars, block_size):
+                b1 = min(b0 + block_size, n_vars)
+                tile = mc[:, a0:a1].T @ mc[:, b0:b1]
+                denom = norms[a0:a1, None] * norms[None, b0:b1]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    r = np.where(denom > 0, tile / denom, np.nan)
+                ia, jb = np.nonzero(
+                    np.arange(a0, a1)[:, None] < np.arange(b0, b1)[None, :]
+                )
+                rows_a.extend(names[a0 + i] for i in ia)
+                rows_b.extend(names[b0 + j] for j in jb)
+                rhos.extend(r[ia, jb])
+        out = pd.DataFrame(
+            {
+                "var_a": rows_a,
+                "var_b": rows_b,
+                "rho": np.asarray(rhos, dtype=np.float64),
+                "n": np.int64(n_samples),
+            }
+        )
+        if group_col is not None:
+            out.insert(0, group_col, g[group_col].iloc[0])
+        return out
+
+    if group_col is None:
+        tagged = ds.map_batches(
+            lambda b: b.assign(__cohort=0), batch_format="pandas"
+        )
+        out = (
+            tagged.groupby("__cohort")
+            .map_groups(per_cohort, batch_format="pandas")
+            .to_pandas()
+        )
+    else:
+        out = (
+            ds.groupby(group_col)
+            .map_groups(per_cohort, batch_format="pandas")
+            .to_pandas()
+        )
+    out["n"] = out["n"].astype("int64")
+    sort_cols = ([group_col] if group_col else []) + ["var_a", "var_b"]
+    return out.sort_values(sort_cols).reset_index(drop=True)
+
+
+def corr_with_fdr(
+    ds: ray.data.Dataset,
+    var_col: str,
+    sample_col: str,
+    value_col: str,
+    group_col: str,
+    method: str = "spearman",
+    alpha: float = 0.05,
+) -> pd.DataFrame:
+    """The reference's END-TO-END statistical pipeline in one call
+    (``correlate.py:249-295``): per cohort, all-pairs correlation over
+    the pivoted matrix → t-test p-value per pair → per-cohort BH-FDR →
+    significance flag at ``alpha``. Returns
+    (group, var_a, var_b, rho, p_value, q_value, n, significant)."""
+    out = pairwise_corr_matrix(
+        ds, var_col, sample_col, value_col, group_col=group_col, method=method
+    )
+    out["p_value"] = corr_p_value(out["rho"].to_numpy(), out["n"].to_numpy())
+    parts = []
+    for _, g in out.groupby(group_col, sort=True):
+        g = g.copy()
+        g["q_value"] = bh_fdr(g["p_value"].to_numpy())
+        parts.append(g)
+    res = pd.concat(parts, ignore_index=True) if parts else out.assign(q_value=[])
+    res["significant"] = res["q_value"] < alpha
+    return res.sort_values([group_col, "var_a", "var_b"]).reset_index(drop=True)

@@ -483,15 +483,6 @@ def top_k(ds: ray.data.Dataset, column: str, k: int, extra_sort: list[str] | Non
     )
 
 
-def ranked(ds: ray.data.Dataset, column: str, rank_name: str = "rank") -> pd.DataFrame:
-    """Global dense rank by descending value (K3, ``models.py:244``
-    ``ROW_NUMBER() OVER (ORDER BY ...)``). Materializes — rank is a
-    total order, inherently a gather; use only on reduced results."""
-    df = ds.to_pandas().sort_values(column, ascending=False, kind="mergesort").reset_index(drop=True)
-    df[rank_name] = np.arange(1, len(df) + 1, dtype=np.int64)
-    return df
-
-
 def sessionize(
     ds: ray.data.Dataset,
     key: str,
@@ -1025,7 +1016,13 @@ def merge_into(
         if insert:
             anti = s.loc[~s[on].isin(t[on])]
             if delete_col is not None:
-                anti = anti.loc[~anti[delete_col].astype(bool)]
+                # null delete flag == not-a-delete, same as the matched
+                # path (plain astype(bool) treats NaN as truthy and
+                # raises on pd.NA — silently dropping the insert)
+                anti = anti.loc[
+                    ~anti[delete_col].astype("boolean").fillna(False)
+                    .to_numpy(dtype=bool)
+                ]
             if len(anti):
                 ins = pd.DataFrame(
                     {

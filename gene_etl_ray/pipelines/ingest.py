@@ -41,6 +41,7 @@ Scale properties (designed for 10^10 events / multi-node):
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
 import time
@@ -2022,7 +2023,12 @@ def vacuum_lake(cfg: EngineConfig, now: float | None = None) -> dict:
         for fs in current_files(lake_dir).values():
             referenced.update(fs)
         deleted = deferred = 0
-        for f in glob.glob(os.path.join(lake_dir, "part=*", "*.parquet")):
+        # glob hides dotfiles, so crashed-commit '.tmp-*' staging files
+        # need their own pattern — no manifest ever references a tmp, so
+        # any tmp older than the grace is garbage by construction
+        candidates = glob.glob(os.path.join(lake_dir, "part=*", "*.parquet"))
+        candidates += glob.glob(os.path.join(lake_dir, "part=*", ".tmp-*.parquet"))
+        for f in candidates:
             if f in referenced:
                 continue
             try:
@@ -2241,7 +2247,12 @@ def export_lake(
     half-finished export interleaved with more ingests still converges
     to exactly the current live view. (A compaction rewrite at an
     unchanged epoch is view-preserving by construction, so its output
-    staying "stale" is still byte-correct.) Reference analog: the
+    staying "stale" is still byte-correct.) Both the epoch and the file
+    list come from ONE ``read_manifest`` snapshot per partition, so a
+    commit racing the export can never stamp a new epoch onto stale
+    files. The export parameters (column subset + live/full view) are
+    folded into the filename, so a re-run with different parameters
+    re-exports rather than silently mixing views. Reference analog: the
     paginated Parquet archival export (``io.py:289-335``), made
     shard-resumable; the plain streaming export stays available as
     ``read_lake(...).write_parquet`` for one-shot runs."""
@@ -2253,6 +2264,9 @@ def export_lake(
     mor = meta.get("merge_mode") == "mor"
     schema_hex = meta["schema_hex"]
     files_by_part = current_files(lake_dir)
+    params_tag = hashlib.sha256(
+        json.dumps([sorted(columns) if columns else None, bool(live_only)]).encode()
+    ).hexdigest()[:8]
     os.makedirs(out_dir, exist_ok=True)
 
     @ray.remote(num_cpus=1)
@@ -2286,7 +2300,9 @@ def export_lake(
             t = t.select(list(columns))
         pdir = os.path.join(out_dir, f"part={k:05d}")
         os.makedirs(pdir, exist_ok=True)
-        dest = os.path.join(pdir, f"data.epoch={epoch:05d}.parquet")
+        dest = os.path.join(
+            pdir, f"data.epoch={epoch:05d}.params={params_tag}.parquet"
+        )
         tmp = os.path.join(
             pdir, f".tmp-data.epoch={epoch:05d}.{os.getpid()}.parquet"
         )
@@ -2305,17 +2321,22 @@ def export_lake(
     exported = skipped = 0
     futs = []
     for k in sorted(files_by_part):
+        # ONE snapshot per partition: epoch AND files from the same read,
+        # never the earlier current_files() listing (TOCTOU vs a
+        # concurrent commit between the two reads).
         m = read_manifest(lake_dir, k)
         if m is None:
             continue
         epoch = int(m["epoch"])
         dest = os.path.join(
-            out_dir, f"part={k:05d}", f"data.epoch={epoch:05d}.parquet"
+            out_dir,
+            f"part={k:05d}",
+            f"data.epoch={epoch:05d}.params={params_tag}.parquet",
         )
         if resume and os.path.exists(dest):
             skipped += 1
             continue
-        futs.append(export_one.remote(k, files_by_part[k], epoch))
+        futs.append(export_one.remote(k, list(m["files"]), epoch))
         exported += 1
     rows = int(sum(ray.get(futs))) if futs else 0
     return {

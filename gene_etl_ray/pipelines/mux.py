@@ -64,10 +64,23 @@ def merge_wals(source_dirs: list[str], out_dir: str) -> dict:
     """Append every newly-visible segment from ``source_dirs`` into the
     consumer WAL at ``out_dir``. Returns a report with the number of
     segments appended and per-source cursors. Safe to re-run at any
-    point, including mid-crash."""
+    point, including mid-crash. Takes the single-writer lock on
+    ``out_dir`` for the whole reserve→copy window: two concurrent mux
+    runs could otherwise both read ``_mux.json``, reserve conflicting
+    global numbers, and let the losing atomic_write orphan a segment
+    already copied under a now-remapped number."""
     from gene_etl_ray.pipelines.ingest import discover_epochs
+    from gene_etl_ray.state.lock import acquire, release
 
     os.makedirs(out_dir, exist_ok=True)
+    acquire(out_dir)
+    try:
+        return _merge_wals_locked(source_dirs, out_dir, discover_epochs)
+    finally:
+        release(out_dir)
+
+
+def _merge_wals_locked(source_dirs, out_dir, discover_epochs) -> dict:
     state = read_mux_state(out_dir)
     assignments: dict[str, list] = state["assignments"]
     done = {(int(s), int(e)) for s, e in assignments.values()}

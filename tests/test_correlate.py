@@ -1,0 +1,183 @@
+"""Literal rank-statistics kernels (`ops.correlate`): Spearman / Kendall /
+Pearson grouped correlation, blocked all-pairs matrices, BH-FDR, and the
+end-to-end corr→p→q pipeline — reference parity for
+``/root/reference/etl/correlate.py:34-189`` (method dispatch :124-131,
+fdr_bh :149-189, blocked upper-triangle driver :63-77). Test style
+mirrors the reference's own suite: invariants on seeded inputs
+(rho∈[-1,1], p/q∈[0,1], q ≥ p, pair count = C(n,2)), not golden values.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from gene_etl_ray.ops.correlate import (
+    _kendall_tau_b,
+    _pearson,
+    _rank_average,
+    bh_fdr,
+    corr_p_value,
+    corr_with_fdr,
+    grouped_bh_fdr,
+    grouped_corr,
+    pairwise_corr_matrix,
+    t_sf_two_sided,
+)
+
+
+def test_rank_average_matches_pandas_ties():
+    x = np.array([3.0, 1.0, 3.0, 2.0, 1.0, 3.0])
+    want = pd.Series(x).rank(method="average").to_numpy()
+    np.testing.assert_allclose(_rank_average(x), want)
+
+
+def test_kendall_blocked_equals_exhaustive():
+    rng = np.random.RandomState(3)
+    x = rng.randint(0, 10, 300).astype(float)
+    y = rng.randint(0, 10, 300).astype(float)
+    full = _kendall_tau_b(x, y, block=4096)  # single block
+    tiled = _kendall_tau_b(x, y, block=37)  # many ragged blocks
+    assert abs(full - tiled) < 1e-12
+    # perfect monotone relation -> tau == 1
+    z = np.arange(50, dtype=float)
+    assert abs(_kendall_tau_b(z, 2 * z + 1) - 1.0) < 1e-12
+    assert abs(_kendall_tau_b(z, -z) + 1.0) < 1e-12
+
+
+def test_bh_fdr_reference_invariants():
+    rng = np.random.RandomState(7)
+    p = rng.rand(200)
+    q = bh_fdr(p)
+    assert ((0 <= q) & (q <= 1)).all()
+    assert (q >= p - 1e-15).all()  # q >= p (reference test_correlate.py:139)
+    # monotone in p after sorting
+    o = np.argsort(p)
+    assert (np.diff(q[o]) >= -1e-15).all()
+    # tie-order invariance
+    p2 = np.array([0.02, 0.01, 0.02, 0.01, 0.5])
+    q2 = bh_fdr(p2)
+    assert q2[0] == q2[2] and q2[1] == q2[3]
+
+
+def test_t_sf_and_corr_p_bounds():
+    p = t_sf_two_sided(np.array([0.0, 1.0, 5.0, -5.0]), 12.0)
+    assert p[0] == 1.0 and 0 < p[1] < 1 and p[2] == p[3] < 0.01
+    rho = np.array([0.0, 0.5, -0.5, 0.999, 1.0])
+    n = np.full(5, 30.0)
+    pv = corr_p_value(rho, n)
+    assert ((0 <= pv) & (pv <= 1)).all()
+    assert pv[0] == 1.0 and pv[1] == pv[2] and pv[3] > pv[4] == 0.0
+    # |rho| ordering: larger effect -> smaller p
+    assert pv[1] < pv[0] and pv[3] < pv[1]
+
+
+def test_grouped_corr_methods(ray_session):
+    rng = np.random.RandomState(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b"], n // 2),
+            "x": rng.randint(0, 25, n).astype(float),
+        }
+    )
+    df["y"] = df["x"] * 3.0 + rng.randn(n)
+    ds = ray.data.from_pandas(df)
+    for method in ("spearman", "pearson", "kendall"):
+        out = grouped_corr(ds, "g", "x", "y", method=method)
+        assert list(out["g"]) == ["a", "b"]
+        assert ((out["rho"] > 0.9) & (out["rho"] <= 1.0)).all(), (method, out)
+        assert (out["n"] == n // 2).all()
+    with pytest.raises(ValueError):
+        grouped_corr(ds, "g", "x", "y", method="nope")
+
+
+def test_grouped_bh_fdr_rowset_preserved(ray_session):
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b", "c"], 50),
+            "id": np.arange(150),
+            "p": rng.rand(150),
+        }
+    )
+    out = grouped_bh_fdr(ray.data.from_pandas(df), "g", "p").to_pandas()
+    assert sorted(out["id"]) == list(range(150))
+    assert ((out["q_value"] >= out["p"] - 1e-15)).all()
+    # per-group correction equals the standalone kernel
+    for g, sub in out.groupby("g"):
+        np.testing.assert_allclose(
+            np.sort(sub["q_value"]), np.sort(bh_fdr(sub["p"].to_numpy()))
+        )
+
+
+def test_pairwise_corr_matrix_blocked_vs_numpy(ray_session):
+    rng = np.random.RandomState(17)
+    n_samples, n_vars = 60, 9
+    m = rng.randn(n_samples, n_vars)
+    long = pd.DataFrame(
+        {
+            "s": np.repeat(np.arange(n_samples), n_vars),
+            "v": np.tile([f"v{i:02d}" for i in range(n_vars)], n_samples),
+            "val": m.ravel(),
+        }
+    )
+    out = pairwise_corr_matrix(
+        ray.data.from_pandas(long), "v", "s", "val", block_size=4
+    )
+    # C(n,2) pairs, var_a < var_b (reference test_correlate.py:165-167)
+    assert len(out) == n_vars * (n_vars - 1) // 2
+    assert (out["var_a"] < out["var_b"]).all()
+    want = np.corrcoef(m, rowvar=False)
+    for _, r in out.iterrows():
+        i, j = int(r["var_a"][1:]), int(r["var_b"][1:])
+        assert abs(r["rho"] - want[i, j]) < 1e-10
+    assert (out["n"] == n_samples).all()
+
+
+def test_pairwise_corr_matrix_fill_and_groups(ray_session):
+    # missing cells are filled (pivot fill_null parity) and cohorts are
+    # independent barriers
+    long = pd.DataFrame(
+        {
+            "coh": ["c1"] * 5 + ["c2"] * 6,
+            "s": [0, 0, 1, 1, 2, 0, 0, 1, 1, 2, 2],
+            "v": ["a", "b", "a", "b", "a", "a", "b", "a", "b", "a", "b"],
+            "val": [1.0, 2.0, 2.0, 4.0, 3.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0],
+        }
+    )
+    out = pairwise_corr_matrix(
+        ray.data.from_pandas(long), "v", "s", "val", group_col="coh", fill=0.0
+    )
+    assert set(out["coh"]) == {"c1", "c2"}
+    c2 = out[out["coh"] == "c2"].iloc[0]
+    assert abs(c2["rho"] - 1.0) < 1e-12  # identical columns -> rho 1
+
+
+def test_corr_with_fdr_end_to_end(ray_session):
+    rng = np.random.RandomState(19)
+    n_samples, n_vars = 40, 6
+    base = rng.randn(n_samples)
+    cols = {}
+    for i in range(n_vars):
+        # first three correlated with base, rest independent
+        cols[f"v{i}"] = base + rng.randn(n_samples) * (0.1 if i < 3 else 100.0)
+    rows = []
+    for coh in ("x", "y"):
+        for s in range(n_samples):
+            for v, arr in cols.items():
+                rows.append((coh, s, v, arr[s] + (1.0 if coh == "y" else 0.0)))
+    long = pd.DataFrame(rows, columns=["coh", "s", "v", "val"])
+    out = corr_with_fdr(
+        ray.data.from_pandas(long), "v", "s", "val", "coh", method="spearman"
+    )
+    per = n_vars * (n_vars - 1) // 2
+    assert len(out) == 2 * per
+    assert ((out["rho"].abs() <= 1.0) | out["rho"].isna()).all()
+    assert ((0 <= out["p_value"]) & (out["p_value"] <= 1)).all()
+    assert (out["q_value"] >= out["p_value"] - 1e-15).all()
+    # the three planted strong pairs are significant in both cohorts
+    strong = out[
+        out["var_a"].isin(["v0", "v1", "v2"]) & out["var_b"].isin(["v0", "v1", "v2"])
+    ]
+    assert strong["significant"].all()

@@ -117,6 +117,26 @@ def test_stale_and_orphan_outputs_are_replaced(tmp_path, ray_session):
     )
 
 
+def test_param_change_invalidates_resume(tmp_path, ray_session):
+    """Re-running with different export params (column subset) into the
+    same out_dir must RE-EXPORT, not skip — the params are part of the
+    filename staleness contract, so a resume can never mix views."""
+    ev, lake, out = str(tmp_path / "wal"), str(tmp_path / "lake"), str(tmp_path / "out")
+    generate_events(ev, n_urls=60, n_epochs=2, seed=47)
+    run_ingest(EngineConfig(lake_dir=lake), ev)
+    rep_full = export_lake(lake, out)
+    assert rep_full["exported"] > 0
+
+    rep_sub = export_lake(lake, out, columns=["url", "lang"])
+    assert rep_sub["exported"] == rep_full["partitions"]
+    assert rep_sub["skipped"] == 0
+    got = _read_export(out)
+    assert got.columns.tolist() == ["url", "lang"]
+    # and the subset run resumes as a no-op against itself
+    rep_again = export_lake(lake, out, columns=["url", "lang"])
+    assert rep_again["exported"] == 0
+
+
 def test_column_subset_export(tmp_path, ray_session):
     ev, lake, out = str(tmp_path / "wal"), str(tmp_path / "lake"), str(tmp_path / "out")
     generate_events(ev, n_urls=60, n_epochs=2, seed=41)

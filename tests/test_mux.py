@@ -114,6 +114,27 @@ def test_truncated_source_raises(shards, tmp_path):
         merge_wals([a, b], out)
 
 
+def test_concurrent_mux_is_locked_out(shards, tmp_path):
+    """A second muxer on the same out_dir while the lock is held by a
+    live process raises instead of racing the reserve→copy window (two
+    concurrent muxers could reserve conflicting global numbers and the
+    losing atomic_write would orphan already-copied segments)."""
+    from gene_etl_ray.state.lock import LakeLockedError, acquire, release
+
+    a, b = shards
+    out = str(tmp_path / "wal")
+    os.makedirs(out, exist_ok=True)
+    acquire(out)  # simulate a live concurrent muxer holding the lock
+    try:
+        with pytest.raises(LakeLockedError):
+            merge_wals([a, b], out)
+    finally:
+        release(out)
+    # once released, the mux proceeds normally
+    rep = merge_wals([a, b], out)
+    assert rep["appended"] == 7
+
+
 def test_mux_cli(shards, tmp_path):
     a, b = shards
     out = str(tmp_path / "wal")
