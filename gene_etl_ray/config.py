@@ -36,7 +36,11 @@ class EngineConfig:
         ``config.py:92``).
     extract_batch_size: rows per batch for the html→text extractor actor
         pool (html rows are fat — sized by bytes at scale).
-    extract_concurrency: actor-pool size for the extractor stage.
+    extract_concurrency: retained knob from the actor-pool extractor era
+        (the stage now runs as per-process tasks on the shared worker
+        pool; the value is unused by the task form but kept for config
+        compatibility and for deployments that re-enable a pool for
+        heavy-state extractors).
     keep_html: if False (default) the ``html`` payload column is dropped
         from the lake table after extraction (the lake stores ``text``).
     prevalidate: run the pre-validation/partition-counts pass before each

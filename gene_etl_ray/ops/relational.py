@@ -181,8 +181,25 @@ def _bucket_union(
     then moves each row exactly once."""
     from gene_etl_ray.schema import conform_table
 
-    def arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
-        base = ds.schema().base_schema
+    def ensure_schema(ds: ray.data.Dataset):
+        # a lazy groupby/map_groups output can stream a schemaless EMPTY
+        # block first, making the limit-1 schema probe return None even
+        # when rows exist — materialize (bounded: join sides here are
+        # candidate-scale or already spilled) and unify across all blocks
+        s = ds.schema()
+        if s is None:
+            ds = ds.materialize()
+            s = ds.schema()
+        if s is None:
+            raise ValueError(
+                "partitioned_join side has no determinable schema (empty "
+                "dataset with no typed blocks) — guard the call site with "
+                "an explicit empty-result branch"
+            )
+        return ds, s
+
+    def arrow_schema(s) -> pa.Schema:
+        base = s.base_schema
         if isinstance(base, pa.Schema):
             return base
         # pandas-block dataset (e.g. a map_groups output): map numpy
@@ -195,8 +212,10 @@ def _bucket_union(
                 fields.append(pa.field(name, pa.string()))
         return pa.schema(fields)
 
-    ls = arrow_schema(left)
-    rs = arrow_schema(right)
+    left, ls_raw = ensure_schema(left)
+    right, rs_raw = ensure_schema(right)
+    ls = arrow_schema(ls_raw)
+    rs = arrow_schema(rs_raw)
     lcols, rcols = list(ls.names), list(rs.names)
     union_schema = pa.schema(
         list(ls)

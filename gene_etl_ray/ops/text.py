@@ -36,32 +36,56 @@ _PUNCT = re.compile(r"[^\w\s]", re.UNICODE)
 
 
 class LangId:
-    """Heuristic language ID: stopword hit-rate per language + CJK/Cyrillic
-    script detection. State (compiled tables) built once per actor."""
+    """Heuristic language ID: stopword hit-rate per language + CJK script
+    detection — FULLY VECTORIZED (one compiled alternation regex per
+    language, counted column-wise; no per-document Python). A token
+    equals a stopword exactly when the text contains it as a maximal
+    ``\\w`` run, so ``\\b(?:w1|w2|...)\\b`` over the lowered sample counts
+    precisely the tokens the per-row set-membership version counted —
+    the two are equivalent and the regexes are RE2-compatible, which is
+    what gives this stage its DuckDB oracle (LANG_ID_SQL). Tie-break:
+    first language in declaration order wins (argmax-first), matching
+    the historical iteration order."""
 
     def __init__(self) -> None:
-        self.stop = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self.langs = list(_STOPWORDS)
+        self.pats = {
+            lang: re.compile(r"\b(?:" + "|".join(sorted(ws)) + r")\b")
+            for lang, ws in _STOPWORDS.items()
+        }
         self.word = _WORD
+        self.cjk = re.compile(r"[一-鿿぀-ヿ]")
+        self.kana = re.compile(r"[぀-ヿ]")
 
     def classify(self, text: str) -> str:
-        if not text:
-            return "und"
-        sample = text[:2000]
-        cjk = sum("一" <= c <= "鿿" or "぀" <= c <= "ヿ" for c in sample)
-        if cjk > len(sample) * 0.15:
-            return "ja" if any("぀" <= c <= "ヿ" for c in sample) else "zh"
-        toks = [t.lower() for t in self.word.findall(sample)]
-        if not toks:
-            return "und"
-        best, best_rate = "und", 0.0
-        for lang, stop in self.stop.items():
-            rate = sum(t in stop for t in toks) / len(toks)
-            if rate > best_rate:
-                best, best_rate = lang, rate
-        return best if best_rate > 0.02 else "und"
+        """Single-doc convenience (tests/accuracy gates): routes through
+        the same vectorized kernel."""
+        return self(pd.DataFrame({"text": [text]}))["lang_pred"].iloc[0]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["lang_pred"] = [self.classify(t) for t in batch["text"]]
+        sample = batch["text"].fillna("").str.slice(0, 2000)
+        low = sample.str.lower()
+        n_toks = low.str.count(self.word)
+        rates = np.stack(
+            [
+                (low.str.count(self.pats[lang]) / n_toks.replace(0, 1)).to_numpy()
+                for lang in self.langs
+            ],
+            axis=1,
+        )
+        best_idx = rates.argmax(axis=1)  # first max wins, like the dict loop
+        best_rate = rates.max(axis=1)
+        pred = np.asarray(self.langs, dtype=object)[best_idx]
+        pred = np.where(
+            (best_rate > 0.02) & (n_toks.to_numpy() > 0), pred, "und"
+        )
+        # CJK script override (vectorized counts; rare path on web corpora)
+        cjk_n = sample.str.count(self.cjk).to_numpy()
+        is_cjk = cjk_n > sample.str.len().to_numpy() * 0.15
+        if is_cjk.any():
+            has_kana = sample.str.count(self.kana).to_numpy() > 0
+            pred = np.where(is_cjk, np.where(has_kana, "ja", "zh"), pred)
+        batch["lang_pred"] = pred
         return batch
 
 
@@ -72,23 +96,32 @@ class QualityScorer:
 
     def __init__(self) -> None:
         self.stop_en = _STOPWORDS["en"]
+        self.stop_pat = re.compile(
+            r"\b(?:" + "|".join(sorted(_STOPWORDS["en"])) + r")\b"
+        )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = batch["text"].fillna("")
         n_chars = s.str.len()
-        words = s.str.findall(_WORD)
-        n_words = words.str.len().clip(lower=0)
+        # every kernel is a column-wise count — no per-row lambdas:
+        # mean word length = (# of \w chars) / (# of \w+ runs), identical
+        # to the mean of token lengths; stopword hits via ONE alternation
+        # regex over the lowered text (token == stopword ⟺ maximal \w run
+        # matches \b-delimited alternative)
+        n_words = s.str.count(_WORD)
+        n_word_chars = s.str.count(r"\w")
+        stop_hits = s.str.lower().str.count(self.stop_pat)
         batch["n_chars"] = n_chars.astype("int64")
         batch["n_words"] = n_words.astype("int64")
-        batch["mean_word_len"] = words.map(
-            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0
-        )
+        batch["mean_word_len"] = (
+            n_word_chars / n_words.replace(0, 1)
+        ).where(n_words > 0, 0.0).astype("float64")
         batch["punct_ratio"] = (
             s.str.count(_PUNCT) / n_chars.replace(0, 1)
         ).astype("float64")
-        batch["stopword_ratio"] = words.map(
-            lambda ws: sum(w.lower() in self.stop_en for w in ws) / len(ws) if ws else 0.0
-        )
+        batch["stopword_ratio"] = (
+            stop_hits / n_words.replace(0, 1)
+        ).where(n_words > 0, 0.0).astype("float64")
         batch["upper_ratio"] = (s.str.count(r"[A-Z]") / n_chars.replace(0, 1)).astype(
             "float64"
         )
@@ -132,19 +165,17 @@ def token_count_ws(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def token_count_bpe_ish(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """BPE-ish pretokenizer count (regex compiled once per actor)."""
+    """BPE-ish pretokenizer count — vectorized ``str.count`` over the
+    compiled pattern (counts non-overlapping matches, identical to
+    ``len(findall)`` without the per-document Python loop)."""
 
-    class Counter:
-        def __init__(self):
-            self.rx = _BPE_ISH
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_tokens_bpe"] = (
+            batch["text"].fillna("").str.count(_BPE_ISH).astype("int64")
+        )
+        return batch
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch["n_tokens_bpe"] = [
-                len(self.rx.findall(t or "")) for t in batch["text"]
-            ]
-            return batch
-
-    return ds.map_batches(per_process(Counter), batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pandas")
 
 
 class Fingerprinter:

@@ -54,6 +54,14 @@ import ray.data
 
 from gene_etl_ray.config import EngineConfig
 from gene_etl_ray.extract import HtmlTextExtractor
+
+
+def per_process_extractor():
+    """Extraction callable built once per worker process (shared task
+    pool; see the extraction stage comment in ``_apply_epoch_group``)."""
+    from gene_etl_ray.ops.util import per_process
+
+    return per_process(HtmlTextExtractor)
 from gene_etl_ray.hashing import group_keys
 from gene_etl_ray.pipelines.normalize import normalize_batch, prevalidate_counts
 from gene_etl_ray.schema import (
@@ -1041,16 +1049,21 @@ def _run_ingest(
         ds = ev_ds.map_batches(
             lambda b, _c=late_cutoff: normalize_batch(b, _c), batch_format="pyarrow"
         )
-        # Autoscaling pool, min = half max: a fixed-size pool that reserves
-        # every CPU starves the read/shuffle stages (deadlock at small
-        # clusters), while min=1 pays a slow ramp-up (~4s at 32 CPUs).
-        # fractional CPUs let the scheduler overlap the pool with the read
-        # and shuffle stages instead of reserving whole cores
+        # Extraction as per-process TASKS, not a dedicated actor pool: the
+        # extractor state is six compiled regexes (microseconds to build —
+        # per_process rebuilds once per worker process), and the task form
+        # (a) shares the common worker pool with the read/shuffle stages
+        # (no pool ramp-up, no deadlock at small clusters, no
+        # over-subscription from pool+tasks running side by side — the
+        # BENCH_r02 "130 worker processes on 32 CPUs" tail warning), and
+        # (b) keeps no actor constructor args pinned in the object store
+        # (the BENCH_r02 ray#53727 restart warning). A stage with HEAVY
+        # per-worker state (model weights) should still use a real actor
+        # pool here.
         ds = ds.map_batches(
-            HtmlTextExtractor,
+            per_process_extractor(),
             batch_format="pyarrow",
             batch_size=cfg.extract_batch_size,
-            concurrency=(max(1, cfg.extract_concurrency // 2), cfg.extract_concurrency),
             num_cpus=0.75,
         )
         ds = ds.map_batches(

@@ -135,10 +135,17 @@ def test_cdc_fixture_has_no_html_entities():
 
 
 def test_lsh_recall_vs_bruteforce():
-    """LSH top-k is approximate but must overlap substantially with the
-    exact answer on this data."""
+    """The RAW approximate LSH path (un-filtered bucket probe over the
+    natural corpus) must overlap substantially with the exact answer.
+    The registry's knn_lsh_topk is the twin-gated EXACT-regime query and
+    is oracled separately — this test covers the recall<1 behavior that
+    query intentionally filters away."""
+    from gene_etl_ray.ops import knn
+
     exact = Q.knn_cosine_topk(SF)
-    approx = Q.knn_lsh_topk(SF)
+    qv, qids = Q._query_vectors(SF)
+    approx = knn.lsh_topk_indexed(Q.ensure_lsh_index(SF), qv, k=10)
+    approx["query_id"] = qids[approx["query_idx"].to_numpy()]
     inter = 0
     for qid in exact["query_id"].unique():
         e = set(exact[exact["query_id"] == qid]["vec_id"])
