@@ -83,6 +83,44 @@ GROUP_BUCKETS = 64
 #: small" assumption.
 MAP_BROADCAST_LIMIT = 4_000_000
 
+#: byte budget for the candidate-text broadcast fast path in
+#: ``ngram_jaccard_pairs``: the {id: text} dict for candidate reps is
+#: built INSIDE a Ray task (driver never holds text) and kept only if
+#: its MEASURED text bytes fit this budget — one object-store copy read
+#: per worker process. Over budget → partitioned-join verification,
+#: loudly. An explicit measured bound, not a "candidates are small"
+#: assumption.
+TEXT_BROADCAST_LIMIT = 128 * 1024 * 1024
+
+# per-worker-process cache of ray.get-resolved broadcast objects —
+# ray.get deserializes a pure-Python dict on EVERY call otherwise
+_OBJ_CACHE: dict = {}
+
+
+def _cached_obj(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    v = _OBJ_CACHE.get(key)
+    if v is None:
+        v = _OBJ_CACHE[key] = ray.get(ref)
+    return v
+
+
+@ray.remote(num_cpus=1, num_returns=2)
+def _build_text_dict(budget: int, id_col: str, *parts: pd.DataFrame):
+    """(fits, dict) from candidate-rep blocks: measure text bytes first;
+    over-budget returns (False, None) so the caller can fall back without
+    the dict ever existing. Runs in a worker — the blocks and the dict
+    never touch the driver."""
+    frames = [p for p in parts if len(p)]
+    total = sum(int(f["text"].str.len().sum()) for f in frames)
+    if total > budget:
+        return False, None
+    docs: dict[int, str] = {}
+    for f in frames:
+        for i, t in zip(f[id_col].to_numpy(np.int64), f["text"]):
+            docs[int(i)] = t
+    return True, docs
+
 
 def bucketed_group_apply(
     ds: ray.data.Dataset,
@@ -179,6 +217,22 @@ class MinHasher:
         return batch
 
 
+def _decode_sigs(col, num_perm: int | None = None) -> np.ndarray:
+    """(n, num_perm) uint64 matrix from a binary signature column (each
+    value is the fixed ``num_perm × 8``-byte buffer written by the fused
+    collapse+sign pass) — one concatenate + one frombuffer, no per-row
+    numpy object boxing. ``num_perm`` is inferred from the first buffer
+    when omitted (every buffer in a chain shares one width)."""
+    vals = col.to_numpy() if hasattr(col, "to_numpy") else np.asarray(col, object)
+    if not len(vals):
+        return np.zeros((0, num_perm or 0), np.uint64)
+    if num_perm is None:
+        num_perm = len(vals[0]) // 8
+    return np.frombuffer(b"".join(vals), dtype=np.uint64).reshape(
+        len(vals), num_perm
+    )
+
+
 def _empty_pairs(with_est: bool = False) -> pd.DataFrame:
     d = {
         "id_a": pd.Series([], dtype="int64"),
@@ -190,7 +244,11 @@ def _empty_pairs(with_est: bool = False) -> pd.DataFrame:
 
 
 def _collapse_exact(
-    ds: ray.data.Dataset, id_col: str, scratch_root: str
+    ds: ray.data.Dataset,
+    id_col: str,
+    scratch_root: str,
+    num_perm: int | None = None,
+    shingle_k: int = 3,
 ) -> tuple[str, str]:
     """Collapse exact duplicates before signing: ONE bucketed content-hash
     groupby, ONE hive-partitioned scratch write (``__kind=rep`` /
@@ -198,8 +256,17 @@ def _collapse_exact(
     are the min id per content hash (with text); the (rep, member) mapping
     covers ONLY multi-member groups, so it's dup-families-sized, not
     corpus-sized; downstream expansion uses LEFT joins (or a bounded
-    broadcast) with identity fallback. Returns (reps_dir, mapping_dir) —
-    the map dir may not exist when the corpus has no exact dups."""
+    broadcast) with identity fallback.
+
+    When ``num_perm`` is set, MinHash SIGNING IS FUSED into the collapse
+    pass: the groupby task already holds each representative's text, so
+    the signature (a ``num_perm × 8``-byte binary column) rides the same
+    shuffle and the same parquet write — the separate read-texts → sign →
+    write-signatures round trip (a full second pass over all rep text
+    bytes) disappears, and the downstream signature reads are
+    column-pruned (never touching text again). Returns
+    (reps_dir, mapping_dir) — the map dir may not exist when the corpus
+    has no exact dups."""
     import tempfile
 
     both_dir = tempfile.mkdtemp(prefix="minhash_groups_", dir=scratch_root)
@@ -229,6 +296,15 @@ def _collapse_exact(
                 "__kind": "map",
             }
         )
+        if num_perm is not None:
+            # constructing the hasher here is two tiny RNG draws — far
+            # cheaper than a per-process cache lookup would ever save
+            hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+            reps["minhash"] = [
+                hasher.signature(t).astype(np.uint64).tobytes()
+                for t in reps["text"]
+            ]
+            mem["minhash"] = b""
         return pd.concat([reps, mem], ignore_index=True)
 
     # min_rows_per_file coalesces the 64 bucket-blocks into few files so
@@ -244,17 +320,15 @@ def _collapse_exact(
         # reps file so downstream readers see a schema, not FileNotFound
         import pyarrow.parquet as pq
 
+        cols = {
+            id_col: pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "rep": pa.array([], pa.int64()),
+        }
+        if num_perm is not None:
+            cols["minhash"] = pa.array([], pa.binary())
         _os.makedirs(reps_dir, exist_ok=True)
-        pq.write_table(
-            pa.table(
-                {
-                    id_col: pa.array([], pa.int64()),
-                    "text": pa.array([], pa.string()),
-                    "rep": pa.array([], pa.int64()),
-                }
-            ),
-            f"{reps_dir}/empty.parquet",
-        )
+        pq.write_table(pa.table(cols), f"{reps_dir}/empty.parquet")
     return reps_dir, f"{both_dir}/__kind=map"
 
 
@@ -283,7 +357,7 @@ def _rep_candidate_pairs(
                     "band_hash": pd.Series([], dtype="int64"),
                 }
             )
-        sig = np.stack(batch["minhash"].to_numpy()).astype(np.uint64)
+        sig = _decode_sigs(batch["minhash"], num_perm)
         mixed = _mix64(sig.reshape(n, bands, rows_per_band))
         bh = mixed.sum(axis=2, dtype=np.uint64).astype(np.int64)  # 2^64 wrap
         return pd.DataFrame(
@@ -374,9 +448,7 @@ def _attach_est_jaccard(
             return b[m]
 
         sigs = sig_ds.map_batches(pick, batch_format="pandas").to_pandas()
-        sig_mat = np.stack(
-            [np.asarray(s, dtype=np.uint64) for s in sigs["minhash"]]
-        )
+        sig_mat = _decode_sigs(sigs["minhash"])
         row = {int(i): k for k, i in enumerate(sigs[id_col].to_numpy(np.int64))}
         ia = np.fromiter((row[int(x)] for x in pdf["id_a"]), np.int64, len(pdf))
         ib = np.fromiter((row[int(x)] for x in pdf["id_b"]), np.int64, len(pdf))
@@ -399,14 +471,10 @@ def _attach_est_jaccard(
     # conform; hex is a plain string column on the candidate-sized set)
     def enc(out_id: str, out_sig: str):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
-            sigs = b["minhash"].to_numpy()
             return pd.DataFrame(
                 {
                     out_id: b[id_col].to_numpy(np.int64),
-                    out_sig: [
-                        np.asarray(s, dtype=np.uint64).tobytes().hex()
-                        for s in sigs
-                    ],
+                    out_sig: [s.hex() for s in b["minhash"].to_numpy()],
                 }
             )
 
@@ -619,45 +687,22 @@ class _RepStage:
 
     def __init__(self, ds, num_perm, bands, shingle_k, id_col, max_bucket):
         import os as _os
-        import tempfile
 
         # Scratch location: single-node defaults to /tmp; on a MULTI-NODE
         # cluster point GENE_ETL_SCRATCH at shared storage (same
         # requirement as the lake itself).
         scratch_root = _os.environ.get("GENE_ETL_SCRATCH", "/tmp")
-        self.reps_dir, self.map_dir = _collapse_exact(ds, id_col, scratch_root)
-        self.sig_dir = tempfile.mkdtemp(prefix="minhash_sigs_", dir=scratch_root)
-
-        sigged = ray.data.read_parquet(
-            self.reps_dir, columns=[id_col, "text"]
-        ).map_batches(
-            per_process(MinHasher, num_perm=num_perm, shingle_k=shingle_k),
-            batch_format="pandas",
+        # signing is FUSED into the collapse groupby (the task already
+        # holds each rep's text): one shuffle + one scratch write produce
+        # texts, mapping AND signatures — the former second full pass over
+        # rep text bytes is gone, and signature consumers read a
+        # column-pruned (id, minhash) projection that never touches text
+        self.reps_dir, self.map_dir = _collapse_exact(
+            ds, id_col, scratch_root, num_perm=num_perm, shingle_k=shingle_k
         )
-
-        def to_arrow_sigs(b: pd.DataFrame) -> pa.Table:
-            # explicit fixed_size_list<uint64> — a pandas column of
-            # ndarrays would round-trip through Ray's tensor extension,
-            # whose dtype string doesn't survive a parquet write+read
-            n = len(b)
-            sig = (
-                np.stack(b["minhash"].to_numpy()).astype(np.uint64)
-                if n
-                else np.zeros((0, num_perm), np.uint64)
-            )
-            return pa.table(
-                {
-                    id_col: pa.array(b[id_col].to_numpy(), pa.int64()),
-                    "minhash": pa.FixedSizeListArray.from_arrays(
-                        pa.array(sig.ravel(), pa.uint64()), num_perm
-                    ),
-                }
-            )
-
-        sigged.map_batches(to_arrow_sigs, batch_format="pandas").write_parquet(
-            self.sig_dir, min_rows_per_file=100_000
+        self.sig_ds = ray.data.read_parquet(
+            self.reps_dir, columns=[id_col, "minhash"]
         )
-        self.sig_ds = ray.data.read_parquet(self.sig_dir)
         # materialize before the schema probe: a lazy groupby output can
         # stream a schemaless empty block first and fool the lazy probe
         # coalesce the 64 bucket-blocks (scale-adaptive: blocks re-split
@@ -668,15 +713,17 @@ class _RepStage:
             .repartition(target_num_rows_per_block=500_000)
             .materialize()
         )
-        self.rep_pairs = None if rp.schema() is None else rp
+        # None covers BOTH no-schema and zero-row pair sets (rp is
+        # materialized, so count() is metadata): consumers then skip the
+        # join/gather machinery instead of probing empty frames
+        self.rep_pairs = None if rp.schema() is None or rp.count() == 0 else rp
 
     def cleanup(self):
         import os as _os
         import shutil
 
         # reps/map are __kind= partitions of one scratch dir
-        for d in (_os.path.dirname(self.reps_dir), self.sig_dir):
-            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(_os.path.dirname(self.reps_dir), ignore_errors=True)
 
 
 def minhash_lsh_candidates(
@@ -1055,61 +1102,144 @@ def ngram_jaccard_pairs(
                 return _typed_empty_out()
             return res.sort_values(["id_a", "id_b"]).reset_index(drop=True)
         reps = ray.data.read_parquet(stage.reps_dir, columns=[id_col, "text"])
-        docs_a = reps.map_batches(
-            lambda b: pd.DataFrame(
-                {"__ta_id": b[id_col].to_numpy(np.int64), "__text_a": b["text"]}
-            ),
-            batch_format="pandas",
-        )
-        docs_b = reps.map_batches(
-            lambda b: pd.DataFrame(
-                {"__tb_id": b[id_col].to_numpy(np.int64), "__text_b": b["text"]}
-            ),
-            batch_format="pandas",
-        )
-        # materialize between chained joins (schema probe would re-run the
-        # first join's DAG otherwise); the held set is candidate-pair-scale.
-        # Pair-dedup (same pair from several bands) fuses into the first
-        # join's bucket_post — a pair lives in exactly one id_a bucket.
-        j = (
-            partitioned_join(
-                stage.rep_pairs, docs_a, "id_a", "__ta_id",
-                bucket_post=lambda df: df.drop_duplicates(["id_a", "id_b"]),
+        # candidate-id pre-filter: when the (materialized) pair set is
+        # bounded, gather its UNIQUE ids (two int64 columns — ≤ ~4 MB at
+        # PAIR_GATHER_LIMIT; never text) and prune the rep table with a
+        # map-only isin pass BEFORE verification, so whichever path runs
+        # below touches only candidate texts instead of the whole corpus.
+        n_pairs = stage.rep_pairs.count()
+        texts_ref = None
+        if n_pairs <= PAIR_GATHER_LIMIT:
+            idf = stage.rep_pairs.select_columns(["id_a", "id_b"]).to_pandas()
+            need = np.unique(
+                np.concatenate(
+                    [idf["id_a"].to_numpy(np.int64), idf["id_b"].to_numpy(np.int64)]
+                )
             )
-            .repartition(target_num_rows_per_block=500_000)
-            .materialize()
-        )
-        j = partitioned_join(j, docs_b, "id_b", "__tb_id")
 
-        def verify(b: pd.DataFrame) -> pd.DataFrame:
-            if not len(b):
-                return _typed_empty_out()
-            cache: dict[int, set[str]] = {}
+            def pick(b: pd.DataFrame) -> pd.DataFrame:
+                return b[np.isin(b[id_col].to_numpy(np.int64), need)]
 
-            def sh(i: int, t: str) -> set[str]:
-                s = cache.get(i)
+            reps = reps.map_batches(pick, batch_format="pandas")
+            # bounded broadcast fast path: build the {id: text} dict for
+            # the candidate reps INSIDE a Ray task from the filtered
+            # blocks' refs — the driver never holds text — and only keep
+            # it if the measured bytes fit TEXT_BROADCAST_LIMIT; verify
+            # then runs as ONE map over the pair Dataset instead of two
+            # candidate-scale shuffles. Over-budget → joins, loudly.
+            flag_ref, dict_ref = _build_text_dict.options(num_returns=2).remote(
+                TEXT_BROADCAST_LIMIT, id_col, *reps.to_pandas_refs()
+            )
+            if ray.get(flag_ref):
+                texts_ref = dict_ref
+            else:
+                logger.warning(
+                    "candidate texts exceed TEXT_BROADCAST_LIMIT=%d bytes: "
+                    "verification falls back to partitioned joins",
+                    TEXT_BROADCAST_LIMIT,
+                )
+        else:
+            logger.warning(
+                "%d candidate pairs > PAIR_GATHER_LIMIT=%d: verification "
+                "joins run over the full representative table",
+                n_pairs, PAIR_GATHER_LIMIT,
+            )
+
+        def jaccard_rows(
+            ia_arr, ib_arr, text_of, seen: dict
+        ) -> list[tuple[int, int, float]]:
+            def sh(i: int) -> set[str]:
+                s = seen.get(i)
                 if s is None:
-                    s = cache[i] = _shingles(t, shingle_k)
+                    s = seen[i] = _shingles(text_of(i), shingle_k)
                 return s
 
             rows = []
-            for ia, ib, ta, tb in zip(
-                b["id_a"].to_numpy(), b["id_b"].to_numpy(),
-                b["__text_a"], b["__text_b"],
-            ):
-                sa, sb = sh(int(ia), ta), sh(int(ib), tb)
+            for ia, ib in zip(ia_arr, ib_arr):
+                sa, sb = sh(int(ia)), sh(int(ib))
                 if not sa or not sb:
                     continue
                 jac = len(sa & sb) / len(sa | sb)
                 if jac >= threshold:
                     rows.append((int(ia), int(ib), jac))
-            if not rows:
-                return _typed_empty_out()
-            return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+            return rows
 
-        verified = j.map_batches(
-            verify, batch_format="pandas", batch_size=4096
-        ).materialize()
+        if texts_ref is not None:
+            ref = texts_ref
+
+            def verify_bcast(b: pd.DataFrame) -> pd.DataFrame:
+                if not len(b):
+                    return _typed_empty_out()
+                docs = _cached_obj(ref)
+                rows = jaccard_rows(
+                    b["id_a"].to_numpy(), b["id_b"].to_numpy(),
+                    lambda i: docs.get(i, ""), {},
+                )
+                if not rows:
+                    return _typed_empty_out()
+                return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+            # the pair-id frame is already driver-held (bounded by this
+            # branch), so the GLOBAL pair dedup (same pair surfacing from
+            # several bands) is one drop_duplicates on it — the join path
+            # gets the same dedup from its id_a-bucketed bucket_post
+            uniq = idf.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+            # split into blocks so verification parallelizes (from_pandas
+            # of one frame is ONE block = one task otherwise)
+            n_splits = max(1, min(GROUP_BUCKETS, (len(uniq) + 1023) // 1024))
+            verified = (
+                ray.data.from_pandas(
+                    [f for f in np.array_split(uniq, n_splits) if len(f)]
+                )
+                .map_batches(verify_bcast, batch_format="pandas", batch_size=8192)
+                .materialize()
+            )
+        else:
+            docs_a = reps.map_batches(
+                lambda b: pd.DataFrame(
+                    {"__ta_id": b[id_col].to_numpy(np.int64), "__text_a": b["text"]}
+                ),
+                batch_format="pandas",
+            )
+            docs_b = reps.map_batches(
+                lambda b: pd.DataFrame(
+                    {"__tb_id": b[id_col].to_numpy(np.int64), "__text_b": b["text"]}
+                ),
+                batch_format="pandas",
+            )
+            # materialize between chained joins (schema probe would re-run
+            # the first join's DAG otherwise); the held set is
+            # candidate-pair-scale. Pair-dedup (same pair from several
+            # bands) fuses into the first join's bucket_post — a pair
+            # lives in exactly one id_a bucket.
+            j = (
+                partitioned_join(
+                    stage.rep_pairs, docs_a, "id_a", "__ta_id",
+                    bucket_post=lambda df: df.drop_duplicates(["id_a", "id_b"]),
+                )
+                .repartition(target_num_rows_per_block=500_000)
+                .materialize()
+            )
+            j = partitioned_join(j, docs_b, "id_b", "__tb_id")
+
+            def verify(b: pd.DataFrame) -> pd.DataFrame:
+                if not len(b):
+                    return _typed_empty_out()
+                texts = {}
+                for col_id, col_t in (("id_a", "__text_a"), ("id_b", "__text_b")):
+                    for i, t in zip(b[col_id].to_numpy(), b[col_t]):
+                        texts.setdefault(int(i), t)
+                rows = jaccard_rows(
+                    b["id_a"].to_numpy(), b["id_b"].to_numpy(),
+                    lambda i: texts.get(i, ""), {},
+                )
+                if not rows:
+                    return _typed_empty_out()
+                return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+            verified = j.map_batches(
+                verify, batch_format="pandas", batch_size=4096
+            ).materialize()
         if verified.schema() is None:
             verified = ray.data.from_pandas(_typed_empty_out())
         out = _expand_members(
