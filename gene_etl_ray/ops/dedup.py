@@ -247,89 +247,142 @@ def _collapse_exact(
     ds: ray.data.Dataset,
     id_col: str,
     scratch_root: str,
-    num_perm: int | None = None,
+    num_perm: int = 64,
     shingle_k: int = 3,
-) -> tuple[str, str]:
-    """Collapse exact duplicates before signing: ONE bucketed content-hash
-    groupby, ONE hive-partitioned scratch write (``__kind=rep`` /
-    ``__kind=map`` subdirs — no re-read/rewrite round-trip). Representatives
-    are the min id per content hash (with text); the (rep, member) mapping
-    covers ONLY multi-member groups, so it's dup-families-sized, not
-    corpus-sized; downstream expansion uses LEFT joins (or a bounded
-    broadcast) with identity fallback.
+) -> tuple[str, str, "ray.ObjectRef | None"]:
+    """Collapse exact duplicates and sign representatives WITHOUT moving
+    text: the only all-to-all exchange carries ``(content_hash, id)``
+    pairs — 24 bytes/row, independent of document size. The hash-only
+    groupby yields the (rep, member) mapping (multi-member groups only,
+    rep = min id, rep row included — the contract ``_expand_members``
+    expects); non-rep members are then anti-filtered IN PLACE and every
+    representative is signed by a streaming ``map_batches`` over the
+    SOURCE dataset, so document text never enters a shuffle and never
+    lands in scratch (the previous design shuffled and spilled a full
+    text copy of the corpus — a 100-TB disk+network bill for metadata).
 
-    When ``num_perm`` is set, MinHash SIGNING IS FUSED into the collapse
-    pass: the groupby task already holds each representative's text, so
-    the signature (a ``num_perm × 8``-byte binary column) rides the same
-    shuffle and the same parquet write — the separate read-texts → sign →
-    write-signatures round trip (a full second pass over all rep text
-    bytes) disappears, and the downstream signature reads are
-    column-pruned (never touching text again). Returns
-    (reps_dir, mapping_dir) — the map dir may not exist when the corpus
-    has no exact dups."""
+    The member anti-filter is adaptive on the measured mapping size:
+    under ``MAP_BROADCAST_LIMIT`` non-rep member ids ship once via
+    ``ray.put`` (np.isin per batch); above it, a partitioned ANTI join
+    keeps everything a Dataset — loudly.
+
+    Returns ``(sigs_dir, mapping, members_ref)``: a scratch parquet dir
+    of (id, minhash) — fixed ``num_perm × 8`` bytes/doc, the ONLY spill —
+    the (id, rep) mapping (``None`` when the corpus has no exact dups, a
+    driver-held pandas frame when bounded, else the materialized Dataset),
+    and the broadcast member-id array ref (None on the join path) so
+    callers can rebuild the rep text view without another mapping pass.
+
+    NOTE: ``ds`` is consumed more than once (hash pass + sign pass, and
+    verification may re-read it) — callers pass re-executable Datasets
+    (parquet reads), which re-run column-pruned, not materialized ones.
+    """
     import tempfile
 
-    both_dir = tempfile.mkdtemp(prefix="minhash_groups_", dir=scratch_root)
+    root = tempfile.mkdtemp(prefix="minhash_groups_", dir=scratch_root)
+    sigs_dir = f"{root}/sigs"
 
-    hashed = content_hash(ds, "text")
+    def hash_only(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                "content_hash": pd.util.hash_array(
+                    b["text"].to_numpy(dtype=object), categorize=False
+                ).astype("uint64"),
+            }
+        )
 
-    def split_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # whole hash-groups are co-located here; all per-group work is
-        # vectorized (sort + transform-min + duplicated masks)
+    def emit_map(g: pd.DataFrame) -> pd.DataFrame:
+        # whole hash-groups are co-located; only multi-member groups emit
+        # (rep row included) — the mapping is dup-families-sized
         g = g.sort_values(["content_hash", id_col], kind="mergesort")
         rep = g.groupby("content_hash", sort=False)[id_col].transform("first")
-        is_rep = ~g["content_hash"].duplicated()
         multi = g.groupby("content_hash", sort=False)[id_col].transform("size") > 1
-        reps = pd.DataFrame(
-            {
-                id_col: g.loc[is_rep, id_col].to_numpy(np.int64),
-                "text": g.loc[is_rep, "text"].to_numpy(),
-                "rep": np.int64(0),
-                "__kind": "rep",
-            }
-        )
-        mem = pd.DataFrame(
+        return pd.DataFrame(
             {
                 id_col: g.loc[multi, id_col].to_numpy(np.int64),
-                "text": "",
                 "rep": rep[multi].to_numpy(np.int64),
-                "__kind": "map",
             }
         )
-        if num_perm is not None:
-            # constructing the hasher here is two tiny RNG draws — far
-            # cheaper than a per-process cache lookup would ever save
-            hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
-            reps["minhash"] = [
-                hasher.signature(t).astype(np.uint64).tobytes()
-                for t in reps["text"]
-            ]
-            mem["minhash"] = b""
-        return pd.concat([reps, mem], ignore_index=True)
 
-    # min_rows_per_file coalesces the 64 bucket-blocks into few files so
-    # downstream reads don't fragment into per-bucket tasks (measured 7×
-    # on the join stages at small scale; harmless at large scale where
-    # blocks are full anyway)
-    bucketed_group_apply(hashed, ["content_hash"], split_bucket).write_parquet(
-        both_dir, partition_cols=["__kind"], min_rows_per_file=100_000
+    mapping_ds = bucketed_group_apply(
+        ds.map_batches(hash_only, batch_format="pandas"), ["content_hash"], emit_map
+    ).materialize()
+    n_map = mapping_ds.count()
+
+    # ids to EXCLUDE from signing: members that are not their group's rep
+    members_ref = None
+    mapping: pd.DataFrame | ray.data.Dataset | None = None
+    reps = ds
+    if n_map and n_map <= MAP_BROADCAST_LIMIT:
+        # one gather serves BOTH the sign filter here and the member
+        # expansion later (the mapping frame is handed to the caller)
+        mapping = mapping_ds.to_pandas()
+        mem_ids = mapping.loc[
+            mapping[id_col] != mapping["rep"], id_col
+        ].to_numpy(np.int64)
+        members_ref = ray.put(mem_ids)
+        ref = members_ref
+
+        def drop_members(b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b):
+                return b
+            return b[~np.isin(b[id_col].to_numpy(np.int64), _cached_obj(ref))]
+
+        reps = ds.map_batches(drop_members, batch_format="pandas")
+    elif n_map:
+        logger.warning(
+            "exact-dup mapping has %d rows > MAP_BROADCAST_LIMIT=%d: "
+            "rep selection runs as a partitioned ANTI join",
+            n_map, MAP_BROADCAST_LIMIT,
+        )
+        from gene_etl_ray.ops.relational import partitioned_join
+
+        mapping = mapping_ds
+        nonrep_keyed = mapping_ds.map_batches(
+            lambda b: pd.DataFrame(
+                {"__mid": b.loc[b[id_col] != b["rep"], id_col].to_numpy(np.int64)}
+            ),
+            batch_format="pandas",
+        )
+        reps = partitioned_join(ds, nonrep_keyed, id_col, "__mid", how="anti")
+
+    def sign(b: pd.DataFrame) -> pd.DataFrame:
+        # constructing the hasher is two tiny RNG draws — cheaper than a
+        # per-process cache lookup would ever save
+        hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                "minhash": [
+                    hasher.signature(t).astype(np.uint64).tobytes()
+                    for t in b["text"]
+                ],
+            }
+        )
+
+    # the ONLY scratch spill: fixed-width (id, minhash) — num_perm × 8
+    # bytes/doc; min_rows_per_file coalesces small blocks so downstream
+    # reads don't fragment into per-blocklet tasks
+    reps.map_batches(sign, batch_format="pandas").write_parquet(
+        sigs_dir, min_rows_per_file=100_000
     )
-    reps_dir = f"{both_dir}/__kind=rep"
-    if not _os.path.isdir(reps_dir):
-        # EMPTY input writes no partitions at all — leave a typed empty
-        # reps file so downstream readers see a schema, not FileNotFound
+    if not _os.path.isdir(sigs_dir) or not _os.listdir(sigs_dir):
+        # EMPTY input writes nothing — leave a typed empty sigs file so
+        # downstream readers see a schema, not FileNotFound
         import pyarrow.parquet as pq
 
-        cols = {
-            id_col: pa.array([], pa.int64()),
-            "text": pa.array([], pa.string()),
-            "rep": pa.array([], pa.int64()),
-        }
-        if num_perm is not None:
-            cols["minhash"] = pa.array([], pa.binary())
-        _os.makedirs(reps_dir, exist_ok=True)
-        pq.write_table(pa.table(cols), f"{reps_dir}/empty.parquet")
-    return reps_dir, f"{both_dir}/__kind=map"
+        _os.makedirs(sigs_dir, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "minhash": pa.array([], pa.binary()),
+                }
+            ),
+            f"{sigs_dir}/empty.parquet",
+        )
+    return sigs_dir, mapping, members_ref
 
 
 def _rep_candidate_pairs(
@@ -518,7 +571,7 @@ def _attach_est_jaccard(
 
 def _expand_members(
     rep_pairs: ray.data.Dataset,
-    map_dir: str,
+    mapping: "pd.DataFrame | ray.data.Dataset | None",
     id_col: str,
     extra_cols: list[str] | None = None,
     max_group_pairs: int = 65536,
@@ -532,12 +585,14 @@ def _expand_members(
       capped at ``max_group_pairs`` per group (over-cap groups degrade to
       star edges with a loud log — enumeration capped, connectivity kept).
 
-    ADAPTIVE execution on the measured mapping size (the "broadcast the
-    small side" rule with an explicit bound, not an assumption): a mapping
-    under ``MAP_BROADCAST_LIMIT`` rows is broadcast once via ``ray.put``
-    and the expansion is a shuffle-free map_batches; a larger mapping
-    falls back — loudly — to two partitioned LEFT joins plus a bucketed
-    intra-group pass, everything a Dataset end-to-end.
+    ADAPTIVE execution, decided upstream by ``_collapse_exact``'s measured
+    mapping size (the "broadcast the small side" rule with an explicit
+    bound, not an assumption): a bounded mapping arrives as a driver-held
+    pandas frame, is broadcast once via ``ray.put``, and the expansion is
+    a shuffle-free map_batches; a larger mapping arrives as a Dataset and
+    expands via two partitioned LEFT joins plus a bucketed intra-group
+    pass, everything a Dataset end-to-end. ``None`` means no exact dups —
+    identity mapping, rep pairs pass through untouched.
     """
     from gene_etl_ray.ops.relational import partitioned_join
 
@@ -568,21 +623,16 @@ def _expand_members(
             out[c] = 1.0
         return out
 
-    # a corpus with no exact dups writes no __kind=map partition at all,
-    # so the missing/empty dir means "identity mapping"
-    try:
-        mapping = ray.data.read_parquet(map_dir, columns=["rep", id_col])
-        n_map = mapping.count()
-    except Exception:
-        n_map = 0
-    if n_map == 0:
+    if mapping is None or (
+        isinstance(mapping, pd.DataFrame) and mapping.empty
+    ):
         # rep pairs already carry id_a < id_b (sorted-unique triu upstream)
         return rep_pairs
 
-    if n_map <= MAP_BROADCAST_LIMIT:
+    if isinstance(mapping, pd.DataFrame):
         # bounded broadcast: members-per-rep dict shipped once, read per
         # task from the object store; expansion is shuffle-free
-        mdf = mapping.to_pandas()
+        mdf = mapping
         groups = {
             int(r): m.to_numpy(np.int64)
             for r, m in mdf.groupby("rep")[id_col]
@@ -626,8 +676,8 @@ def _expand_members(
         return cross.union(ray.data.from_pandas(intra))
 
     logger.warning(
-        "exact-dup mapping has %d rows > MAP_BROADCAST_LIMIT=%d: expanding "
-        "via partitioned joins (Dataset end-to-end)", n_map, MAP_BROADCAST_LIMIT,
+        "exact-dup mapping exceeds MAP_BROADCAST_LIMIT=%d: expanding "
+        "via partitioned joins (Dataset end-to-end)", MAP_BROADCAST_LIMIT,
     )
     ma = mapping.map_batches(
         lambda b: pd.DataFrame(
@@ -692,16 +742,15 @@ class _RepStage:
         # cluster point GENE_ETL_SCRATCH at shared storage (same
         # requirement as the lake itself).
         scratch_root = _os.environ.get("GENE_ETL_SCRATCH", "/tmp")
-        # signing is FUSED into the collapse groupby (the task already
-        # holds each rep's text): one shuffle + one scratch write produce
-        # texts, mapping AND signatures — the former second full pass over
-        # rep text bytes is gone, and signature consumers read a
-        # column-pruned (id, minhash) projection that never touches text
-        self.reps_dir, self.map_dir = _collapse_exact(
+        self._ds, self._id_col = ds, id_col
+        # hash-only collapse + in-place signing: text never shuffles and
+        # never hits scratch — the spill is the fixed-width (id, minhash)
+        # table, and signature consumers read that column-pruned
+        self.sigs_dir, self.mapping, self._members_ref = _collapse_exact(
             ds, id_col, scratch_root, num_perm=num_perm, shingle_k=shingle_k
         )
         self.sig_ds = ray.data.read_parquet(
-            self.reps_dir, columns=[id_col, "minhash"]
+            self.sigs_dir, columns=[id_col, "minhash"]
         )
         # materialize before the schema probe: a lazy groupby output can
         # stream a schemaless empty block first and fool the lazy probe
@@ -718,12 +767,44 @@ class _RepStage:
         # join/gather machinery instead of probing empty frames
         self.rep_pairs = None if rp.schema() is None or rp.count() == 0 else rp
 
+    def rep_text_ds(self) -> ray.data.Dataset:
+        """(id, text) view of the REPRESENTATIVES, rebuilt lazily from the
+        source dataset (re-read column-pruned; text is never in scratch).
+        Non-rep members are dropped through the already-broadcast member
+        ids when bounded, else the partitioned ANTI join."""
+        id_col = self._id_col
+
+        def project(b: pd.DataFrame) -> pd.DataFrame:
+            return b[[id_col, "text"]]
+
+        base = self._ds.map_batches(project, batch_format="pandas")
+        if self._members_ref is not None:
+            ref = self._members_ref
+
+            def drop_members(b: pd.DataFrame) -> pd.DataFrame:
+                if not len(b):
+                    return b
+                return b[~np.isin(b[id_col].to_numpy(np.int64), _cached_obj(ref))]
+
+            return base.map_batches(drop_members, batch_format="pandas")
+        if self.mapping is None:
+            return base  # no exact dups — every doc is its own rep
+        from gene_etl_ray.ops.relational import partitioned_join
+
+        nonrep = self.mapping.map_batches(
+            lambda b: pd.DataFrame(
+                {"__mid": b.loc[b[id_col] != b["rep"], id_col].to_numpy(np.int64)}
+            ),
+            batch_format="pandas",
+        )
+        return partitioned_join(base, nonrep, id_col, "__mid", how="anti")
+
     def cleanup(self):
         import os as _os
         import shutil
 
-        # reps/map are __kind= partitions of one scratch dir
-        shutil.rmtree(_os.path.dirname(self.reps_dir), ignore_errors=True)
+        # sigs/map are subdirs of one scratch root
+        shutil.rmtree(_os.path.dirname(self.sigs_dir), ignore_errors=True)
 
 
 def minhash_lsh_candidates(
@@ -740,10 +821,12 @@ def minhash_lsh_candidates(
     Pipeline (every stage a Dataset; the driver never holds pairs, docs
     or signatures):
 
-    1. exact-duplicate collapse — one content-hash groupby; only one
-       representative per distinct text is signed (kills the degenerate
-       boilerplate-page bucket explosion at the source);
-    2. signature per representative (per-process MinHasher), spilled to
+    1. exact-duplicate collapse — one groupby over (content_hash, id)
+       pairs ONLY (24 B/row; text never shuffles); only one representative
+       per distinct text is signed (kills the degenerate boilerplate-page
+       bucket explosion at the source);
+    2. signature per representative, computed IN PLACE by a streaming map
+       over the source after an adaptive member anti-filter, spilled to
        scratch parquet (nothing pinned in the object store);
     3. band explode → (band, band_hash) groupby → per-bucket pairs with
        a ``max_bucket`` cap (over-cap buckets → star edges, logged) →
@@ -762,7 +845,7 @@ def minhash_lsh_candidates(
             rep_pairs = ray.data.from_pandas(_empty_pairs(with_est=True))
         else:
             rep_pairs = _attach_est_jaccard(stage.rep_pairs, stage.sig_ds, id_col)
-        expanded = _expand_members(rep_pairs, stage.map_dir, id_col)
+        expanded = _expand_members(rep_pairs, stage.mapping, id_col)
         if as_dataset:
             # caller consumes the Dataset after scratch cleanup — hand
             # ownership over via materialize()
@@ -1093,7 +1176,7 @@ def ngram_jaccard_pairs(
             # jaccard 1.0) can still exist via the mapping expansion
             verified = ray.data.from_pandas(_typed_empty_out())
             out = _expand_members(
-                verified, stage.map_dir, id_col, extra_cols=["jaccard"]
+                verified, stage.mapping, id_col, extra_cols=["jaccard"]
             )
             if as_dataset:
                 return out.materialize()
@@ -1101,7 +1184,7 @@ def ngram_jaccard_pairs(
             if res.empty:
                 return _typed_empty_out()
             return res.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-        reps = ray.data.read_parquet(stage.reps_dir, columns=[id_col, "text"])
+        reps = stage.rep_text_ds()
         # candidate-id pre-filter: when the (materialized) pair set is
         # bounded, gather its UNIQUE ids (two int64 columns — ≤ ~4 MB at
         # PAIR_GATHER_LIMIT; never text) and prune the rep table with a
@@ -1243,7 +1326,7 @@ def ngram_jaccard_pairs(
         if verified.schema() is None:
             verified = ray.data.from_pandas(_typed_empty_out())
         out = _expand_members(
-            verified, stage.map_dir, id_col, extra_cols=["jaccard"]
+            verified, stage.mapping, id_col, extra_cols=["jaccard"]
         )
         if as_dataset:
             return out.materialize()
