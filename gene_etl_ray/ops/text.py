@@ -90,92 +90,135 @@ class LangId:
 
 
 class QualityScorer:
-    """Per-doc quality signals, fully vectorized (pandas str kernels):
-    char/word counts, mean word length, punctuation ratio, stopword ratio,
-    uppercase ratio, digit ratio — the derived-ratio column family (M9)."""
+    """Per-doc quality signals, Arrow end-to-end (zero-copy batches in,
+    one RE2 count kernel per signal — no pandas string boxing): char/word
+    counts, mean word length, punctuation ratio, stopword ratio, uppercase
+    ratio — the derived-ratio column family (M9). RE2's ASCII ``\\w`` and
+    Python's unicode one agree on this corpus (asserted in tests), which
+    is also what makes every signal SQL-derivable (QUALITY_FULL_SQL)."""
 
     def __init__(self) -> None:
         self.stop_en = _STOPWORDS["en"]
-        self.stop_pat = re.compile(
-            r"\b(?:" + "|".join(sorted(_STOPWORDS["en"])) + r")\b"
-        )
+        self.stop_pat = r"\b(?:" + "|".join(sorted(_STOPWORDS["en"])) + r")\b"
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch["text"].fillna("")
-        n_chars = s.str.len()
-        # every kernel is a column-wise count — no per-row lambdas:
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        s = pc.fill_null(batch.column("text"), "")
+        f64 = pa.float64()
+
+        def cnt(pat: str, col=None):
+            return pc.cast(pc.count_substring_regex(col or s, pat), f64)
+
+        n_chars = pc.cast(pc.utf8_length(s), f64)
+        # every kernel is a column-wise count — no per-row Python:
         # mean word length = (# of \w chars) / (# of \w+ runs), identical
         # to the mean of token lengths; stopword hits via ONE alternation
         # regex over the lowered text (token == stopword ⟺ maximal \w run
         # matches \b-delimited alternative)
-        n_words = s.str.count(_WORD)
-        n_word_chars = s.str.count(r"\w")
-        stop_hits = s.str.lower().str.count(self.stop_pat)
-        batch["n_chars"] = n_chars.astype("int64")
-        batch["n_words"] = n_words.astype("int64")
-        batch["mean_word_len"] = (
-            n_word_chars / n_words.replace(0, 1)
-        ).where(n_words > 0, 0.0).astype("float64")
-        batch["punct_ratio"] = (
-            s.str.count(_PUNCT) / n_chars.replace(0, 1)
-        ).astype("float64")
-        batch["stopword_ratio"] = (
-            stop_hits / n_words.replace(0, 1)
-        ).where(n_words > 0, 0.0).astype("float64")
-        batch["upper_ratio"] = (s.str.count(r"[A-Z]") / n_chars.replace(0, 1)).astype(
-            "float64"
-        )
-        return batch
+        n_words = cnt(r"\w+")
+        n_word_chars = cnt(r"\w")
+        stop_hits = cnt(self.stop_pat, pc.utf8_lower(s))
+        one = pa.scalar(1.0, f64)
+        chars_div = pc.max_element_wise(n_chars, one)
+        words_div = pc.max_element_wise(n_words, one)
+        has_words = pc.greater(n_words, pa.scalar(0.0, f64))
+        zero = pa.scalar(0.0, f64)
+        out = batch
+        for name, col in (
+            ("n_chars", pc.cast(n_chars, pa.int64())),
+            ("n_words", pc.cast(n_words, pa.int64())),
+            (
+                "mean_word_len",
+                pc.if_else(has_words, pc.divide(n_word_chars, words_div), zero),
+            ),
+            ("punct_ratio", pc.divide(cnt(_PUNCT.pattern), chars_div)),
+            (
+                "stopword_ratio",
+                pc.if_else(has_words, pc.divide(stop_hits, words_div), zero),
+            ),
+            ("upper_ratio", pc.divide(cnt(r"[A-Z]"), chars_div)),
+        ):
+            out = out.append_column(name, col)
+        return out
 
 
 def quality_filter_frame(
-    b: pd.DataFrame,
+    b: "pa.Table",
     lang: str = "en",
     min_chars: int = 100,
     max_chars: int = 20000,
     max_upper_ratio: float = 0.3,
-) -> pd.DataFrame:
+) -> "pa.Table":
     """THE corpus quality gate (shared by queries.docs_quality_filter and
     pipelines.curate so the predicate can never diverge between them —
     its SQL twin lives in QUALITY_FILTER_SQL / CURATION_SQL's quality
-    CTE): language match, length bounds, shouting-ratio cap. Returns the
-    kept rows with an ``n_chars`` column appended."""
-    s = b["text"].fillna("")
-    n = s.str.len()
-    upper = s.str.count(r"[A-Z]") / n.replace(0, 1)
-    keep = (
-        (b["lang"] == lang)
-        & (n >= min_chars)
-        & (n <= max_chars)
-        & (upper < max_upper_ratio)
+    CTE): language match, length bounds, shouting-ratio cap. Arrow
+    in/out (zero-copy filter over the batch — the full corpus flows
+    through this gate, so no pandas string boxing). Returns the kept
+    rows with an ``n_chars`` column appended."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s = pc.fill_null(b.column("text"), "")
+    f64 = pa.float64()
+    n = pc.cast(pc.utf8_length(s), f64)
+    upper = pc.divide(
+        pc.cast(pc.count_substring_regex(s, r"[A-Z]"), f64),
+        pc.max_element_wise(n, pa.scalar(1.0, f64)),
     )
-    out = b.loc[keep].copy()
-    out["n_chars"] = n[keep].astype("int64")
-    return out
+    keep = pc.and_(
+        pc.and_(
+            pc.equal(b.column("lang"), lang),
+            pc.and_(
+                pc.greater_equal(n, float(min_chars)),
+                pc.less_equal(n, float(max_chars)),
+            ),
+        ),
+        pc.less(upper, max_upper_ratio),
+    )
+    keep = pc.fill_null(keep, False)
+    out = b.append_column("n_chars", pc.cast(n, pa.int64()))
+    return out.filter(keep)
 
 
 def token_count_ws(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Whitespace token count — SQL-checkable vectorized kernel."""
+    """Whitespace token count — SQL-checkable kernel, Arrow end-to-end
+    (zero-copy batch in, one RE2 count kernel, no pandas string boxing)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["n_tokens_ws"] = batch["text"].fillna("").str.split().str.len().astype("int64")
-        return batch
+    def fn(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch.column("text"), "")
+        return batch.append_column(
+            "n_tokens_ws",
+            pc.cast(pc.count_substring_regex(t, r"\S+"), pa.int64()),
+        )
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def token_count_bpe_ish(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """BPE-ish pretokenizer count — vectorized ``str.count`` over the
-    compiled pattern (counts non-overlapping matches, identical to
-    ``len(findall)`` without the per-document Python loop)."""
+    """BPE-ish pretokenizer count — one RE2 ``count_substring_regex``
+    over Arrow batches (non-overlapping matches, identical to
+    ``len(findall)``). RE2 has no lookahead, so this uses the
+    lookahead-free variant of ``_BPE_ISH`` — the same one the DuckDB
+    twin (BPE_SQL) runs: the ``\\s+(?!\\S)`` branch only changes
+    SEGMENTATION of whitespace runs, never the token COUNT."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["n_tokens_bpe"] = (
-            batch["text"].fillna("").str.count(_BPE_ISH).astype("int64")
+    pat = r"'(?:s|t|re|ve|m|ll|d)| ?\w+| ?[^\s\w]+|\s+"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch.column("text"), "")
+        return batch.append_column(
+            "n_tokens_bpe",
+            pc.cast(pc.count_substring_regex(t, pat), pa.int64()),
         )
-        return batch
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 class Fingerprinter:
@@ -234,17 +277,28 @@ def redact_terms(
     hit count and the redacted text, fully vectorized (pandas str
     kernels over compiled RE2-compatible patterns — no lookarounds or
     backrefs, so the exact predicate is SQL-checkable). Adds
-    ``n_redacted`` and ``redacted_len``; per-batch, no shuffle."""
+    ``n_redacted`` and ``redacted_len``; per-batch, no shuffle; Arrow
+    end-to-end (RE2 count + replace kernels — no pandas string boxing)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        t = b["text"].fillna("")
-        b["n_redacted"] = t.str.count(pattern).astype("int64")
-        b["redacted_len"] = (
-            t.str.replace(pattern, replacement, regex=True).str.len().astype("int64")
+    def fn(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b.column("text"), "")
+        b = b.append_column(
+            "n_redacted",
+            pc.cast(pc.count_substring_regex(t, pattern), pa.int64()),
         )
-        return b
+        return b.append_column(
+            "redacted_len",
+            pc.cast(
+                pc.utf8_length(
+                    pc.replace_substring_regex(t, pattern, replacement)
+                ),
+                pa.int64(),
+            ),
+        )
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def tfidf_topk(

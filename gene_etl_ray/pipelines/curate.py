@@ -48,13 +48,13 @@ def curate_documents(
 
     from gene_etl_ray.ops.text import quality_filter_frame
 
-    def quality(b: pd.DataFrame) -> pd.DataFrame:
+    def quality(b):
         return quality_filter_frame(
             b, lang=lang, min_chars=min_chars, max_chars=max_chars,
             max_upper_ratio=max_upper_ratio,
-        )[[id_col, "text"]]
+        ).select([id_col, "text"])
 
-    q = ds.map_batches(quality, batch_format="pandas")
+    q = ds.map_batches(quality, batch_format="pyarrow")
     deduped = dedup.exact_dedup(q, column="text", id_col=id_col)
 
     scratch_root = os.environ.get("GENE_ETL_SCRATCH", "/tmp")

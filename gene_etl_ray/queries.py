@@ -856,11 +856,11 @@ def docs_quality_filter(sf_dir: str) -> pd.DataFrame:
     predicate chain over derived quality columns (M1 + M9)."""
     ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
 
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        return text.quality_filter_frame(b)[["doc_id", "n_chars"]]
+    def fn(b):
+        return text.quality_filter_frame(b).select(["doc_id", "n_chars"])
 
     return (
-        ds.map_batches(fn, batch_format="pandas")
+        ds.map_batches(fn, batch_format="pyarrow")
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -951,7 +951,7 @@ def docs_quality_full(sf_dir: str) -> pd.DataFrame:
     RE2's agree, so every signal is SQL-derivable. Ratios rounded to 6dp
     on both sides."""
     ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    out = ds.map_batches(per_process(text.QualityScorer), batch_format="pandas").to_pandas()
+    out = ds.map_batches(per_process(text.QualityScorer), batch_format="pyarrow").to_pandas()
     out = out.drop(columns=["text"])
     for c in ("mean_word_len", "punct_ratio", "stopword_ratio", "upper_ratio"):
         out[c] = out[c].round(6)

@@ -93,8 +93,10 @@ class TestText:
         assert n_ok == n, f"langid accuracy regressed: {n_ok}/{n}"
 
     def test_quality_scorer(self):
+        import pyarrow as pa
+
         df = pd.DataFrame({"text": ["The quick brown fox! It jumps.", ""]})
-        out = text.QualityScorer()(df.copy())
+        out = text.QualityScorer()(pa.Table.from_pandas(df)).to_pandas()
         assert out["n_words"].tolist()[0] == 6
         assert out["n_chars"].tolist() == [30, 0]
         assert 0 < out["punct_ratio"].iloc[0] < 0.2
