@@ -85,7 +85,7 @@ def run_headline() -> dict:
         shutil.rmtree(lake_a, ignore_errors=True)
         cfg = EngineConfig(
             lake_dir=lake_a,
-            num_partitions=32,
+            num_partitions=64,
             epochs_per_commit=8,
             extract_concurrency=NUM_CPUS,
             extract_batch_size=512,
@@ -106,7 +106,7 @@ def run_headline() -> dict:
         lake_l = f"{lake}_late"
         shutil.rmtree(lake_l, ignore_errors=True)
         cfg_l = EngineConfig(
-            lake_dir=lake_l, num_partitions=32, epochs_per_commit=8,
+            lake_dir=lake_l, num_partitions=64, epochs_per_commit=8,
             extract_concurrency=NUM_CPUS, extract_batch_size=512,
             prevalidate=False, late_extract=True,
         )

@@ -29,13 +29,14 @@ def _uf_reference(edges):
 
 
 def test_boilerplate_flood_is_bounded(ray_session):
-    """A document duplicated 2000× (the Common-Crawl boilerplate page)
+    """A document duplicated 100,000× (the Common-Crawl boilerplate page)
     must pass through the chain WITHOUT quadratic pair enumeration: the
-    exact-dup collapse signs ONE representative, and the intra-group
-    expansion caps at star edges — so the pair count is O(n), not
-    C(2000,2) ≈ 2·10⁶."""
+    exact-dup collapse signs ONE representative (and the collapse
+    exchange carries only (hash, id) pairs — the 100k text copies never
+    shuffle), and the intra-group expansion caps at star edges — so the
+    pair count is O(n), not C(100000,2) = 5·10⁹."""
     base = "boilerplate template page shared across the whole crawl " * 20
-    n_copies = 2000
+    n_copies = 100_000
     docs = pd.DataFrame(
         {
             "doc_id": np.arange(n_copies + 2, dtype=np.int64),
