@@ -266,12 +266,16 @@ def _collapse_exact(
     ``ray.put`` (np.isin per batch); above it, a partitioned ANTI join
     keeps everything a Dataset — loudly.
 
-    Returns ``(sigs_dir, mapping, members_ref)``: a scratch parquet dir
-    of (id, minhash) — fixed ``num_perm × 8`` bytes/doc, the ONLY spill —
-    the (id, rep) mapping (``None`` when the corpus has no exact dups, a
-    driver-held pandas frame when bounded, else the materialized Dataset),
-    and the broadcast member-id array ref (None on the join path) so
-    callers can rebuild the rep text view without another mapping pass.
+    Returns ``(signed, sigs_dir, mapping, members_ref)``: the LIVE
+    (id, minhash) Dataset — chain the band stage onto it directly; each
+    sign task also persists its shard to ``sigs_dir`` as a side output
+    (fixed ``num_perm × 8`` bytes/doc, the ONLY spill) for consumers
+    that need the signatures a second time (est_jaccard) — valid once
+    the live stream has been fully consumed; the (id, rep) mapping
+    (``None`` when the corpus has no exact dups, a driver-held pandas
+    frame when bounded, else the materialized Dataset); and the
+    broadcast member-id array ref (None on the join path) so callers
+    can rebuild the rep text view without another mapping pass.
 
     NOTE: ``ds`` is consumed more than once (hash pass + sign pass, and
     verification may re-read it) — callers pass re-executable Datasets
@@ -347,11 +351,13 @@ def _collapse_exact(
         )
         reps = partitioned_join(ds, nonrep_keyed, id_col, "__mid", how="anti")
 
+    _os.makedirs(sigs_dir, exist_ok=True)
+
     def sign(b: pd.DataFrame) -> pd.DataFrame:
         # constructing the hasher is two tiny RNG draws — cheaper than a
         # per-process cache lookup would ever save
         hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 id_col: b[id_col].to_numpy(np.int64),
                 "minhash": [
@@ -360,19 +366,32 @@ def _collapse_exact(
                 ],
             }
         )
+        if len(out):
+            # ST4 side-output (the ingest merge-fn pattern): each sign
+            # task persists its own fixed-width (id, minhash) shard —
+            # the ONLY scratch spill — so the band stage can consume the
+            # LIVE signed stream (no write-then-read-back round trip)
+            # while est_jaccard re-reads the shards later. min-id naming
+            # + atomic replace keeps a retried task idempotent.
+            import pyarrow.parquet as pq
 
-    # the ONLY scratch spill: fixed-width (id, minhash) — num_perm × 8
-    # bytes/doc; min_rows_per_file coalesces small blocks so downstream
-    # reads don't fragment into per-blocklet tasks
-    reps.map_batches(sign, batch_format="pandas").write_parquet(
-        sigs_dir, min_rows_per_file=100_000
-    )
-    if not _os.path.isdir(sigs_dir) or not _os.listdir(sigs_dir):
-        # EMPTY input writes nothing — leave a typed empty sigs file so
-        # downstream readers see a schema, not FileNotFound
+            name = f"{sigs_dir}/sig-{int(out[id_col].min())}.parquet"
+            pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                           name + ".tmp")
+            _os.replace(name + ".tmp", name)
+        return out
+
+    signed = reps.map_batches(sign, batch_format="pandas")
+    return signed, sigs_dir, mapping, members_ref
+
+
+def _ensure_typed_sigs(sigs_dir: str, id_col: str) -> None:
+    """EMPTY input signs nothing — leave a typed empty sigs file so
+    downstream readers see a schema, not FileNotFound. Call AFTER the
+    signed stream has been fully consumed (all shards on disk)."""
+    if not _os.listdir(sigs_dir):
         import pyarrow.parquet as pq
 
-        _os.makedirs(sigs_dir, exist_ok=True)
         pq.write_table(
             pa.table(
                 {
@@ -382,7 +401,6 @@ def _collapse_exact(
             ),
             f"{sigs_dir}/empty.parquet",
         )
-    return sigs_dir, mapping, members_ref
 
 
 def _rep_candidate_pairs(
@@ -745,12 +763,10 @@ class _RepStage:
         self._ds, self._id_col = ds, id_col
         # hash-only collapse + in-place signing: text never shuffles and
         # never hits scratch — the spill is the fixed-width (id, minhash)
-        # table, and signature consumers read that column-pruned
-        self.sigs_dir, self.mapping, self._members_ref = _collapse_exact(
+        # shards each sign task writes as a side output while the band
+        # stage consumes the LIVE signed stream (one fused execution)
+        signed, self.sigs_dir, self.mapping, self._members_ref = _collapse_exact(
             ds, id_col, scratch_root, num_perm=num_perm, shingle_k=shingle_k
-        )
-        self.sig_ds = ray.data.read_parquet(
-            self.sigs_dir, columns=[id_col, "minhash"]
         )
         # materialize before the schema probe: a lazy groupby output can
         # stream a schemaless empty block first and fool the lazy probe
@@ -758,9 +774,15 @@ class _RepStage:
         # by target rows, so a huge pair set still parallelizes) — tiny
         # blocks multiply every downstream shuffle's task count
         rp = (
-            _rep_candidate_pairs(self.sig_ds, num_perm, bands, id_col, max_bucket)
+            _rep_candidate_pairs(signed, num_perm, bands, id_col, max_bucket)
             .repartition(target_num_rows_per_block=500_000)
             .materialize()
+        )
+        # the materialize above consumed the signed stream, so every sig
+        # shard is on disk; est_jaccard reads them column-pruned
+        _ensure_typed_sigs(self.sigs_dir, id_col)
+        self.sig_ds = ray.data.read_parquet(
+            self.sigs_dir, columns=[id_col, "minhash"]
         )
         # None covers BOTH no-schema and zero-row pair sets (rp is
         # materialized, so count() is metadata): consumers then skip the
