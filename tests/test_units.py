@@ -32,6 +32,45 @@ class TestExtractor:
     def test_none_passthrough(self):
         assert extract_text(None) is None
 
+    def test_batch_path_byte_identical_to_per_doc(self):
+        """The RE2 batch path and the Python-re per-doc path are TWO
+        implementations of one frozen algorithm — every adversarial
+        shape must produce byte-identical output: engine-divergent
+        constructs (non-ASCII around \\b, unicode whitespace via
+        entities), nested comment/script pathologies, invalid utf-8,
+        every whitespace char, empty and entity-only docs."""
+        import random
+
+        cases = [
+            b"",
+            b"plain text no markup",
+            b"<p>a</p>\t<p>b</p>\v\f<br>c\r\n d",
+            b"<script> <!-- </script> --> text",  # comment/script nesting
+            b"<!-- <script> --> real <script>x</script> tail",
+            b"<script>a<style>b</style>c</script>d<style>e</style>",
+            b"a &nbsp; b\n&nbsp;\nc",       # entity -> U+00A0 next to \n
+            b"&amp;&lt;&gt;&quot;&copy;",   # entity-only
+            "<scripté>x</script>y".encode(),  # \b divergence bait (non-ASCII)
+            "héllo <p>wörld</p>  ok".encode(),  # unicode ws + words
+            b"\xff\xfe<p>bad utf8</p>\xff", # invalid utf-8 -> replacement
+            b"   \n\n\t \n  ",              # all-whitespace
+            b"<head><title>t</title></head><body>x</body>",
+        ]
+        rng = random.Random(7)
+        frags = [
+            "<p>", "</p>", "<br>", "<script>", "</script>", "<!--", "-->",
+            "&nbsp;", "&amp;", " ", "\t", "\n", "\v", "word", "\xa0", "é",
+        ]
+        for _ in range(300):
+            cases.append(
+                "".join(rng.choice(frags) for _ in range(rng.randint(0, 25))).encode()
+            )
+        ex = HtmlTextExtractor()
+        got = ex._extract_many(cases)
+        want = [ex.extract_one(c) for c in cases]
+        for c, g, w in zip(cases, got, want):
+            assert g == w, (c[:80], g[:80], w[:80])
+
     def test_batch_fills_only_null_text(self):
         ex = HtmlTextExtractor()
         t = pa.table(
