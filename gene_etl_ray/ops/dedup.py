@@ -93,14 +93,20 @@ MAP_BROADCAST_LIMIT = 4_000_000
 TEXT_BROADCAST_LIMIT = 128 * 1024 * 1024
 
 # per-worker-process cache of ray.get-resolved broadcast objects —
-# ray.get deserializes a pure-Python dict on EVERY call otherwise
+# ray.get deserializes a pure-Python dict on EVERY call otherwise.
+# Bounded LRU-ish (a worker only ever serves a handful of live chains;
+# without the bound, every chain run in a long session would pin its
+# broadcast dict in every worker for the process lifetime).
 _OBJ_CACHE: dict = {}
+_OBJ_CACHE_MAX = 4
 
 
 def _cached_obj(ref):
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     v = _OBJ_CACHE.get(key)
     if v is None:
+        while len(_OBJ_CACHE) >= _OBJ_CACHE_MAX:
+            _OBJ_CACHE.pop(next(iter(_OBJ_CACHE)))
         v = _OBJ_CACHE[key] = ray.get(ref)
     return v
 

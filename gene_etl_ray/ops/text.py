@@ -109,7 +109,9 @@ class QualityScorer:
         f64 = pa.float64()
 
         def cnt(pat: str, col=None):
-            return pc.cast(pc.count_substring_regex(col or s, pat), f64)
+            return pc.cast(
+                pc.count_substring_regex(s if col is None else col, pat), f64
+            )
 
         n_chars = pc.cast(pc.utf8_length(s), f64)
         # every kernel is a column-wise count — no per-row Python:
