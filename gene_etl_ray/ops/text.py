@@ -223,6 +223,15 @@ def token_count_bpe_ish(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _seg_arange(sizes: np.ndarray) -> np.ndarray:
+    """[s0, s1, …] → concatenated [0..s0), [0..s1), …: per-segment arange
+    from ONE global arange (no per-segment loop); gather indices are then
+    ``repeat(starts, sizes) + _seg_arange(sizes)``."""
+    total = int(sizes.sum())
+    seg_starts = np.cumsum(sizes) - sizes
+    return np.arange(total, dtype=np.int64) - np.repeat(seg_starts, sizes)
+
+
 class Fingerprinter:
     """Rolling-hash (Rabin-Karp winnowing) document fingerprints: the
     minimum rolling hash in each window of ``w`` k-grams — a deterministic
@@ -262,11 +271,105 @@ class Fingerprinter:
         keep[1:] = mins[1:] != mins[:-1]
         return [int(x) for x in mins[keep]]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        fps = [self.fingerprint(t or "") for t in batch["text"]]
-        batch["fingerprint"] = fps
-        batch["n_fingerprints"] = [len(f) for f in fps]
-        return batch
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        """Flat batch kernel: identical values to per-doc ``fingerprint``
+        with NO per-document loop. The whole batch's utf-8 bytes are one
+        zero-copy Arrow buffer; the rolling hash accumulates in k passes
+        over that flat array (no windows×k intermediate), the winnowing
+        minimum in w passes; documents select their slices by offset
+        arithmetic, and windows that would cross document boundaries are
+        simply never selected. Per-doc consecutive-dedup via a
+        doc-start-reset keep mask + ``add.reduceat``."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        col = batch.column("text")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        col = pc.fill_null(col, "")
+        arr = pc.cast(col, pa.large_string())
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        if n == 0:
+            return batch.append_column(
+                "fingerprint", pa.array([], pa.list_(pa.uint64()))
+            ).append_column("n_fingerprints", pa.array([], pa.int64()))
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + n + 1
+        ]
+        dbuf = arr.buffers()[2]
+        data = (
+            np.frombuffer(dbuf, dtype=np.uint8)
+            if dbuf is not None
+            else np.empty(0, np.uint8)
+        )
+        lens = np.diff(off)
+        k, w = self.k, self.w
+        powers = np.array(
+            [pow(257, k - 1 - j, 2**64) for j in range(k)], dtype=np.uint64
+        )
+        nbytes = int(off[-1])
+        flat = data[: nbytes].astype(np.uint64)
+        # rolling k-gram hashes over the FLAT byte stream, k accumulation
+        # passes (h[p] = Σ_j flat[p+j]·257^(k-1-j) mod 2^64); positions
+        # whose window crosses a doc boundary exist but are never selected
+        nh = max(0, nbytes - k + 1)
+        h = np.zeros(nh, dtype=np.uint64)
+        for j in range(k):
+            h += flat[j : j + nh] * powers[j]
+        # winnowing minima over w consecutive hashes, w passes
+        nm = max(0, nh - w + 1)
+        mins = h[:nm].copy()
+        for j in range(1, w):
+            np.minimum(mins, h[j : j + nm], out=mins)
+
+        m = lens - k + 1  # per-doc k-gram count (≤0 ⇒ short-doc fallback)
+        case_a = lens < k  # whole-text hash
+        case_c = m > w  # winnowed minima with consecutive dedup
+        case_b = (~case_a) & ~case_c  # single min over ≤w hashes
+
+        # C first: its kept-count feeds the final per-doc counts
+        n_fp = np.ones(n, dtype=np.int64)
+        gvals = keep = bounds = None
+        ci = np.flatnonzero(case_c)
+        if len(ci):
+            counts = (m - w + 1)[ci]
+            gidx = np.repeat(off[ci], counts) + _seg_arange(counts)
+            gvals = mins[gidx]
+            bounds = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            keep = np.ones(len(gvals), dtype=bool)
+            keep[1:] = gvals[1:] != gvals[:-1]
+            keep[bounds] = True  # dedup never crosses a doc boundary
+            n_fp[ci] = np.add.reduceat(keep, bounds)
+
+        out_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_fp, out=out_off[1:])
+        vals = np.zeros(int(out_off[-1]), dtype=np.uint64)
+
+        ai = np.flatnonzero(case_a)
+        if len(ai):
+            texts = pc.take(arr, pa.array(ai)).to_pylist()
+            vals[out_off[ai]] = pd.util.hash_array(
+                np.array(texts, dtype=object)
+            ).astype(np.uint64)
+        bi = np.flatnonzero(case_b)
+        if len(bi):
+            # gather each doc's ≤w hashes, min.reduceat over exact sizes
+            sizes = m[bi]
+            gidx = np.repeat(off[bi], sizes) + _seg_arange(sizes)
+            vals[out_off[bi]] = np.minimum.reduceat(
+                h[gidx], np.concatenate([[0], np.cumsum(sizes)[:-1]])
+            )
+        if len(ci):
+            kept_per_doc = n_fp[ci]
+            tgt = np.repeat(out_off[ci], kept_per_doc) + _seg_arange(kept_per_doc)
+            vals[tgt] = gvals[keep]
+        fp_col = pa.LargeListArray.from_arrays(
+            pa.array(out_off, pa.int64()), pa.array(vals, pa.uint64())
+        )
+        return batch.append_column("fingerprint", fp_col).append_column(
+            "n_fingerprints", pa.array(n_fp, pa.int64())
+        )
 
 
 def redact_terms(

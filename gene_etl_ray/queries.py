@@ -1063,7 +1063,7 @@ def docs_fingerprints(sf_dir: str) -> pd.DataFrame:
     consecutive-dedup count via LAG — so the count gates the exact hash
     values, not just the shape."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(per_process(text.Fingerprinter), batch_format="pandas").to_pandas()
+    out = ds.map_batches(per_process(text.Fingerprinter), batch_format="pyarrow").to_pandas()
     return out[["doc_id", "n_fingerprints"]].sort_values("doc_id").reset_index(drop=True)
 
 

@@ -107,6 +107,37 @@ class TestText:
         out = text.token_count_ws(ds_from(df)).to_pandas()
         assert out["n_tokens_ws"].iloc[0] == 3
 
+    def test_fingerprint_flat_batch_matches_per_doc(self):
+        """The flat batch kernel (one byte stream, offset selection) must
+        reproduce the per-doc fingerprint() exactly across every case
+        boundary: empty, <k, ==k, m==w, m==w+1, long with repeats
+        (consecutive dedup), identical neighbours, unicode bytes."""
+        import pyarrow as pa
+
+        fp = text.Fingerprinter(k=8, window=16)
+        docs = [
+            "", "short", "exactly8", "exactly8!",  # A and B edges
+            "x" * (8 + 16 - 1),                    # m == w  (B upper edge)
+            "x" * (8 + 16),                        # m == w+1 (C lower edge)
+            "common shared substring of reasonable length here " * 4,
+            "common shared substring of reasonable length here " * 4,
+            "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",  # heavy dedup
+            "héllo wörld " * 10,                   # multi-byte utf-8
+            "prefix junk " + "common shared substring of reasonable length here " * 4,
+        ]
+        t = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+        out = fp(t)
+        got_fp = out.column("fingerprint").to_pylist()
+        got_n = out.column("n_fingerprints").to_pylist()
+        for d, g_fp, g_n in zip(docs, got_fp, got_n):
+            want = fp.fingerprint(d)
+            assert list(g_fp) == want, (d[:40], g_fp[:5], want[:5])
+            assert g_n == len(want)
+        # null text behaves like ""
+        t2 = pa.table({"text": pa.array([None, "abc def ghi jkl"], pa.string())})
+        out2 = fp(t2)
+        assert out2.column("fingerprint").to_pylist()[0] == fp.fingerprint("")
+
     def test_fingerprint_deterministic_and_shared(self):
         fp = text.Fingerprinter()
         a = fp.fingerprint("common shared substring of reasonable length here " * 4)
