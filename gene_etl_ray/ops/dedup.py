@@ -132,7 +132,7 @@ def bucketed_group_apply(
     ds: ray.data.Dataset,
     keys: list[str],
     fn,
-    num_buckets: int = GROUP_BUCKETS,
+    num_buckets: int | None = None,
 ):
     """Group-apply with a bounded task count: co-locate rows by
     ``H(keys) % num_buckets`` (a key's rows land in exactly ONE bucket, so
@@ -141,7 +141,29 @@ def bucketed_group_apply(
     bucket. ``fn`` receives a pandas frame holding whole key-groups and
     must do its own per-key work vectorized (pandas groupby/transform,
     numpy group boundaries). Deterministic across processes (siphash with
-    pandas' fixed key, as content_hash already relies on)."""
+    pandas' fixed key, as content_hash already relies on).
+
+    ``num_buckets`` defaults ADAPTIVELY: each bucket is one task holding
+    its whole frame in worker memory, so the count scales with the
+    input's on-disk bytes at ~256 MB/bucket, floored at ``GROUP_BUCKETS``
+    for parallelism and capped at 4096 (the same ceiling as the read-block
+    sizing). The byte estimate comes from ``input_files()`` — pure
+    metadata, NEVER triggers execution (``size_bytes()`` would execute a
+    lazy chain, measured) — so it is available exactly when ``ds`` is a
+    direct file read and harmlessly absent through transform chains,
+    where callers with size knowledge pass an explicit count. Bucket
+    count never affects correctness, only task granularity."""
+    if num_buckets is None:
+        num_buckets = GROUP_BUCKETS
+        try:
+            files = ds.input_files()
+            sz = sum(
+                _os.path.getsize(f.replace("local://", "")) for f in files
+            )
+            if sz:
+                num_buckets = int(min(max(GROUP_BUCKETS, sz // (256 << 20)), 4096))
+        except Exception:
+            pass
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):
