@@ -36,6 +36,33 @@ def read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.
     return ray.data.read_parquet(path, columns=columns, schema=schema)
 
 
+def _adaptive_buckets(*datasets: ray.data.Dataset, floor: int = 32) -> int:
+    """Bucket count for the partitioned-join family: each bucket is one
+    merge task holding both sides' bucket rows in worker memory, so the
+    count scales with the inputs' combined on-disk bytes at
+    ~256 MB/bucket (floor for parallelism, cap 4096 like read-block
+    sizing). Estimated via ``input_files()`` — pure metadata, never
+    triggers execution (``size_bytes()`` on a lazy chain would) — so it
+    engages for direct file reads and falls back to the floor through
+    transform chains, where callers with size knowledge pass an explicit
+    count. Bucket count never affects correctness (a key's rows land in
+    exactly one bucket either way), only task granularity."""
+    import os
+
+    total = 0
+    for ds in datasets:
+        try:
+            total += sum(
+                os.path.getsize(f.replace("local://", ""))
+                for f in ds.input_files()
+            )
+        except Exception:
+            pass
+    if not total:
+        return floor
+    return int(min(max(floor, total // (256 << 20)), 4096))
+
+
 def broadcast_join(
     ds: ray.data.Dataset,
     small: pd.DataFrame,
@@ -64,7 +91,7 @@ def partitioned_join(
     right: ray.data.Dataset,
     left_on: str,
     right_on: str,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     how: str = "inner",
     bucket_post=None,
     hot_keys: list | None = None,
@@ -93,6 +120,8 @@ def partitioned_join(
     skew-join decomposition; the ingest path salts hot domains the same
     way). Inner/left only: an outer join would emit an unmatched
     replicated right row once per sub-bucket."""
+    if num_buckets is None:
+        num_buckets = _adaptive_buckets(left, right)
     if hot_keys:
         if how not in ("inner", "left", "semi", "anti"):
             raise ValueError(
@@ -253,7 +282,7 @@ def asof_join_bucketed(
     on_right: str,
     by_left: str,
     by_right: str,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     direction: str = "backward",
     right_prepare=None,
     out_cols: list[str] | None = None,
@@ -266,6 +295,8 @@ def asof_join_bucketed(
     per-key dedup that would otherwise need its own shuffle — fold it
     into this one). Partitioning assumption: the by-key is the bucket
     key, so all as-of candidates for a row share its bucket."""
+    if num_buckets is None:
+        num_buckets = _adaptive_buckets(left, right)
     both, lcols, rcols = _bucket_union(left, right, by_left, by_right, num_buckets)
 
     def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -302,7 +333,7 @@ def range_join_bucketed(
     on_left: str,
     start_right: str,
     end_right: str,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     bucket_post=None,
 ) -> ray.data.Dataset:
     """Big⋈big RANGE join: equality on the by-key plus interval
@@ -314,6 +345,8 @@ def range_join_bucketed(
     (rows-per-key on each side) is bounded. ``bucket_post`` can fold an
     aggregation into the bucket pass (complete per by-key, since every
     row of a key shares its bucket)."""
+    if num_buckets is None:
+        num_buckets = _adaptive_buckets(left, right)
     both, lcols, rcols = _bucket_union(left, right, by_left, by_right, num_buckets)
 
     def range_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -989,7 +1022,7 @@ def merge_into(
     update_cols: list[str],
     delete_col: str | None = None,
     insert: bool = True,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """SQL ``MERGE INTO`` over two large Datasets (the conditional
     upsert/delete the reference applies row-by-row through its ORM
@@ -1053,6 +1086,8 @@ def merge_into(
                 out = pd.concat([out, ins], ignore_index=True)
         return out.reset_index(drop=True)
 
+    if num_buckets is None:
+        num_buckets = _adaptive_buckets(target, source)
     both, _, _ = _bucket_union(target, source, on, on, num_buckets)
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
 
