@@ -2374,6 +2374,91 @@ def lineitem_corr_fdr_pipeline(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def corr_fdr_significant(sf_dir: str) -> pd.DataFrame:
+    """The SAME end-to-end corr→p→BH-FDR→significance code path as
+    ``lineitem_corr_fdr_pipeline`` (``correlate.py:249-295``), run in
+    the df=1 EXACT REGIME so the t-distribution survival function has a
+    closed form DuckDB can evaluate: with exactly 3 samples per cohort,
+    p = P(|T₁| ≥ |t|) = 1 − (2/π)·atan(|t|), t = rho/√(1−rho²). The
+    input is the per-(returnflag, suppkey%8, linenumber≤3) revenue sum,
+    pivoted to a 3-sample × 8-var matrix per cohort — every stage of the
+    pipeline (pivot fill, blocked tile corr, betainc p-value, per-cohort
+    BH suffix-min, alpha flag) lands under the value-hash gate. The
+    engine side still goes through the general incomplete-beta kernel
+    (verified ≤1e-12 from the closed form at df=1 in
+    tests/test_correlate.py), so this gates the production code, not a
+    special case of it."""
+    from gene_etl_ray.ops import correlate
+    from gene_etl_ray.ops.relational import grouped_aggregate_partial
+
+    ds = read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_suppkey", "l_linenumber", "l_extendedprice"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b.column("l_linenumber"), pa.scalar(3)))
+        return b.append_column(
+            "supp_bucket", pc.bit_wise_and(b.column("l_suppkey"), pa.scalar(7))
+        )
+
+    sums = grouped_aggregate_partial(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "supp_bucket", "l_linenumber"],
+        sums={"v": "l_extendedprice"},
+    )
+    out = correlate.corr_with_fdr(
+        ray.data.from_pandas(sums),
+        "supp_bucket", "l_linenumber", "v", "l_returnflag",
+        method="pearson", alpha=0.05,
+    )
+    out["n"] = out["n"].astype("int64")
+    for c in ("rho", "p_value", "q_value"):
+        out[c] = out[c].round(6)
+    return out.reset_index(drop=True)
+
+
+CORR_FDR_SQL = """
+WITH c AS (
+  SELECT l_returnflag g, l_suppkey % 8 var, l_linenumber s,
+         sum(l_extendedprice) v
+  FROM lineitem WHERE l_linenumber <= 3 GROUP BY 1, 2, 3),
+grid AS (
+  SELECT gv.g, gv.var, gs.s
+  FROM (SELECT DISTINCT g, var FROM c) gv
+  JOIN (SELECT DISTINCT g, s FROM c) gs ON gv.g = gs.g),
+m AS (
+  SELECT grid.g, grid.var, grid.s, COALESCE(c.v, 0.0) v
+  FROM grid LEFT JOIN c ON grid.g = c.g AND grid.var = c.var
+                        AND grid.s = c.s),
+pairs AS (
+  SELECT a.g, a.var va, b.var vb, corr(a.v, b.v) rho,
+         CAST(count(*) AS BIGINT) n
+  FROM m a JOIN m b ON a.g = b.g AND a.s = b.s AND a.var < b.var
+  GROUP BY 1, 2, 3),
+pv AS (
+  SELECT g, va, vb, rho, n,
+         CASE WHEN abs(rho) >= 1.0 THEN 0.0
+              ELSE 1.0 - 2.0 * atan(abs(rho) / sqrt(1.0 - rho*rho)) / pi()
+         END AS p,
+         count(*) OVER (PARTITION BY g) AS npairs
+  FROM pairs),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY g ORDER BY p) AS rk,
+         p * npairs / row_number() OVER (PARTITION BY g ORDER BY p) AS bh
+  FROM pv),
+q AS (
+  SELECT g, va, vb, rho, n, p,
+         least(min(bh) OVER (PARTITION BY g ORDER BY rk
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0) AS qv
+  FROM r)
+SELECT g AS l_returnflag, va AS var_a, vb AS var_b,
+       round(rho, 6) AS rho, round(p, 6) AS p_value,
+       round(qv, 6) AS q_value, n, qv < 0.05 AS significant
+FROM q ORDER BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3584,6 +3669,7 @@ QUERIES = {
     # --- 5. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
+    "corr_fdr_significant": corr_fdr_significant,
 }
 
 ORACLE_SQL = {
@@ -3677,4 +3763,5 @@ ORACLE_SQL = {
     "customer_kendall_by_segment": KENDALL_SQL,
     "events_fdr_bh": FDR_BH_SQL,
     "events_type_corr_matrix": CORR_MATRIX_SQL,
+    "corr_fdr_significant": CORR_FDR_SQL,
 }

@@ -72,6 +72,19 @@ def test_t_sf_and_corr_p_bounds():
     assert pv[1] < pv[0] and pv[3] < pv[1]
 
 
+def test_corr_p_df1_closed_form():
+    """df=1 (n=3) has the closed form p = 1 - (2/pi)*atan(|t|) — the
+    identity the corr_fdr_significant DuckDB oracle evaluates. The
+    general incomplete-beta kernel must agree to well under the 6-dp
+    rounding the gate hashes at."""
+    rho = np.linspace(-0.999999, 0.999999, 20001)
+    n = np.full_like(rho, 3.0)
+    p = corr_p_value(rho, n)
+    t = rho * np.sqrt(1.0 / np.maximum(1.0 - rho * rho, 1e-300))
+    closed = 1.0 - 2.0 * np.arctan(np.abs(t)) / np.pi
+    assert np.abs(p - closed).max() < 1e-9
+
+
 def test_grouped_corr_methods(ray_session):
     rng = np.random.RandomState(11)
     n = 400
