@@ -406,6 +406,164 @@ def redact_terms(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _flat_ngrams(toks: pd.Series, n: int):
+    """Word n-grams for EVERY doc in the batch from ONE flat token array
+    (the ``ngram_topk`` join shape): all tokens concatenate, windows
+    shift against the flat array, and windows that would straddle a
+    document boundary are masked out by offset arithmetic — no
+    per-document Python loop. Returns ``(doc_idx, grams)`` where
+    ``doc_idx`` is the batch-local row index of each gram's document."""
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    if total < n:
+        return np.empty(0, np.int64), np.empty(0, object)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+    gram = flat[: total - n + 1].astype(object)
+    for j in range(1, n):
+        gram = gram + " "
+        gram = gram + flat[j : total - n + 1 + j]
+    ends = np.cumsum(lens)
+    ok = np.ones(total - n + 1, dtype=bool)
+    for j in range(1, n):
+        cut = ends - j  # window starts whose span crosses this doc's end
+        cut = cut[(cut >= 0) & (cut < total - n + 1)]
+        ok[cut] = False
+    doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)[: total - n + 1]
+    return doc[ok], gram[ok]
+
+
+def repetition_stats(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Gopher/MassiveText-style repetition quality signals, per document:
+    ``dup_word_frac`` (1 − distinct/total words), ``top_bigram_frac``
+    (share of bigram occurrences claimed by the most frequent bigram)
+    and ``dup_trigram_frac`` (1 − distinct/total trigrams) — the
+    repetition family of the published Gopher quality filters, adapted
+    word-level to this corpus (the fixtures carry no newlines, so the
+    line-level variants are degenerate here).
+
+    Scale shape: documents never straddle batches, so the whole operator
+    is ONE shuffle-free ``map_batches`` pass; inside a batch the n-gram
+    join is the flat-array ``_flat_ngrams`` kernel and every per-doc
+    statistic is a C-level pandas hash groupby over the gram stream (no
+    per-row Python). SQL twin: REPETITION_SQL (string_split + list_zip
+    windows + grouped counts)."""
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.split(" ")
+        ids = b[id_col].to_numpy()
+        nd = len(b)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        flat = (
+            np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            if total
+            else np.empty(0, object)
+        )
+        doc_all = np.repeat(np.arange(nd, dtype=np.int64), lens)
+        n_distinct = np.zeros(nd, dtype=np.int64)
+        if total:
+            dw = pd.DataFrame({"d": doc_all, "w": flat}).groupby("d")["w"].nunique()
+            n_distinct[dw.index.to_numpy()] = dw.to_numpy()
+        dup_word = np.where(
+            lens > 0, 1.0 - n_distinct / np.maximum(lens, 1), 0.0
+        )
+        d2, g2 = _flat_ngrams(toks, 2)
+        top_bi = np.zeros(nd)
+        if len(g2):
+            c = pd.DataFrame({"d": d2, "g": g2}).groupby(["d", "g"]).size()
+            st = c.groupby(level=0).agg(["max", "sum"])
+            top_bi[st.index.to_numpy()] = (st["max"] / st["sum"]).to_numpy()
+        d3, g3 = _flat_ngrams(toks, 3)
+        dup_tri = np.zeros(nd)
+        if len(g3):
+            fr = pd.DataFrame({"d": d3, "g": g3})
+            tot = fr.groupby("d").size()
+            dis = fr.drop_duplicates().groupby("d").size()
+            v = 1.0 - dis / tot
+            dup_tri[v.index.to_numpy()] = v.to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "n_words": lens,
+                "dup_word_frac": np.round(dup_word, 6),
+                "top_bigram_frac": np.round(top_bi, 6),
+                "dup_trigram_frac": np.round(dup_tri, 6),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 2,
+    bench_mod: int = 97,
+) -> ray.data.Dataset:
+    """Benchmark decontamination: flag documents sharing ≥ ``min_hits``
+    DISTINCT word ``n``-grams with a benchmark set — the published
+    n-gram-overlap decontamination pattern for training corpora. The
+    benchmark here is the deterministic ``doc_id % bench_mod == 0``
+    subset (a stand-in for a fixed eval suite; pass any doc predicate
+    by pre-filtering in a real run).
+
+    Scale shape: the benchmark n-gram vocabulary is inherently bounded
+    (eval suites are fixed and tiny next to the corpus — O(10⁶) grams),
+    so it is collected once as per-batch DISTINCT partials and broadcast
+    via ``ray.put`` (one object-store copy, read zero-copy by every
+    scoring task — never re-shipped per batch); the corpus side is ONE
+    shuffle-free ``map_batches`` pass using the same flat-array n-gram
+    kernel, with membership via a C-level hash ``isin``. SQL twin:
+    DECONTAMINATE_SQL."""
+    import ray
+
+    def bench_partial(b: pd.DataFrame):
+        import pyarrow as pa
+
+        m = b[b[id_col] % bench_mod == 0]
+        if len(m):
+            _, g = _flat_ngrams(m[text_col].fillna("").str.split(" "), n)
+        else:
+            g = np.empty(0, object)
+        # Arrow out: Ray's block-size estimator chokes on EMPTY pandas
+        # object/string columns (np.vectorize on size-0 input); Arrow
+        # blocks size exactly
+        return pa.table({"g": pa.array(pd.unique(g), type=pa.string())})
+
+    bench = (
+        ds.map_batches(bench_partial, batch_format="pandas")
+        .to_pandas()["g"]
+        .unique()
+    )
+    ref = ray.put(set(bench))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        bs = ray.get(ref)
+        ids = b[id_col].to_numpy()
+        hits = np.zeros(len(b), dtype=np.int64)
+        d, g = _flat_ngrams(b[text_col].fillna("").str.split(" "), n)
+        if len(g):
+            fr = pd.DataFrame({"d": d, "g": g}).drop_duplicates()
+            hc = fr[fr["g"].isin(bs)].groupby("d").size()
+            hits[hc.index.to_numpy()] = hc.to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "n_hits": hits,
+                "contaminated": hits >= min_hits,
+                "is_benchmark": ids % bench_mod == 0,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def tfidf_topk(
     ds: ray.data.Dataset,
     k: int = 3,

@@ -3435,6 +3435,89 @@ FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 15
 """
 
 
+def docs_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality signals per document
+    (``text.repetition_stats``): dup-word fraction, top-bigram share,
+    dup-trigram fraction — one shuffle-free flat-array pass; every
+    per-doc statistic lands under the value-hash gate."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        text.repetition_stats(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_words"] = out["n_words"].astype("int64")
+    return out
+
+
+REPETITION_SQL = r"""
+WITH d AS (SELECT doc_id, string_split(COALESCE(text,''), ' ') AS toks
+           FROM documents),
+base AS (SELECT doc_id, len(toks) AS n_words,
+                len(list_distinct(toks)) AS n_distinct FROM d),
+bi AS (SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:])) AS p
+       FROM d WHERE len(toks) >= 2),
+bic AS (SELECT doc_id, p[1] || ' ' || p[2] AS g, count(*) AS c
+        FROM bi GROUP BY 1, 2),
+bistat AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bic GROUP BY 1),
+tri AS (SELECT doc_id,
+               unnest(list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1],
+                               toks[3:])) AS p
+        FROM d WHERE len(toks) >= 3),
+tric AS (SELECT doc_id, count(*) AS tot,
+                count(DISTINCT p[1] || ' ' || p[2] || ' ' || p[3]) AS dis
+         FROM tri GROUP BY 1)
+SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+       round(1.0 - b.n_distinct * 1.0 / b.n_words, 6) AS dup_word_frac,
+       round(COALESCE(bistat.mx * 1.0 / bistat.tot, 0.0), 6)
+         AS top_bigram_frac,
+       round(COALESCE(1.0 - tric.dis * 1.0 / tric.tot, 0.0), 6)
+         AS dup_trigram_frac
+FROM base b LEFT JOIN bistat USING (doc_id) LEFT JOIN tric USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def docs_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination (``text.decontaminate``): documents
+    sharing ≥2 distinct word trigrams with the deterministic benchmark
+    subset (doc_id % 97 == 0) are flagged — the n-gram-overlap
+    decontamination pass every training corpus runs before use. Bench
+    gram set broadcast once via ray.put; corpus side shuffle-free."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        text.decontaminate(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_hits"] = out["n_hits"].astype("int64")
+    return out
+
+
+DECONTAMINATE_SQL = r"""
+WITH d AS (SELECT doc_id, string_split(COALESCE(text,''), ' ') AS toks
+           FROM documents),
+tri AS (SELECT doc_id,
+               unnest(list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1],
+                               toks[3:])) AS p
+        FROM d WHERE len(toks) >= 3),
+g AS (SELECT DISTINCT doc_id, p[1] || ' ' || p[2] || ' ' || p[3] AS g
+      FROM tri),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+hits AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM g JOIN bench USING (g) GROUP BY 1)
+SELECT d0.doc_id, COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       COALESCE(h.n_hits, 0) >= 2 AS contaminated,
+       d0.doc_id % 97 = 0 AS is_benchmark
+FROM documents d0 LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def embeddings_kmeans_assign(sf_dir: str) -> pd.DataFrame:
     """k-means assignment step under the SQL gate (``knn.kmeans_assign``):
     centroids = the 4 lowest vec_ids (deterministic, no RNG), one
@@ -3620,6 +3703,8 @@ QUERIES = {
     "events_cohort_retention": events_cohort_retention,
     "events_weekly_active_users": events_weekly_active_users,
     "docs_top_bigrams": docs_top_bigrams,
+    "docs_repetition_stats": docs_repetition_stats,
+    "docs_decontaminate": docs_decontaminate,
     "events_cumulative_types": events_cumulative_types,
     "orders_anti_join_bulk": orders_anti_join_bulk,
     # --- re-gated standards (driver-green in r2) ---
@@ -3745,6 +3830,8 @@ ORACLE_SQL = {
     "events_cohort_retention": COHORT_SQL,
     "events_weekly_active_users": WAU_SQL,
     "docs_top_bigrams": BIGRAM_SQL,
+    "docs_repetition_stats": REPETITION_SQL,
+    "docs_decontaminate": DECONTAMINATE_SQL,
     "embeddings_kmeans_assign": KMEANS_SQL,
     "events_cumulative_types": CUMULATIVE_TYPES_SQL,
     "orders_anti_join_bulk": ANTI_BULK_SQL,

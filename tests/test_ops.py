@@ -146,6 +146,61 @@ class TestText:
         c = fp.fingerprint("prefix junk " + "common shared substring of reasonable length here " * 4)
         assert set(a) & set(c)  # winnowed fingerprints overlap on shared text
 
+    def test_repetition_stats_closed_form(self):
+        """Constructed docs with hand-computable signals. 'a b a b a b':
+        6 words, 2 distinct → dup_word 4/6; bigrams [ab,ba,ab,ba,ab] →
+        top 3/5; trigrams [aba,bab,aba,bab] → dup 1 - 2/4. A fully
+        distinct doc scores 0 everywhere; a 1-word doc hits every
+        degenerate branch (no bigrams/trigrams)."""
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["a b a b a b", "one two three four", "solo"],
+            }
+        )
+        out = (
+            text.repetition_stats(ds_from(df))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["n_words"].tolist() == [6, 4, 1]
+        assert out["dup_word_frac"].tolist() == pytest.approx(
+            [round(1 - 2 / 6, 6), 0.0, 0.0]
+        )
+        assert out["top_bigram_frac"].tolist() == pytest.approx(
+            [0.6, round(1 / 3, 6), 0.0]
+        )
+        assert out["dup_trigram_frac"].tolist() == pytest.approx(
+            [0.5, 0.0, 0.0]
+        )
+
+    def test_decontaminate_planted_overlap(self):
+        """doc 0 is the benchmark (0 % 97 == 0). doc 5 copies two of its
+        distinct trigrams → contaminated; doc 6 shares exactly one → not
+        contaminated at min_hits=2; doc 7 shares none."""
+        bench = "alpha beta gamma delta epsilon"
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 5, 6, 7],
+                "text": [
+                    bench,
+                    "alpha beta gamma x y beta gamma delta",
+                    "x alpha beta gamma y z w q",
+                    "totally different words here now",
+                ],
+            }
+        )
+        out = (
+            text.decontaminate(ds_from(df))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["is_benchmark"].tolist() == [True, False, False, False]
+        assert out["n_hits"].tolist()[1:] == [2, 1, 0]
+        assert out["contaminated"].tolist() == [True, True, False, False]
+
 
 class TestKnn:
     def _emb_df(self):
