@@ -564,6 +564,127 @@ def decontaminate(
     return ds.map_batches(score, batch_format="pandas")
 
 
+def chunk_windows(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+) -> ray.data.Dataset:
+    """Sliding token-window chunking — the LM-training preprocessing
+    step that splits long documents into overlapping fixed-budget
+    windows. Emits per-chunk METADATA (token start/count + exact char
+    offsets into the original text) rather than materializing the
+    overlapping chunk strings, so the output is O(chunks) small ints and
+    the text is sliced lazily by whoever consumes a chunk — at 100 TB
+    re-materializing every overlapping window would multiply the corpus
+    by window/stride.
+
+    Flat-map shape, ONE shuffle-free pass; inside a batch everything is
+    offset arithmetic over the flat token array (per-doc chunk counts →
+    ``_seg_arange`` fan-out → gather). The char offsets satisfy
+    ``text[char_start:char_start+char_len] ==
+    ' '.join(tokens[tok_start:tok_start+n_tok])`` (pinned in tests).
+    SQL twin: CHUNK_SQL (range-unnest fan-out + prefix-sum window)."""
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.split(" ")
+        ids = b[id_col].to_numpy()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        empty = {
+            id_col: np.empty(0, dtype=ids.dtype if len(ids) else np.int64),
+            "chunk_id": np.empty(0, np.int64),
+            "tok_start": np.empty(0, np.int64),
+            "n_tok": np.empty(0, np.int64),
+            "char_start": np.empty(0, np.int64),
+            "char_len": np.empty(0, np.int64),
+        }
+        if not len(b) or not int(lens.sum()):
+            return pd.DataFrame(empty)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        tlen = pd.Series(flat).str.len().to_numpy(dtype=np.int64)
+        g = np.cumsum(tlen + 1)  # +1: the single-space joiner
+        cstart = np.concatenate(([0], g[:-1]))  # char start of each token
+        doc_tok_off = np.cumsum(lens) - lens
+        n_chunks = (np.maximum(lens, 1) - 1) // stride + 1
+        didx = np.repeat(np.arange(len(b), dtype=np.int64), n_chunks)
+        ci = _seg_arange(n_chunks)
+        tok_start = ci * stride
+        n_tok = np.minimum(window, lens[didx] - tok_start)
+        first = doc_tok_off[didx] + tok_start
+        last = first + n_tok - 1
+        base = cstart[doc_tok_off[didx]]
+        return pd.DataFrame(
+            {
+                id_col: ids[didx],
+                "chunk_id": ci,
+                "tok_start": tok_start,
+                "n_tok": n_tok,
+                "char_start": cstart[first] - base,
+                "char_len": cstart[last] + tlen[last] - cstart[first],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 128,
+    bucket_size: int = 16,
+) -> ray.data.Dataset:
+    """Greedy training-sequence packing: documents, in id order, fill a
+    sequence until the next doc would overflow the token ``budget``
+    (an oversized doc always gets its own sequence) — first-fit-in-order
+    bin packing, the standard pretraining-batch packer.
+
+    Packing is inherently sequential, so parallelism comes from the
+    PARTITIONING ASSUMPTION (documented per the custom-operator rule):
+    docs pack within disjoint ``id // bucket_size`` buckets, giving one
+    hash shuffle on a bounded-size key and an embarrassingly parallel
+    per-bucket pack. Per bucket the loop runs over SEQUENCES, not docs
+    (global cumsum + searchsorted per boundary, O(seqs·log docs)). Only
+    (id, bucket, n_tokens) rows move — never text. Emits per-sequence
+    (bucket, seq_id, n_docs, seq_tokens). SQL twin: PACK_SQL (recursive
+    CTE over per-bucket row_number chains)."""
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.split(" ")
+        ids = b[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "bucket": ids // bucket_size,
+                "n": toks.str.len().to_numpy(dtype=np.int64),
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        n = g["n"].to_numpy(dtype=np.int64)
+        c = np.cumsum(n)
+        seq = np.zeros(len(n), dtype=np.int64)
+        i, s = 0, 0
+        while i < len(n):  # one iteration per SEQUENCE, not per doc
+            prev = int(c[i - 1]) if i else 0
+            j = int(np.searchsorted(c, prev + budget, side="right"))
+            j = max(j, i + 1)  # an oversized doc still gets a sequence
+            seq[i:j] = s
+            s += 1
+            i = j
+        out = pd.DataFrame(
+            {"bucket": g["bucket"].to_numpy(), "seq_id": seq, "n": n}
+        )
+        return out.groupby(["bucket", "seq_id"], as_index=False).agg(
+            n_docs=("n", "size"), seq_tokens=("n", "sum")
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pandas")
+    return prepped.groupby("bucket").map_groups(pack, batch_format="pandas")
+
+
 def tfidf_topk(
     ds: ray.data.Dataset,
     k: int = 3,

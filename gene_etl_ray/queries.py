@@ -3518,6 +3518,91 @@ ORDER BY doc_id
 """
 
 
+def docs_chunk_windows(sf_dir: str) -> pd.DataFrame:
+    """Sliding token-window chunking (``text.chunk_windows``): every doc
+    fans out to overlapping 32-token windows at stride 24, emitted as
+    offset metadata (no chunk-text materialization) — one shuffle-free
+    flat-map pass; every offset lands under the value-hash gate."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        text.chunk_windows(ds, window=32, stride=24)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+CHUNK_SQL = r"""
+WITH d AS (SELECT doc_id, string_split(COALESCE(text,''), ' ') AS toks
+           FROM documents),
+t AS (SELECT doc_id, len(toks) AS n FROM d),
+chunks AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, CAST(floor((n - 1) / 24.0) AS BIGINT) + 1))
+              AS BIGINT) AS chunk_id,
+         n
+  FROM t WHERE n > 0),
+c2 AS (
+  SELECT doc_id, chunk_id, CAST(chunk_id * 24 AS BIGINT) AS tok_start,
+         CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_tok
+  FROM chunks),
+toku AS (SELECT doc_id, unnest(toks) AS tok,
+                generate_subscripts(toks, 1) AS ord FROM d),
+pre AS (SELECT doc_id, ord, length(tok) AS tlen,
+        COALESCE(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY ord
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cstart
+        FROM toku)
+SELECT c.doc_id AS doc_id, c.chunk_id, c.tok_start, c.n_tok,
+       CAST(a.cstart AS BIGINT) AS char_start,
+       CAST(b.cstart + b.tlen - a.cstart AS BIGINT) AS char_len
+FROM c2 c
+JOIN pre a ON a.doc_id = c.doc_id AND a.ord = c.tok_start + 1
+JOIN pre b ON b.doc_id = c.doc_id AND b.ord = c.tok_start + c.n_tok
+ORDER BY 1, 2
+"""
+
+
+def docs_pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """Greedy training-sequence packing (``text.pack_sequences``): docs
+    in id order fill 128-token sequences within disjoint doc_id//16
+    buckets — one bounded-key hash shuffle, per-bucket sequential pack
+    over (id, n_tokens) rows only; per-sequence fill stats gated."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        text.pack_sequences(ds, budget=128, bucket_size=16)
+        .to_pandas()
+        .sort_values(["bucket", "seq_id"])
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+PACK_SQL = r"""
+WITH RECURSIVE docs_t AS (
+  SELECT doc_id, doc_id // 16 AS bucket,
+         len(string_split(COALESCE(text,''), ' ')) AS n,
+         row_number() OVER (PARTITION BY doc_id // 16 ORDER BY doc_id) AS rn
+  FROM documents),
+r AS (
+  SELECT bucket, doc_id, n, rn, CAST(0 AS BIGINT) AS seq_id, n AS fill
+  FROM docs_t WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.doc_id, d.n, d.rn,
+         CASE WHEN r.fill + d.n > 128 THEN r.seq_id + 1 ELSE r.seq_id END,
+         CASE WHEN r.fill + d.n > 128 THEN d.n ELSE r.fill + d.n END
+  FROM docs_t d JOIN r ON d.bucket = r.bucket AND d.rn = r.rn + 1)
+SELECT CAST(bucket AS BIGINT) AS bucket, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS seq_tokens
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def embeddings_kmeans_assign(sf_dir: str) -> pd.DataFrame:
     """k-means assignment step under the SQL gate (``knn.kmeans_assign``):
     centroids = the 4 lowest vec_ids (deterministic, no RNG), one
@@ -3705,6 +3790,8 @@ QUERIES = {
     "docs_top_bigrams": docs_top_bigrams,
     "docs_repetition_stats": docs_repetition_stats,
     "docs_decontaminate": docs_decontaminate,
+    "docs_chunk_windows": docs_chunk_windows,
+    "docs_pack_sequences": docs_pack_sequences,
     "events_cumulative_types": events_cumulative_types,
     "orders_anti_join_bulk": orders_anti_join_bulk,
     # --- re-gated standards (driver-green in r2) ---
@@ -3832,6 +3919,8 @@ ORACLE_SQL = {
     "docs_top_bigrams": BIGRAM_SQL,
     "docs_repetition_stats": REPETITION_SQL,
     "docs_decontaminate": DECONTAMINATE_SQL,
+    "docs_chunk_windows": CHUNK_SQL,
+    "docs_pack_sequences": PACK_SQL,
     "embeddings_kmeans_assign": KMEANS_SQL,
     "events_cumulative_types": CUMULATIVE_TYPES_SQL,
     "orders_anti_join_bulk": ANTI_BULK_SQL,

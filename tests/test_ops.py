@@ -201,6 +201,51 @@ class TestText:
         assert out["n_hits"].tolist()[1:] == [2, 1, 0]
         assert out["contaminated"].tolist() == [True, True, False, False]
 
+    def test_chunk_windows_offsets_slice_exactly(self):
+        """The emitted char offsets must reproduce the joined token
+        window byte-for-byte on every doc shape: shorter than one
+        window, exact multiple of the stride, long with a short tail,
+        single empty-string token."""
+        docs = [
+            "one two three",                       # < window
+            " ".join(f"w{i}" for i in range(96)),  # 96 = 4 chunks at s=24
+            " ".join(f"x{i}" for i in range(50)),  # tail chunk of 2
+            "",                                    # [''] single token
+        ]
+        df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+        out = text.chunk_windows(ds_from(df), window=32, stride=24).to_pandas()
+        assert out.groupby("doc_id").size().tolist() == [1, 4, 3, 1]
+        for _, r in out.iterrows():
+            t = docs[r["doc_id"]]
+            toks = t.split(" ")
+            want = " ".join(toks[r["tok_start"]: r["tok_start"] + r["n_tok"]])
+            got = t[r["char_start"]: r["char_start"] + r["char_len"]]
+            assert want == got
+
+    def test_pack_sequences_budget_invariants(self):
+        """Every multi-doc sequence respects the budget; a sequence
+        only exceeds it when it holds exactly one oversized doc; docs
+        never cross buckets; greedy order is id order (first-fit)."""
+        sizes = [50, 60, 30, 200, 10, 10, 100, 28, 1]
+        df = pd.DataFrame(
+            {
+                "doc_id": range(len(sizes)),
+                "text": [" ".join(["t"] * s) for s in sizes],
+            }
+        )
+        out = (
+            text.pack_sequences(ds_from(df), budget=128, bucket_size=100)
+            .to_pandas()
+            .sort_values("seq_id")
+            .reset_index(drop=True)
+        )
+        # greedy over [50,60,30,200,10,10,100,28,1] at B=128:
+        # [50,60] [30] [200] [10,10,100] [28,1]
+        assert out["n_docs"].tolist() == [2, 1, 1, 3, 2]
+        assert out["seq_tokens"].tolist() == [110, 30, 200, 120, 29]
+        over = out[out["seq_tokens"] > 128]
+        assert (over["n_docs"] == 1).all()
+
 
 class TestKnn:
     def _emb_df(self):
