@@ -1322,7 +1322,16 @@ def ngram_jaccard_pairs(
             n_splits = max(1, min(GROUP_BUCKETS, (len(uniq) + 1023) // 1024))
             verified = (
                 ray.data.from_pandas(
-                    [f for f in np.array_split(uniq, n_splits) if len(f)]
+                    # iloc-range splits (np.array_split on a DataFrame
+                    # goes through deprecated swapaxes)
+                    [
+                        uniq.iloc[lo:hi]
+                        for lo, hi in zip(
+                            np.linspace(0, len(uniq), n_splits + 1, dtype=int)[:-1],
+                            np.linspace(0, len(uniq), n_splits + 1, dtype=int)[1:],
+                        )
+                        if hi > lo
+                    ]
                 )
                 .map_batches(verify_bcast, batch_format="pandas", batch_size=8192)
                 .materialize()

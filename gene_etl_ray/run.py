@@ -329,6 +329,37 @@ def cmd_lookup(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run a registry query by name over a testdata-shaped table dir —
+    the ad-hoc analytics surface of the reference's REST query endpoints
+    (``app.py:386-428``), CLI-shaped: every operator in the
+    ``queries.QUERIES`` registry is addressable by name; results stream
+    to stdout as JSON lines (head-limited) or to a parquet file."""
+    import pandas as pd
+
+    from gene_etl_ray.queries import QUERIES
+
+    if args.name not in QUERIES:
+        print(json.dumps({"error": f"unknown query {args.name!r}",
+                          "available": sorted(QUERIES)}))
+        return 2
+    res = QUERIES[args.name](args.sf_dir)
+    if not isinstance(res, pd.DataFrame):
+        res = res.to_pandas()
+    if args.out:
+        res.to_parquet(args.out, index=False)
+        print(json.dumps({"query": args.name, "rows": len(res),
+                          "out": args.out}))
+        return 0
+    head = res.head(args.limit)
+    for r in head.to_dict(orient="records"):
+        r = {k: (str(v) if hasattr(v, "isoformat") else v) for k, v in r.items()}
+        print(json.dumps(r, default=str))
+    print(json.dumps({"query": args.name, "rows": len(res),
+                      "shown": len(head)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="gene_etl_ray", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -448,6 +479,18 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--lake", required=True)
     pl.add_argument("url", nargs="+", help="url(s) to look up")
     pl.set_defaults(fn=cmd_lookup)
+
+    pq = sub.add_parser(
+        "query", help="run a registry query by name over a table dir"
+    )
+    pq.add_argument("name", help="query name from the registry")
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                    help="directory of parquet tables")
+    pq.add_argument("--out", default=None,
+                    help="write full result to this parquet file")
+    pq.add_argument("--limit", type=int, default=20,
+                    help="rows printed to stdout (default 20)")
+    pq.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -328,3 +328,25 @@ def test_cli_vacuum(tmp_path, capsys):
     rep2 = last_json(capsys)
     assert rep2["deleted"] == rep["deferred"] and rep2["deferred"] == 0
     assert main(["validate", "--lake", lake]) == 0
+
+
+def test_cli_query_runs_registry_entry(tmp_path, capsys):
+    """`run query <name>` — the ad-hoc analytics surface: runs a
+    registry query over a table dir, prints JSON rows + a summary line,
+    exports full results to parquet, and lists names on a miss."""
+    assert main(["query", "q1_pricing_summary",
+                 "--sf-dir", "/root/testdata/sf0.001", "--limit", "2"]) == 0
+    rep = last_json(capsys)
+    assert rep["query"] == "q1_pricing_summary"
+    assert rep["rows"] >= rep["shown"] >= 1
+
+    out = str(tmp_path / "q.parquet")
+    assert main(["query", "docs_repetition_stats",
+                 "--sf-dir", "/root/testdata/sf0.001", "--out", out]) == 0
+    rep = last_json(capsys)
+    import pyarrow.parquet as pq
+    assert pq.read_metadata(out).num_rows == rep["rows"] == 500
+
+    assert main(["query", "no_such_query"]) == 2
+    rep = last_json(capsys)
+    assert "q1_pricing_summary" in rep["available"]
