@@ -628,6 +628,25 @@ def chunk_windows(
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def greedy_pack(n: np.ndarray, budget: int) -> np.ndarray:
+    """First-fit-in-order greedy packing kernel: item i joins the
+    current sequence iff the sequence's fill + n[i] ≤ budget, else
+    starts a new one (an oversized item still gets a sequence). Loops
+    over SEQUENCES, not items: one global cumsum + a searchsorted per
+    sequence boundary, O(seqs·log items). Returns the per-item seq id."""
+    c = np.cumsum(n, dtype=np.int64)
+    seq = np.zeros(len(n), dtype=np.int64)
+    i, s = 0, 0
+    while i < len(n):
+        prev = int(c[i - 1]) if i else 0
+        j = int(np.searchsorted(c, prev + budget, side="right"))
+        j = max(j, i + 1)  # an oversized item still gets a sequence
+        seq[i:j] = s
+        s += 1
+        i = j
+    return seq
+
+
 def pack_sequences(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
@@ -664,18 +683,8 @@ def pack_sequences(
     def pack(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col)
         n = g["n"].to_numpy(dtype=np.int64)
-        c = np.cumsum(n)
-        seq = np.zeros(len(n), dtype=np.int64)
-        i, s = 0, 0
-        while i < len(n):  # one iteration per SEQUENCE, not per doc
-            prev = int(c[i - 1]) if i else 0
-            j = int(np.searchsorted(c, prev + budget, side="right"))
-            j = max(j, i + 1)  # an oversized doc still gets a sequence
-            seq[i:j] = s
-            s += 1
-            i = j
         out = pd.DataFrame(
-            {"bucket": g["bucket"].to_numpy(), "seq_id": seq, "n": n}
+            {"bucket": g["bucket"].to_numpy(), "seq_id": greedy_pack(n, budget), "n": n}
         )
         return out.groupby(["bucket", "seq_id"], as_index=False).agg(
             n_docs=("n", "size"), seq_tokens=("n", "sum")

@@ -284,3 +284,63 @@ def test_asof_join_bucketed_equals_pandas_merge_asof(data):
     g = got["oid"].fillna(-1).astype("int64").tolist()
     w = want["oid"].fillna(-1).astype("int64").tolist()
     assert g == w
+
+
+# -- text preprocessing kernels (round 3) ---------------------------------
+
+
+@given(
+    st.lists(st.integers(1, 300), min_size=1, max_size=60),
+    st.integers(1, 200),
+)
+@settings(max_examples=100, deadline=None)
+def test_greedy_pack_matches_naive_greedy(sizes, budget):
+    """The searchsorted-per-sequence kernel must equal the obvious
+    per-item greedy loop, and every multi-item sequence must respect
+    the budget."""
+    from gene_etl_ray.ops.text import greedy_pack
+
+    n = np.array(sizes, dtype=np.int64)
+    got = greedy_pack(n, budget)
+    # naive reference
+    want, s, fill = [], 0, None
+    for x in sizes:
+        if fill is None:
+            fill = x
+        elif fill + x > budget:
+            s += 1
+            fill = x
+        else:
+            fill += x
+        want.append(s)
+    assert got.tolist() == want
+    df = pd.DataFrame({"s": got, "n": sizes}).groupby("s")["n"].agg(["sum", "size"])
+    over = df[df["sum"] > budget]
+    assert (over["size"] == 1).all()  # only oversized singletons exceed
+    # seq ids are 0..k contiguous and non-decreasing in item order
+    assert got[0] == 0 and np.all(np.diff(got) >= 0) and np.all(np.diff(got) <= 1)
+
+
+_tok = st.text(alphabet="ab", min_size=0, max_size=3)
+
+
+@given(
+    st.lists(st.lists(_tok, min_size=1, max_size=12), min_size=1, max_size=8),
+    st.integers(1, 4),
+)
+@settings(max_examples=100, deadline=None)
+def test_flat_ngrams_equals_per_doc(docs, n):
+    """The flat-array n-gram kernel (one concatenated token stream,
+    boundary-masked windows) must emit exactly the per-doc zip n-grams,
+    in document order."""
+    from gene_etl_ray.ops.text import _flat_ngrams
+
+    toks = pd.Series(docs)
+    d, g = _flat_ngrams(toks, n)
+    want_d, want_g = [], []
+    for i, t in enumerate(docs):
+        for j in range(len(t) - n + 1):
+            want_d.append(i)
+            want_g.append(" ".join(t[j : j + n]))
+    assert d.tolist() == want_d
+    assert g.tolist() == want_g
