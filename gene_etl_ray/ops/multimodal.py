@@ -141,6 +141,126 @@ def wav_decode_pcm16(data: bytes) -> tuple[np.ndarray, int]:
         return np.frombuffer(frames, dtype="<i2"), w.getframerate()
 
 
+# ---------------------------------------------------------------------------
+# minimal real raw-video codec (8-bit grayscale frames), stdlib-only
+# ---------------------------------------------------------------------------
+
+_RVID_MAGIC = b"RVID"
+
+
+def rawvideo_encode(frames: np.ndarray) -> bytes:
+    """Encode an (n_frames, h, w) uint8 array as a minimal raw-video
+    container: magic + dims header + contiguous frame planes. A REAL
+    (if spartan) codec — every byte is decodable by ``rawvideo_decode``
+    with no external library; the compressed-codec slot (H.264/VP9)
+    raises in ``FrameSampler`` exactly where ffmpeg would plug in."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    if f.ndim != 3:
+        raise ValueError("frames must be (n, h, w)")
+    n, h, w = f.shape
+    return _RVID_MAGIC + struct.pack("<HHI", w, h, n) + f.tobytes()
+
+
+def rawvideo_decode(data: bytes) -> np.ndarray:
+    if data[:4] != _RVID_MAGIC:
+        raise ValueError("not a raw-video payload")
+    w, h, n = struct.unpack("<HHI", data[4:12])
+    arr = np.frombuffer(data[12:], dtype=np.uint8)
+    if len(arr) != n * h * w:
+        raise ValueError("torn raw-video payload")
+    return arr.reshape(n, h, w)
+
+
+def synthesize_video(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
+    """Deterministic raw-video payloads from the documents table —
+    FIXTURE-PARAMETER construction (everything a pure formula of the
+    id, so a SQL twin can re-derive any byte-level statistic): side =
+    8 + id%8, n_frames = 8 + id%32, frame ``f`` is the constant pixel
+    value (id + f) % 251. One per-row encode loop — inherent for opaque
+    binary payloads, same shape as the PNG/WAV synthesizer."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        payloads = []
+        for i in ids:
+            i = int(i)
+            side = 8 + i % 8
+            n = 8 + i % 32
+            vals = (i + np.arange(n, dtype=np.int64)) % 251
+            frames = np.broadcast_to(
+                vals[:, None, None], (n, side, side)
+            ).astype(np.uint8)
+            payloads.append(rawvideo_encode(frames))
+        return pd.DataFrame(
+            {
+                "media_id": ids,
+                "media_type": ["video"] * len(ids),
+                "payload": payloads,
+                "mime": ["video/raw"] * len(ids),
+                "source_url": [f"https://media.example.com/v/{i}" for i in ids],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+class FrameSampler:
+    """Video frame-sampling stage (every ``stride``-th frame, from frame
+    0) — the multimodal pipeline step that bounds downstream work to
+    O(n_frames/stride). ``video/raw`` decodes/re-encodes for real;
+    compressed mimes (video/mp4, video/webm) raise at the exact call
+    site an ffmpeg/PyAV demuxer would slot into. Output rows carry the
+    SAMPLED payload (itself valid raw-video), per-media frame counts,
+    and the sampled-byte checksum — the hook e2e tests and the SQL twin
+    use to gate the actual pixel bytes through encode→sample→decode."""
+
+    def __init__(self, stride: int = 4):
+        if stride < 1:
+            raise ValueError("stride must be >= 1")
+        self.stride = stride
+
+    def _one(self, payload: bytes, mime: str) -> tuple[bytes, int, int, int, int, int]:
+        if mime == "video/raw":
+            frames = rawvideo_decode(payload)
+            sampled = frames[:: self.stride]
+            out = rawvideo_encode(sampled)
+            checksum = int(sampled.sum(dtype=np.uint64))
+            n, h, w = frames.shape
+            return out, n, len(sampled), h, w, checksum
+        raise NotImplementedError(
+            f"no demuxer for {mime!r} in this container — an ffmpeg/PyAV "
+            "frame extractor slots in exactly here"
+        )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        res = [self._one(p, m) for p, m in zip(batch["payload"], batch["mime"])]
+        out = batch.copy()
+        out["payload"] = [r[0] for r in res]
+        out["n_frames_in"] = pd.array([r[1] for r in res], dtype="int64")
+        out["n_frames_out"] = pd.array([r[2] for r in res], dtype="int64")
+        out["out_h"] = pd.array([r[3] for r in res], dtype="int64")
+        out["out_w"] = pd.array([r[4] for r in res], dtype="int64")
+        out["checksum"] = pd.array([r[5] for r in res], dtype="int64")
+        return out
+
+
+def sample_frames(
+    ds: ray.data.Dataset,
+    stride: int = 4,
+    concurrency: int = 4,
+    batch_size: int = 64,
+):
+    """Frame-sampling stage wiring: byte-heavy rows → small batches,
+    autoscaling actor pool (decoder state per actor, not per batch)."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
+
+
 def synthesize_media(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
     """Deterministic REAL media payloads derived from the documents table:
     valid grayscale PNGs and 16-bit PCM WAVs (stands in for WARC

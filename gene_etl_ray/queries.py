@@ -2190,6 +2190,49 @@ FROM documents ORDER BY media_id
 """
 
 
+def media_frame_sample(sf_dir: str) -> pd.DataFrame:
+    """Video frame-sampling (``multimodal.sample_frames``): synthesize
+    REAL raw-video payloads (frame f = constant pixel (id+f)%251) →
+    actor-pool every-4th-frame sampler → RE-DECODE the sampled payloads
+    and recompute the checksum from THOSE bytes, proving the output is
+    itself valid video. Fixture-parameter twin: frame counts and the
+    sampled-pixel checksum are pure formulas of doc_id that the SQL
+    re-derives with a range-unnest — so the gate covers the actual
+    pixel bytes through encode → sample → decode."""
+    docs = read(sf_dir, "documents", ["doc_id"])
+    vids = multimodal.synthesize_video(docs)
+    sampled = multimodal.sample_frames(vids, stride=4).to_pandas()
+    # re-decode the SAMPLED payloads: checksum must reproduce from bytes
+    redec = np.array(
+        [
+            int(multimodal.rawvideo_decode(p).sum(dtype=np.uint64))
+            for p in sampled["payload"]
+        ],
+        dtype=np.int64,
+    )
+    assert (redec == sampled["checksum"].to_numpy()).all()
+    out = sampled[
+        ["media_id", "n_frames_in", "n_frames_out", "out_h", "out_w", "checksum"]
+    ].copy()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+MEDIA_FRAME_SAMPLE_SQL = """
+WITH v AS (SELECT doc_id, CAST(8 + doc_id % 8 AS BIGINT) AS side,
+                  CAST(8 + doc_id % 32 AS BIGINT) AS nf
+           FROM documents),
+f AS (SELECT doc_id, side, nf, unnest(range(0, nf)) AS fi FROM v)
+SELECT doc_id AS media_id, nf AS n_frames_in,
+       CAST(count(*) AS BIGINT) AS n_frames_out,
+       side AS out_h, side AS out_w,
+       CAST(sum(side * side * ((doc_id + fi) % 251)) AS BIGINT) AS checksum
+FROM f WHERE fi % 4 = 0
+GROUP BY doc_id, nf, side ORDER BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # literal rank statistics (reference correlate.py parity): Spearman /
 # Kendall dispatch, BH-FDR, blocked all-pairs correlation matrix
@@ -3792,6 +3835,7 @@ QUERIES = {
     "docs_decontaminate": docs_decontaminate,
     "docs_chunk_windows": docs_chunk_windows,
     "docs_pack_sequences": docs_pack_sequences,
+    "media_frame_sample": media_frame_sample,
     "events_cumulative_types": events_cumulative_types,
     "orders_anti_join_bulk": orders_anti_join_bulk,
     # --- re-gated standards (driver-green in r2) ---
@@ -3921,6 +3965,7 @@ ORACLE_SQL = {
     "docs_decontaminate": DECONTAMINATE_SQL,
     "docs_chunk_windows": CHUNK_SQL,
     "docs_pack_sequences": PACK_SQL,
+    "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
     "embeddings_kmeans_assign": KMEANS_SQL,
     "events_cumulative_types": CUMULATIVE_TYPES_SQL,
     "orders_anti_join_bulk": ANTI_BULK_SQL,

@@ -389,6 +389,40 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             dec._features(b"\x00" * 64, "video/mp4")
 
+    def test_rawvideo_codec_roundtrip(self):
+        rng = np.random.RandomState(4)
+        frames = rng.randint(0, 256, size=(7, 9, 11)).astype(np.uint8)
+        data = multimodal.rawvideo_encode(frames)
+        back = multimodal.rawvideo_decode(data)
+        assert back.shape == (7, 9, 11) and (back == frames).all()
+        with pytest.raises(ValueError):
+            multimodal.rawvideo_decode(data[:-1])  # torn payload
+
+    def test_frame_sampler_counts_and_validity(self):
+        """Every-4th-frame sampling: exact output counts, the sampled
+        payload re-decodes, frames are exactly the stride-0 subset, and
+        the compressed-codec slot raises."""
+        frames = np.arange(10 * 4 * 4, dtype=np.uint8).reshape(10, 4, 4) % 251
+        fs = multimodal.FrameSampler(stride=4)
+        out, n_in, n_out, h, w, chk = fs._one(
+            multimodal.rawvideo_encode(frames), "video/raw"
+        )
+        assert (n_in, n_out, h, w) == (10, 3, 4, 4)
+        back = multimodal.rawvideo_decode(out)
+        assert (back == frames[::4]).all()
+        assert chk == int(frames[::4].sum(dtype=np.uint64))
+        with pytest.raises(NotImplementedError):
+            fs._one(b"\x00" * 32, "video/mp4")
+
+    def test_sample_frames_plumbing(self):
+        df = pd.DataFrame({"doc_id": [0, 5, 13]})
+        vids = multimodal.synthesize_video(ds_from(df))
+        out = multimodal.sample_frames(vids, stride=4).to_pandas()
+        want_in = {i: 8 + i % 32 for i in (0, 5, 13)}
+        for _, r in out.iterrows():
+            assert r["n_frames_in"] == want_in[r["media_id"]]
+            assert r["n_frames_out"] == -(-r["n_frames_in"] // 4)
+
     def test_image_features_real(self):
         """Decoded features reflect the actual pixels, not the bytes."""
         flat = np.full((16, 16), 100, dtype=np.uint8)
