@@ -436,6 +436,7 @@ def repetition_stats(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_columns: bool = False,
 ) -> ray.data.Dataset:
     """Gopher/MassiveText-style repetition quality signals, per document:
     ``dup_word_frac`` (1 − distinct/total words), ``top_bigram_frac``
@@ -485,7 +486,7 @@ def repetition_stats(
             dis = fr.drop_duplicates().groupby("d").size()
             v = 1.0 - dis / tot
             dup_tri[v.index.to_numpy()] = v.to_numpy()
-        return pd.DataFrame(
+        stats = pd.DataFrame(
             {
                 id_col: ids,
                 "n_words": lens,
@@ -494,6 +495,11 @@ def repetition_stats(
                 "dup_trigram_frac": np.round(dup_tri, 6),
             }
         )
+        if keep_columns:  # append stats; input columns (incl. text) flow on
+            return pd.concat(
+                [b.reset_index(drop=True), stats.drop(columns=[id_col])], axis=1
+            )
+        return stats
 
     return ds.map_batches(fn, batch_format="pandas")
 
@@ -505,6 +511,8 @@ def decontaminate(
     n: int = 3,
     min_hits: int = 2,
     bench_mod: int = 97,
+    bench_ds: ray.data.Dataset | None = None,
+    keep_columns: bool = False,
 ) -> ray.data.Dataset:
     """Benchmark decontamination: flag documents sharing ≥ ``min_hits``
     DISTINCT word ``n``-grams with a benchmark set — the published
@@ -536,8 +544,12 @@ def decontaminate(
         # blocks size exactly
         return pa.table({"g": pa.array(pd.unique(g), type=pa.string())})
 
+    # ``bench_ds``: build the benchmark gram set from a DIFFERENT corpus
+    # than the one being scored (e.g. the full corpus while scoring an
+    # already-filtered subset — the benchmark is external by nature)
     bench = (
-        ds.map_batches(bench_partial, batch_format="pandas")
+        (ds if bench_ds is None else bench_ds)
+        .map_batches(bench_partial, batch_format="pandas")
         .to_pandas()["g"]
         .unique()
     )
@@ -552,7 +564,7 @@ def decontaminate(
             fr = pd.DataFrame({"d": d, "g": g}).drop_duplicates()
             hc = fr[fr["g"].isin(bs)].groupby("d").size()
             hits[hc.index.to_numpy()] = hc.to_numpy()
-        return pd.DataFrame(
+        stats = pd.DataFrame(
             {
                 id_col: ids,
                 "n_hits": hits,
@@ -560,6 +572,11 @@ def decontaminate(
                 "is_benchmark": ids % bench_mod == 0,
             }
         )
+        if keep_columns:
+            return pd.concat(
+                [b.reset_index(drop=True), stats.drop(columns=[id_col])], axis=1
+            )
+        return stats
 
     return ds.map_batches(score, batch_format="pandas")
 

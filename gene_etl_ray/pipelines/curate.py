@@ -85,3 +85,75 @@ def curate_documents(
         return pd.DataFrame({id_col: pd.Series([], dtype="int64")})
     out[id_col] = out[id_col].astype("int64")
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def prepare_training_sequences(
+    ds: ray.data.Dataset,
+    *,
+    lang: str = "en",
+    min_chars: int = 100,
+    max_chars: int = 20000,
+    max_upper_ratio: float = 0.3,
+    max_dup_word_frac: float = 0.6,
+    max_top_bigram_frac: float = 0.12,
+    decon_min_hits: int = 2,
+    bench_mod: int = 97,
+    budget: int = 256,
+    bucket_size: int = 32,
+    id_col: str = "doc_id",
+) -> "pd.DataFrame":
+    """END-TO-END training-data preparation — the full preprocessing
+    chain a pretraining corpus runs, each stage the engine's own
+    operator: quality gate → Gopher repetition gate → benchmark
+    decontamination (bench grams from the FULL corpus, scored on the
+    survivors) → exact dedup (min-id winner) → greedy sequence packing.
+    Returns the per-sequence fill table (bucket, seq_id, n_docs,
+    seq_tokens) — the batch plan a trainer would consume.
+
+    Every stage is a shuffle-free map_batches pass except the dedup
+    groupby and the pack's bounded-key bucket shuffle; document text
+    flows only until dedup, after which just (id, n_tokens) rows move.
+    Deterministic end to end, so the WHOLE chain has a DuckDB oracle
+    (queries.TRAINING_PIPELINE_SQL: the gates as chained CTEs, the pack
+    as a recursive per-bucket row_number chain)."""
+    from gene_etl_ray.ops.text import (
+        decontaminate,
+        pack_sequences,
+        quality_filter_frame,
+        repetition_stats,
+    )
+
+    def quality(b):
+        return quality_filter_frame(
+            b, lang=lang, min_chars=min_chars, max_chars=max_chars,
+            max_upper_ratio=max_upper_ratio,
+        ).select([id_col, "text"])
+
+    q = ds.map_batches(quality, batch_format="pyarrow")
+
+    def rep_gate(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (b["dup_word_frac"] <= max_dup_word_frac) & (
+            b["top_bigram_frac"] < max_top_bigram_frac
+        )
+        return b.loc[keep, [id_col, "text"]]
+
+    r = repetition_stats(q, id_col=id_col, keep_columns=True).map_batches(
+        rep_gate, batch_format="pandas"
+    )
+
+    def decon_gate(b: pd.DataFrame) -> pd.DataFrame:
+        keep = ~b["contaminated"] & ~b["is_benchmark"]
+        return b.loc[keep, [id_col, "text"]]
+
+    c = decontaminate(
+        r, id_col=id_col, min_hits=decon_min_hits, bench_mod=bench_mod,
+        bench_ds=ds, keep_columns=True,
+    ).map_batches(decon_gate, batch_format="pandas")
+
+    surv = dedup.exact_dedup(c, column="text", id_col=id_col)
+    return (
+        pack_sequences(surv, id_col=id_col, budget=budget, bucket_size=bucket_size)
+        .to_pandas()
+        .sort_values(["bucket", "seq_id"])
+        .reset_index(drop=True)
+    )

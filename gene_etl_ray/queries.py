@@ -3646,6 +3646,84 @@ FROM r GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def docs_training_pipeline(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END training-data preparation
+    (``pipelines.curate.prepare_training_sequences``): quality gate →
+    Gopher repetition gate → benchmark decontamination (bench grams
+    from the full corpus) → exact dedup → greedy 256-token sequence
+    packing. The entire chain — five composed operators — lands under
+    ONE value-hash gate; the SQL twin chains the stage CTEs and packs
+    with a recursive per-bucket row_number chain."""
+    from gene_etl_ray.pipelines.curate import prepare_training_sequences
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = prepare_training_sequences(ds)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+TRAINING_PIPELINE_SQL = r"""
+WITH RECURSIVE
+quality AS (
+  SELECT doc_id, text FROM documents
+  WHERE lang = 'en' AND length(text) BETWEEN 100 AND 20000
+    AND length(regexp_replace(text, '[^A-Z]', '', 'g'))
+        / greatest(length(text), 1) < 0.3),
+tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM quality),
+base AS (SELECT doc_id, text, toks, len(toks) AS n_words,
+                len(list_distinct(toks)) AS n_distinct FROM tok),
+bi AS (SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:])) AS p
+       FROM tok WHERE len(toks) >= 2),
+bic AS (SELECT doc_id, p[1] || ' ' || p[2] AS g, count(*) AS c
+        FROM bi GROUP BY 1, 2),
+bistat AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top_bi FROM bic GROUP BY 1),
+rep AS (
+  SELECT b.doc_id, b.text, b.toks, b.n_words
+  FROM base b LEFT JOIN bistat USING (doc_id)
+  WHERE round(1.0 - b.n_distinct * 1.0 / b.n_words, 6) <= 0.6
+    AND round(COALESCE(bistat.top_bi, 0.0), 6) < 0.12),
+alltok AS (SELECT doc_id, string_split(COALESCE(text,''), ' ') AS toks
+           FROM documents WHERE doc_id % 97 = 0),
+tri_b AS (SELECT unnest(list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1],
+                                 toks[3:])) AS p
+          FROM alltok WHERE len(toks) >= 3),
+bench AS (SELECT DISTINCT p[1] || ' ' || p[2] || ' ' || p[3] AS g FROM tri_b),
+tri_r AS (SELECT doc_id, unnest(list_zip(toks[1:len(toks)-2],
+                                         toks[2:len(toks)-1], toks[3:])) AS p
+          FROM rep WHERE len(toks) >= 3),
+gr AS (SELECT DISTINCT doc_id, p[1] || ' ' || p[2] || ' ' || p[3] AS g
+       FROM tri_r),
+hits AS (SELECT gr.doc_id, count(*) AS n FROM gr JOIN bench USING (g)
+         GROUP BY 1),
+clean AS (
+  SELECT r.doc_id, r.text, r.n_words
+  FROM rep r LEFT JOIN hits h USING (doc_id)
+  WHERE COALESCE(h.n, 0) < 2 AND r.doc_id % 97 <> 0),
+ded AS (
+  SELECT doc_id, n_words FROM (
+    SELECT doc_id, n_words,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+    FROM clean) WHERE rk = 1),
+docs_t AS (
+  SELECT doc_id, doc_id // 32 AS bucket, n_words AS n,
+         row_number() OVER (PARTITION BY doc_id // 32 ORDER BY doc_id) AS rn
+  FROM ded),
+pk AS (
+  SELECT bucket, doc_id, n, rn, CAST(0 AS BIGINT) AS seq_id, n AS fill
+  FROM docs_t WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.doc_id, d.n, d.rn,
+         CASE WHEN pk.fill + d.n > 256 THEN pk.seq_id + 1 ELSE pk.seq_id END,
+         CASE WHEN pk.fill + d.n > 256 THEN d.n ELSE pk.fill + d.n END
+  FROM docs_t d JOIN pk ON d.bucket = pk.bucket AND d.rn = pk.rn + 1)
+SELECT CAST(bucket AS BIGINT) AS bucket, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS seq_tokens
+FROM pk GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def embeddings_kmeans_assign(sf_dir: str) -> pd.DataFrame:
     """k-means assignment step under the SQL gate (``knn.kmeans_assign``):
     centroids = the 4 lowest vec_ids (deterministic, no RNG), one
@@ -3836,6 +3914,7 @@ QUERIES = {
     "docs_chunk_windows": docs_chunk_windows,
     "docs_pack_sequences": docs_pack_sequences,
     "media_frame_sample": media_frame_sample,
+    "docs_training_pipeline": docs_training_pipeline,
     "events_cumulative_types": events_cumulative_types,
     "orders_anti_join_bulk": orders_anti_join_bulk,
     # --- re-gated standards (driver-green in r2) ---
@@ -3966,6 +4045,7 @@ ORACLE_SQL = {
     "docs_chunk_windows": CHUNK_SQL,
     "docs_pack_sequences": PACK_SQL,
     "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
+    "docs_training_pipeline": TRAINING_PIPELINE_SQL,
     "embeddings_kmeans_assign": KMEANS_SQL,
     "events_cumulative_types": CUMULATIVE_TYPES_SQL,
     "orders_anti_join_bulk": ANTI_BULK_SQL,
