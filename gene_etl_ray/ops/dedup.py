@@ -1580,3 +1580,136 @@ def dedup_chunks(
         )
 
     return ds.map_batches(rewrite, batch_format="pandas")
+
+
+def span_dedup(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """SPAN-level exact-substring dedup (the published ExactSubstr
+    pattern — Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): any word ``n``-gram occurring ≥ ``min_count``
+    times across the WHOLE corpus keeps only its FIRST occurrence
+    (lexicographic ``(doc_id, start)``); every token covered by a
+    later occurrence's span is cut from that document. Unlike
+    doc-level dedup this removes boilerplate embedded inside otherwise
+    unique pages — the duplication mode doc-level MinHash can't touch.
+    Reference analog: the corpus-wide duplicate-content collapse the
+    reference does only per whole record (``etl/transform.py``
+    content-hash dedup), extended below record granularity.
+
+    Output: one row per input document — ``(id_col, clean_text,
+    n_removed)``; untouched documents pass through with their text
+    intact and ``n_removed = 0``.
+
+    Scale shape (100 TB): gram occurrences ship as fixed-width
+    ``(hash64, doc_id, start)`` rows — the gram TEXT never leaves the
+    producing task. ONE all-to-all shuffle on the gram hash decides
+    keep/cut per occurrence (per-group work is LINEAR in group size —
+    a 10⁶-copy boilerplate gram is one sort + slice, never a pair
+    explosion); marks then aggregate per document (second, much
+    smaller shuffle — only duplicated spans move) and meet the corpus
+    via a bucketed LEFT ``partitioned_join`` (third shuffle, each doc
+    row moves once). The cut itself is a per-batch numpy
+    interval-coverage pass; the only per-row Python is the final
+    ``' '.join`` over documents that actually lost a span. Gram
+    equality is 64-bit-hash equality (SipHash via
+    ``pandas.util.hash_array``) — collisions at vocabulary scale are
+    ~2⁻⁶⁴·pairs and would only ever cut a false span, never corrupt
+    unrelated text."""
+    from gene_etl_ray.hashing import hash_urls
+    from gene_etl_ray.ops.relational import partitioned_join
+    from gene_etl_ray.ops.text import _flat_ngrams
+
+    def occurrences(b: pd.DataFrame) -> pa.Table:
+        toks = b[text_col].fillna("").str.split(" ")
+        d, s, g = _flat_ngrams(toks, n, with_pos=True)
+        h = hash_urls(g).view(np.int64) if len(g) else np.empty(0, np.int64)
+        ids = (
+            b[id_col].to_numpy(dtype=np.int64)[d]
+            if len(d)
+            else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(h, pa.int64()),
+                id_col: pa.array(ids, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+            }
+        )
+
+    def mark_group(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows here share one gram hash; keep the first occurrence,
+        # mark the rest — linear in group size, no pairing
+        if len(g) < min_count:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="int64"),
+                }
+            )
+        out = g.sort_values([id_col, "s"], kind="mergesort").iloc[1:]
+        return out[[id_col, "s"]].reset_index(drop=True)
+
+    marks = (
+        ds.map_batches(occurrences, batch_format="pandas")
+        .groupby("h")
+        .map_groups(mark_group, batch_format="pandas")
+    )
+
+    def starts_csv(g: pd.DataFrame) -> pd.DataFrame:
+        st = np.unique(g["s"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series([g[id_col].iloc[0]], dtype="int64"),
+                "starts_csv": [",".join(map(str, st.tolist()))],
+            }
+        )
+
+    perdoc = marks.groupby(id_col).map_groups(starts_csv, batch_format="pandas")
+    # sentinel row: keeps the right side of the LEFT join schema-typed
+    # even when the corpus has no duplicated gram at all (a left join
+    # never emits an unmatched RIGHT row, so id -1 can't surface)
+    sentinel = ray.data.from_pandas(
+        pd.DataFrame(
+            {id_col: pd.Series([-1], dtype="int64"), "starts_csv": [""]}
+        )
+    )
+    joined = partitioned_join(
+        ds,
+        perdoc.union(sentinel),
+        left_on=id_col,
+        right_on=id_col,
+        how="left",
+        num_buckets=num_buckets,
+    )
+
+    def cut(b: pd.DataFrame) -> pa.Table:
+        txt = b[text_col].fillna("")
+        sc = b["starts_csv"]
+        marked = (sc.notna() & (sc != "")).to_numpy()
+        clean = txt.to_numpy(dtype=object).copy()
+        nrem = np.zeros(len(b), dtype=np.int64)
+        for i in np.flatnonzero(marked):
+            t = np.asarray(txt.iat[i].split(" "), dtype=object)
+            ln = len(t)
+            st = np.array(sc.iat[i].split(","), dtype=np.int64)
+            delta = np.zeros(ln + 1, dtype=np.int64)
+            np.add.at(delta, st, 1)
+            np.add.at(delta, np.minimum(st + n, ln), -1)
+            keep = np.cumsum(delta[:ln]) == 0
+            clean[i] = " ".join(t[keep])
+            nrem[i] = ln - int(keep.sum())
+        return pa.table(
+            {
+                id_col: pa.array(b[id_col].to_numpy(dtype=np.int64), pa.int64()),
+                "clean_text": pa.array(clean, pa.string()),
+                "n_removed": pa.array(nrem, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(cut, batch_format="pandas")

@@ -406,17 +406,21 @@ def redact_terms(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _flat_ngrams(toks: pd.Series, n: int):
+def _flat_ngrams(toks: pd.Series, n: int, with_pos: bool = False):
     """Word n-grams for EVERY doc in the batch from ONE flat token array
     (the ``ngram_topk`` join shape): all tokens concatenate, windows
     shift against the flat array, and windows that would straddle a
     document boundary are masked out by offset arithmetic — no
     per-document Python loop. Returns ``(doc_idx, grams)`` where
-    ``doc_idx`` is the batch-local row index of each gram's document."""
+    ``doc_idx`` is the batch-local row index of each gram's document;
+    with ``with_pos=True`` returns ``(doc_idx, start, grams)`` where
+    ``start`` is the gram's 0-based token offset WITHIN its document
+    (the span-dedup shape)."""
     lens = toks.str.len().to_numpy(dtype=np.int64)
     total = int(lens.sum())
     if total < n:
-        return np.empty(0, np.int64), np.empty(0, object)
+        e = np.empty(0, np.int64), np.empty(0, object)
+        return (e[0], e[0].copy(), e[1]) if with_pos else e
     flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
     gram = flat[: total - n + 1].astype(object)
     for j in range(1, n):
@@ -429,7 +433,12 @@ def _flat_ngrams(toks: pd.Series, n: int):
         cut = cut[(cut >= 0) & (cut < total - n + 1)]
         ok[cut] = False
     doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)[: total - n + 1]
-    return doc[ok], gram[ok]
+    if not with_pos:
+        return doc[ok], gram[ok]
+    offs = ends - lens  # flat index of each doc's first token
+    pos = np.flatnonzero(ok)
+    d = doc[ok]
+    return d, pos - offs[d], gram[ok]
 
 
 def repetition_stats(

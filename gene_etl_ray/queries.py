@@ -3842,6 +3842,56 @@ ORDER BY o_orderkey
 """
 
 
+def docs_span_dedup(sf_dir: str) -> pd.DataFrame:
+    """SPAN-level exact-substring dedup (``dedup.span_dedup``): every
+    word 8-gram occurring ≥2 times corpus-wide keeps only its first
+    occurrence — all tokens covered by a later occurrence are cut from
+    that document. Occurrences exchange as fixed-width (hash, doc, pos)
+    rows (gram text never shuffles); per-gram work is linear (no pair
+    explosion); the cut is a numpy interval-coverage pass. Both the
+    cleaned text and removed-token counts land under the value-hash
+    gate."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        dedup.span_dedup(ds, n=8, min_count=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_removed"] = out["n_removed"].astype("int64")
+    return out
+
+
+SPAN_DEDUP_SQL = r"""
+WITH d AS (SELECT doc_id, string_split(COALESCE(text,''), ' ') AS toks
+           FROM documents),
+gr AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+         array_to_string(toks[i:i+7], ' ') AS g
+  FROM d, unnest(range(1, len(toks) - 8 + 2)) AS u(i)),
+mk AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS rn,
+           count(*) OVER (PARTITION BY g) AS c
+    FROM gr) WHERE c >= 2 AND rn > 1),
+tokp AS (SELECT doc_id, unnest(toks) AS w,
+                CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS i
+         FROM d),
+rem AS (SELECT DISTINCT t.doc_id, t.i
+        FROM tokp t JOIN mk m
+          ON m.doc_id = t.doc_id AND t.i >= m.s AND t.i < m.s + 8)
+SELECT t.doc_id,
+       COALESCE(string_agg(CASE WHEN r.i IS NULL THEN t.w END,
+                           ' ' ORDER BY t.i), '') AS clean_text,
+       CAST(count(r.i) AS BIGINT) AS n_removed
+FROM tokp t LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.i = t.i
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 # Registry order IS the driver's gate order: the driver runs a 50-entry
 # PREFIX against DuckDB at sf0.01 (verified in round 2: CORRECTNESS_r02
 # keys == registry positions 0-49). Ordering policy:
@@ -3915,6 +3965,7 @@ QUERIES = {
     "docs_pack_sequences": docs_pack_sequences,
     "media_frame_sample": media_frame_sample,
     "docs_training_pipeline": docs_training_pipeline,
+    "docs_span_dedup": docs_span_dedup,
     "events_cumulative_types": events_cumulative_types,
     "orders_anti_join_bulk": orders_anti_join_bulk,
     # --- re-gated standards (driver-green in r2) ---
@@ -4046,6 +4097,7 @@ ORACLE_SQL = {
     "docs_pack_sequences": PACK_SQL,
     "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
     "docs_training_pipeline": TRAINING_PIPELINE_SQL,
+    "docs_span_dedup": SPAN_DEDUP_SQL,
     "embeddings_kmeans_assign": KMEANS_SQL,
     "events_cumulative_types": CUMULATIVE_TYPES_SQL,
     "orders_anti_join_bulk": ANTI_BULK_SQL,
