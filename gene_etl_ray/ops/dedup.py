@@ -45,7 +45,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from gene_etl_ray.ops.util import per_process
+from gene_etl_ray.ops.util import per_process, typed_if_empty
 
 logger = logging.getLogger(__name__)
 
@@ -356,10 +356,12 @@ def _collapse_exact(
         members_ref = ray.put(mem_ids)
         ref = members_ref
 
-        def drop_members(b: pd.DataFrame) -> pd.DataFrame:
+        def drop_members(b: pd.DataFrame):
             if not len(b):
-                return b
-            return b[~np.isin(b[id_col].to_numpy(np.int64), _cached_obj(ref))]
+                return typed_if_empty(b)
+            return typed_if_empty(
+                b[~np.isin(b[id_col].to_numpy(np.int64), _cached_obj(ref))]
+            )
 
         reps = ds.map_batches(drop_members, batch_format="pandas")
     elif n_map:
@@ -542,9 +544,9 @@ def _attach_est_jaccard(
                             pdf["id_b"].to_numpy(np.int64)])
         )
 
-        def pick(b: pd.DataFrame) -> pd.DataFrame:
+        def pick(b: pd.DataFrame):
             m = np.isin(b[id_col].to_numpy(np.int64), need)
-            return b[m]
+            return typed_if_empty(b[m])
 
         sigs = sig_ds.map_batches(pick, batch_format="pandas").to_pandas()
         sig_mat = _decode_sigs(sigs["minhash"])
@@ -831,10 +833,12 @@ class _RepStage:
         if self._members_ref is not None:
             ref = self._members_ref
 
-            def drop_members(b: pd.DataFrame) -> pd.DataFrame:
+            def drop_members(b: pd.DataFrame):
                 if not len(b):
-                    return b
-                return b[~np.isin(b[id_col].to_numpy(np.int64), _cached_obj(ref))]
+                    return typed_if_empty(b)
+                return typed_if_empty(
+                    b[~np.isin(b[id_col].to_numpy(np.int64), _cached_obj(ref))]
+                )
 
             return base.map_batches(drop_members, batch_format="pandas")
         if self.mapping is None:
@@ -1250,8 +1254,10 @@ def ngram_jaccard_pairs(
                 )
             )
 
-            def pick(b: pd.DataFrame) -> pd.DataFrame:
-                return b[np.isin(b[id_col].to_numpy(np.int64), need)]
+            def pick(b: pd.DataFrame):
+                return typed_if_empty(
+                    b[np.isin(b[id_col].to_numpy(np.int64), need)]
+                )
 
             reps = reps.map_batches(pick, batch_format="pandas")
             # bounded broadcast fast path: build the {id: text} dict for

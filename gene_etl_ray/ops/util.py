@@ -36,3 +36,27 @@ def per_process(cls, **kwargs):
     call.__name__ = cls.__name__
     call.__qualname__ = cls.__name__
     return call
+
+
+def typed_if_empty(df):
+    """Pass a non-empty pandas batch through unchanged; convert an EMPTY
+    one to a typed Arrow table (object → string by this repo's
+    convention). Ray's block-size estimator calls ``np.vectorize`` on
+    object columns, which raises on size-0 input and logs one error per
+    empty block — filter-style stages (candidate picks, member drops)
+    that can emit empty batches carrying text columns route their
+    output through this instead."""
+    if len(df):
+        return df
+    import pyarrow as pa
+
+    fields = []
+    for name, dt in df.dtypes.items():
+        if dt == object:
+            fields.append(pa.field(name, pa.string()))
+        else:
+            try:
+                fields.append(pa.field(name, pa.from_numpy_dtype(dt)))
+            except (TypeError, pa.ArrowNotImplementedError):
+                fields.append(pa.field(name, pa.string()))
+    return pa.schema(fields).empty_table()
