@@ -1648,35 +1648,47 @@ def span_dedup(
             }
         )
 
-    def mark_group(g: pd.DataFrame) -> pd.DataFrame:
-        # all rows here share one gram hash; keep the first occurrence,
-        # mark the rest — linear in group size, no pairing
-        if len(g) < min_count:
-            return pd.DataFrame(
-                {
-                    id_col: pd.Series([], dtype="int64"),
-                    "s": pd.Series([], dtype="int64"),
-                }
-            )
-        out = g.sort_values([id_col, "s"], kind="mergesort").iloc[1:]
-        return out[[id_col, "s"]].reset_index(drop=True)
+    def mark_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one BUCKET of whole hash-groups: vectorized per-gram keep-first
+        # (C-level sort + groupby; a gram's work is linear in its
+        # occurrence count — never a pairing). NOT groupby(h).map_groups:
+        # one Ray group per DISTINCT GRAM would mean millions of
+        # one-row tasks frames at corpus scale (measured 39 s → 8 s at
+        # sf0.1 from this change alone).
+        g = g.sort_values(["h", id_col, "s"], kind="mergesort")
+        grp = g.groupby("h", sort=False)
+        sz = grp["h"].transform("size").to_numpy()
+        rank = grp.cumcount().to_numpy()
+        m = (sz >= min_count) & (rank > 0)
+        return g.loc[m, [id_col, "s"]].reset_index(drop=True)
 
-    marks = (
-        ds.map_batches(occurrences, batch_format="pandas")
-        .groupby("h")
-        .map_groups(mark_group, batch_format="pandas")
+    marks = bucketed_group_apply(
+        ds.map_batches(occurrences, batch_format="pandas"),
+        ["h"],
+        mark_bucket,
+        num_buckets=num_buckets,
     )
 
-    def starts_csv(g: pd.DataFrame) -> pd.DataFrame:
-        st = np.unique(g["s"].to_numpy(dtype=np.int64))
+    def starts_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # whole doc-groups per bucket: dedup + sort once, one compact
+        # csv row per marked document
+        g = g.sort_values([id_col, "s"], kind="mergesort").drop_duplicates(
+            [id_col, "s"]
+        )
+        agg = g.groupby(id_col, sort=False)["s"].agg(
+            lambda s: ",".join(map(str, s.to_numpy(dtype=np.int64).tolist()))
+        )
         return pd.DataFrame(
             {
-                id_col: pd.Series([g[id_col].iloc[0]], dtype="int64"),
-                "starts_csv": [",".join(map(str, st.tolist()))],
+                id_col: agg.index.to_numpy(dtype=np.int64),
+                "starts_csv": pd.Series(agg.to_numpy(dtype=object), dtype="object"),
             }
         )
 
-    perdoc = marks.groupby(id_col).map_groups(starts_csv, batch_format="pandas")
+    perdoc = bucketed_group_apply(
+        marks, [id_col], lambda g: typed_if_empty(starts_bucket(g)),
+        num_buckets=num_buckets,
+    )
     # sentinel row: keeps the right side of the LEFT join schema-typed
     # even when the corpus has no duplicated gram at all (a left join
     # never emits an unmatched RIGHT row, so id -1 can't surface)
