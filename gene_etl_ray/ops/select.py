@@ -1,0 +1,287 @@
+"""Corpus-selection operators for training-data curation: global
+token-budget selection, per-group caps, and deterministic mixture
+sampling. Reference analog: the reference selects rows only by static
+predicates (``etl/filters.py``); these extend that to the
+data-dependent selection policies a webtext pipeline runs before
+training (budgeted prefix by quality, domain caps, source mixing) —
+each deterministic, so exact membership is SQL-oracle-checkable.
+
+All three are designed for the 100-TB shape:
+
+- ``token_budget_select`` never sorts or materializes the corpus: two
+  small aggregation passes compute a global ``(score, id)`` cut point
+  on the driver (bytes ~ distinct scores + one id-bucket table), then
+  one broadcast filter selects. No all-to-all over the data.
+- ``per_group_cap`` is one hash-bucketed exchange with vectorized
+  in-bucket head(k) — the grouped top-k shape.
+- ``mixture_sample`` computes per-group keep-rates from a tiny counts
+  groupby in exact integer arithmetic and filters by multiplicative
+  hash — no shuffle of the data at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Max, Sum
+
+from gene_etl_ray.ops.dedup import bucketed_group_apply
+
+_KNUTH = 2654435761  # multiplicative hash constant (shared with
+# relational.deterministic_sample so SQL twins stay uniform)
+
+
+def token_budget_select(
+    ds: ray.data.Dataset,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    tie_buckets: int = 4096,
+) -> ray.data.Dataset:
+    """Keep the maximal prefix of rows — ordered by ``(score_col`` DESC,
+    ``id_col`` ASC) — whose inclusive running ``tokens_col`` sum stays
+    ≤ ``budget``: "take the best documents until the token budget is
+    full", the selection every LLM pre-training mix ends with.
+    Equivalent SQL: ``QUALIFY SUM(tokens) OVER (ORDER BY score DESC,
+    id) <= budget``.
+
+    Distributed as a threshold search, NOT a global sort:
+
+    1. one small groupby computes per-score token sums; the driver
+       prefix-scans the distinct-score table (descending) to find the
+       boundary score ``s*`` — the first score class that overflows.
+       Driver bytes = O(distinct scores): exact for integer-quantized
+       scores (the intended use); a continuous score would need a
+       weighted-quantile sketch in this slot.
+    2. the tie class ``score == s*`` is resolved by id without
+       gathering it: a second groupby over ``id // bucket_width``
+       sub-buckets prefix-scans bucket sums on the driver, and only
+       the single boundary bucket's rows (≤ n_ties / tie_buckets) are
+       pulled to pick the exact cut id.
+    3. one broadcast ``(s*, cut_id)`` filter selects; each row is
+       read twice and moved zero times.
+
+    Scores/tokens must be integers (driver arithmetic is exact Python
+    int; float scores would also hit DuckDB float-boundary divergence
+    in the oracle). Ties beyond ``id_col`` don't exist (ids unique).
+    """
+    # pass 1: per-score token sums + per-score max id (combiner inside
+    # map_batches keeps the exchange at distinct-score size, not rows;
+    # the max id seeds the tie pass's bucket width without re-scanning)
+    def score_partials(t: pa.Table) -> pa.Table:
+        g = t.group_by(score_col).aggregate(
+            [(tokens_col, "sum"), (id_col, "max")]
+        )
+        return pa.table(
+            {
+                "score": g.column(score_col),
+                "tok": g.column(f"{tokens_col}_sum"),
+                "mid": g.column(f"{id_col}_max"),
+            }
+        )
+
+    per_score = (
+        ds.map_batches(score_partials, batch_format="pyarrow")
+        .groupby("score")
+        .aggregate(Sum("tok"), Max("mid"))
+        .to_pandas()
+    )
+    per_score = per_score.sort_values("score", ascending=False)
+    scores = per_score["score"].to_numpy()
+    sums = [int(v) for v in per_score["sum(tok)"].to_numpy()]
+    mids = [int(v) for v in per_score["max(mid)"].to_numpy()]
+    budget = int(budget)
+
+    cum = 0
+    s_star = None
+    remaining = 0
+    tie_max_id = 0
+    for s, tok, mid in zip(scores, sums, mids):
+        if cum + tok > budget:
+            s_star = s
+            remaining = budget - cum  # budget left for the tie class
+            tie_max_id = mid
+            break
+        cum += tok
+    if s_star is None:
+        return ds  # everything fits
+
+    s_star_py = int(s_star)
+
+    def keep_filter(cut_id: int | None):
+        # score > s* always kept; ties kept up to cut_id (None: no ties)
+        def fn(t: pa.Table) -> pa.Table:
+            sc = t.column(score_col)
+            m = pc.greater(sc, s_star_py)
+            if cut_id is not None:
+                tie = pc.and_(
+                    pc.equal(sc, s_star_py),
+                    pc.less_equal(t.column(id_col), cut_id),
+                )
+                m = pc.or_(m, tie)
+            return t.filter(m)
+
+        return fn
+
+    if remaining <= 0:
+        return ds.map_batches(keep_filter(None), batch_format="pyarrow")
+
+    # pass 2: resolve the tie class by id via bucketed prefix sums
+    ties = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column(score_col), s_star_py)),
+        batch_format="pyarrow",
+    ).select_columns([id_col, tokens_col])
+
+    width = max(1, (tie_max_id + tie_buckets) // tie_buckets)
+
+    def tie_partials_w(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"b": pa.array([], pa.int64()), "tok": pa.array([], pa.int64())}
+            )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "b": pa.array(ids // width, pa.int64()),
+                    "tok": t.column(tokens_col),
+                }
+            )
+            .group_by("b")
+            .aggregate([("tok", "sum")])
+        )
+        return pa.table({"b": g.column("b"), "tok": g.column("tok_sum")})
+
+    buckets = (
+        ties.map_batches(tie_partials_w, batch_format="pyarrow")
+        .groupby("b")
+        .sum("tok")
+        .to_pandas()
+        .sort_values("b")
+    )
+    cut_id = None
+    for b, tok in zip(
+        buckets["b"].to_numpy(), (int(v) for v in buckets["sum(tok)"].to_numpy())
+    ):
+        if tok > remaining:
+            # boundary bucket: pull ONLY its rows (≤ n_ties/tie_buckets)
+            lo, hi = int(b) * width, (int(b) + 1) * width
+            part = (
+                ties.map_batches(
+                    lambda t, lo=lo, hi=hi: t.filter(
+                        pc.and_(
+                            pc.greater_equal(t.column(id_col), lo),
+                            pc.less(t.column(id_col), hi),
+                        )
+                    ),
+                    batch_format="pyarrow",
+                )
+                .to_pandas()
+                .sort_values(id_col)
+            )
+            csum = part[tokens_col].cumsum()
+            fit = part.loc[csum <= remaining, id_col]
+            if len(fit):
+                cut_id = int(fit.iloc[-1])
+            break
+        remaining -= tok
+        cut_id = (int(b) + 1) * width - 1  # whole bucket fits
+
+    return ds.map_batches(keep_filter(cut_id), batch_format="pyarrow")
+
+
+def per_group_cap(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    k: int,
+    order_by: list[str],
+    ascending: list[bool],
+) -> ray.data.Dataset:
+    """At most ``k`` rows per key-group, best-first by ``order_by`` —
+    the C4/Gopher-style domain cap ("keep the top-k documents per
+    domain"). One hash-bucketed exchange; per-bucket work is a
+    vectorized sort + ``groupby.head(k)`` over whole groups
+    (``bucketed_group_apply`` co-locates each key exactly once)."""
+
+    def cap_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            keys + order_by, ascending=[True] * len(keys) + list(ascending),
+            kind="mergesort",
+        )
+        return g.groupby(keys, sort=False).head(k).reset_index(drop=True)
+
+    return bucketed_group_apply(ds, keys, cap_bucket)
+
+
+def mixture_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    weights,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic down-sample to a target group mixture: keep-rates
+    are chosen so kept counts are ∝ integer ``weights`` and the
+    binding group (smallest count/weight) keeps everything — the
+    "source mixing" step of a pre-training data recipe, downsample-only
+    (no replication). ``weights`` is a ``{group: int}`` map or a
+    callable ``group -> int`` (evaluated over the observed groups).
+    Membership is a pure function of ``id_col`` via
+    multiplicative hashing, so the exact kept set is reproducible on
+    any cluster and SQL-expressible.
+
+    Exactness: rates are computed on the driver from a tiny per-group
+    counts table in pure Python integer arithmetic
+    (``rate_pm = (10000 * c_min * w_g) // (w_min * c_g)``, argmin by
+    exact cross-multiplied fractions) — no float ever enters, so the
+    DuckDB twin reproduces rates bit-for-bit. Driver bytes = O(groups).
+    The data itself is never shuffled: one counts groupby + one
+    broadcast filter."""
+    counts = ds.groupby(group_col).count().to_pandas()
+    cmap = dict(
+        zip(counts[group_col].tolist(), (int(v) for v in counts["count()"]))
+    )
+    if callable(weights):
+        weights = {g: int(weights(g)) for g in cmap}
+    missing = set(cmap) - set(weights)
+    if missing:
+        raise ValueError(f"mixture_sample: no weight for groups {sorted(missing)}")
+    # argmin of c/w by exact integer cross-multiplication (scale every
+    # ratio by lcm(weights) so the comparison key is an exact int),
+    # group-name tiebreak (matches the SQL twin's ORDER BY ... LIMIT 1)
+    lcm = _lcm_all(weights[g] for g in cmap)
+    best = min(cmap, key=lambda g: (cmap[g] * (lcm // weights[g]), g))
+    c_min, w_min = cmap[best], weights[best]
+    rate_pm = {
+        g: min(10000, (10000 * c_min * weights[g]) // (w_min * cmap[g]))
+        for g in cmap
+    }
+
+    groups = list(rate_pm)
+    group_arr = pa.array(groups, pa.string())
+    rates_arr = np.array([rate_pm[g] for g in groups], dtype=np.uint64)
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        idx = pc.index_in(t.column(group_col), value_set=group_arr).to_numpy(
+            zero_copy_only=False
+        )
+        r = rates_arr[idx]
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids * np.uint64(_KNUTH)) % np.uint64(2**32)) % np.uint64(10000)
+        return t.filter(pa.array(h < r))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _lcm_all(vals) -> int:
+    import math
+
+    out = 1
+    for v in vals:
+        out = out * v // math.gcd(out, v)
+    return out

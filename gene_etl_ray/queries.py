@@ -3892,6 +3892,107 @@ ORDER BY t.doc_id
 """
 
 
+def docs_token_budget(sf_dir: str) -> pd.DataFrame:
+    """Global token-budget selection (``select.token_budget_select``):
+    keep the best documents — ordered (n_chars DESC, doc_id) — until
+    40% of the corpus's whitespace tokens are used. Distributed as a
+    two-pass threshold search (per-score sums -> driver cut point ->
+    broadcast filter), never a global sort; the SQL twin is the
+    windowed running-sum QUALIFY."""
+    from gene_etl_ray.ops import select
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    tok = text.token_count_ws(ds).select_columns(
+        ["doc_id", "n_chars", "n_tokens_ws"]
+    )
+    total = int(tok.sum("n_tokens_ws"))
+    out = select.token_budget_select(
+        tok, "n_chars", "n_tokens_ws", (4 * total) // 10
+    ).to_pandas()
+    if out.empty:  # Ray wart: empty to_pandas() drops the schema
+        out = pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ["doc_id", "n_chars", "n_tokens_ws"]}
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+TOKEN_BUDGET_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens_ws
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens_ws FROM (
+  SELECT doc_id, n_chars, n_tokens_ws,
+         SUM(n_tokens_ws) OVER (ORDER BY n_chars DESC, doc_id) AS cum
+  FROM tok)
+WHERE cum <= (SELECT (4 * SUM(n_tokens_ws)) // 10 FROM tok)
+ORDER BY doc_id
+"""
+
+
+def docs_source_cap(sf_dir: str) -> pd.DataFrame:
+    """Per-domain cap (``select.per_group_cap``): at most 5 documents
+    per source, largest-first — the C4/Gopher-style domain cap. One
+    hash-bucketed exchange, vectorized in-bucket head(k)."""
+    from gene_etl_ray.ops import select
+
+    ds = read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = select.per_group_cap(
+        ds, ["source"], 5, ["n_chars", "doc_id"], [False, True]
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "source", "n_chars"]
+    ]
+
+
+SOURCE_CAP_SQL = """
+SELECT doc_id, source, n_chars FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY source ORDER BY n_chars DESC, doc_id
+) <= 5
+ORDER BY doc_id
+"""
+
+
+def docs_mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic source-mixture down-sampling
+    (``select.mixture_sample``): per-source keep-rates chosen in exact
+    integer arithmetic so kept counts are proportional to the target
+    weights ``(source_index % 4) + 1``; membership by multiplicative
+    id hashing. No data shuffle — one tiny counts groupby + one
+    broadcast filter. The DuckDB twin recomputes the same rates from
+    the same integer formula, so exact membership is oracled."""
+    from gene_etl_ray.ops import select
+
+    ds = read(sf_dir, "documents", ["doc_id", "source"])
+    out = select.mixture_sample(
+        ds, "source", lambda s: (int(s[3:]) % 4) + 1
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+MIXTURE_SAMPLE_SQL = """
+WITH counts AS (
+  SELECT source, count(*) AS c,
+         (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS w
+  FROM documents GROUP BY source),
+mn AS (
+  SELECT c AS cmin, w AS wmin FROM counts
+  ORDER BY c * (12 // w), source LIMIT 1),
+rates AS (
+  SELECT source,
+         LEAST(10000, (10000 * mn.cmin * counts.w) // (mn.wmin * counts.c))
+           AS rate_pm
+  FROM counts, mn)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r USING (source)
+WHERE ((d.doc_id * 2654435761) % 4294967296) % 10000 < r.rate_pm
+ORDER BY d.doc_id
+"""
+
+
 # Registry order IS the driver's gate order: the driver runs a 50-entry
 # PREFIX against DuckDB at sf0.01 (verified in round 2: CORRECTNESS_r02
 # keys == registry positions 0-49). Ordering policy:
@@ -4012,7 +4113,11 @@ QUERIES = {
     "events_top_users": events_top_users,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "embeddings_norm_by_label": embeddings_norm_by_label,
-    # --- 5. rows-only (non-SQL-expressible by nature; invariants pinned
+    # --- 5. corpus-selection operators (round 3, past the gate prefix) ---
+    "docs_token_budget": docs_token_budget,
+    "docs_source_cap": docs_source_cap,
+    "docs_mixture_sample": docs_mixture_sample,
+    # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
     "corr_fdr_significant": corr_fdr_significant,
@@ -4117,4 +4222,7 @@ ORACLE_SQL = {
     "events_fdr_bh": FDR_BH_SQL,
     "events_type_corr_matrix": CORR_MATRIX_SQL,
     "corr_fdr_significant": CORR_FDR_SQL,
+    "docs_token_budget": TOKEN_BUDGET_SQL,
+    "docs_source_cap": SOURCE_CAP_SQL,
+    "docs_mixture_sample": MIXTURE_SAMPLE_SQL,
 }

@@ -1,0 +1,131 @@
+"""Corpus-selection operators (ops/select.py).
+
+Pins: token_budget_select's prefix-maximality vs a brute-force running
+sum (including the tie-class id cut and the boundary-bucket path with
+tiny tie_buckets), per_group_cap's top-k membership, and
+mixture_sample's exact integer rate arithmetic + hash membership.
+"""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from gene_etl_ray.ops.select import (
+    mixture_sample,
+    per_group_cap,
+    token_budget_select,
+)
+
+
+def brute_budget(df: pd.DataFrame, budget: int) -> set[int]:
+    d = df.sort_values(["score", "doc_id"], ascending=[False, True])
+    keep, cum = set(), 0
+    for _, r in d.iterrows():
+        cum += int(r["tok"])
+        if cum > budget:
+            break
+        keep.add(int(r["doc_id"]))
+    return keep
+
+
+def run_budget(df: pd.DataFrame, budget: int, **kw) -> set[int]:
+    out = token_budget_select(
+        rd.from_pandas(df), "score", "tok", budget, **kw
+    ).to_pandas()
+    # Ray wart: to_pandas() on an all-empty dataset drops the schema
+    return set() if out.empty else set(out["doc_id"].astype(int))
+
+
+def make(n=200, seed=7) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            # few distinct scores -> big tie classes (the hard path)
+            "score": rng.integers(0, 5, n).astype(np.int64),
+            "tok": rng.integers(1, 50, n).astype(np.int64),
+        }
+    )
+
+
+def test_budget_matches_bruteforce_across_budgets():
+    df = make()
+    total = int(df["tok"].sum())
+    for budget in [0, 1, total // 10, total // 3, total - 1, total, total + 5]:
+        assert run_budget(df, budget) == brute_budget(df, budget), budget
+
+
+def test_budget_tie_cut_mid_class_small_buckets():
+    # tiny tie_buckets force the boundary-bucket refinement path
+    df = make(300, seed=11)
+    budget = int(df["tok"].sum()) // 2
+    got = run_budget(df, budget, tie_buckets=4)
+    assert got == brute_budget(df, budget)
+
+
+def test_budget_keeps_all_when_budget_covers_total():
+    df = make(50, seed=3)
+    assert run_budget(df, int(df["tok"].sum())) == set(df["doc_id"])
+
+
+def test_budget_zero_tokens_rows_inside_prefix_kept():
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "score": [9, 9, 9, 1],
+            "tok": [0, 5, 5, 5],
+        }
+    )
+    # budget 5: doc 1 (0 tok) + doc 2 (5 tok) fit; doc 3 overflows
+    assert run_budget(df, 5) == {1, 2}
+
+
+def test_per_group_cap_top2():
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 4 + ["b"] * 2,
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "v": [10, 30, 30, 5, 1, 2],
+        }
+    )
+    out = per_group_cap(
+        rd.from_pandas(df), ["g"], 2, ["v", "doc_id"], [False, True]
+    ).to_pandas()
+    # a: v=30 ties broken by doc_id asc -> docs 2,3; b: both rows
+    assert set(map(tuple, out[["g", "doc_id"]].to_numpy())) == {
+        ("a", 2),
+        ("a", 3),
+        ("b", 5),
+        ("b", 6),
+    }
+
+
+def test_mixture_sample_rates_and_membership_exact():
+    # groups with counts 40/40 and weights 1/4: binding group is the
+    # weight-4 one (rate 10000); the weight-1 group keeps ~1/4
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(80, dtype=np.int64),
+            "src": ["w1"] * 40 + ["w4"] * 40,
+        }
+    )
+    out = mixture_sample(
+        rd.from_pandas(df), "src", {"w1": 1, "w4": 4}, id_col="doc_id"
+    ).to_pandas()
+    # exact expected membership from the integer formula
+    rate = {"w1": (10000 * 40 * 1) // (4 * 40), "w4": 10000}
+    h = ((df["doc_id"].to_numpy(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)) % np.uint64(10000)
+    want = set(
+        df.loc[[int(hv) < rate[s] for hv, s in zip(h, df["src"])], "doc_id"]
+    )
+    assert set(out["doc_id"]) == want
+    assert (out.loc[out["src"] == "w4"]).shape[0] == 40  # binding: keep all
+
+
+def test_mixture_sample_missing_weight_raises():
+    df = pd.DataFrame({"doc_id": [1, 2], "src": ["a", "b"]})
+    try:
+        mixture_sample(rd.from_pandas(df), "src", {"a": 1}, id_col="doc_id")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "no weight" in str(e)
