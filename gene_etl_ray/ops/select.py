@@ -285,3 +285,28 @@ def _lcm_all(vals) -> int:
     for v in vals:
         out = out * v // math.gcd(out, v)
     return out
+
+
+def assign_split(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    pct: tuple[int, int] = (80, 10),
+    names: tuple[str, str, str] = ("train", "valid", "test"),
+) -> ray.data.Dataset:
+    """Deterministic train/valid/test assignment by multiplicative id
+    hashing: ``bucket = (id * K mod 2^32) mod 100``; buckets
+    ``< pct[0]`` → train, ``< pct[0]+pct[1]`` → valid, else test.
+    A pure function of the id — stable across runs, clusters and
+    re-partitioning (a random split would reshuffle membership every
+    run and leak eval docs into training on any retry). Map-only, zero
+    shuffle; membership is SQL-expressible."""
+    cut1, cut2 = int(pct[0]), int(pct[0]) + int(pct[1])
+    lut = pa.array(names, pa.string())
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((ids * np.uint64(_KNUTH)) % np.uint64(2**32)) % np.uint64(100)
+        idx = np.where(b < cut1, 0, np.where(b < cut2, 1, 2)).astype(np.int64)
+        return t.append_column("split", pc.take(lut, pa.array(idx)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

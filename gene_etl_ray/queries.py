@@ -3993,6 +3993,69 @@ ORDER BY d.doc_id
 """
 
 
+def docs_novelty(sf_dir: str) -> pd.DataFrame:
+    """Per-document trigram novelty (``text.novelty_score``): fraction
+    of a doc's distinct word trigrams whose corpus-wide first owner
+    (min doc_id) is the doc itself — the graded diversity signal
+    data-pruning ranks by. Gram strings shuffle exactly once; the
+    first-owner counts hash-aggregate by doc; one bucketed left join
+    stitches per-doc totals."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = text.novelty_score(ds).to_pandas()
+    out["novelty"] = out["novelty"].round(9)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+NOVELTY_SQL = """
+WITH d AS (SELECT doc_id, string_split(COALESCE(text,''), ' ') AS toks
+           FROM documents),
+tri AS (SELECT doc_id,
+               unnest(list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1],
+                               toks[3:])) AS p
+        FROM d WHERE len(toks) >= 3),
+g AS (SELECT DISTINCT doc_id, p[1] || ' ' || p[2] || ' ' || p[3] AS g
+      FROM tri),
+firsts AS (SELECT g, MIN(doc_id) AS doc_id FROM g GROUP BY g),
+novel AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+          FROM firsts GROUP BY 1),
+dist AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct
+         FROM g GROUP BY 1)
+SELECT d0.doc_id,
+       COALESCE(dist.n_distinct, CAST(0 AS BIGINT)) AS n_distinct,
+       COALESCE(novel.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+       CASE WHEN dist.n_distinct IS NULL THEN NULL
+            ELSE round(CAST(COALESCE(novel.n_novel, 0) AS DOUBLE)
+                       / dist.n_distinct, 9) END AS novelty
+FROM documents d0
+LEFT JOIN dist USING (doc_id) LEFT JOIN novel USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def docs_split_assign(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment
+    (``select.assign_split``): split is a pure function of doc_id via
+    multiplicative hashing — stable across runs/clusters (a random
+    split would leak eval docs into training on any retry). Map-only,
+    zero shuffle."""
+    from gene_etl_ray.ops import select
+
+    ds = read(sf_dir, "documents", ["doc_id", "source"])
+    out = select.assign_split(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SPLIT_ASSIGN_SQL = """
+SELECT doc_id, source,
+       CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80
+                THEN 'train'
+            WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+                THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
 # Registry order IS the driver's gate order: the driver runs a 50-entry
 # PREFIX against DuckDB at sf0.01 (verified in round 2: CORRECTNESS_r02
 # keys == registry positions 0-49). Ordering policy:
@@ -4117,6 +4180,8 @@ QUERIES = {
     "docs_token_budget": docs_token_budget,
     "docs_source_cap": docs_source_cap,
     "docs_mixture_sample": docs_mixture_sample,
+    "docs_novelty": docs_novelty,
+    "docs_split_assign": docs_split_assign,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -4225,4 +4290,6 @@ ORACLE_SQL = {
     "docs_token_budget": TOKEN_BUDGET_SQL,
     "docs_source_cap": SOURCE_CAP_SQL,
     "docs_mixture_sample": MIXTURE_SAMPLE_SQL,
+    "docs_novelty": NOVELTY_SQL,
+    "docs_split_assign": SPLIT_ASSIGN_SQL,
 }

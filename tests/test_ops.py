@@ -1441,3 +1441,33 @@ class TestSemiAntiJoin:
             relational.partitioned_join(
                 left, right, "k", "rk", how="outer", hot_keys=[1]
             )
+
+
+class TestNovelty:
+    def test_hand_computed(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from gene_etl_ray.ops.text import novelty_score
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "a b c d",        # trigrams: "a b c", "b c d" — both first here
+                    "a b c x y z",    # "a b c" seen (doc 1); "b c x","c x y","x y z" novel
+                    "q r",            # < 3 tokens: no grams
+                ],
+            }
+        )
+        out = (
+            novelty_score(rd.from_pandas(docs))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["n_distinct"].tolist() == [2, 4, 0]
+        assert out["n_novel"].tolist() == [2, 3, 0]
+        assert out["novelty"][0] == 1.0
+        assert abs(out["novelty"][1] - 0.75) < 1e-12
+        assert pd.isna(out["novelty"][2])

@@ -129,3 +129,19 @@ def test_mixture_sample_missing_weight_raises():
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "no weight" in str(e)
+
+
+def test_assign_split_deterministic_and_exhaustive():
+    from gene_etl_ray.ops.select import assign_split
+
+    df = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64)})
+    out = assign_split(rd.from_pandas(df)).to_pandas()
+    assert set(out["split"]) == {"train", "valid", "test"}
+    assert len(out) == 1000
+    # pure function of the id: identical on a re-run
+    out2 = assign_split(rd.from_pandas(df)).to_pandas()
+    assert (out.sort_values("doc_id")["split"].to_numpy()
+            == out2.sort_values("doc_id")["split"].to_numpy()).all()
+    # roughly 80/10/10 under the multiplicative hash
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9
