@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 import ray.data
 
-from gene_etl_ray.ops.util import per_process
+from gene_etl_ray.ops.util import per_process, typed_if_empty
 
 # tiny deterministic stopword sets per language (public common words)
 _STOPWORDS = {
@@ -927,3 +927,101 @@ def novelty_score(
         return out
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def lm_quality(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 20,
+) -> ray.data.Dataset:
+    """CCNet-style language-model quality scoring with a deterministic
+    unigram LM standing in for KenLM (the published pattern: score each
+    document by its mean token log-probability under a corpus LM; cut
+    the low tail). The LM here is add-one-smoothed unigram over the
+    top-``vocab_size`` corpus terms — deterministic and
+    SQL-reproducible, while the Ray plumbing (distributed vocabulary
+    build → one broadcast → shuffle-free scoring pass) is exactly what
+    a real KenLM/fastText scorer needs; swap the probability table for
+    a model handle in an actor pool to productionize.
+
+    ``score(doc) = round(mean_t ln((c(t)+1) / (T+V+1)), 6)`` where
+    ``c(t)`` is the corpus count of in-vocab terms (0 for OOV) and
+    ``T`` the total corpus token count.
+
+    Scale shape: vocabulary counts are per-batch value_counts partials
+    (vocab-bounded exchange, same as term_df) reduced by the existing
+    partial top-k; the count table broadcasts ONCE via ``ray.put``;
+    scoring is one shuffle-free pass — flat token array, C-level dict
+    lookup, per-doc means by ``np.bincount``. SQL twin: LM_QUALITY_SQL.
+    """
+    import ray
+
+    from gene_etl_ray.ops.relational import grouped_sum_topk
+
+    # the sentinel key threads the batch token totals through the same
+    # partials so the global T needs no second corpus pass (it is
+    # excluded from the top-k below — NUL sorts before any real term
+    # but top-k keys on count, so strip it explicitly)
+    _SENT = "\x00total"
+
+    def term_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        if not lens.sum():
+            return pd.DataFrame(
+                {
+                    "t": pd.Series([], dtype="object"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        flat = np.concatenate([np.asarray(x, dtype=object) for x in toks])
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame(
+            {
+                "t": np.concatenate([vc.index.to_numpy(object), [_SENT]]),
+                "c": np.concatenate(
+                    [vc.to_numpy(np.int64), [int(lens.sum())]]
+                ),
+            }
+        )
+
+    partials = ds.map_batches(term_partial, batch_format="pandas")
+    total = int(
+        partials.map_batches(
+            lambda b: typed_if_empty(b[b["t"] == _SENT]),
+            batch_format="pandas",
+        ).sum("c")
+        or 0
+    )
+    vocab = grouped_sum_topk(
+        partials.map_batches(
+            lambda b: typed_if_empty(b[b["t"] != _SENT]),
+            batch_format="pandas",
+        ),
+        "t", "c", vocab_size,
+    )
+    cmap = dict(zip(vocab["t"].tolist(), (int(v) for v in vocab["c"])))
+    denom = float(total + vocab_size + 1)
+    ref = ray.put(cmap)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(ref)
+        toks = b[text_col].fillna("").str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        ids = b[id_col].to_numpy(np.int64)
+        if not lens.sum():
+            return pd.DataFrame(
+                {id_col: ids, "lm_score": np.full(len(b), np.nan)}
+            )
+        flat = np.concatenate([np.asarray(x, dtype=object) for x in toks])
+        c = pd.Series(flat).map(cm).fillna(0).to_numpy(np.float64)
+        lp = np.log((c + 1.0) / denom)
+        doc = np.repeat(np.arange(len(b)), lens)
+        sums = np.bincount(doc, weights=lp, minlength=len(b))
+        mean = np.where(lens > 0, sums / np.maximum(lens, 1), np.nan)
+        return pd.DataFrame(
+            {id_col: ids, "lm_score": np.round(mean, 6)}
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -4056,6 +4056,31 @@ FROM documents ORDER BY doc_id
 """
 
 
+def docs_lm_quality(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style LM quality scoring (``text.lm_quality``): mean token
+    log-probability under a deterministic add-one unigram LM over the
+    top-20 corpus terms (the KenLM stand-in — same distributed
+    plumbing: vocab-bounded count exchange, one broadcast, shuffle-free
+    scoring pass)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = text.lm_quality(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+LM_QUALITY_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS t
+             FROM documents),
+cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+vocab AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 20),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+SELECT doc_id,
+       round(avg(ln((COALESCE(v.c, 0) + 1.0) / (tot.n + 21.0))), 6)
+           AS lm_score
+FROM tok LEFT JOIN vocab v USING (t), tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # Registry order IS the driver's gate order: the driver runs a 50-entry
 # PREFIX against DuckDB at sf0.01 (verified in round 2: CORRECTNESS_r02
 # keys == registry positions 0-49). Ordering policy:
@@ -4182,6 +4207,7 @@ QUERIES = {
     "docs_mixture_sample": docs_mixture_sample,
     "docs_novelty": docs_novelty,
     "docs_split_assign": docs_split_assign,
+    "docs_lm_quality": docs_lm_quality,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -4292,4 +4318,5 @@ ORACLE_SQL = {
     "docs_mixture_sample": MIXTURE_SAMPLE_SQL,
     "docs_novelty": NOVELTY_SQL,
     "docs_split_assign": SPLIT_ASSIGN_SQL,
+    "docs_lm_quality": LM_QUALITY_SQL,
 }

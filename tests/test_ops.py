@@ -1471,3 +1471,42 @@ class TestNovelty:
         assert out["novelty"][0] == 1.0
         assert abs(out["novelty"][1] - 0.75) < 1e-12
         assert pd.isna(out["novelty"][2])
+
+
+class TestLmQuality:
+    def test_hand_computed_unigram(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from gene_etl_ray.ops.text import lm_quality
+
+        # corpus: "a a a b" + "b c" -> T=6; counts a=3,b=2,c=1
+        docs = pd.DataFrame({"doc_id": [1, 2], "text": ["a a a b", "b c"]})
+        out = (
+            lm_quality(rd.from_pandas(docs), vocab_size=2)  # vocab {a,b}
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        denom = 6 + 2 + 1
+        pa_, pb, poov = (3 + 1) / denom, (2 + 1) / denom, (0 + 1) / denom
+        want1 = np.round(np.mean(np.log([pa_, pa_, pa_, pb])), 6)
+        want2 = np.round(np.mean(np.log([pb, poov])), 6)
+        assert out["lm_score"].tolist() == [want1, want2]
+
+    def test_low_tail_is_oov_heavy(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from gene_etl_ray.ops.text import lm_quality
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["the the the the", "zzq qqz zqz"],  # common vs OOV
+            }
+        )
+        out = lm_quality(rd.from_pandas(docs), vocab_size=1).to_pandas()
+        s = dict(zip(out["doc_id"], out["lm_score"]))
+        assert s[1] > s[2]
