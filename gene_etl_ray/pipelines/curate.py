@@ -157,3 +157,85 @@ def prepare_training_sequences(
         .sort_values(["bucket", "seq_id"])
         .reset_index(drop=True)
     )
+
+
+def select_training_corpus(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    cap_per_source: int = 150,
+    budget_halves: tuple[int, int] = (1, 2),
+) -> pd.DataFrame:
+    """The SELECTION half of corpus prep, chained the way a pretraining
+    recipe runs it (the cleaning half is ``prepare_training_sequences``):
+
+      1. novelty gate — keep docs whose distinct trigrams are ≥ half
+         novel (``2·n_novel ≥ n_distinct``, integer-exact: boilerplate
+         reshuffles drop, original text stays),
+      2. domain cap — top ``cap_per_source`` docs per source by
+         (n_chars DESC, id): no domain dominates,
+      3. token budget — the best survivors until half the surviving
+         whitespace tokens are spent (two-pass threshold search),
+      4. deterministic 80/10/10 split assignment.
+
+    Every stage is deterministic and integer-thresholded, so the WHOLE
+    composition sits under one value-hash oracle
+    (SELECT_CORPUS_SQL). Text is read for the novelty/token kernels
+    and dropped before anything exchanges: the cap/budget/split stages
+    move only (id, source, n_chars, n_tokens_ws) rows."""
+    from gene_etl_ray.ops.relational import partitioned_join
+    from gene_etl_ray.ops.select import (
+        assign_split,
+        per_group_cap,
+        token_budget_select,
+    )
+    from gene_etl_ray.ops.text import novelty_score, token_count_ws
+
+    # stage 1: novelty gate (integer-exact compare; ids only exchange)
+    nov = novelty_score(ds, id_col=id_col, text_col=text_col)
+
+    def keep_novel(b: pd.DataFrame) -> pd.DataFrame:
+        m = 2 * b["n_novel"].to_numpy() >= b["n_distinct"].to_numpy()
+        return b.loc[m, [id_col]]
+
+    kept = nov.map_batches(keep_novel, batch_format="pandas")
+
+    # slim row shape for every later stage: text never leaves this pass
+    slim = token_count_ws(ds).select_columns(
+        [id_col, source_col, "n_chars", "n_tokens_ws"]
+    )
+    s1 = partitioned_join(slim, kept, id_col, id_col, how="semi")
+
+    # stage 2: domain cap
+    s2 = per_group_cap(
+        s1, [source_col], cap_per_source, ["n_chars", id_col], [False, True]
+    )
+
+    # stage 3: token budget = half the survivors' tokens (exact ints).
+    # Checkpoint the slim survivor table first: the budget op consumes
+    # its input up to four times (total, score sums, tie pass, final
+    # filter) and each lazy re-execution would otherwise re-run the
+    # novelty shuffle. The table is 4 scalar columns per doc — object
+    # store (with spill) holds it at any corpus the cluster can hold.
+    s2 = s2.materialize()
+    total = int(s2.sum("n_tokens_ws") or 0)
+    budget = (budget_halves[0] * total) // budget_halves[1]
+    s3 = token_budget_select(s2, "n_chars", "n_tokens_ws", budget, id_col=id_col)
+
+    # stage 4: split
+    out = assign_split(s3, id_col=id_col).to_pandas()
+    if out.empty:  # Ray wart: empty to_pandas() drops the schema
+        out = pd.DataFrame(
+            columns=[id_col, source_col, "n_chars", "n_tokens_ws", "split"]
+        )
+    out = (
+        out[[id_col, source_col, "n_chars", "n_tokens_ws", "split"]]
+        .sort_values(id_col)
+        .reset_index(drop=True)
+    )
+    # the semi join's union-schema null-fill floats the int columns of
+    # whichever side lacks them — restore the contract dtypes
+    for c in (id_col, "n_chars", "n_tokens_ws"):
+        out[c] = out[c].astype("int64")
+    return out

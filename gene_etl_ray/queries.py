@@ -4081,6 +4081,62 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def docs_select_corpus(sf_dir: str) -> pd.DataFrame:
+    """The corpus-SELECTION composite (``pipelines.curate
+    .select_training_corpus``): novelty gate (2·n_novel ≥ n_distinct)
+    → per-source cap 150 → token budget (half the survivors' ws
+    tokens) → deterministic 80/10/10 split. Every stage
+    integer-thresholded, so the whole chain sits under one value-hash
+    oracle."""
+    from gene_etl_ray.pipelines.curate import select_training_corpus
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
+    return select_training_corpus(ds)
+
+
+SELECT_CORPUS_SQL = r"""
+WITH d AS (SELECT doc_id, string_split(COALESCE(text,''), ' ') AS toks
+           FROM documents),
+tri AS (SELECT doc_id,
+               unnest(list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1],
+                               toks[3:])) AS p
+        FROM d WHERE len(toks) >= 3),
+g AS (SELECT DISTINCT doc_id, p[1] || ' ' || p[2] || ' ' || p[3] AS g
+      FROM tri),
+firsts AS (SELECT g, MIN(doc_id) AS doc_id FROM g GROUP BY g),
+novel AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+          FROM firsts GROUP BY 1),
+dist AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct
+         FROM g GROUP BY 1),
+nov_keep AS (
+  SELECT d0.doc_id FROM documents d0
+  LEFT JOIN dist USING (doc_id) LEFT JOIN novel USING (doc_id)
+  WHERE 2 * COALESCE(novel.n_novel, 0) >= COALESCE(dist.n_distinct, 0)),
+tokc AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END
+             AS n_tokens_ws
+  FROM documents),
+s1 AS (SELECT t.* FROM tokc t JOIN nov_keep USING (doc_id)),
+s2 AS (SELECT * FROM s1
+       QUALIFY row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 150),
+s3 AS (SELECT doc_id, source, n_chars, n_tokens_ws FROM (
+         SELECT *, SUM(n_tokens_ws) OVER (ORDER BY n_chars DESC, doc_id)
+                AS cum
+         FROM s2)
+       WHERE cum <= (SELECT SUM(n_tokens_ws) // 2 FROM s2))
+SELECT doc_id, source, n_chars, n_tokens_ws,
+       CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80
+                THEN 'train'
+            WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+                THEN 'valid'
+            ELSE 'test' END AS split
+FROM s3 ORDER BY doc_id
+"""
+
+
 # Registry order IS the driver's gate order: the driver runs a 50-entry
 # PREFIX against DuckDB at sf0.01 (verified in round 2: CORRECTNESS_r02
 # keys == registry positions 0-49). Ordering policy:
@@ -4208,6 +4264,7 @@ QUERIES = {
     "docs_novelty": docs_novelty,
     "docs_split_assign": docs_split_assign,
     "docs_lm_quality": docs_lm_quality,
+    "docs_select_corpus": docs_select_corpus,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -4319,4 +4376,5 @@ ORACLE_SQL = {
     "docs_novelty": NOVELTY_SQL,
     "docs_split_assign": SPLIT_ASSIGN_SQL,
     "docs_lm_quality": LM_QUALITY_SQL,
+    "docs_select_corpus": SELECT_CORPUS_SQL,
 }
