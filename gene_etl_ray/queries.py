@@ -4137,6 +4137,69 @@ FROM s3 ORDER BY doc_id
 """
 
 
+def embeddings_gram_matrix(sf_dir: str) -> pd.DataFrame:
+    """Upper-triangle Gram matrix over the embedding column — the
+    reference's blocked pairwise-matrix kernel
+    (``/root/reference/etl/correlate.py:34-113``) as ONE mergeable
+    matmul partial per batch (``ops/linalg.second_moment_table``):
+    per-batch d×d ``X.T @ X`` + a tiny (i, j) groupby-sum; O(d²)
+    exchange bytes per batch, fact rows scanned once and never moved."""
+    from gene_etl_ray.ops import linalg
+
+    ds = read(sf_dir, "embeddings", ["embedding"])
+    out = linalg.gram_matrix(ds)
+    out["g"] = out["g"].round(6)
+    return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+GRAM_SQL = """
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+SELECT a.i AS i, b.i AS j, round(SUM(a.v * b.v), 6) AS g
+FROM e a JOIN e b USING (vec_id)
+WHERE a.i <= b.i GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def embeddings_pca_axis(sf_dir: str) -> pd.DataFrame:
+    """PCA projection gated in its d=1 EXACT regime (the
+    ``corr_fdr_significant`` twin pattern): vectors are collapsed to
+    their first coordinate, so the full distributed path — moment
+    sweep → covariance → driver ``eigh`` → sign canonicalization →
+    broadcast projection (``ops/linalg.pca_fit/pca_project``) — runs
+    end-to-end while the answer stays SQL-expressible
+    (pc_0 = x − avg(x)).  The 64-dim regime is pinned by unit
+    invariants in tests/test_linalg.py (eigenvalue/variance match,
+    orthonormality, reconstruction error)."""
+    from gene_etl_ray.ops import linalg
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def first_dim(t: pa.Table) -> pa.Table:
+        X = linalg._batch_matrix(t.column("embedding"))
+        n = X.shape[0]
+        col0 = X[:, 0] if n else np.empty(0)
+        lst = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32)), pa.array(col0)
+        )
+        return pa.table({"vec_id": t.column("vec_id"), "embedding": lst})
+
+    ds1 = ds.map_batches(first_dim, batch_format="pyarrow")
+    fit = linalg.pca_fit(ds1, k=1)
+    out = linalg.pca_project(ds1, fit).to_pandas()
+    out["pc_0"] = out["pc_0"].round(6)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+PCA_AXIS_SQL = """
+SELECT vec_id,
+       round(CAST(embedding[1] AS DOUBLE)
+             - (SELECT avg(CAST(embedding[1] AS DOUBLE)) FROM embeddings),
+             6) AS pc_0
+FROM embeddings ORDER BY vec_id
+"""
+
+
 # Registry order IS the driver's gate order: the driver runs a 50-entry
 # PREFIX against DuckDB at sf0.01 (verified in round 2: CORRECTNESS_r02
 # keys == registry positions 0-49). Ordering policy:
@@ -4265,6 +4328,8 @@ QUERIES = {
     "docs_split_assign": docs_split_assign,
     "docs_lm_quality": docs_lm_quality,
     "docs_select_corpus": docs_select_corpus,
+    "embeddings_gram_matrix": embeddings_gram_matrix,
+    "embeddings_pca_axis": embeddings_pca_axis,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -4377,4 +4442,6 @@ ORACLE_SQL = {
     "docs_split_assign": SPLIT_ASSIGN_SQL,
     "docs_lm_quality": LM_QUALITY_SQL,
     "docs_select_corpus": SELECT_CORPUS_SQL,
+    "embeddings_gram_matrix": GRAM_SQL,
+    "embeddings_pca_axis": PCA_AXIS_SQL,
 }

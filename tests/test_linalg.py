@@ -1,0 +1,91 @@
+"""ops/linalg: distributed Gram / covariance / PCA invariants in the
+full 64-dim regime (the d=1 exact regime is gated by the DuckDB oracle
+on ``embeddings_pca_axis``)."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from gene_etl_ray.ops import linalg
+
+SF = "/root/testdata/sf0.001"
+
+
+def _load():
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet").repartition(7)
+    df = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return ds, X
+
+
+def test_gram_matches_numpy():
+    ds, X = _load()
+    out = linalg.gram_matrix(ds)
+    G = X.T @ X
+    d = X.shape[1]
+    assert len(out) == d * (d + 1) // 2
+    got = np.zeros((d, d))
+    got[out["i"], out["j"]] = out["g"]
+    iu = np.triu_indices(d)
+    np.testing.assert_allclose(got[iu], G[iu], rtol=1e-10, atol=1e-9)
+
+
+def test_covariance_matches_numpy():
+    ds, X = _load()
+    n, mu, cov = linalg.covariance_matrix(ds)
+    assert n == X.shape[0]
+    np.testing.assert_allclose(mu, X.mean(axis=0), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        cov, np.cov(X, rowvar=False), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_pca_invariants():
+    ds, X = _load()
+    k = 8
+    fit = linalg.pca_fit(ds, k=k)
+    C = fit.components
+    # orthonormal components
+    np.testing.assert_allclose(C @ C.T, np.eye(k), atol=1e-10)
+    # deterministic sign: max-|entry| coordinate positive
+    for r in range(k):
+        assert C[r, np.argmax(np.abs(C[r]))] > 0
+    # eigenvalues descending and each equals the variance of its projection
+    assert np.all(np.diff(fit.explained_variance) <= 1e-12)
+    P = linalg.pca_project(ds, fit).to_pandas().sort_values("vec_id")
+    proj = P[[f"pc_{r}" for r in range(k)]].to_numpy()
+    np.testing.assert_allclose(
+        proj.var(axis=0, ddof=1), fit.explained_variance, rtol=1e-8
+    )
+    # projections match the direct computation (P and X both vec_id-sorted)
+    Xc = X - X.mean(axis=0)
+    ref = Xc @ C.T
+    np.testing.assert_allclose(proj, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_pca_reconstruction_error_bounded():
+    ds, X = _load()
+    d = X.shape[1]
+    full = linalg.pca_fit(ds, k=d)
+    k = 8
+    fit = linalg.pca_fit(ds, k=k)
+    Xc = X - fit.mean
+    P = Xc @ fit.components.T
+    recon = P @ fit.components
+    # mean squared residual == sum of trailing eigenvalues (scaled)
+    resid = ((Xc - recon) ** 2).sum() / (X.shape[0] - 1)
+    tail = full.explained_variance[k:].sum()
+    np.testing.assert_allclose(resid, tail, rtol=1e-8)
+
+
+def test_empty_and_single_batch():
+    X = np.arange(12, dtype=np.float64).reshape(4, 3)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(4), "embedding": list(X)})
+    )
+    out = linalg.gram_matrix(ds)
+    G = X.T @ X
+    got = np.zeros((3, 3))
+    got[out["i"], out["j"]] = out["g"]
+    iu = np.triu_indices(3)
+    np.testing.assert_allclose(got[iu], G[iu])
