@@ -316,10 +316,41 @@ def asof_join_bucketed(
             ):
                 lg = lg.assign(**{lc: lg[lc].astype("float64")})
                 rg = rg.assign(**{rc: rg[rc].astype("float64")})
-        m = pd.merge_asof(
-            lg, rg, left_on=on_left, right_on=on_right,
-            left_by=by_left, right_by=by_right, direction=direction,
-        )
+        if direction == "nearest":
+            # explicit nearest with a PINNED tie rule (backward wins):
+            # pandas' own "nearest" tie behavior is unspecified, which
+            # would make the result hash-unstable vs a SQL oracle
+            def _asof(d: str) -> pd.DataFrame:
+                return pd.merge_asof(
+                    lg, rg, left_on=on_left, right_on=on_right,
+                    left_by=by_left, right_by=by_right, direction=d,
+                )
+
+            mb, mf = _asof("backward"), _asof("forward")
+
+            def _dist(a: pd.Series, b: pd.Series) -> np.ndarray:
+                # mask no-match rows BEFORE the dtype cast: NaT becomes
+                # the int64 min sentinel (not NaN) under .astype(float)
+                miss = a.isna().to_numpy() | b.isna().to_numpy()
+                d = a.to_numpy() - b.to_numpy()
+                if d.dtype.kind == "m":
+                    d = d.astype("timedelta64[ns]").astype("float64")
+                else:
+                    d = d.astype("float64")
+                d = np.abs(d)
+                d[miss] = np.inf
+                return d
+
+            lo = lg[on_left].reset_index(drop=True)
+            take_f = _dist(mf[on_right], lo) < _dist(lo, mb[on_right])
+            m = mb
+            for c in m.columns.difference(lg.columns):
+                m.loc[take_f, c] = mf.loc[take_f, c]
+        else:
+            m = pd.merge_asof(
+                lg, rg, left_on=on_left, right_on=on_right,
+                left_by=by_left, right_by=by_right, direction=direction,
+            )
         return m[out_cols] if out_cols else m
 
     return both.groupby("__bucket").map_groups(asof_bucket, batch_format="pandas")
@@ -657,6 +688,50 @@ def windowed_agg(
         with_w, [key, "window_start"], sums={"value_sum": value}, counts="n_events"
     )
     return out
+
+
+def sliding_windowed_agg(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    size_us: int,
+    slide_us: int,
+    value: str,
+) -> pd.DataFrame:
+    """SLIDING-window grouped aggregate (hop windows): every row lands
+    in ``k = size/slide`` overlapping windows.  Ray Data has no
+    event-time windows (SURVEY §2.9), so the assignment is a vectorized
+    k-fold replication inside ``map_batches`` (np.repeat on values,
+    tiled hop offsets — no per-row Python), then the same
+    partial-aggregated groupby as the tumbling case.  Exchange volume
+    is k× the input of the COMBINED partials (per-batch pre-aggregation
+    collapses rows to distinct (key, window) pairs first), not k× the
+    fact table — the standard streaming hop-window expansion."""
+    if size_us % slide_us:
+        raise ValueError("sliding_windowed_agg: size_us must be a multiple of slide_us")
+    k = size_us // slide_us
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch.column(value).to_numpy(zero_copy_only=False)
+        kcol = batch.column(key).to_numpy(zero_copy_only=False)
+        base = (t // slide_us) * slide_us
+        n = len(t)
+        w = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * slide_us, n
+        )
+        return pa.table(
+            {
+                key: pa.array(np.repeat(kcol, k)),
+                "window_start": pa.array(w),
+                value: pa.array(np.repeat(v, k)),
+            }
+        )
+
+    with_w = ds.map_batches(assign, batch_format="pyarrow")
+    return grouped_aggregate_partial(
+        with_w, [key, "window_start"], sums={"value_sum": value}, counts="n_events"
+    )
 
 
 def lag_lead(

@@ -748,23 +748,7 @@ def events_asof_orders(sf_dir: str) -> pd.DataFrame:
     ``merge_asof`` within buckets; the per-(custkey, date) order dedup is
     folded into the same bucket pass (right_prepare) so ties are
     deterministic without an extra shuffle."""
-    ev = read(sf_dir, "events", ["event_id", "ts", "user_id"])
-    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-
-    def dedup_orders(rg: pd.DataFrame) -> pd.DataFrame:
-        return rg.groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"].max()
-
-    out = relational.asof_join_bucketed(
-        ev, orders, on_left="ts", on_right="o_orderdate",
-        by_left="user_id", by_right="o_custkey",
-        right_prepare=dedup_orders, out_cols=["event_id", "o_orderkey"],
-    ).to_pandas()
-    out["event_id"] = out["event_id"].astype("int64")
-    # DuckDB fetchdf dtype contract: nullable BIGINT → float64 iff NULLs
-    out["o_orderkey"] = out["o_orderkey"].astype(
-        "float64" if out["o_orderkey"].isna().any() else "int64"
-    )
-    return out.sort_values("event_id").reset_index(drop=True)
+    return _asof_orders_dir(sf_dir, "backward")
 
 
 ASOF_SQL = """
@@ -777,6 +761,113 @@ SELECT e.event_id,
         WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         ORDER BY o.o_orderdate DESC LIMIT 1) AS o_orderkey
 FROM events e ORDER BY e.event_id
+"""
+
+
+def _asof_orders_dir(sf_dir: str, direction: str) -> pd.DataFrame:
+    """Shared body of the as-of direction family (backward variant is
+    ``events_asof_orders``): same bucketing, same folded right-side
+    dedup, different match rule."""
+    ev = read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def dedup_orders(rg: pd.DataFrame) -> pd.DataFrame:
+        return rg.groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"].max()
+
+    out = relational.asof_join_bucketed(
+        ev, orders, on_left="ts", on_right="o_orderdate",
+        by_left="user_id", by_right="o_custkey", direction=direction,
+        right_prepare=dedup_orders, out_cols=["event_id", "o_orderkey"],
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["o_orderkey"] = out["o_orderkey"].astype(
+        "float64" if out["o_orderkey"].isna().any() else "int64"
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _asof_views_dir(sf_dir: str, direction: str) -> pd.DataFrame:
+    """Purchase→view attribution: each 'purchase' event matched to the
+    same user's 'view' event in the given as-of direction. Unlike the
+    (events, orders) pair — whose time ranges don't overlap, making
+    forward/nearest degenerate — purchases and views interleave, so
+    every direction is exercised for real. Same one-shuffle bucketed
+    as-of plan; the per-(user, ts) view dedup folds into the bucket
+    pass as right_prepare."""
+    ev = read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def side(t: str, rename: dict[str, str] | None = None):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b.column("event_type"), pa.scalar(t)))
+            b = b.select(["event_id", "ts", "user_id"])
+            return b.rename_columns([rename.get(c, c) for c in b.column_names]) if rename else b
+
+        return fn
+
+    purchases = ev.map_batches(side("purchase"), batch_format="pyarrow")
+    views = ev.map_batches(
+        side("view", {"event_id": "view_id", "ts": "view_ts"}),
+        batch_format="pyarrow",
+    )
+
+    def dedup_views(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["user_id", "view_ts"], as_index=False).agg(
+            view_id=("view_id", "max")
+        )
+
+    out = relational.asof_join_bucketed(
+        purchases, views, on_left="ts", on_right="view_ts",
+        by_left="user_id", by_right="user_id", direction=direction,
+        right_prepare=dedup_views, out_cols=["event_id", "view_id"],
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    # DuckDB fetchdf dtype contract: nullable BIGINT → float64 iff NULLs
+    out["view_id"] = out["view_id"].astype(
+        "float64" if out["view_id"].isna().any() else "int64"
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_asof_views_forward(sf_dir: str) -> pd.DataFrame:
+    """Forward as-of join: each purchase matched to the user's FIRST
+    view at or after the purchase time (the other half of the as-of
+    family — same one-shuffle bucketed plan as the backward variant)."""
+    return _asof_views_dir(sf_dir, "forward")
+
+
+ASOF_FWD_SQL = """
+WITH v AS (
+  SELECT user_id, ts AS view_ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT e.event_id,
+       (SELECT v.view_id FROM v
+        WHERE v.user_id = e.user_id AND v.view_ts >= e.ts
+        ORDER BY v.view_ts ASC LIMIT 1) AS view_id
+FROM events e WHERE e.event_type = 'purchase' ORDER BY e.event_id
+"""
+
+
+def events_asof_views_nearest(sf_dir: str) -> pd.DataFrame:
+    """Nearest as-of join with a pinned tie rule (backward wins on an
+    exact-distance tie): backward + forward merges inside the SAME
+    bucket pass, vectorized distance pick — no extra shuffle and no
+    dependence on pandas' unspecified nearest tie-breaking."""
+    return _asof_views_dir(sf_dir, "nearest")
+
+
+ASOF_NEAREST_SQL = """
+WITH v AS (
+  SELECT user_id, ts AS view_ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT e.event_id,
+       (SELECT v.view_id FROM v
+        WHERE v.user_id = e.user_id
+        ORDER BY abs(epoch_us(e.ts) - epoch_us(v.view_ts)),
+                 CASE WHEN v.view_ts <= e.ts THEN 0 ELSE 1 END
+        LIMIT 1) AS view_id
+FROM events e WHERE e.event_type = 'purchase' ORDER BY e.event_id
 """
 
 
@@ -4200,6 +4291,34 @@ FROM embeddings ORDER BY vec_id
 """
 
 
+def events_sliding_windows(sf_dir: str) -> pd.DataFrame:
+    """Hop-window aggregate (30-min windows sliding every 10 min):
+    the streaming sliding-window literal SURVEY §2.9 calls for, as a
+    vectorized k-fold window assignment + partial-aggregated groupby
+    (``ops/relational.sliding_windowed_agg``)."""
+    ds = read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = relational.sliding_windowed_agg(
+        ds, "event_type", "ts",
+        size_us=30 * 60 * 1_000_000, slide_us=10 * 60 * 1_000_000,
+        value="value",
+    )
+    out["window_start"] = pd.to_datetime(out["window_start"], unit="us").astype(
+        "datetime64[us]"
+    )
+    out["value_sum"] = out["value_sum"].round(6)
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+SLIDING_SQL = """
+SELECT event_type,
+       make_timestamp((epoch_us(ts) // 600000000) * 600000000
+                      - u.r * 600000000) AS window_start,
+       round(sum(value), 6) AS value_sum, count(*) AS n_events
+FROM events, unnest(range(0, 3)) AS u(r)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # Registry order IS the driver's gate order: the driver runs a 50-entry
 # PREFIX against DuckDB at sf0.01 (verified in round 2: CORRECTNESS_r02
 # keys == registry positions 0-49). Ordering policy:
@@ -4330,6 +4449,9 @@ QUERIES = {
     "docs_select_corpus": docs_select_corpus,
     "embeddings_gram_matrix": embeddings_gram_matrix,
     "embeddings_pca_axis": embeddings_pca_axis,
+    "events_sliding_windows": events_sliding_windows,
+    "events_asof_views_forward": events_asof_views_forward,
+    "events_asof_views_nearest": events_asof_views_nearest,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -4444,4 +4566,7 @@ ORACLE_SQL = {
     "docs_select_corpus": SELECT_CORPUS_SQL,
     "embeddings_gram_matrix": GRAM_SQL,
     "embeddings_pca_axis": PCA_AXIS_SQL,
+    "events_sliding_windows": SLIDING_SQL,
+    "events_asof_views_forward": ASOF_FWD_SQL,
+    "events_asof_views_nearest": ASOF_NEAREST_SQL,
 }

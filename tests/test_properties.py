@@ -344,3 +344,137 @@ def test_flat_ngrams_equals_per_doc(docs, n):
             want_g.append(" ".join(t[j : j + n]))
     assert d.tolist() == want_d
     assert g.tolist() == want_g
+
+
+asof_dir_frames = st.tuples(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=16),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=16),
+    st.integers(1, 4),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(asof_dir_frames)
+def test_asof_nearest_and_forward_match_bruteforce(data):
+    """direction='nearest' must equal a per-row brute-force nearest with
+    the PINNED tie rule (backward wins an exact-distance tie), and
+    direction='forward' must equal pandas merge_asof(forward). Small
+    integer timestamps make distance ties and no-match rows common —
+    exactly the cases the vectorized pick has to get right."""
+    import ray.data
+
+    from gene_etl_ray.ops import relational
+
+    lrows, rrows, nb = data
+    left = pd.DataFrame(
+        {
+            "uid": [a for a, _ in lrows],
+            "ts": pd.to_datetime([b for _, b in lrows], unit="s"),
+            "eid": range(len(lrows)),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "ouid": [a for a, _ in rrows],
+            "ots": pd.to_datetime([b for _, b in rrows], unit="s"),
+            "oid": range(len(rrows)),
+        }
+    )
+
+    def prep(rg: pd.DataFrame) -> pd.DataFrame:
+        return rg.groupby(["ouid", "ots"], as_index=False)["oid"].max()
+
+    def run(direction: str) -> list[int]:
+        return (
+            relational.asof_join_bucketed(
+                ray.data.from_pandas(left), ray.data.from_pandas(right),
+                on_left="ts", on_right="ots", by_left="uid", by_right="ouid",
+                num_buckets=nb, direction=direction, right_prepare=prep,
+                out_cols=["eid", "oid"],
+            )
+            .to_pandas()
+            .sort_values("eid", kind="mergesort")["oid"]
+            .fillna(-1)
+            .astype("int64")
+            .tolist()
+        )
+
+    rdedup = prep(right)
+
+    want_near = []
+    for _, lr in left.iterrows():
+        cand = rdedup[rdedup["ouid"] == lr["uid"]]
+        if cand.empty:
+            want_near.append(-1)
+            continue
+        d = (cand["ots"] - lr["ts"]).abs()
+        is_fwd = (cand["ots"] > lr["ts"]).astype(int)  # backward wins ties
+        best = cand.assign(d=d, f=is_fwd).sort_values(["d", "f"]).iloc[0]
+        want_near.append(int(best["oid"]))
+    assert run("nearest") == want_near
+
+    want_fwd = (
+        pd.merge_asof(
+            left.sort_values("ts", kind="mergesort"),
+            rdedup.sort_values("ots", kind="mergesort"),
+            left_on="ts", right_on="ots", left_by="uid", right_by="ouid",
+            direction="forward",
+        )
+        .sort_values("eid", kind="mergesort")["oid"]
+        .fillna(-1)
+        .astype("int64")
+        .tolist()
+    )
+    assert run("forward") == want_fwd
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 120), st.integers(-5, 5)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 4),
+)
+def test_sliding_windowed_agg_matches_bruteforce(rows, k):
+    """Every row must land in exactly size/slide hop windows with the
+    right window_start, for any k and any timestamp distribution."""
+    import ray.data
+
+    from gene_etl_ray.ops import relational
+
+    slide = 10
+    size = slide * k
+    df = pd.DataFrame(
+        {
+            "key": [f"k{a}" for a, _, _ in rows],
+            "ts": [b for _, b, _ in rows],
+            "value": [float(c) for _, _, c in rows],
+        }
+    )
+    got = (
+        relational.sliding_windowed_agg(
+            ray.data.from_pandas(df), "key", "ts", size_us=size, slide_us=slide,
+            value="value",
+        )
+        .sort_values(["key", "window_start"])
+        .reset_index(drop=True)
+    )
+    expanded = []
+    for _, r in df.iterrows():
+        base = (int(r["ts"]) // slide) * slide
+        for j in range(k):
+            expanded.append((r["key"], base - j * slide, r["value"]))
+    want = (
+        pd.DataFrame(expanded, columns=["key", "window_start", "value"])
+        .groupby(["key", "window_start"], as_index=False)
+        .agg(value_sum=("value", "sum"), n_events=("value", "size"))
+        .sort_values(["key", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got["key"].tolist() == want["key"].tolist()
+    assert got["window_start"].astype("int64").tolist() == want["window_start"].astype("int64").tolist()
+    assert np.allclose(got["value_sum"].to_numpy(), want["value_sum"].to_numpy())
+    assert got["n_events"].astype("int64").tolist() == want["n_events"].astype("int64").tolist()
