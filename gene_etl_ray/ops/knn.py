@@ -468,3 +468,77 @@ def kmeans_assign(
         .sort_values(id_col)
         .reset_index(drop=True)
     )
+
+
+def pq_encode(
+    ds: ray.data.Dataset,
+    codebooks: list[np.ndarray],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query: np.ndarray | None = None,
+    adc_out: str = "adc_dist",
+) -> ray.data.Dataset:
+    """Product-quantization encode — the FAISS-style memory-scale path
+    for ANN at corpus scale (a 64-dim float32 vector becomes m uint8
+    codes; 10^10 vectors fit where raw floats can't). ``codebooks`` is
+    one (k, sub_dim) centroid matrix per contiguous subspace; each
+    batch assigns every subvector to its nearest codeword (argmin,
+    ties toward the lowest code — SQL's ``ORDER BY dist, code``).
+
+    With ``query`` given, also emits the asymmetric-distance (ADC)
+    column: per subspace a k-entry lookup table ``||q_j - c||^2`` is
+    built ONCE per batch, then the per-row distance is a table gather
+    + sum — never a full-dimension recompute. One ``ray.put`` ships
+    the codebooks; everything else is per-batch numpy."""
+    import ray
+
+    cref = ray.put([cb.astype(np.float64) for cb in codebooks])
+    qref = ray.put(None if query is None else np.asarray(query, dtype=np.float64))
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        cbs, q = ray.get(cref), ray.get(qref)
+        x = _to_matrix(b[vec_col]).astype(np.float64)
+        out = {id_col: b[id_col].to_numpy()}
+        lo, adc = 0, None
+        for j, cb in enumerate(cbs):
+            hi = lo + cb.shape[1]
+            sub = x[:, lo:hi]
+            diff = sub[:, None, :] - cb[None, :, :]
+            code = (diff * diff).sum(axis=2).argmin(axis=1)
+            out[f"code_{j}"] = code.astype(np.int64)
+            if q is not None:
+                qd = q[lo:hi][None, :] - cb  # (k, sub_dim) LUT
+                lut = (qd * qd).sum(axis=1)
+                adc = lut[code] if adc is None else adc + lut[code]
+            lo = hi
+        if adc is not None:
+            out[adc_out] = np.sqrt(adc)
+        return pd.DataFrame(out)
+
+    return ds.map_batches(encode, batch_format="pandas")
+
+
+def pq_adc_topk(
+    codes: ray.data.Dataset,
+    k: int,
+    id_col: str = "vec_id",
+    adc_col: str = "adc_dist",
+) -> pd.DataFrame:
+    """Top-k by ADC distance over a PQ-coded table: per-batch partial
+    top-k WIDENED at the boundary tie (PQ distances tie whenever two
+    vectors share all codes, which is the norm, so the widening is
+    load-bearing), then a driver merge of ≤ blocks × k rows tie-broken
+    (dist ASC, id ASC) — no global sort."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) <= k:
+            return b
+        kth = b[adc_col].nsmallest(k).iloc[-1]
+        return b[b[adc_col] <= kth]
+
+    tops = codes.map_batches(partial, batch_format="pandas").to_pandas()
+    return (
+        tops.sort_values([adc_col, id_col], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )

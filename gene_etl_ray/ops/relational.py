@@ -1358,3 +1358,113 @@ def rolling_count_distinct(
         .sort_values("day")
         .reset_index(drop=True)
     )
+
+
+def grouped_standardize(
+    ds: ray.data.Dataset,
+    key: str,
+    value: str,
+    id_cols: list[str],
+    out: str = "zscore",
+) -> ray.data.Dataset:
+    """Per-group z-score transform ((x - mean) / stddev_pop) — the
+    per-cohort normalization step of the reference's expression
+    pipeline (the `normalized_expression` slot,
+    `/root/reference/models.py:106`) as a BROADCAST-MERGE map, never a
+    row shuffle: per-batch (n, sum, sum-of-squares) partials collapse
+    to one row per (batch, key), one tiny groupby reduces them, and the
+    per-key stats ship back via a single ``ray.put`` into a stateless
+    map stage.  For integral inputs the partials stay int64 and the
+    score is computed as ``(n*x - S) / sqrt(n*Q - S^2)`` — every term
+    exact in int64/float64 — so the result is bit-identical to a SQL
+    engine computing the same rearrangement (no variance-of-floats
+    drift across summation orders)."""
+    import ray
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[value].to_numpy(dtype=np.int64)
+        b2 = pd.DataFrame({key: b[key].to_numpy(), "__x": x, "__sq": x * x})
+        return b2.groupby(key, as_index=False, sort=False, dropna=False).agg(
+            n=("__x", "size"), s=("__x", "sum"), q=("__sq", "sum")
+        )
+
+    stats = (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby(key)
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    key: [g[key].iloc[0]],
+                    "n": [g["n"].sum()],
+                    "s": [g["s"].sum()],
+                    "q": [g["q"].sum()],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    sref = ray.put(stats.set_index(key)[["n", "s", "q"]])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(sref)
+        m = st.reindex(b[key].to_numpy())
+        n = m["n"].to_numpy(dtype=np.int64)
+        s = m["s"].to_numpy(dtype=np.int64)
+        q = m["q"].to_numpy(dtype=np.int64)
+        x = b[value].to_numpy(dtype=np.int64)
+        num = (n * x - s).astype(np.float64)
+        den = np.sqrt((n * q - s * s).astype(np.float64))
+        res = b[id_cols].copy()
+        res[out] = num / den
+        return res
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def trailing_window_median(
+    ds: ray.data.Dataset,
+    key: str,
+    order_col: str,
+    window,
+    value: str,
+    id_col: str,
+    out: str = "med_window",
+) -> ray.data.Dataset:
+    """Event-time RANGE median: ``median(value) OVER (PARTITION BY key
+    ORDER BY order_col RANGE BETWEEN window PRECEDING AND CURRENT
+    ROW)``.  Same one-shuffle plan as :func:`trailing_window_count`
+    (hash on key, two searchsorted probes per group for the
+    ``[t-w, t]``-inclusive frame with SQL peer-group semantics), but
+    the reducer is a rolling median, which has no closed-form
+    vectorization: one ``np.partition`` per DISTINCT frame (timestamp
+    peers share theirs), O(g·w) in-group — fine because groups are
+    per-key bounded, never corpus-sized.  Even-count frames interpolate
+    as ``lo + (hi - lo) * 0.5``, DuckDB's ``quantile_cont`` formula, so
+    the floats match an SQL oracle bit-for-bit."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="mergesort")
+        ts = g[order_col].to_numpy()
+        v = g[value].to_numpy(dtype=np.float64)
+        lo = np.searchsorted(ts, ts - window, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        med = np.empty(len(v))
+        starts = np.flatnonzero(
+            np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+        )
+        ends = np.r_[starts[1:], len(v)]
+        for s, e in zip(starts, ends):
+            w = v[lo[s] : hi[s]]
+            n = len(w)
+            if n % 2:
+                m = np.partition(w, n // 2)[n // 2]
+            else:
+                p = np.partition(w, [n // 2 - 1, n // 2])
+                m = p[n // 2 - 1] + (p[n // 2] - p[n // 2 - 1]) * 0.5
+            med[s:e] = m
+        return pd.DataFrame(
+            {id_col: g[id_col].to_numpy(), out: med}
+        )
+
+    return ds.groupby(key).map_groups(fn, batch_format="pandas")

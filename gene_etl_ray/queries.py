@@ -4319,6 +4319,166 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def lineitem_zscore_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Per-cohort z-score normalization — the reference's
+    `normalized_expression` slot (`/root/reference/models.py:106`) as a
+    broadcast-merge transform (``relational.grouped_standardize``):
+    tiny (n, S, Q) partials per batch, one small groupby, stats shipped
+    back via ray.put — the fact rows never shuffle. Exact-integer
+    rearrangement ``(n·x − S)/sqrt(n·Q − S²)`` so the floats match the
+    SQL twin bit-for-bit (l_quantity is integral)."""
+    ds = read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
+    )
+    out = relational.grouped_standardize(
+        ds, "l_returnflag", "l_quantity",
+        id_cols=["l_orderkey", "l_linenumber"], out="zscore",
+    ).to_pandas()
+    out["zscore"] = out["zscore"].round(6)
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    out["l_linenumber"] = out["l_linenumber"].astype("int64")
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture — include
+    # the score in the sort so row order is deterministic on both sides
+    return out.sort_values(
+        ["l_orderkey", "l_linenumber", "zscore"]
+    ).reset_index(drop=True)
+
+
+ZSCORE_SQL = """
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS x,
+         count(*) OVER w AS n,
+         sum(CAST(l_quantity AS BIGINT)) OVER w AS s,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) OVER w AS q
+  FROM lineitem WINDOW w AS (PARTITION BY l_returnflag)
+)
+SELECT l_orderkey, l_linenumber,
+       round((n * x - s) / sqrt(n * q - s * s), 6) AS zscore
+FROM s ORDER BY l_orderkey, l_linenumber, zscore
+"""
+
+
+def orders_trailing_median(sf_dir: str) -> pd.DataFrame:
+    """Event-time RANGE-frame MEDIAN (trailing 90 days per customer,
+    timestamp peers included): the order-statistic member of the window
+    family — unlike count/sum it has no running form, so the in-group
+    reducer is one np.partition per distinct frame
+    (``relational.trailing_window_median``), with DuckDB's exact
+    quantile_cont interpolation pinned for even frames."""
+    ds = read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    out = relational.trailing_window_median(
+        ds, "o_custkey", "o_orderdate", np.timedelta64(90, "D"),
+        "o_totalprice", "o_orderkey", out="med_90d",
+    ).to_pandas()
+    out["med_90d"] = out["med_90d"].round(6)
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+TRAILING_MED_SQL = """
+SELECT o_orderkey,
+       round(median(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW), 6)
+         AS med_90d
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def _pq_codebooks(sf_dir: str):
+    """Deterministic PQ setup shared by the two PQ queries: m=2
+    contiguous 32-dim subspaces, k=4 codewords per subspace seeded from
+    the 4 lowest vec_ids (no RNG — same convention as
+    ``embeddings_kmeans_assign``), query = the lowest vec_id's vector."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seed = (
+        ds.map_batches(
+            lambda b: b.nsmallest(4, "vec_id"), batch_format="pandas"
+        )
+        .to_pandas()
+        .nsmallest(4, "vec_id")
+        .sort_values("vec_id")
+    )
+    v = np.stack(seed["embedding"].to_numpy()).astype(np.float64)
+    half = v.shape[1] // 2
+    return ds, [v[:, :half], v[:, half:]], v[0]
+
+
+def embeddings_pq_codes(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization encode + asymmetric distance (``knn.pq_encode``):
+    every vector becomes (code_0, code_1) + its ADC distance to the
+    query — the memory-scale ANN representation (10^10 vectors as m
+    bytes each). Codebooks broadcast once; per-batch work is two
+    argmin-over-k kernels and a k-entry LUT gather."""
+    ds, cbs, q = _pq_codebooks(sf_dir)
+    out = knn.pq_encode(ds, cbs, query=q).to_pandas()
+    out["adc_dist"] = out["adc_dist"].round(6)
+    for c in ("vec_id", "code_0", "code_1"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+PQ_CTES = """
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         list_transform(list_slice(embedding, 1, 32),
+                        x -> CAST(x AS DOUBLE)) AS c0,
+         list_transform(list_slice(embedding, 33, 64),
+                        x -> CAST(x AS DOUBLE)) AS c1
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
+),
+q AS (SELECT c0 AS q0, c1 AS q1 FROM c QUALIFY row_number() OVER (ORDER BY code) = 1),
+e AS (SELECT vec_id,
+             list_transform(list_slice(embedding, 1, 32),
+                            x -> CAST(x AS DOUBLE)) AS v0,
+             list_transform(list_slice(embedding, 33, 64),
+                            x -> CAST(x AS DOUBLE)) AS v1
+      FROM embeddings),
+a0 AS (SELECT e.vec_id, c.code, c.c0 FROM e CROSS JOIN c
+       QUALIFY row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_distance(e.v0, c.c0), c.code) = 1),
+a1 AS (SELECT e.vec_id, c.code, c.c1 FROM e CROSS JOIN c
+       QUALIFY row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_distance(e.v1, c.c1), c.code) = 1),
+adc AS (
+  SELECT a0.vec_id, CAST(a0.code AS BIGINT) AS code_0,
+         CAST(a1.code AS BIGINT) AS code_1,
+         sqrt(power(list_distance(q.q0, a0.c0), 2)
+            + power(list_distance(q.q1, a1.c1), 2)) AS d
+  FROM a0 JOIN a1 USING (vec_id) CROSS JOIN q
+)
+"""
+
+PQ_SQL = PQ_CTES + """
+SELECT vec_id, code_0, code_1, round(d, 6) AS adc_dist
+FROM adc ORDER BY vec_id
+"""
+
+
+def embeddings_pq_topk(sf_dir: str) -> pd.DataFrame:
+    """ADC top-k over the PQ codes (``knn.pq_adc_topk``): per-batch
+    partial top-k with boundary ties widened — load-bearing here, since
+    every vector sharing all codes ties exactly — then a tiny driver
+    merge tie-broken (dist, vec_id). No global sort."""
+    ds, cbs, q = _pq_codebooks(sf_dir)
+    codes = knn.pq_encode(ds, cbs, query=q)
+    out = knn.pq_adc_topk(codes, k=20)
+    out["adc_dist"] = out["adc_dist"].round(6)
+    for c in ("vec_id", "code_0", "code_1"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+PQ_TOPK_SQL = PQ_CTES + """
+SELECT vec_id, code_0, code_1, round(d, 6) AS adc_dist
+FROM adc ORDER BY d, vec_id LIMIT 20
+"""
+
+
 # Registry order IS the driver's gate order: the driver runs a 50-entry
 # PREFIX against DuckDB at sf0.01 (verified in round 2: CORRECTNESS_r02
 # keys == registry positions 0-49). Ordering policy:
@@ -4452,6 +4612,10 @@ QUERIES = {
     "events_sliding_windows": events_sliding_windows,
     "events_asof_views_forward": events_asof_views_forward,
     "events_asof_views_nearest": events_asof_views_nearest,
+    "lineitem_zscore_by_flag": lineitem_zscore_by_flag,
+    "orders_trailing_median": orders_trailing_median,
+    "embeddings_pq_codes": embeddings_pq_codes,
+    "embeddings_pq_topk": embeddings_pq_topk,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -4569,4 +4733,8 @@ ORACLE_SQL = {
     "events_sliding_windows": SLIDING_SQL,
     "events_asof_views_forward": ASOF_FWD_SQL,
     "events_asof_views_nearest": ASOF_NEAREST_SQL,
+    "lineitem_zscore_by_flag": ZSCORE_SQL,
+    "orders_trailing_median": TRAILING_MED_SQL,
+    "embeddings_pq_codes": PQ_SQL,
+    "embeddings_pq_topk": PQ_TOPK_SQL,
 }

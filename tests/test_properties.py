@@ -478,3 +478,133 @@ def test_sliding_windowed_agg_matches_bruteforce(rows, k):
     assert got["window_start"].astype("int64").tolist() == want["window_start"].astype("int64").tolist()
     assert np.allclose(got["value_sum"].to_numpy(), want["value_sum"].to_numpy())
     assert got["n_events"].astype("int64").tolist() == want["n_events"].astype("int64").tolist()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda rows: all(
+        len({v for g2, v in rows if g2 == g}) > 1
+        for g in {g for g, _ in rows}
+    ))
+)
+def test_grouped_standardize_matches_bruteforce(rows):
+    """z-score must equal (x - group mean) / group stddev_pop exactly
+    (the integer rearrangement can't drift), for any group layout with
+    nonzero in-group variance."""
+    import ray.data
+
+    from gene_etl_ray.ops import relational
+
+    df = pd.DataFrame(
+        {
+            "g": [f"g{a}" for a, _ in rows],
+            "x": [float(b) for _, b in rows],
+            "rid": range(len(rows)),
+        }
+    )
+    got = (
+        relational.grouped_standardize(
+            ray.data.from_pandas(df), "g", "x", id_cols=["rid"], out="z"
+        )
+        .to_pandas()
+        .sort_values("rid")["z"]
+        .to_numpy()
+    )
+    mu = df.groupby("g")["x"].transform("mean")
+    sd = df.groupby("g")["x"].transform(lambda s: np.std(s.to_numpy()))
+    want = ((df["x"] - mu) / sd).to_numpy()
+    assert np.allclose(got, want, rtol=1e-12)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(-9, 9)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 15),
+)
+def test_trailing_median_matches_bruteforce(rows, w):
+    """Per-row brute force with SQL RANGE peer semantics: the frame is
+    every same-key row with ts in [t-w, t], INCLUDING peers that sort
+    after the current row."""
+    import ray.data
+
+    from gene_etl_ray.ops import relational
+
+    df = pd.DataFrame(
+        {
+            "k": [f"k{a}" for a, _, _ in rows],
+            "ts": [b for _, b, _ in rows],
+            "v": [float(c) for _, _, c in rows],
+            "rid": range(len(rows)),
+        }
+    )
+    got = (
+        relational.trailing_window_median(
+            ray.data.from_pandas(df), "k", "ts", w, "v", "rid", out="m"
+        )
+        .to_pandas()
+        .sort_values("rid")["m"]
+        .to_numpy()
+    )
+    want = []
+    for _, r in df.iterrows():
+        frame = df[
+            (df["k"] == r["k"]) & (df["ts"] >= r["ts"] - w) & (df["ts"] <= r["ts"])
+        ]["v"].to_numpy()
+        want.append(np.median(frame))
+    assert np.allclose(got, want, rtol=1e-12)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 10_000), st.integers(6, 40), st.integers(2, 8))
+def test_pq_encode_and_adc_match_bruteforce(seed, n, dim4):
+    """Codes must equal the per-subspace argmin (first-min tie rule),
+    ADC must equal the LUT-free recompute, and pq_adc_topk must equal
+    the head of the fully-sorted table."""
+    import ray.data
+
+    from gene_etl_ray.ops import knn
+
+    rng = np.random.default_rng(seed)
+    dim = dim4 * 2
+    x = rng.integers(-4, 5, size=(n, dim)).astype(np.float64)
+    cbs = [
+        rng.integers(-4, 5, size=(3, dim4)).astype(np.float64)
+        for _ in range(2)
+    ]
+    q = rng.integers(-4, 5, size=dim).astype(np.float64)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": range(n), "embedding": list(x)})
+    )
+    got = (
+        knn.pq_encode(ds, cbs, query=q)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    adc_want = np.zeros(n)
+    for j, cb in enumerate(cbs):
+        sub = x[:, j * dim4 : (j + 1) * dim4]
+        d = ((sub[:, None, :] - cb[None]) ** 2).sum(axis=2)
+        codes = d.argmin(axis=1)
+        assert got[f"code_{j}"].to_numpy().tolist() == codes.tolist()
+        qsub = q[j * dim4 : (j + 1) * dim4]
+        adc_want += ((qsub[None, :] - cb[codes]) ** 2).sum(axis=1)
+    assert np.allclose(got["adc_dist"].to_numpy(), np.sqrt(adc_want), rtol=1e-12)
+
+    k = min(5, n)
+    top = knn.pq_adc_topk(knn.pq_encode(ds, cbs, query=q), k=k)
+    want_top = (
+        got.sort_values(["adc_dist", "vec_id"], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    assert top["vec_id"].tolist() == want_top["vec_id"].tolist()
+    assert np.allclose(top["adc_dist"].to_numpy(), want_top["adc_dist"].to_numpy())
