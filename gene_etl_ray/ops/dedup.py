@@ -1577,11 +1577,13 @@ def dedup_chunks(
                 out_ids.append(did)
                 out_txt.append(" ".join(kept))
                 out_n.append(len(kept))
-        return pd.DataFrame(
+        # typed Arrow output: an EMPTY pandas frame with object columns
+        # trips Ray's block-size estimator (np.vectorize on size 0)
+        return pa.table(
             {
-                id_col: pd.Series(out_ids, dtype="int64"),
-                "text_clean": pd.Series(out_txt, dtype="object"),
-                "n_chunks_kept": pd.Series(out_n, dtype="int64"),
+                id_col: pa.array(out_ids, pa.int64()),
+                "text_clean": pa.array(out_txt, pa.string()),
+                "n_chunks_kept": pa.array(out_n, pa.int64()),
             }
         )
 
