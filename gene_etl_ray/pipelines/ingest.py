@@ -1215,7 +1215,10 @@ def _run_ingest(
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(
-                max_workers=min(16, max(1, len(by_pkey)))
+                # fsync-bound, not CPU-bound: one thread per partition (the
+                # threads sleep in fsync) collapses the wave count — 64
+                # partitions measured 1.7 s at 16 threads vs ~0.6 s at 64
+                max_workers=min(64, max(1, len(by_pkey)))
             ) as pool:
                 for n in pool.map(
                     lambda k: commit_one(k, do_heartbeat=False),
