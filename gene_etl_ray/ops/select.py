@@ -310,3 +310,221 @@ def assign_split(
         return t.append_column("split", pc.take(lut, pa.array(idx)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _score_counts(
+    ds: ray.data.Dataset, score_col: str, id_col: str
+) -> pd.DataFrame:
+    """Distinct-score row counts + per-score max id, descending by
+    score. One combiner-style aggregation; driver bytes = O(distinct
+    scores). Shared by :func:`rank_cut` callers that need several cut
+    points (e.g. NTILE labels) so the corpus is scanned once per cut
+    family, not once per cut."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = t.group_by(score_col).aggregate([([], "count_all"), (id_col, "max")])
+        return pa.table(
+            {
+                "score": g.column(score_col),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+                "mid": g.column(f"{id_col}_max"),
+            }
+        )
+
+    per_score = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("score")
+        .aggregate(Sum("n"), Max("mid"))
+        .to_pandas()
+    )
+    return per_score.sort_values("score", ascending=False)
+
+
+def rank_cut(
+    ds: ray.data.Dataset,
+    score_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    tie_buckets: int = 4096,
+    score_counts: pd.DataFrame | None = None,
+) -> tuple[str, int | None, int | None]:
+    """Exact cut point of the n-th row in ``(score DESC, id ASC)``
+    order, WITHOUT a global sort: returns ``(mode, s_star, cut_id)``
+    where membership of the top-n set is ``score > s_star OR
+    (score == s_star AND id <= cut_id)`` (``mode`` is ``"all"`` /
+    ``"empty"`` when the set is trivially everything / nothing).
+
+    The count-budget sibling of :func:`token_budget_select`'s threshold
+    search: pass 1 prefix-scans the distinct-score counts table on the
+    driver to find the boundary score class; pass 2 resolves the tie
+    class by id via per-id-bucket counts, pulling ONLY the single
+    boundary bucket's ids (≤ n_ties / tie_buckets rows). Scores and ids
+    must be integers (exact driver arithmetic; ids unique)."""
+    n = int(n)
+    if n <= 0:
+        return ("empty", None, None)
+    per_score = (
+        _score_counts(ds, score_col, id_col)
+        if score_counts is None
+        else score_counts
+    )
+    scores = per_score["score"].to_numpy()
+    counts = [int(v) for v in per_score["sum(n)"].to_numpy()]
+    mids = [int(v) for v in per_score["max(mid)"].to_numpy()]
+
+    cum = 0
+    s_star = None
+    remaining = 0
+    tie_max_id = 0
+    for s, c, mid in zip(scores, counts, mids):
+        if cum + c > n:
+            s_star = int(s)
+            remaining = n - cum  # rows still owed from the tie class
+            tie_max_id = mid
+            break
+        cum += c
+    if s_star is None:
+        return ("all", None, None)
+    if remaining <= 0:
+        return ("cut", s_star, None)
+
+    # resolve the tie class by id: bucketed counts -> boundary bucket
+    ties = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column(score_col), s_star)),
+        batch_format="pyarrow",
+    ).select_columns([id_col])
+    width = max(1, (tie_max_id + tie_buckets) // tie_buckets)
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"b": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table({"b": pa.array(ids // width, pa.int64())})
+            .group_by("b")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"b": g.column("b"), "n": pc.cast(g.column("count_all"), pa.int64())}
+        )
+
+    buckets = (
+        ties.map_batches(bucket_counts, batch_format="pyarrow")
+        .groupby("b")
+        .sum("n")
+        .to_pandas()
+        .sort_values("b")
+    )
+    cut_id = None
+    for b, c in zip(
+        buckets["b"].to_numpy(), (int(v) for v in buckets["sum(n)"].to_numpy())
+    ):
+        if c >= remaining:
+            # boundary bucket: pull ONLY its ids and take the
+            # remaining-th smallest
+            lo, hi = int(b) * width, (int(b) + 1) * width
+            part = (
+                ties.map_batches(
+                    lambda t, lo=lo, hi=hi: t.filter(
+                        pc.and_(
+                            pc.greater_equal(t.column(id_col), lo),
+                            pc.less(t.column(id_col), hi),
+                        )
+                    ),
+                    batch_format="pyarrow",
+                )
+                .to_pandas()[id_col]
+                .to_numpy()
+            )
+            part.sort()
+            cut_id = int(part[remaining - 1])
+            break
+        remaining -= c
+    return ("cut", s_star, cut_id)
+
+
+def _cut_mask(
+    t: pa.Table, cut: tuple, score_col: str, id_col: str
+) -> pa.Array:
+    """Vectorized membership test of a :func:`rank_cut` cut point."""
+    mode, s_star, cut_id = cut
+    if mode == "all":
+        return pa.array(np.ones(t.num_rows, dtype=bool))
+    if mode == "empty":
+        return pa.array(np.zeros(t.num_rows, dtype=bool))
+    sc = t.column(score_col)
+    m = pc.greater(sc, s_star)
+    if cut_id is not None:
+        m = pc.or_(
+            m,
+            pc.and_(
+                pc.equal(sc, s_star), pc.less_equal(t.column(id_col), cut_id)
+            ),
+        )
+    return m
+
+
+def top_fraction_select(
+    ds: ray.data.Dataset,
+    score_col: str,
+    num: int,
+    den: int,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Keep exactly the top ``⌊num/den · N⌋`` rows by ``(score DESC,
+    id ASC)`` — the corpus-percentile quality filter ("keep the best
+    quarter by score"). SQL twin: ``QUALIFY ROW_NUMBER() OVER (ORDER BY
+    score DESC, id) * den <= COUNT(*) OVER () * num``. One tiny count,
+    one :func:`rank_cut` threshold search, one broadcast filter — the
+    data never sorts and never shuffles."""
+    total = ds.count()
+    cut = rank_cut(ds, score_col, (total * int(num)) // int(den), id_col)
+    if cut[0] == "all":
+        return ds
+    return ds.map_batches(
+        lambda t: t.filter(_cut_mask(t, cut, score_col, id_col)),
+        batch_format="pyarrow",
+    )
+
+
+def ntile_label(
+    ds: ray.data.Dataset,
+    score_col: str,
+    tiles: int,
+    id_col: str = "doc_id",
+    out_col: str = "tile",
+) -> ray.data.Dataset:
+    """Label every row with its SQL ``NTILE(tiles)`` bucket (1-based)
+    in ``(score DESC, id ASC)`` order — the CCNet-style head/middle/
+    tail partition of a corpus by a quality score, as a LABEL rather
+    than a filter. Standard NTILE allocation: the first ``N mod tiles``
+    buckets get one extra row.
+
+    Distributed shape: the distinct-score counts table is computed ONCE
+    (:func:`_score_counts`), each of the ``tiles-1`` boundary ranks is
+    resolved to an exact ``(score, id)`` cut on the driver, and one
+    map stage labels rows by counting which cuts contain them — no
+    sort, no shuffle, O(distinct scores) driver bytes."""
+    total = ds.count()
+    tiles = int(tiles)
+    base, rem = divmod(total, tiles)
+    counts = _score_counts(ds, score_col, id_col)
+    cuts = []
+    boundary = 0
+    for k in range(tiles - 1):
+        boundary += base + (1 if k < rem else 0)
+        cuts.append(
+            rank_cut(ds, score_col, boundary, id_col, score_counts=counts)
+        )
+
+    def label(t: pa.Table) -> pa.Table:
+        inside = np.zeros(t.num_rows, dtype=np.int64)
+        for cut in cuts:
+            inside += np.asarray(_cut_mask(t, cut, score_col, id_col))
+        return t.append_column(
+            out_col, pa.array(tiles - inside, pa.int64())
+        )
+
+    return ds.map_batches(label, batch_format="pyarrow")

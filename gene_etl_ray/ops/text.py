@@ -1025,3 +1025,31 @@ def lm_quality(
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def prefix_key(
+    ds: ray.data.Dataset,
+    k: int = 12,
+    text_col: str = "text",
+    out_col: str = "prefix_key",
+) -> ray.data.Dataset:
+    """First-``k``-whitespace-tokens fingerprint: the cheap
+    boilerplate/near-dup key crawl pipelines use when two snapshots of
+    a page share an opening but differ in the tail (URL-less exact-ish
+    dedup). The key is the first ``k`` tokens of the trimmed text
+    joined by single spaces — identical to the SQL
+    ``array_to_string(string_split_regex(trim(text),'\\s+')[1:k],' ')``
+    so results are value-hash oracle-checkable.
+
+    Fully vectorized: one compiled-regex ``str.extract`` pulls the
+    prefix (no per-row token lists), one ``str.replace`` collapses
+    interior whitespace runs. Map-only, zero shuffle."""
+    pat = re.compile(r"^((?:\S+\s+){0,%d}\S+)" % (int(k) - 1))
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[text_col].fillna("").str.strip()
+        pre = s.str.extract(pat, expand=False).fillna("")
+        b[out_col] = pre.str.replace(r"\s+", " ", regex=True)
+        return typed_if_empty(b)
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -4479,6 +4479,100 @@ FROM adc ORDER BY d, vec_id LIMIT 20
 """
 
 
+def docs_top_quarter(sf_dir: str) -> pd.DataFrame:
+    """Corpus-percentile quality filter (``select.top_fraction_select``):
+    keep exactly the top ⌊N/4⌋ documents by (n_chars DESC, doc_id) —
+    "keep the best quarter of the corpus by score". Distributed as a
+    count-budget threshold search (``select.rank_cut``): per-score
+    counts → driver cut point → broadcast filter; no sort, no
+    shuffle."""
+    from gene_etl_ray.ops import select
+
+    ds = read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = select.top_fraction_select(ds, "n_chars", 1, 4).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+TOP_QUARTER_SQL = """
+SELECT doc_id, n_chars FROM documents
+QUALIFY ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) * 4
+        <= COUNT(*) OVER ()
+ORDER BY doc_id
+"""
+
+
+def docs_length_terciles(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style head/middle/tail partition (``select.ntile_label``):
+    every document labeled with its NTILE(3) bucket in (n_chars DESC,
+    doc_id) order — the corpus split CCNet makes on LM perplexity
+    before choosing which band to train on. The distinct-score counts
+    table is computed once; both tercile boundaries resolve to exact
+    (score, id) cuts on the driver; one map stage labels. No sort, no
+    shuffle, O(distinct scores) driver bytes."""
+    from gene_etl_ray.ops import select
+
+    ds = read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = select.ntile_label(ds, "n_chars", 3, out_col="tercile").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_chars", "tercile"]
+    ]
+
+
+TERCILE_SQL = """
+SELECT doc_id, n_chars,
+       NTILE(3) OVER (ORDER BY n_chars DESC, doc_id) AS tercile
+FROM documents ORDER BY doc_id
+"""
+
+
+def docs_dedup_incremental(sf_dir: str) -> pd.DataFrame:
+    """Incremental (cross-snapshot) dedup — the CDC-shaped curation
+    op: documents with even doc_id stand in for the already-ingested
+    snapshot, odd doc_id for the new crawl; a new document is dropped
+    when its first-12-token fingerprint (``text.prefix_key``) already
+    exists in the snapshot. One anti ``partitioned_join`` on the
+    fingerprint — only (fingerprint, small metadata) rows exchange,
+    never document text; the snapshot side ships fingerprints only.
+    At 100 TB the key would be the fingerprint's 128-bit hash (same
+    join, fixed-width exchange)."""
+    docs = read(sf_dir, "documents", ["doc_id", "source", "n_chars", "text"])
+    keyed = text.prefix_key(docs, 12).drop_columns(["text"])
+
+    def parity(rem: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id")
+            return t.filter(
+                pc.equal(pc.bit_wise_and(ids, pa.scalar(1, pa.int64())), rem)
+            )
+
+        return fn
+
+    new = keyed.map_batches(parity(1), batch_format="pyarrow")
+    prior = keyed.map_batches(parity(0), batch_format="pyarrow").select_columns(
+        ["prefix_key"]
+    )
+    out = relational.partitioned_join(
+        new, prior, "prefix_key", "prefix_key", how="anti"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "source", "n_chars"]
+    ]
+
+
+DEDUP_INCR_SQL = r"""
+WITH pre AS (
+  SELECT doc_id, source, n_chars,
+         array_to_string(
+           (string_split_regex(trim(coalesce(text, '')), '\s+'))[1:12], ' '
+         ) AS pfx
+  FROM documents)
+SELECT doc_id, source, n_chars FROM pre d
+WHERE d.doc_id % 2 = 1 AND NOT EXISTS (
+  SELECT 1 FROM pre p WHERE p.doc_id % 2 = 0 AND p.pfx = d.pfx)
+ORDER BY doc_id
+"""
+
+
 # Registry order IS the driver's gate order: the driver runs a 50-entry
 # PREFIX against DuckDB at sf0.01 (verified in round 2: CORRECTNESS_r02
 # keys == registry positions 0-49). Ordering policy:
@@ -4616,6 +4710,9 @@ QUERIES = {
     "orders_trailing_median": orders_trailing_median,
     "embeddings_pq_codes": embeddings_pq_codes,
     "embeddings_pq_topk": embeddings_pq_topk,
+    "docs_top_quarter": docs_top_quarter,
+    "docs_length_terciles": docs_length_terciles,
+    "docs_dedup_incremental": docs_dedup_incremental,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -4737,4 +4834,7 @@ ORACLE_SQL = {
     "orders_trailing_median": TRAILING_MED_SQL,
     "embeddings_pq_codes": PQ_SQL,
     "embeddings_pq_topk": PQ_TOPK_SQL,
+    "docs_top_quarter": TOP_QUARTER_SQL,
+    "docs_length_terciles": TERCILE_SQL,
+    "docs_dedup_incremental": DEDUP_INCR_SQL,
 }

@@ -145,3 +145,89 @@ def test_assign_split_deterministic_and_exhaustive():
     # roughly 80/10/10 under the multiplicative hash
     frac = out["split"].value_counts(normalize=True)
     assert 0.7 < frac["train"] < 0.9
+
+
+# --- rank_cut / top_fraction_select / ntile_label -------------------------
+
+def brute_topn(df: pd.DataFrame, n: int) -> set[int]:
+    d = df.sort_values(["score", "doc_id"], ascending=[False, True])
+    return set(d["doc_id"].head(n).astype(int))
+
+
+def test_rank_cut_matches_bruteforce_across_n():
+    from gene_etl_ray.ops.select import _cut_mask, rank_cut
+    import pyarrow as pa
+
+    df = make(250, seed=3)
+    ds = rd.from_pandas(df)
+    t = pa.Table.from_pandas(df)
+    for n in [0, 1, 2, 50, 124, 125, 249, 250, 400]:
+        cut = rank_cut(ds, "score", n, tie_buckets=7)
+        got = set(
+            df.loc[np.asarray(_cut_mask(t, cut, "score", "doc_id")), "doc_id"]
+            .astype(int)
+        )
+        assert got == brute_topn(df, n), n
+
+
+def test_top_fraction_select_exact_quarter():
+    from gene_etl_ray.ops.select import top_fraction_select
+
+    df = make(201, seed=5)
+    out = top_fraction_select(rd.from_pandas(df), "score", 1, 4).to_pandas()
+    assert set(out["doc_id"].astype(int)) == brute_topn(df, 201 // 4)
+
+
+def test_ntile_label_matches_sql_ntile():
+    from gene_etl_ray.ops.select import ntile_label
+
+    # N not divisible by tiles: first N%t tiles take the extra row
+    df = make(203, seed=9)
+    out = (
+        ntile_label(rd.from_pandas(df), "score", 3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    d = df.sort_values(["score", "doc_id"], ascending=[False, True])
+    sizes = [68, 68, 67]  # 203 = 68 + 68 + 67
+    want = {}
+    i = 0
+    for tile, sz in enumerate(sizes, start=1):
+        for doc in d["doc_id"].iloc[i : i + sz]:
+            want[int(doc)] = tile
+        i += sz
+    got = dict(zip(out["doc_id"].astype(int), out["tile"].astype(int)))
+    assert got == want
+
+
+def test_prefix_key_and_incremental_dedup_planted():
+    from gene_etl_ray.ops.relational import partitioned_join
+    from gene_etl_ray.ops.text import prefix_key
+
+    # 3 planted boilerplate prefixes shared across snapshot/new; doc 99
+    # shares only its 11-token prefix (12th token differs) -> kept
+    boiler = " ".join(f"w{i}" for i in range(12))
+    near = " ".join(f"w{i}" for i in range(11)) + " DIFFERENT tail"
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 98, 99],
+            "text": [
+                boiler + " old tail",
+                boiler + " new tail",     # dropped: same 12-tok prefix as 0
+                "unique even doc text",
+                "unique odd doc text",    # kept
+                boiler,                   # snapshot twin (even)
+                near,                     # kept: 12th token differs
+            ],
+        }
+    )
+    keyed = prefix_key(rd.from_pandas(df), 12)
+    new = keyed.filter(lambda r: r["doc_id"] % 2 == 1)
+    prior = keyed.filter(lambda r: r["doc_id"] % 2 == 0).select_columns(
+        ["prefix_key"]
+    )
+    out = partitioned_join(
+        new, prior, "prefix_key", "prefix_key", how="anti"
+    ).to_pandas()
+    assert set(out["doc_id"].astype(int)) == {3, 99}
