@@ -128,6 +128,11 @@ def run_queries() -> dict[str, float]:
         "docs_minhash_pairs",
         "knn_cosine_topk",
         "docs_token_count",
+        # round-3 curation breadth: span-level exact-substring dedup,
+        # the full selection composite, and incremental snapshot dedup
+        "docs_span_dedup",
+        "docs_select_corpus",
+        "docs_dedup_incremental",
     ]
     out = {}
     for name in names:

@@ -26,7 +26,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Max, Sum
 
 from gene_etl_ray.ops.dedup import bucketed_group_apply
 
@@ -84,16 +83,20 @@ def token_budget_select(
             }
         )
 
+    # the partials are already combined per batch (≤ distinct scores per
+    # block), so the final merge is a driver-side pandas groupby — the
+    # grouped_aggregate_partial contract (O(distinct scores × blocks)
+    # driver bytes) — instead of paying a distributed sort for a table
+    # this small (measured ~1.5 s fixed per Ray sort at any size)
+    parts = ds.map_batches(score_partials, batch_format="pyarrow").to_pandas()
     per_score = (
-        ds.map_batches(score_partials, batch_format="pyarrow")
-        .groupby("score")
-        .aggregate(Sum("tok"), Max("mid"))
-        .to_pandas()
+        parts.groupby("score", as_index=False)
+        .agg(tok=("tok", "sum"), mid=("mid", "max"))
+        .sort_values("score", ascending=False)
     )
-    per_score = per_score.sort_values("score", ascending=False)
     scores = per_score["score"].to_numpy()
-    sums = [int(v) for v in per_score["sum(tok)"].to_numpy()]
-    mids = [int(v) for v in per_score["max(mid)"].to_numpy()]
+    sums = [int(v) for v in per_score["tok"].to_numpy()]
+    mids = [int(v) for v in per_score["mid"].to_numpy()]
     budget = int(budget)
 
     cum = 0
@@ -156,16 +159,18 @@ def token_budget_select(
         )
         return pa.table({"b": g.column("b"), "tok": g.column("tok_sum")})
 
+    # driver merge again: ≤ tie_buckets partial rows per block of ONE
+    # score class — no distributed sort for a bounded bucket table
     buckets = (
         ties.map_batches(tie_partials_w, batch_format="pyarrow")
-        .groupby("b")
-        .sum("tok")
         .to_pandas()
+        .groupby("b", as_index=False)["tok"]
+        .sum()
         .sort_values("b")
     )
     cut_id = None
     for b, tok in zip(
-        buckets["b"].to_numpy(), (int(v) for v in buckets["sum(tok)"].to_numpy())
+        buckets["b"].to_numpy(), (int(v) for v in buckets["tok"].to_numpy())
     ):
         if tok > remaining:
             # boundary bucket: pull ONLY its rows (≤ n_ties/tie_buckets)
@@ -331,13 +336,12 @@ def _score_counts(
             }
         )
 
-    per_score = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("score")
-        .aggregate(Sum("n"), Max("mid"))
-        .to_pandas()
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    return (
+        parts.groupby("score", as_index=False)
+        .agg(n=("n", "sum"), mid=("mid", "max"))
+        .sort_values("score", ascending=False)
     )
-    return per_score.sort_values("score", ascending=False)
 
 
 def rank_cut(
@@ -369,8 +373,8 @@ def rank_cut(
         else score_counts
     )
     scores = per_score["score"].to_numpy()
-    counts = [int(v) for v in per_score["sum(n)"].to_numpy()]
-    mids = [int(v) for v in per_score["max(mid)"].to_numpy()]
+    counts = [int(v) for v in per_score["n"].to_numpy()]
+    mids = [int(v) for v in per_score["mid"].to_numpy()]
 
     cum = 0
     s_star = None
@@ -412,14 +416,14 @@ def rank_cut(
 
     buckets = (
         ties.map_batches(bucket_counts, batch_format="pyarrow")
-        .groupby("b")
-        .sum("n")
         .to_pandas()
+        .groupby("b", as_index=False)["n"]
+        .sum()
         .sort_values("b")
     )
     cut_id = None
     for b, c in zip(
-        buckets["b"].to_numpy(), (int(v) for v in buckets["sum(n)"].to_numpy())
+        buckets["b"].to_numpy(), (int(v) for v in buckets["n"].to_numpy())
     ):
         if c >= remaining:
             # boundary bucket: pull ONLY its ids and take the

@@ -199,17 +199,24 @@ def select_training_corpus(
         m = 2 * b["n_novel"].to_numpy() >= b["n_distinct"].to_numpy()
         return b.loc[m, [id_col]]
 
-    kept = nov.map_batches(keep_novel, batch_format="pandas")
+    # checkpoint both semi-join inputs: id-only / 4-scalar-per-doc
+    # tables (object store + spill holds them at any corpus size). The
+    # join's sort otherwise re-executes the novelty shuffle and the
+    # full-text token pass once per downstream consumption — measured
+    # ~2x the composite's wall at sf0.1.
+    kept = nov.map_batches(keep_novel, batch_format="pandas").materialize()
 
     # slim row shape for every later stage: text never leaves this pass
     slim = token_count_ws(ds).select_columns(
         [id_col, source_col, "n_chars", "n_tokens_ws"]
-    )
+    ).materialize()
     s1 = partitioned_join(slim, kept, id_col, id_col, how="semi")
 
-    # stage 2: domain cap
+    # stage 2: domain cap (consumes the semi output once — its own
+    # bucketed exchange re-sorts, so checkpoint the survivor rows too)
     s2 = per_group_cap(
-        s1, [source_col], cap_per_source, ["n_chars", id_col], [False, True]
+        s1.materialize(),
+        [source_col], cap_per_source, ["n_chars", id_col], [False, True]
     )
 
     # stage 3: token budget = half the survivors' tokens (exact ints).
