@@ -1664,12 +1664,20 @@ def span_dedup(
         m = (sz >= min_count) & (rank > 0)
         return g.loc[m, [id_col, "s"]].reset_index(drop=True)
 
+    # checkpoint the fixed-width occurrence rows before the gram
+    # shuffle, and the (much smaller) mark stream after it: each
+    # downstream sort otherwise re-executes the whole lazy upstream
+    # when it samples partition boundaries (measured ~2x this
+    # operator's wall at sf0.1). Both tables are object-store blocks —
+    # Ray spills them past memory, same contract as the MinHash
+    # signature spill.
+    occ = ds.map_batches(occurrences, batch_format="pandas").materialize()
     marks = bucketed_group_apply(
-        ds.map_batches(occurrences, batch_format="pandas"),
+        occ,
         ["h"],
         mark_bucket,
         num_buckets=num_buckets,
-    )
+    ).materialize()
 
     def starts_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # whole doc-groups per bucket: dedup + sort once, one compact
@@ -1690,7 +1698,7 @@ def span_dedup(
     perdoc = bucketed_group_apply(
         marks, [id_col], lambda g: typed_if_empty(starts_bucket(g)),
         num_buckets=num_buckets,
-    )
+    ).materialize()
     # sentinel row: keeps the right side of the LEFT join schema-typed
     # even when the corpus has no duplicated gram at all (a left join
     # never emits an unmatched RIGHT row, so id -1 can't surface)
