@@ -542,3 +542,113 @@ def pq_adc_topk(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    tau: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tile: int = 1024,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering the
+    embedding space and pruning near-identical pairs WITHIN clusters
+    only — the trick that makes embedding dedup tractable at corpus
+    scale, because the O(n²) cosine pass runs per cluster (n/k rows)
+    instead of over the corpus. Reference analog: the dedup slot of the
+    curation chain (``etl/transform.py`` keep-first family), lifted to
+    embedding space.
+
+    Semantics (pinned, SQL-expressible): a row is DROPPED iff some row
+    with a smaller id in the SAME cluster has cosine similarity ≥
+    ``tau`` with it — keep-first by id, against all earlier rows, not
+    only kept ones (no chain effect; matches a NOT IN (pairs) twin).
+    Returns the kept rows as a Dataset of (id, cluster).
+
+    Scale shape: assignment is one broadcast (``ray.put`` of the k×d
+    centroid matrix) + per-batch float64 matmul; the prune is ONE hash
+    shuffle on ``cluster`` and a per-group tiled upper-triangle cosine
+    (``tile`` rows of the similarity matrix in memory at a time, never
+    the full n²). The partitioning assumption is the SemDeDup contract
+    itself: k grows with the corpus so cluster size stays bounded
+    (paper uses ~50k clusters for 100M docs); a degenerate giant
+    cluster degrades to quadratic work inside one group task — pick k
+    accordingly."""
+    import ray
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 vec_col: pd.Series([], dtype=object),
+                                 "cluster": pd.Series([], dtype=np.int64)})
+        c = ray.get(cref)
+        x = _to_matrix(b[vec_col]).astype(np.float64)
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * x @ c.T
+            + (c * c).sum(axis=1)[None, :]
+        )
+        # argmin takes the FIRST minimum: ties break toward the lowest
+        # cluster index — SQL's ORDER BY dist, cluster
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                vec_col: b[vec_col].to_numpy(),
+                "cluster": d2.argmin(axis=1).astype(np.int64),
+            }
+        )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype=np.int64),
+                    "cluster": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values(id_col, kind="mergesort")
+        x = _to_matrix(g[vec_col]).astype(np.float64)
+        n = len(x)
+        norms = np.sqrt((x * x).sum(axis=1))
+        norms[norms == 0.0] = 1.0  # zero vector: cosine defined as 0
+        dropped = np.zeros(n, dtype=bool)
+        for lo in range(1, n, tile):
+            hi = min(lo + tile, n)
+            sims = (x[lo:hi] @ x[:hi].T) / (
+                norms[lo:hi, None] * norms[None, :hi]
+            )
+            jj = np.arange(lo, hi)[:, None]
+            ii = np.arange(hi)[None, :]
+            dropped[lo:hi] = ((sims >= tau) & (ii < jj)).any(axis=1)
+        keep = ~dropped
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(np.int64)[keep],
+                "cluster": g["cluster"].to_numpy(np.int64)[keep],
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
+    )
+
+
+def semdedup_auto(
+    ds: ray.data.Dataset,
+    k: int,
+    tau: float = 0.99,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Full SemDeDup: distributed Lloyd's k-means (mergeable partials,
+    O(k·dim) driver bytes per batch) to place the clusters, then the
+    within-cluster cosine prune. Deterministic end to end (lowest-id
+    seeding, pinned tie rules)."""
+    cents, _ = kmeans(ds, k, n_iters=n_iters, id_col=id_col, vec_col=vec_col)
+    return semdedup(ds, cents, tau=tau, id_col=id_col, vec_col=vec_col)

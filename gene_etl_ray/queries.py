@@ -1762,6 +1762,77 @@ ORDER BY id_a, id_b
 """
 
 
+def embeddings_semdedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (``knn.semdedup``): cluster the embedding space, prune
+    cosine-≥-τ pairs WITHIN clusters only — the corpus-scale semantic
+    dedup where the O(n²) pass runs per cluster, never globally.
+    Centroids = the 4 lowest vec_ids (deterministic, SQL-derivable);
+    the corpus is augmented with planted twins so the prune is
+    non-vacuous at the gate: exact copies for vec_id < 16 (same vector
+    ⇒ same cluster ⇒ always dropped) and ×2-scaled copies for
+    16 ≤ vec_id < 32 (same direction ⇒ cosine 1, exercises the
+    threshold on non-identical vectors and the cross-cluster-safe
+    path). Base corpus max pairwise cosine ~0.51, so at τ=0.99 only
+    planted pairs prune. Returns the kept (vec_id, cluster)."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        d1 = b[b["vec_id"] < 16].copy()
+        d1["vec_id"] = d1["vec_id"] + 1_000_000
+        d2 = b[(b["vec_id"] >= 16) & (b["vec_id"] < 32)].copy()
+        d2["vec_id"] = d2["vec_id"] + 1_000_000
+        d2["embedding"] = d2["embedding"].map(lambda v: [x * 2.0 for x in v])
+        return pd.concat([b, d1, d2], ignore_index=True)
+
+    aug = ds.map_batches(plant, batch_format="pandas")
+    seed = (
+        aug.map_batches(
+            lambda b: b.nsmallest(4, "vec_id"), batch_format="pandas"
+        )
+        .to_pandas()
+        .nsmallest(4, "vec_id")
+        .sort_values("vec_id")
+    )
+    cents = np.stack(seed["embedding"].to_numpy()).astype(np.float64)
+    out = knn.semdedup(aug, cents, tau=0.99).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SEMDEDUP_SQL = """
+WITH aug AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+  FROM embeddings WHERE vec_id < 16
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)
+  FROM embeddings WHERE vec_id >= 16 AND vec_id < 32
+),
+c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, emb AS cv
+  FROM (SELECT * FROM aug ORDER BY vec_id LIMIT 4)
+),
+a AS (
+  SELECT aug.vec_id, aug.emb, c.cluster
+  FROM aug CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY aug.vec_id ORDER BY list_distance(emb, cv), cluster) = 1
+),
+drops AS (
+  SELECT b.vec_id
+  FROM a x JOIN a b ON x.cluster = b.cluster AND x.vec_id < b.vec_id
+  WHERE list_cosine_similarity(x.emb, b.emb) >= 0.99
+)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+FROM a
+WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+ORDER BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # flagship CDC pipeline + multimodal plumbing (rows-only)
 # ---------------------------------------------------------------------------
@@ -4609,6 +4680,7 @@ QUERIES = {
     "events_type_corr_matrix": events_type_corr_matrix,
     # --- 3. oracled, never driver-gated (r2 positions 50+) ---
     "embeddings_near_dup": embeddings_near_dup,
+    "embeddings_semdedup": embeddings_semdedup,
     "customer_orders_left_join": customer_orders_left_join,
     "events_customers_full_outer": events_customers_full_outer,
     "events_value_lag_stats": events_value_lag_stats,
@@ -4752,6 +4824,7 @@ ORACLE_SQL = {
     "docs_quality_filter": QUALITY_FILTER_SQL,
     "knn_cosine_topk": KNN_SQL,
     "embeddings_near_dup": NEAR_DUP_SQL,
+    "embeddings_semdedup": SEMDEDUP_SQL,
     "docs_token_count_bpe": BPE_SQL,
     "events_users_approx_distinct": APPROX_DISTINCT_SQL,
     "lineitem_price_quantiles": QUANTILE_SQL,

@@ -1404,6 +1404,81 @@ class TestKmeans:
         assert np.isfinite(cents).all()  # no NaN from a 0-count division
 
 
+class TestSemDedup:
+    def _ds(self, n=90, dim=8, blocks=1, n_dups=12):
+        rng = np.random.RandomState(11)
+        centers = rng.randn(3, dim) * 6
+        ids = np.arange(n, dtype=np.int64)
+        # noise 0.5 around |center|≈17 keeps distinct members angularly
+        # separated (cos ≲ 0.9995) while planted twins sit at cos = 1
+        x = (centers[ids % 3] + rng.randn(n, dim) * 0.5).astype(np.float64)
+        dup_x = x[:n_dups] * (1.0 + 1e-9)
+        df = pd.DataFrame(
+            {
+                "vec_id": np.concatenate([ids, ids[:n_dups] + 10_000]),
+                "embedding": list(np.concatenate([x, dup_x])),
+            }
+        )
+        return rd.from_pandas(df, override_num_blocks=blocks)
+
+    def test_planted_dups_pruned_originals_kept(self):
+        ds = self._ds()
+        kept = knn.semdedup_auto(ds, k=3, tau=0.99999).to_pandas()
+        kept_ids = set(kept["vec_id"])
+        # every planted twin dropped (its original has the smaller id),
+        # every original kept (blob members are well-separated in angle)
+        assert all(i + 10_000 not in kept_ids for i in range(12))
+        assert all(i in kept_ids for i in range(90))
+
+    def test_blocking_and_tile_invariance(self):
+        cents, _ = knn.kmeans(self._ds(blocks=1), k=3, n_iters=5)
+        outs = []
+        for blocks, tile in ((1, 1024), (7, 1024), (7, 3)):
+            out = (
+                knn.semdedup(self._ds(blocks=blocks), cents, tau=0.99999,
+                             tile=tile)
+                .to_pandas()
+                .sort_values("vec_id")
+                .reset_index(drop=True)
+            )
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        pd.testing.assert_frame_equal(outs[0], outs[2])
+
+    def test_drop_rule_is_against_all_earlier_not_only_kept(self):
+        # a chain a~b, b~c with a!~c: b drops (a earlier), and c drops
+        # too because the rule checks ALL earlier rows (b), not only
+        # kept ones — the pinned SQL-twin semantics
+        th = 0.01  # cos(th)=0.99995 ≥ τ=0.9999; cos(2·th)=0.9998 < τ
+        a = np.array([1.0, 0.0, 0.0, 0.0])
+        b = np.array([np.cos(th), np.sin(th), 0.0, 0.0])
+        c = np.array([np.cos(2 * th), np.sin(2 * th), 0.0, 0.0])
+        df = pd.DataFrame(
+            {"vec_id": np.array([0, 1, 2], dtype=np.int64),
+             "embedding": [a, b, c]}
+        )
+        ds = rd.from_pandas(df)
+        cents = np.zeros((1, 4))
+        tau = 0.9999
+        cos_ab = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        cos_bc = float(b @ c / (np.linalg.norm(b) * np.linalg.norm(c)))
+        cos_ac = float(a @ c / (np.linalg.norm(a) * np.linalg.norm(c)))
+        assert cos_ab >= tau and cos_bc >= tau and cos_ac < tau
+        kept = knn.semdedup(ds, cents, tau=tau).to_pandas()
+        assert sorted(kept["vec_id"]) == [0]
+
+    def test_zero_vector_never_matches(self):
+        df = pd.DataFrame(
+            {"vec_id": np.array([0, 1, 2], dtype=np.int64),
+             "embedding": [np.zeros(4), np.zeros(4),
+                           np.array([1.0, 0, 0, 0])]}
+        )
+        ds = rd.from_pandas(df)
+        kept = knn.semdedup(ds, np.zeros((1, 4)), tau=0.5).to_pandas()
+        # cosine with a zero vector is defined as 0 — nothing prunes
+        assert sorted(kept["vec_id"]) == [0, 1, 2]
+
+
 class TestSemiAntiJoin:
     def test_semi_anti_partition_exactness_and_salting(self):
         rng = np.random.RandomState(2)
