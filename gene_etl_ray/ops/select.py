@@ -532,3 +532,83 @@ def ntile_label(
         )
 
     return ds.map_batches(label, batch_format="pyarrow")
+
+
+def deterministic_shuffle_rank(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    bucket_hex: int = 3,
+) -> ray.data.Dataset:
+    """Deterministic global training-order shuffle: every row gets a
+    dense rank 0..n-1 in the order of ``md5("<seed>:<id>")`` — the
+    seeded shuffle a training run wants (stable across retries, so a
+    resumed epoch reads the same order; change ``seed`` per epoch for
+    a fresh permutation). Equivalent SQL: ``row_number() OVER (ORDER BY
+    md5(seed || ':' || id), id) - 1``.
+
+    Scale shape — a GLOBAL ORDER BY with no distributed sort: md5 keys
+    are uniform, and lexicographic order on the hex digest is prefix-
+    consistent, so the first ``bucket_hex`` hex chars (default 4096
+    buckets) split the total order into contiguous ranges. One
+    per-batch count combiner gives per-bucket sizes; the driver prefix-
+    sums 4096 ints into global offsets (broadcast once); ONE hash
+    exchange on the bucket key then sorts each bucket locally and
+    stamps rank = offset + local position. Exchange carries (id, key)
+    pairs, never payload; driver bytes are O(buckets). Hot buckets
+    can't exist (md5 is uniform) — skew-free by construction."""
+    import hashlib
+
+    import ray
+
+    pre = f"{seed}:"
+
+    def key_batch(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        keys = [hashlib.md5((pre + str(i)).encode()).hexdigest() for i in ids]
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "skey": keys,
+                "bucket": np.array(
+                    [int(k[:bucket_hex], 16) for k in keys], dtype=np.int64
+                ),
+            }
+        )
+
+    keyed = ds.map_batches(key_batch, batch_format="pandas")
+
+    def bucket_counts(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["bucket"].value_counts()
+        return pd.DataFrame(
+            {"bucket": vc.index.to_numpy(np.int64),
+             "n": vc.to_numpy(np.int64)}
+        )
+
+    counts = (
+        keyed.map_batches(bucket_counts, batch_format="pandas")
+        .to_pandas()
+        .groupby("bucket", sort=True)["n"]
+        .sum()
+    )
+    offsets = np.zeros(16 ** bucket_hex, dtype=np.int64)
+    np.add.at(offsets, counts.index.to_numpy(np.int64), counts.to_numpy())
+    offsets = np.concatenate([[0], np.cumsum(offsets)[:-1]])
+    oref = ray.put(offsets)
+
+    def stamp(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64),
+                 "rank": pd.Series([], dtype=np.int64)}
+            )
+        # the frame holds WHOLE buckets (bucketed_group_apply contract):
+        # per-bucket work is vectorized — one sort + cumcount
+        g = g.sort_values(["bucket", "skey", id_col], kind="mergesort")
+        base = ray.get(oref)[g["bucket"].to_numpy(np.int64)]
+        pos = g.groupby("bucket", sort=False).cumcount().to_numpy(np.int64)
+        return pd.DataFrame(
+            {id_col: g[id_col].to_numpy(), "rank": base + pos}
+        )
+
+    return bucketed_group_apply(keyed, ["bucket"], stamp)

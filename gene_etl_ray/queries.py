@@ -4596,6 +4596,36 @@ FROM documents ORDER BY doc_id
 """
 
 
+def docs_shuffle_order(sf_dir: str) -> pd.DataFrame:
+    """Deterministic training-order shuffle
+    (``select.deterministic_shuffle_rank``): every document gets a
+    dense rank in md5("seed:id") order — the seeded global permutation
+    a training run reads in, stable across retries so a resumed epoch
+    sees the same order. Distributed as a GLOBAL ORDER BY with no sort:
+    md5's hex prefix splits the total order into 4096 contiguous
+    uniform buckets (prefix-consistent lexicographic order), per-bucket
+    count partials prefix-sum on the driver (O(buckets) bytes), one
+    hash exchange of (id, key) stamps rank = offset + local position."""
+    from gene_etl_ray.ops import select
+
+    ds = read(sf_dir, "documents", ["doc_id"])
+    out = select.deterministic_shuffle_rank(ds, "doc_id", seed=42).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out = out.rename(columns={"rank": "shuffle_rank"})
+    out["shuffle_rank"] = out["shuffle_rank"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SHUFFLE_ORDER_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+            ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+            AS BIGINT) AS shuffle_rank
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def docs_dedup_incremental(sf_dir: str) -> pd.DataFrame:
     """Incremental (cross-snapshot) dedup — the CDC-shaped curation
     op: documents with even doc_id stand in for the already-ingested
@@ -4785,6 +4815,7 @@ QUERIES = {
     "docs_top_quarter": docs_top_quarter,
     "docs_length_terciles": docs_length_terciles,
     "docs_dedup_incremental": docs_dedup_incremental,
+    "docs_shuffle_order": docs_shuffle_order,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -4910,4 +4941,5 @@ ORACLE_SQL = {
     "docs_top_quarter": TOP_QUARTER_SQL,
     "docs_length_terciles": TERCILE_SQL,
     "docs_dedup_incremental": DEDUP_INCR_SQL,
+    "docs_shuffle_order": SHUFFLE_ORDER_SQL,
 }

@@ -231,3 +231,52 @@ def test_prefix_key_and_incremental_dedup_planted():
         new, prior, "prefix_key", "prefix_key", how="anti"
     ).to_pandas()
     assert set(out["doc_id"].astype(int)) == {3, 99}
+
+
+def test_shuffle_rank_is_md5_permutation():
+    import hashlib
+
+    from gene_etl_ray.ops.select import deterministic_shuffle_rank
+
+    ids = np.arange(300, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids})
+    out = (
+        deterministic_shuffle_rank(
+            rd.from_pandas(df, override_num_blocks=5), "doc_id", seed=9
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # dense permutation 0..n-1
+    assert sorted(out["rank"]) == list(range(300))
+    # matches the single-process md5 order exactly
+    keys = {i: hashlib.md5(f"9:{i}".encode()).hexdigest() for i in ids}
+    want = {
+        i: r for r, i in enumerate(sorted(ids, key=lambda i: (keys[i], i)))
+    }
+    got = dict(zip(out["doc_id"], out["rank"]))
+    assert got == want
+
+
+def test_shuffle_rank_blocking_invariant_and_seed_sensitive():
+    from gene_etl_ray.ops.select import deterministic_shuffle_rank
+
+    df = pd.DataFrame({"doc_id": np.arange(150, dtype=np.int64)})
+    outs = [
+        deterministic_shuffle_rank(
+            rd.from_pandas(df, override_num_blocks=b), "doc_id", seed=4
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        for b in (1, 7)
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    other = (
+        deterministic_shuffle_rank(rd.from_pandas(df), "doc_id", seed=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (outs[0]["rank"] != other["rank"]).any()
