@@ -612,3 +612,65 @@ def deterministic_shuffle_rank(
         )
 
     return bucketed_group_apply(keyed, ["bucket"], stamp)
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> pd.DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    row i gets key ``u_i^(1/w_i)`` with ``u_i`` a deterministic
+    hash-uniform in [0,1); the top-k keys ARE a weight-proportional
+    sample without replacement — the curation primitive for "take 1M
+    docs biased toward quality/length" without a corpus shuffle.
+    Deterministic (u from md5(seed:id), 52 mantissa-exact bits), so
+    exact membership is SQL-oracle-checkable.
+
+    Scale shape: one streaming pass; each batch emits a tie-widened
+    partial top-k, the driver merges ≤ blocks×k rows and takes the
+    global top-k (key DESC, id ASC) — same contract as ``top_k``. Rows
+    with weight ≤ 0 or null can never be sampled and are dropped, as
+    the SQL twin's WHERE does. Returns (id, weight, es_key) pandas."""
+    import hashlib
+
+    pre = f"{seed}:"
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[weight_col].notna() & (b[weight_col] > 0)]
+        if not len(b):
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64),
+                 weight_col: pd.Series([], dtype=np.float64),
+                 "es_key": pd.Series([], dtype=np.float64)}
+            )
+        ids = b[id_col].to_numpy()
+        w = b[weight_col].to_numpy(np.float64)
+        u = (
+            np.array(
+                [
+                    int(hashlib.md5((pre + str(i)).encode()).hexdigest()[:13], 16)
+                    for i in ids
+                ],
+                dtype=np.float64,
+            )
+            / np.float64(16.0**13)
+        )
+        out = pd.DataFrame(
+            {id_col: ids, weight_col: b[weight_col].to_numpy(),
+             "es_key": u ** (1.0 / w)}
+        )
+        if len(out) <= k:
+            return out
+        kth = out["es_key"].nlargest(k).iloc[-1]
+        return out[out["es_key"] >= kth]  # tie-widened partial top-k
+
+    tops = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (
+        tops.sort_values(["es_key", id_col], ascending=[False, True],
+                         kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )

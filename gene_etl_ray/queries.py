@@ -4626,6 +4626,41 @@ ORDER BY doc_id
 """
 
 
+def docs_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Weighted sampling without replacement (``select.weighted_sample``,
+    Efraimidis–Spirakis A-ES): 64 documents sampled proportional to
+    ``n_chars`` via deterministic hash-uniform keys ``u^(1/w)`` — "take
+    a length-biased subsample" with no corpus shuffle (per-batch
+    tie-widened partial top-k, driver merges blocks×k rows). u's 52
+    bits are mantissa-exact in both engines, so membership is exactly
+    SQL-checkable."""
+    from gene_etl_ray.ops import select
+
+    ds = read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = select.weighted_sample(ds, "n_chars", 64, id_col="doc_id", seed=7)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    out["es_key"] = out["es_key"].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         pow(
+           CAST(CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13)
+                AS UBIGINT) AS DOUBLE) / pow(16, 13),
+           1.0 / n_chars) AS es_key
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, round(es_key, 6) AS es_key
+FROM t
+QUALIFY row_number() OVER (ORDER BY es_key DESC, doc_id) <= 64
+ORDER BY doc_id
+"""
+
+
 def docs_dedup_incremental(sf_dir: str) -> pd.DataFrame:
     """Incremental (cross-snapshot) dedup — the CDC-shaped curation
     op: documents with even doc_id stand in for the already-ingested
@@ -4816,6 +4851,7 @@ QUERIES = {
     "docs_length_terciles": docs_length_terciles,
     "docs_dedup_incremental": docs_dedup_incremental,
     "docs_shuffle_order": docs_shuffle_order,
+    "docs_weighted_sample": docs_weighted_sample,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -4942,4 +4978,5 @@ ORACLE_SQL = {
     "docs_length_terciles": TERCILE_SQL,
     "docs_dedup_incremental": DEDUP_INCR_SQL,
     "docs_shuffle_order": SHUFFLE_ORDER_SQL,
+    "docs_weighted_sample": WEIGHTED_SAMPLE_SQL,
 }

@@ -280,3 +280,52 @@ def test_shuffle_rank_blocking_invariant_and_seed_sensitive():
         .reset_index(drop=True)
     )
     assert (outs[0]["rank"] != other["rank"]).any()
+
+
+def test_weighted_sample_matches_bruteforce_and_excludes_nonpositive():
+    import hashlib
+
+    from gene_etl_ray.ops.select import weighted_sample
+
+    rng = np.random.RandomState(8)
+    n = 400
+    w = rng.randint(1, 500, n).astype(np.int64)
+    w[::50] = 0  # never sampleable
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "w": w})
+    for blocks in (1, 6):
+        got = weighted_sample(
+            rd.from_pandas(df, override_num_blocks=blocks), "w", 25,
+            id_col="doc_id", seed=3
+        )
+        # brute force single-process A-ES
+        el = df[df["w"] > 0].copy()
+        u = np.array(
+            [
+                int(hashlib.md5(f"3:{i}".encode()).hexdigest()[:13], 16)
+                for i in el["doc_id"]
+            ],
+            dtype=np.float64,
+        ) / 16.0**13
+        el["es_key"] = u ** (1.0 / el["w"].to_numpy(np.float64))
+        want = el.sort_values(
+            ["es_key", "doc_id"], ascending=[False, True]
+        ).head(25)
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        assert (got["w"] > 0).all()
+
+
+def test_weighted_sample_is_weight_biased():
+    from gene_etl_ray.ops.select import weighted_sample
+
+    # two weight classes 10:1 — heavy items must dominate the sample
+    # across seeds (statistical, but deterministic given fixed seeds)
+    df = pd.DataFrame(
+        {"doc_id": np.arange(200, dtype=np.int64),
+         "w": np.where(np.arange(200) < 100, 100, 10).astype(np.int64)}
+    )
+    ds = rd.from_pandas(df)
+    heavy = 0
+    for seed in range(5):
+        out = weighted_sample(ds, "w", 20, id_col="doc_id", seed=seed)
+        heavy += int((out["doc_id"] < 100).sum())
+    assert heavy / (5 * 20) > 0.7
