@@ -185,3 +185,79 @@ def pca_project(
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def logreg_train(
+    ds: ray.data.Dataset,
+    label_col: str,
+    vec_col: str = "embedding",
+    n_iters: int = 20,
+    lr: float = 0.5,
+    l2: float = 0.0,
+) -> np.ndarray:
+    """Distributed binary logistic regression (the fastText-style
+    quality-classifier slot every curation pipeline has): full-batch
+    gradient descent where each iteration broadcasts the weight vector
+    ONCE (``ray.put``, O(d) bytes) and every batch emits ONE mergeable
+    partial — the d-dim gradient sum plus count — so the driver sees
+    O(d) bytes per batch and the corpus never materializes. The same
+    partials pattern as k-means (``ops/knn.py``) and the Gram pass
+    above, applied to ∇NLL.
+
+    Deterministic: w₀ = 0, fixed step, float64 partial sums (blocking-
+    invariant up to addition order, pinned in tests at 1e-9). ``l2``
+    adds ridge shrinkage (never on the implicit intercept-free form —
+    this is the raw linear score; append a 1-feature upstream for a
+    bias). Labels must be 0/1 (or boolean). Returns w (d,) float64."""
+    import ray
+
+    d = None
+    w = None
+    for _ in range(n_iters):
+        wref = ray.put(w)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            wv = ray.get(wref)
+            x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            y = b[label_col].to_numpy(np.float64)
+            z = np.zeros(len(x)) if wv is None else x @ wv
+            p = 1.0 / (1.0 + np.exp(-z))
+            g = x.T @ (p - y)  # (d,) gradient sum for this batch
+            return pd.DataFrame(
+                {"g": [g.tobytes()], "n": [np.int64(len(x))]}
+            )
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        n = int(parts["n"].sum())
+        grad = np.sum(
+            [np.frombuffer(v, dtype=np.float64) for v in parts["g"]], axis=0
+        )
+        if d is None:
+            d = grad.shape[0]
+            w = np.zeros(d)
+        w = w - lr * (grad / n + l2 * w)
+    return w
+
+
+def logreg_score(
+    ds: ray.data.Dataset,
+    w: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "score",
+) -> ray.data.Dataset:
+    """Stateless scoring pass: broadcast w once, per-batch sigmoid(Xw)."""
+    import ray
+
+    wref = ray.put(np.asarray(w, dtype=np.float64))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        wv = ray.get(wref)
+        if not len(b):
+            b[out_col] = pd.Series([], dtype=np.float64)
+            return b
+        x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        b = b.copy()
+        b[out_col] = 1.0 / (1.0 + np.exp(-(x @ wv)))
+        return b
+
+    return ds.map_batches(score, batch_format="pandas")

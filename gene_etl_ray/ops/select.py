@@ -674,3 +674,64 @@ def weighted_sample(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def grouped_weighted_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> ray.data.Dataset:
+    """Stratified A-ES: an independent weighted sample WITHOUT
+    replacement of ``k`` rows per group (per-domain / per-source
+    quotas — the "cap each source but bias toward quality inside it"
+    selection). Same deterministic keys as ``weighted_sample``; the
+    per-group top-k runs inside ONE hash-bucketed exchange
+    (``bucketed_group_apply``) with vectorized in-bucket head(k) —
+    the grouped top-k shape, no global sort. Equivalent SQL:
+    ``QUALIFY row_number() OVER (PARTITION BY group ORDER BY es_key
+    DESC, id) <= k``."""
+    import hashlib
+
+    pre = f"{seed}:"
+
+    def key_batch(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[weight_col].notna() & (b[weight_col] > 0)]
+        if not len(b):
+            return pd.DataFrame(
+                {group_col: pd.Series([], dtype=object),
+                 id_col: pd.Series([], dtype=np.int64),
+                 weight_col: pd.Series([], dtype=np.float64),
+                 "es_key": pd.Series([], dtype=np.float64)}
+            )
+        ids = b[id_col].to_numpy()
+        w = b[weight_col].to_numpy(np.float64)
+        u = (
+            np.array(
+                [
+                    int(hashlib.md5((pre + str(i)).encode()).hexdigest()[:13], 16)
+                    for i in ids
+                ],
+                dtype=np.float64,
+            )
+            / np.float64(16.0**13)
+        )
+        return pd.DataFrame(
+            {group_col: b[group_col].to_numpy(),
+             id_col: ids,
+             weight_col: b[weight_col].to_numpy(),
+             "es_key": u ** (1.0 / w)}
+        )
+
+    keyed = ds.map_batches(key_batch, batch_format="pandas")
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [group_col, "es_key", id_col],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return g.groupby(group_col, sort=False).head(k)
+
+    return bucketed_group_apply(keyed, [group_col], head_k)

@@ -4661,6 +4661,98 @@ ORDER BY doc_id
 """
 
 
+def docs_stratified_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Per-source stratified A-ES (``select.grouped_weighted_sample``):
+    an independent length-biased sample of 16 docs per source — the
+    "cap each domain, bias toward quality inside it" selection. One
+    hash-bucketed exchange, vectorized in-bucket head(k)."""
+    from gene_etl_ray.ops import select
+
+    ds = read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = select.grouped_weighted_sample(
+        ds, "source", "n_chars", 16, id_col="doc_id", seed=7
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    out["es_key"] = out["es_key"].round(6)
+    return (
+        out[["doc_id", "source", "n_chars", "es_key"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+STRAT_WEIGHTED_SAMPLE_SQL = """
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         pow(
+           CAST(CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13)
+                AS UBIGINT) AS DOUBLE) / pow(16, 13),
+           1.0 / n_chars) AS es_key
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars, round(es_key, 6) AS es_key
+FROM t
+QUALIFY row_number() OVER (
+    PARTITION BY source ORDER BY es_key DESC, doc_id) <= 16
+ORDER BY doc_id
+"""
+
+
+def embeddings_logreg_step(sf_dir: str) -> pd.DataFrame:
+    """Distributed logistic-regression quality classifier
+    (``linalg.logreg_train``) under the SQL gate via the one-step exact
+    regime: from w₀=0 the first full-batch GD step is a closed form
+    (w₁ = lr·avg(x·(y−½)), since σ(0)=½), so both the d-dim gradient
+    partials AND the scoring pass are DuckDB-expressible (unnest +
+    per-dimension avg + dot-product re-join). The full iterated trainer
+    is the same broadcast-w/mergeable-partial loop, unit-pinned
+    (convergence on separable labels, blocking invariance). Label:
+    embeddings.label == 0."""
+    from gene_etl_ray.ops import linalg
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def lab(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["y"] = (b["label"] == 0).astype(np.float64)
+        return b
+
+    lds = ds.map_batches(lab, batch_format="pandas")
+    w = linalg.logreg_train(lds, "y", n_iters=1, lr=0.5)
+    out = (
+        linalg.logreg_score(lds, w)
+        .select_columns(["vec_id", "score"])
+        .to_pandas()
+    )
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["score"] = out["score"].round(6)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+LOGREG_STEP_SQL = """
+WITH e AS (
+  SELECT vec_id, CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+u AS (
+  SELECT vec_id, y, generate_subscripts(ev, 1) AS j, unnest(ev) AS x
+  FROM e
+),
+w AS (
+  SELECT j, 0.5 * avg(x * (y - 0.5)) AS wj FROM u GROUP BY j
+),
+s AS (
+  SELECT u.vec_id, sum(u.x * w.wj) AS z
+  FROM u JOIN w USING (j) GROUP BY u.vec_id
+)
+SELECT vec_id, round(1.0 / (1.0 + exp(-z)), 6) AS score
+FROM s ORDER BY vec_id
+"""
+
+
 def docs_dedup_incremental(sf_dir: str) -> pd.DataFrame:
     """Incremental (cross-snapshot) dedup — the CDC-shaped curation
     op: documents with even doc_id stand in for the already-ingested
@@ -4852,6 +4944,8 @@ QUERIES = {
     "docs_dedup_incremental": docs_dedup_incremental,
     "docs_shuffle_order": docs_shuffle_order,
     "docs_weighted_sample": docs_weighted_sample,
+    "embeddings_logreg_step": embeddings_logreg_step,
+    "docs_stratified_weighted_sample": docs_stratified_weighted_sample,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -4979,4 +5073,6 @@ ORACLE_SQL = {
     "docs_dedup_incremental": DEDUP_INCR_SQL,
     "docs_shuffle_order": SHUFFLE_ORDER_SQL,
     "docs_weighted_sample": WEIGHTED_SAMPLE_SQL,
+    "embeddings_logreg_step": LOGREG_STEP_SQL,
+    "docs_stratified_weighted_sample": STRAT_WEIGHTED_SAMPLE_SQL,
 }

@@ -89,3 +89,55 @@ def test_empty_and_single_batch():
     got[out["i"], out["j"]] = out["g"]
     iu = np.triu_indices(3)
     np.testing.assert_allclose(got[iu], G[iu])
+
+
+def _logreg_data(n=240, dim=6, blocks=1, margin=3.0):
+    rng = np.random.RandomState(12)
+    y = (np.arange(n) % 2).astype(np.float64)
+    x = rng.randn(n, dim)
+    x[:, 0] += margin * (2 * y - 1)  # separable along dim 0
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64),
+         "embedding": list(x), "y": y}
+    )
+    return df, ray.data.from_pandas(df, override_num_blocks=blocks)
+
+
+def test_logreg_converges_on_separable_labels():
+    df, ds = _logreg_data()
+    w = linalg.logreg_train(ds, "y", n_iters=60, lr=1.0)
+    x = np.stack(df["embedding"].to_numpy())
+    acc = (((x @ w) > 0) == (df["y"].to_numpy() > 0.5)).mean()
+    assert acc > 0.95
+    # the separating dimension dominates the learned weights
+    assert abs(w[0]) == max(abs(w))
+
+
+def test_logreg_blocking_invariant():
+    _, ds1 = _logreg_data(blocks=1)
+    _, ds7 = _logreg_data(blocks=7)
+    w1 = linalg.logreg_train(ds1, "y", n_iters=5, lr=0.5)
+    w7 = linalg.logreg_train(ds7, "y", n_iters=5, lr=0.5)
+    np.testing.assert_allclose(w1, w7, atol=1e-9)
+
+
+def test_logreg_l2_shrinks_weights():
+    _, ds = _logreg_data()
+    w0 = linalg.logreg_train(ds, "y", n_iters=20, lr=0.5, l2=0.0)
+    w9 = linalg.logreg_train(ds, "y", n_iters=20, lr=0.5, l2=0.5)
+    assert np.linalg.norm(w9) < np.linalg.norm(w0)
+
+
+def test_logreg_score_matches_formula():
+    df, ds = _logreg_data(n=50)
+    w = linalg.logreg_train(ds, "y", n_iters=3, lr=0.5)
+    out = (
+        linalg.logreg_score(ds, w)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    x = np.stack(df["embedding"].to_numpy())
+    np.testing.assert_allclose(
+        out["score"].to_numpy(), 1 / (1 + np.exp(-(x @ w))), atol=1e-12
+    )

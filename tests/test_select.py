@@ -329,3 +329,46 @@ def test_weighted_sample_is_weight_biased():
         out = weighted_sample(ds, "w", 20, id_col="doc_id", seed=seed)
         heavy += int((out["doc_id"] < 100).sum())
     assert heavy / (5 * 20) > 0.7
+
+
+def test_grouped_weighted_sample_per_group_topk():
+    import hashlib
+
+    from gene_etl_ray.ops.select import grouped_weighted_sample
+
+    rng = np.random.RandomState(4)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": np.array(["a", "b", "c"])[np.arange(n) % 3],
+            "w": rng.randint(1, 200, n).astype(np.int64),
+        }
+    )
+    got = (
+        grouped_weighted_sample(
+            rd.from_pandas(df, override_num_blocks=5), "source", "w", 10,
+            id_col="doc_id", seed=2
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # brute force per group
+    el = df.copy()
+    u = np.array(
+        [
+            int(hashlib.md5(f"2:{i}".encode()).hexdigest()[:13], 16)
+            for i in el["doc_id"]
+        ],
+        dtype=np.float64,
+    ) / 16.0**13
+    el["es_key"] = u ** (1.0 / el["w"].to_numpy(np.float64))
+    want = (
+        el.sort_values(["es_key", "doc_id"], ascending=[False, True])
+        .groupby("source", sort=False)
+        .head(10)
+        .sort_values("doc_id")
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert (got.groupby("source").size() == 10).all()
