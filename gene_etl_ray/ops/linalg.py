@@ -261,3 +261,44 @@ def logreg_score(
         return b
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def grouped_vector_mean(
+    ds: ray.data.Dataset,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Per-group mean vector (class centroids, doc-from-chunk embedding
+    averaging, cluster prototypes): every batch emits ONE mergeable
+    partial per group — the d-dim vector sum plus count — and the
+    driver merge is O(groups·d) bytes regardless of corpus size; the
+    same partials pattern as k-means / the Gram pass. Returns the
+    centroids LONG-FORM (group, dim, mean_val) — dim is 1-based to
+    match SQL's generate_subscripts — so the result is directly
+    SQL-comparable (unnest + per-dimension avg twin)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in b.groupby(group_col, sort=False):
+            x = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
+            rows.append(
+                {group_col: g, "s": x.sum(axis=0).tobytes(),
+                 "n": np.int64(len(x))}
+            )
+        return pd.DataFrame(rows, columns=[group_col, "s", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = []
+    for g, sub in parts.groupby(group_col, sort=True):
+        s = np.sum(
+            [np.frombuffer(v, dtype=np.float64) for v in sub["s"]], axis=0
+        )
+        mean = s / sub["n"].sum()
+        out.append(
+            pd.DataFrame(
+                {group_col: g, "dim": np.arange(1, len(mean) + 1,
+                                                dtype=np.int64),
+                 "mean_val": mean}
+            )
+        )
+    return pd.concat(out, ignore_index=True)

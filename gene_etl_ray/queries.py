@@ -4661,6 +4661,35 @@ ORDER BY doc_id
 """
 
 
+def embeddings_label_centroid(sf_dir: str) -> pd.DataFrame:
+    """Per-label mean embedding (``linalg.grouped_vector_mean``) — the
+    grouped VECTOR-valued aggregate (class centroids / doc-from-chunk
+    averaging): one mergeable (d-dim sum, count) partial per group per
+    batch, O(labels·d) driver bytes, long-form output so the DuckDB
+    unnest + per-dimension avg twin compares directly."""
+    from gene_etl_ray.ops import linalg
+
+    ds = read(sf_dir, "embeddings", ["label", "embedding"])
+    out = linalg.grouped_vector_mean(ds, "label")
+    out["label"] = out["label"].astype("int64")
+    out["mean_val"] = out["mean_val"].round(6)
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+LABEL_CENTROID_SQL = """
+WITH e AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+u AS (
+  SELECT label, generate_subscripts(ev, 1) AS j, unnest(ev) AS x FROM e
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(j AS BIGINT) AS dim,
+       round(avg(x), 6) AS mean_val
+FROM u GROUP BY label, j ORDER BY label, dim
+"""
+
+
 def docs_stratified_weighted_sample(sf_dir: str) -> pd.DataFrame:
     """Per-source stratified A-ES (``select.grouped_weighted_sample``):
     an independent length-biased sample of 16 docs per source — the
@@ -4946,6 +4975,7 @@ QUERIES = {
     "docs_weighted_sample": docs_weighted_sample,
     "embeddings_logreg_step": embeddings_logreg_step,
     "docs_stratified_weighted_sample": docs_stratified_weighted_sample,
+    "embeddings_label_centroid": embeddings_label_centroid,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -5075,4 +5105,5 @@ ORACLE_SQL = {
     "docs_weighted_sample": WEIGHTED_SAMPLE_SQL,
     "embeddings_logreg_step": LOGREG_STEP_SQL,
     "docs_stratified_weighted_sample": STRAT_WEIGHTED_SAMPLE_SQL,
+    "embeddings_label_centroid": LABEL_CENTROID_SQL,
 }

@@ -141,3 +141,27 @@ def test_logreg_score_matches_formula():
     np.testing.assert_allclose(
         out["score"].to_numpy(), 1 / (1 + np.exp(-(x @ w))), atol=1e-12
     )
+
+
+def test_grouped_vector_mean_matches_numpy_and_blocking_invariant():
+    rng = np.random.RandomState(3)
+    n, d = 150, 5
+    lab = (np.arange(n) % 4).astype(np.int64)
+    x = rng.randn(n, d)
+    df = pd.DataFrame(
+        {"label": lab, "embedding": list(x),
+         "vec_id": np.arange(n, dtype=np.int64)}
+    )
+    outs = []
+    for blocks in (1, 6):
+        out = linalg.grouped_vector_mean(
+            ray.data.from_pandas(df, override_num_blocks=blocks), "label"
+        )
+        outs.append(out)
+        for g in range(4):
+            want = x[lab == g].mean(axis=0)
+            got = out[out["label"] == g].sort_values("dim")["mean_val"]
+            np.testing.assert_allclose(got.to_numpy(), want, atol=1e-9)
+    pd.testing.assert_frame_equal(
+        outs[0].round(9), outs[1].round(9)
+    )
