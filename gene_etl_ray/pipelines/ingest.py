@@ -656,6 +656,7 @@ def _make_merge_fn(
     tag: str = "",
     drop_tombstones_before_us: int | None = None,
     cluster_rows: int | None = None,
+    transform=None,
 ):
     """Per-group LWW merge + partition-file write (phase 1 of the commit).
 
@@ -704,6 +705,38 @@ def _make_merge_fn(
             # a partition of nothing but GC-able tombstones: emit no file;
             # the old manifest stays in force (correct — nothing changed)
             return MANIFEST_ROW_SCHEMA.empty_table()
+        if transform is not None:
+            # backfill hook (transform_lake): fn sees the fully-resolved
+            # winner table — tombstone rows included (their payload is
+            # null). The manifest stats the commit will record derive
+            # from the RETURNED table, so the rewrite must be an UPDATE,
+            # never an insert/delete/re-key: validated loudly.
+            t2 = transform(t)
+            if t2.schema != t.schema:
+                raise ValueError(
+                    "transform_lake: fn changed the schema "
+                    f"({t.schema.names} -> {t2.schema.names})"
+                )
+            if t2.num_rows != t.num_rows:
+                raise ValueError(
+                    "transform_lake: fn changed the row count "
+                    f"({t.num_rows} -> {t2.num_rows})"
+                )
+            for key_col in ("url", "warc_ts", "seq", DELETED_COLUMN):
+                if not pc.all(
+                    pc.equal(
+                        pc.fill_null(t2.column(key_col), False)
+                        if key_col == DELETED_COLUMN
+                        else t2.column(key_col),
+                        pc.fill_null(t.column(key_col), False)
+                        if key_col == DELETED_COLUMN
+                        else t.column(key_col),
+                    )
+                ).as_py():
+                    raise ValueError(
+                        f"transform_lake: fn changed key column {key_col!r}"
+                    )
+            t = t2
         part_dir = os.path.join(lake_dir, f"part={pkey:05d}")
         os.makedirs(part_dir, exist_ok=True)
         if cluster_rows is not None and t.num_rows > cluster_rows:
@@ -1704,15 +1737,19 @@ def compact_lake(cfg: EngineConfig, cluster_rows: int | None = None) -> dict:
 
 
 def _compact_locked(
-    cfg: EngineConfig, meta: dict, cluster_rows: int | None = None
+    cfg: EngineConfig,
+    meta: dict,
+    cluster_rows: int | None = None,
+    transform=None,
+    lineage_kind: str = "compaction",
 ) -> dict:
     lake_dir = cfg.lake_dir
     target = _schema_from_hex(meta["schema_hex"])
     epoch = last_global_epoch(lake_dir)
     by_part = current_files(lake_dir)
-    if cluster_rows is not None:
-        # clustering rewrites even single-file partitions — the point is
-        # the file LAYOUT, not the delta-stack fold
+    if cluster_rows is not None or transform is not None:
+        # clustering/backfill rewrites even single-file partitions — the
+        # point is the file LAYOUT / the VALUES, not the delta-stack fold
         multi = {k: fs for k, fs in by_part.items() if fs}
     else:
         multi = {k: fs for k, fs in by_part.items() if len(fs) > 1}
@@ -1732,9 +1769,10 @@ def _compact_locked(
         _make_merge_fn(
             lake_dir,
             epoch,
-            tag="-compact",
+            tag="-compact" if transform is None else "-transform",
             drop_tombstones_before_us=gc_cutoff,
             cluster_rows=cluster_rows,
+            transform=transform,
         ),
         batch_format="pyarrow",
     )
@@ -1766,7 +1804,7 @@ def _compact_locked(
         append_lineage(
             lake_dir,
             {
-                "kind": "compaction",
+                "kind": lineage_kind,
                 "epoch": epoch,
                 "pkey": pkey,
                 "event_count": 0,
@@ -1794,6 +1832,60 @@ def _compact_locked(
                     except OSError:
                         pass
     return {"compacted": len(by_pkey), "epoch": epoch}
+
+
+def transform_lake(cfg: EngineConfig, fn) -> dict:
+    """Distributed in-place column BACKFILL — the lakehouse
+    ``UPDATE table SET col = f(...)``: re-derive a column across every
+    stored row (re-extract text with a new extractor version, recompute
+    a quality score, redact a newly-discovered PII pattern) without
+    replaying the WAL. ``fn`` is a vectorized ``pa.Table -> pa.Table``
+    over each partition's fully-LWW-resolved winner table (tombstone
+    rows included — their payload is null) and MUST be an update:
+    same schema, same row count, keys (url, warc_ts, seq) and the
+    tombstone flag unchanged — violations raise before anything
+    commits.
+
+    Inherits compaction's machinery wholesale, so the rewrite is
+    exactly-once and crash-safe: per-partition tasks write ``.tmp-``
+    files, the two-phase manifest REPLACE at the current epoch flips
+    each partition atomically, and a crash mid-way leaves old manifests
+    pointing at old files (re-run to finish — fn determinism makes the
+    retry converge). One wide shuffle (the same gkey groupby as
+    ingest/compaction); lineage records carry ``kind="transform"`` and apply
+    no events, so the epoch-accounting consistency checks stay exact.
+
+    Refused under ``retain_history``: archived snapshots reference the
+    same epochs this rewrite replaces, and a backfill that silently
+    mutated time-travel reads would break snapshot immutability —
+    export the history first or compact retention away.
+
+    Reference analog: the reference backfills derived columns by
+    re-running UPDATE statements against the warehouse
+    (``etl/persist.py`` upsert family); here it is a partition-parallel
+    rewrite with the same exactly-once guarantees as ingest."""
+    from gene_etl_ray.state.lock import acquire, release
+
+    if cfg.retain_history:
+        raise ValueError(
+            "transform_lake under retain_history would mutate archived "
+            "snapshots in place; disable retention or export history first"
+        )
+    lake_dir = cfg.lake_dir
+    meta = read_lake_meta(lake_dir)
+    if meta is None:
+        return {"compacted": 0}
+    acquire(lake_dir)
+    try:
+        from gene_etl_ray.state.manifest import finalize_repartition
+
+        if finalize_repartition(lake_dir):
+            meta = read_lake_meta(lake_dir)
+        return _compact_locked(
+            cfg, meta, transform=fn, lineage_kind="transform"
+        )
+    finally:
+        release(lake_dir)
 
 
 def repartition_lake(cfg: EngineConfig, factor: int) -> dict:
@@ -2178,8 +2270,8 @@ def consistency_report(lake_dir: str) -> dict:
     # and re-lineage that partition.
     by_epoch_pkey: dict[tuple[int, int], int] = {}
     for rec in lineage:
-        if rec.get("kind") in ("repartition", "compaction"):
-            continue  # layout/layout-rewrite records: applied no events
+        if rec.get("kind") in ("repartition", "compaction", "transform"):
+            continue  # layout/value-rewrite records: applied no events
         by_epoch_pkey[(rec["epoch"], rec["pkey"])] = int(rec.get("event_count", 0))
     by_epoch: dict[int, int] = {}
     for (ep, _pk), c in by_epoch_pkey.items():

@@ -1512,3 +1512,97 @@ def test_reader_survives_concurrent_compaction_with_grace(tmp_path):
     pd.testing.assert_frame_equal(
         streamed[cols].reset_index(drop=True), want[cols], check_dtype=False
     )
+
+
+class TestTransformLake:
+    """transform_lake: the distributed in-place column backfill
+    (UPDATE lake SET col = f(...)) — exactly-once, validated, refused
+    under retention."""
+
+    # NOTE: transform fns are built as LOCAL closures inside each test —
+    # cloudpickle ships those by value; a method/module-level fn would be
+    # pickled by reference to the (unimportable-on-workers) test module.
+    @staticmethod
+    def _make_upper_lang():
+        def upper_lang(t):
+            import pyarrow.compute as pc
+
+            i = t.schema.get_field_index("lang")
+            return t.set_column(i, "lang", pc.utf8_upper(t.column("lang")))
+
+        return upper_lang
+
+    def _build(self, tmp_events, tmp_lake, mode):
+        generate_events(
+            tmp_events, n_urls=250, n_events=1200, n_epochs=4,
+            tie_frac=0.1, out_of_order_frac=0.2,
+        )
+        cfg = EngineConfig(
+            lake_dir=tmp_lake, num_partitions=8, epochs_per_commit=2,
+            merge_mode=mode,
+        )
+        run_ingest(cfg, tmp_events)
+        return cfg
+
+    @pytest.mark.parametrize("mode", ["cow", "mor"])
+    def test_backfill_matches_transformed_oracle(
+        self, tmp_events, tmp_lake, mode
+    ):
+        from gene_etl_ray.pipelines.ingest import (
+            consistency_report,
+            transform_lake,
+        )
+
+        cfg = self._build(tmp_events, tmp_lake, mode)
+        before = lake_df(tmp_lake)
+        rep = transform_lake(cfg, self._make_upper_lang())
+        assert rep["compacted"] > 0
+        after = lake_df(tmp_lake)
+        want = before.copy()
+        want["lang"] = want["lang"].str.upper()
+        pd.testing.assert_frame_equal(after, want, check_dtype=False)
+        # text bytes untouched; keys untouched; invariants hold
+        assert list(after["text"].fillna("")) == list(
+            before["text"].fillna("")
+        )
+        assert validate_lake(tmp_lake)["one_row_per_url"]
+        rep2 = consistency_report(tmp_lake)
+        assert all(rep2.values()), rep2
+        # idempotent fn: a second run converges to the same state
+        transform_lake(cfg, self._make_upper_lang())
+        pd.testing.assert_frame_equal(lake_df(tmp_lake), want,
+                                      check_dtype=False)
+        assert all(consistency_report(tmp_lake).values())
+
+    def test_update_contract_violations_raise(self, tmp_events, tmp_lake):
+        from gene_etl_ray.pipelines.ingest import transform_lake
+
+        cfg = self._build(tmp_events, tmp_lake, "cow")
+        before = lake_df(tmp_lake)
+        with pytest.raises(Exception, match="row count"):
+            transform_lake(cfg, lambda t: t.slice(0, max(0, t.num_rows - 1)))
+        with pytest.raises(Exception, match="key column"):
+            import pyarrow.compute as pc
+
+            def rekey(t):
+                i = t.schema.get_field_index("url")
+                return t.set_column(
+                    i, "url", pc.binary_join_element_wise(
+                        t.column("url"), "x", "")
+                )
+
+            transform_lake(cfg, rekey)
+        # a failed transform leaves the lake exactly as it was
+        pd.testing.assert_frame_equal(before, lake_df(tmp_lake))
+        assert validate_lake(tmp_lake)["one_row_per_url"]
+
+    def test_refused_under_retention(self, tmp_events, tmp_lake):
+        from gene_etl_ray.pipelines.ingest import transform_lake
+
+        generate_events(tmp_events, n_urls=50, n_events=200, n_epochs=2)
+        cfg = EngineConfig(
+            lake_dir=tmp_lake, num_partitions=4, retain_history=True
+        )
+        run_ingest(cfg, tmp_events)
+        with pytest.raises(ValueError, match="retain_history"):
+            transform_lake(cfg, self._make_upper_lang())
