@@ -1834,7 +1834,9 @@ def _compact_locked(
     return {"compacted": len(by_pkey), "epoch": epoch}
 
 
-def transform_lake(cfg: EngineConfig, fn) -> dict:
+def transform_lake(
+    cfg: EngineConfig, fn, add_fields: "list[pa.Field] | None" = None
+) -> dict:
     """Distributed in-place column BACKFILL — the lakehouse
     ``UPDATE table SET col = f(...)``: re-derive a column across every
     stored row (re-extract text with a new extractor version, recompute
@@ -1860,6 +1862,15 @@ def transform_lake(cfg: EngineConfig, fn) -> dict:
     mutated time-travel reads would break snapshot immutability —
     export the history first or compact retention away.
 
+    ``add_fields`` turns the UPDATE into an ADDITIVE backfill — derive
+    a brand-new column over every stored row ("compute quality_score
+    for the whole corpus"): the lake schema evolves FIRST (meta write,
+    the same crash-tested meta-before-files order mid-stream schema-add
+    uses), so ``fn`` receives the new columns null-filled and simply
+    fills them; a crash between the meta write and the rewrite leaves a
+    readable lake (new columns null) and a re-run converges. New field
+    names must not collide with existing columns.
+
     Reference analog: the reference backfills derived columns by
     re-running UPDATE statements against the warehouse
     (``etl/persist.py`` upsert family); here it is a partition-parallel
@@ -1881,6 +1892,18 @@ def transform_lake(cfg: EngineConfig, fn) -> dict:
 
         if finalize_repartition(lake_dir):
             meta = read_lake_meta(lake_dir)
+        if add_fields:
+            cur = _schema_from_hex(meta["schema_hex"])
+            for f in add_fields:
+                if cur.get_field_index(f.name) >= 0:
+                    raise ValueError(
+                        f"transform_lake: add_fields name {f.name!r} "
+                        "already exists in the lake schema"
+                    )
+            new_schema = pa.schema(list(cur) + list(add_fields))
+            meta = dict(meta)
+            meta["schema_hex"] = _schema_to_hex(new_schema)
+            write_lake_meta(lake_dir, meta)
         return _compact_locked(
             cfg, meta, transform=fn, lineage_kind="transform"
         )

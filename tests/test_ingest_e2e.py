@@ -1606,3 +1606,51 @@ class TestTransformLake:
         run_ingest(cfg, tmp_events)
         with pytest.raises(ValueError, match="retain_history"):
             transform_lake(cfg, self._make_upper_lang())
+
+
+    def test_additive_backfill_derives_new_column(
+        self, tmp_events, tmp_lake
+    ):
+        """add_fields: derive a brand-new column over every stored row;
+        the schema evolves meta-first and later ingests keep working."""
+        from gene_etl_ray.pipelines.ingest import (
+            consistency_report,
+            transform_lake,
+        )
+
+        cfg = self._build(tmp_events, tmp_lake, "cow")
+        before = lake_df(tmp_lake)
+
+        def fill_len(t):
+            import pyarrow as _pa
+            import pyarrow.compute as pc
+
+            i = t.schema.get_field_index("text_len")
+            v = pc.utf8_length(pc.fill_null(t.column("text"), ""))
+            return t.set_column(
+                i, "text_len", pc.cast(v, _pa.int64())
+            )
+
+        rep = transform_lake(
+            cfg, fill_len, add_fields=[pa.field("text_len", pa.int64())]
+        )
+        assert rep["compacted"] > 0
+        after = lake_df(tmp_lake)
+        assert "text_len" in after.columns
+        want = before["text"].fillna("").str.len().to_numpy()
+        assert (after["text_len"].to_numpy() == want).all()
+        assert all(consistency_report(tmp_lake).values())
+        # name collision refused
+        with pytest.raises(ValueError, match="already exists"):
+            transform_lake(
+                cfg, fill_len, add_fields=[pa.field("text_len", pa.int64())]
+            )
+        # a later ingest over the evolved schema still converges: the
+        # new WAL events lack text_len and null-backfill into it
+        from gene_etl_ray.fixtures import generate_events as gen2
+
+        more = os.path.join(os.path.dirname(tmp_events), "more_events")
+        gen2(more, n_urls=60, n_events=300, n_epochs=2, seed=99)
+        run_ingest(cfg, more)
+        assert validate_lake(tmp_lake)["one_row_per_url"]
+        assert all(consistency_report(tmp_lake).values())
