@@ -1654,3 +1654,51 @@ class TestTransformLake:
         run_ingest(cfg, more)
         assert validate_lake(tmp_lake)["one_row_per_url"]
         assert all(consistency_report(tmp_lake).values())
+
+
+    def test_crash_mid_transform_rerun_converges(
+        self, tmp_events, tmp_lake, monkeypatch
+    ):
+        """A crash after only some partitions committed leaves a readable
+        mixed-state lake (per-partition atomicity — the lakehouse UPDATE
+        contract) and a re-run converges to the fully-backfilled state."""
+        import gene_etl_ray.pipelines.ingest as ing
+        from gene_etl_ray.pipelines.ingest import (
+            consistency_report,
+            transform_lake,
+        )
+
+        cfg = self._build(tmp_events, tmp_lake, "cow")
+        before = lake_df(tmp_lake)
+
+        real = ing.commit_partition
+        calls = {"n": 0}
+
+        def crashing(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] > 2:
+                raise CrashInjected("injected mid-transform crash")
+            return real(*a, **kw)
+
+        monkeypatch.setattr(ing, "commit_partition", crashing)
+        with pytest.raises(CrashInjected):
+            transform_lake(cfg, self._make_upper_lang())
+        monkeypatch.undo()
+
+        # torn but readable: every row present, keys intact, lang is a
+        # per-partition mix of old and new
+        mid = lake_df(tmp_lake)
+        assert list(mid["url"]) == list(before["url"])
+        assert (
+            mid["lang"].fillna("").str.upper()
+            == before["lang"].fillna("").str.upper()
+        ).all()
+        assert validate_lake(tmp_lake)["one_row_per_url"]
+
+        rep = transform_lake(cfg, self._make_upper_lang())
+        assert rep["compacted"] > 0
+        after = lake_df(tmp_lake)
+        want = before.copy()
+        want["lang"] = want["lang"].str.upper()
+        pd.testing.assert_frame_equal(after, want, check_dtype=False)
+        assert all(consistency_report(tmp_lake).values())
