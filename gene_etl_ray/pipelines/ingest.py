@@ -1894,21 +1894,85 @@ def transform_lake(
             meta = read_lake_meta(lake_dir)
         if add_fields:
             cur = _schema_from_hex(meta["schema_hex"])
+            fresh = []
             for f in add_fields:
-                if cur.get_field_index(f.name) >= 0:
+                i = cur.get_field_index(f.name)
+                if i < 0:
+                    fresh.append(f)
+                elif cur.field(i).type != f.type:
+                    # same-name-same-type is a RESUME (crash between the
+                    # meta write and the rewrite, or a re-run to finish a
+                    # torn backfill) and is skipped; a type clash is a
+                    # genuine collision
                     raise ValueError(
                         f"transform_lake: add_fields name {f.name!r} "
-                        "already exists in the lake schema"
+                        f"already exists with type {cur.field(i).type} "
+                        f"(requested {f.type})"
                     )
-            new_schema = pa.schema(list(cur) + list(add_fields))
-            meta = dict(meta)
-            meta["schema_hex"] = _schema_to_hex(new_schema)
-            write_lake_meta(lake_dir, meta)
+            if fresh:
+                new_schema = pa.schema(list(cur) + fresh)
+                meta = dict(meta)
+                meta["schema_hex"] = _schema_to_hex(new_schema)
+                write_lake_meta(lake_dir, meta)
         return _compact_locked(
             cfg, meta, transform=fn, lineage_kind="transform"
         )
     finally:
         release(lake_dir)
+
+
+_REEXTRACTOR = None
+
+
+def _transform_reextract(t: pa.Table) -> pa.Table:
+    """Named backfill: re-run the frozen html→text extractor over every
+    stored row that still carries its html payload (``keep_html``
+    lakes) — the canonical backfill after an extractor upgrade. Rows
+    without html (payload dropped, or tombstones) keep their text."""
+    global _REEXTRACTOR
+    if t.schema.get_field_index("html") < 0:
+        raise ValueError(
+            "transform reextract requires a keep_html lake (html stored)"
+        )
+    if _REEXTRACTOR is None:
+        from gene_etl_ray.extract import HtmlTextExtractor
+
+        _REEXTRACTOR = HtmlTextExtractor()
+    html = t.column("html").to_pylist()
+    old = t.column("text").to_pylist()
+    new = _REEXTRACTOR._extract_many(html)
+    merged = [n if h is not None else o
+              for n, o, h in zip(new, old, html)]
+    i = t.schema.get_field_index("text")
+    return t.set_column(i, "text", pa.array(merged, t.schema.field(i).type))
+
+
+def _transform_textlen(t: pa.Table) -> pa.Table:
+    """Named backfill: derive ``text_len`` (chars of extracted text,
+    null-propagating so tombstones stay null) over every stored row."""
+    i = t.schema.get_field_index("text_len")
+    v = pc.cast(pc.utf8_length(t.column("text")), pa.int64())
+    return t.set_column(i, "text_len", v)
+
+
+#: CLI-invocable backfills: name → (fn, add_fields)
+NAMED_TRANSFORMS: dict = {
+    "reextract": (_transform_reextract, None),
+    "textlen": (_transform_textlen, [("text_len", "int64")]),
+}
+
+
+def _named_transform(op: str):
+    try:
+        fn, add = NAMED_TRANSFORMS[op]
+    except KeyError:
+        raise ValueError(
+            f"unknown transform op {op!r}; known: {sorted(NAMED_TRANSFORMS)}"
+        ) from None
+    fields = (
+        [pa.field(n, getattr(pa, ty)()) for n, ty in add] if add else None
+    )
+    return fn, fields
 
 
 def repartition_lake(cfg: EngineConfig, factor: int) -> dict:

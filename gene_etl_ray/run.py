@@ -155,6 +155,20 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_transform(args) -> int:
+    """Exactly-once distributed column backfill over the stored lake —
+    the lakehouse UPDATE (see ``pipelines.ingest.transform_lake``).
+    ``--op`` picks a named backfill: ``reextract`` re-runs the frozen
+    html→text extractor over keep_html lakes; ``textlen`` derives a new
+    ``text_len`` column (additive schema evolution)."""
+    from gene_etl_ray.pipelines.ingest import _named_transform, transform_lake
+
+    cfg = load_config(args.config)
+    fn, fields = _named_transform(args.op)
+    print(json.dumps(transform_lake(cfg, fn, add_fields=fields)))
+    return 0
+
+
 def cmd_repartition(args) -> int:
     """Online partition scale-out: grow the lake's partition count by an
     integer factor (shuffle-free per-partition split, atomic overlay
@@ -437,6 +451,15 @@ def main(argv: list[str] | None = None) -> int:
         "within-partition pruning for time-range reads)",
     )
     pc_.set_defaults(fn=cmd_compact)
+
+    ptr = sub.add_parser(
+        "transform",
+        help="exactly-once column backfill over the stored lake "
+        "(the lakehouse UPDATE; named ops: reextract | textlen)",
+    )
+    ptr.add_argument("--config", required=True)
+    ptr.add_argument("--op", required=True)
+    ptr.set_defaults(fn=cmd_transform)
 
     pr = sub.add_parser(
         "repartition",

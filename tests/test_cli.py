@@ -350,3 +350,31 @@ def test_cli_query_runs_registry_entry(tmp_path, capsys):
     assert main(["query", "no_such_query"]) == 2
     rep = last_json(capsys)
     assert "q1_pricing_summary" in rep["available"]
+
+
+def test_cli_transform_named_ops(events_and_config, capsys):
+    """transform --op textlen adds + fills the derived column; reextract
+    refuses on a lake without stored html; unknown ops error loudly."""
+    import pandas as pd
+
+    from gene_etl_ray.pipelines.ingest import read_lake
+
+    ev, cfg, lake = events_and_config
+    assert main(["ingest", "--config", cfg, "--events", ev]) == 0
+    capsys.readouterr()
+
+    assert main(["transform", "--config", cfg, "--op", "textlen"]) == 0
+    rep = last_json(capsys)
+    assert rep["compacted"] > 0
+    df = read_lake(lake).to_pandas()
+    assert "text_len" in df.columns
+    lens = df["text"].str.len()
+    got = df["text_len"]
+    assert (got.fillna(-1).to_numpy() == lens.fillna(-1).to_numpy()).all()
+
+    # default lakes drop the html payload after extraction: reextract
+    # must refuse rather than silently no-op
+    with pytest.raises(Exception, match="keep_html"):
+        main(["transform", "--config", cfg, "--op", "reextract"])
+    with pytest.raises(Exception, match="unknown transform op"):
+        main(["transform", "--config", cfg, "--op", "nope"])

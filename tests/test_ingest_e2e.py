@@ -1640,10 +1640,16 @@ class TestTransformLake:
         want = before["text"].fillna("").str.len().to_numpy()
         assert (after["text_len"].to_numpy() == want).all()
         assert all(consistency_report(tmp_lake).values())
-        # name collision refused
+        # same-name-same-type re-run is a RESUME and converges; a type
+        # clash is a genuine collision and is refused
+        transform_lake(
+            cfg, fill_len, add_fields=[pa.field("text_len", pa.int64())]
+        )
+        assert (lake_df(tmp_lake)["text_len"].to_numpy() == want).all()
         with pytest.raises(ValueError, match="already exists"):
             transform_lake(
-                cfg, fill_len, add_fields=[pa.field("text_len", pa.int64())]
+                cfg, fill_len,
+                add_fields=[pa.field("text_len", pa.float64())],
             )
         # a later ingest over the evolved schema still converges: the
         # new WAL events lack text_len and null-backfill into it
@@ -1702,3 +1708,27 @@ class TestTransformLake:
         want["lang"] = want["lang"].str.upper()
         pd.testing.assert_frame_equal(after, want, check_dtype=False)
         assert all(consistency_report(tmp_lake).values())
+
+
+    def test_reextract_on_keep_html_lake_is_identity(
+        self, tmp_events, tmp_lake
+    ):
+        """The frozen extractor is deterministic, so re-extraction over a
+        keep_html lake is a byte-identity rewrite — the invariant that
+        makes the canonical post-upgrade backfill safe to re-run."""
+        from gene_etl_ray.pipelines.ingest import (
+            _named_transform,
+            transform_lake,
+        )
+
+        generate_events(tmp_events, n_urls=150, n_events=700, n_epochs=3)
+        cfg = EngineConfig(
+            lake_dir=tmp_lake, num_partitions=4, keep_html=True
+        )
+        run_ingest(cfg, tmp_events)
+        before = lake_df(tmp_lake)
+        fn, fields = _named_transform("reextract")
+        rep = transform_lake(cfg, fn, add_fields=fields)
+        assert rep["compacted"] > 0
+        after = lake_df(tmp_lake)
+        pd.testing.assert_frame_equal(before, after)
