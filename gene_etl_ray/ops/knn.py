@@ -609,6 +609,19 @@ def semdedup(
                     "cluster": pd.Series([], dtype=np.int64),
                 }
             )
+        if len(g) > 200_000:
+            # same failure family as an uncapped LSH bucket: a degenerate
+            # giant cluster turns the per-cluster pass quadratic. Memory
+            # stays bounded (tiled), but the task's wall-clock blows up —
+            # say so loudly instead of silently stalling; the fix is a
+            # larger k (SemDeDup's own contract: k grows with the corpus)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "semdedup: cluster %d holds %d rows — the O(n²) prune "
+                "will dominate; increase k so clusters stay bounded",
+                int(g["cluster"].iloc[0]), len(g),
+            )
         g = g.sort_values(id_col, kind="mergesort")
         x = _to_matrix(g[vec_col]).astype(np.float64)
         n = len(x)
