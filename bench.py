@@ -133,6 +133,10 @@ def run_queries() -> dict[str, float]:
         "docs_span_dedup",
         "docs_select_corpus",
         "docs_dedup_incremental",
+        # this session's additions: semantic dedup and the sort-free
+        # global training-order shuffle
+        "embeddings_semdedup",
+        "docs_shuffle_order",
     ]
     out = {}
     for name in names:
