@@ -253,6 +253,58 @@ ORDER BY event_type, window_start
 """
 
 
+def events_hourly_gapfill(sf_dir: str) -> pd.DataFrame:
+    """Dense time-spine gap-fill (monitoring's zero-fill): hourly event
+    counts per type with MISSING hours emitted as 0 across the global
+    [min, max] hour span. The aggregate runs distributed (per-batch
+    partials, exchange carries (type, hour) partials); the densify runs
+    on the AGGREGATE — output-sized by construction (hours × types), the
+    only place a spine join belongs at 100 TB."""
+    ds = read(sf_dir, "events", ["ts", "event_type", "value"])
+    agg = relational.windowed_agg(ds, "event_type", "ts", _HOUR_US, "value")
+    hours = np.arange(
+        int(agg["window_start"].min()),
+        int(agg["window_start"].max()) + _HOUR_US,
+        _HOUR_US,
+        dtype=np.int64,
+    )
+    types = sorted(agg["event_type"].unique())
+    dense = pd.MultiIndex.from_product(
+        [types, hours], names=["event_type", "window_start"]
+    ).to_frame(index=False)
+    out = dense.merge(
+        agg[["event_type", "window_start", "n_events"]],
+        on=["event_type", "window_start"],
+        how="left",
+    )
+    out["n_events"] = out["n_events"].fillna(0).astype("int64")
+    out["window_start"] = pd.to_datetime(
+        out["window_start"], unit="us"
+    ).astype("datetime64[us]")
+    return out.sort_values(["event_type", "window_start"]).reset_index(
+        drop=True
+    )
+
+
+HOURLY_GAPFILL_SQL = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT unnest(generate_series(
+    (SELECT min(h) FROM agg), (SELECT max(h) FROM agg),
+    INTERVAL 1 HOUR)) AS h
+),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT t.event_type, s.h AS window_start,
+       COALESCE(a.n_events, 0) AS n_events
+FROM span s CROSS JOIN types t
+LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = s.h
+ORDER BY t.event_type, window_start
+"""
+
+
 def events_user_sessions(sf_dir: str) -> pd.DataFrame:
     """Gap-based session windows per user (30-min gap): one row per
     session with start/end/count — streaming-shaped workload expressed as
@@ -4976,6 +5028,7 @@ QUERIES = {
     "embeddings_logreg_step": embeddings_logreg_step,
     "docs_stratified_weighted_sample": docs_stratified_weighted_sample,
     "embeddings_label_centroid": embeddings_label_centroid,
+    "events_hourly_gapfill": events_hourly_gapfill,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -5106,4 +5159,5 @@ ORACLE_SQL = {
     "embeddings_logreg_step": LOGREG_STEP_SQL,
     "docs_stratified_weighted_sample": STRAT_WEIGHTED_SAMPLE_SQL,
     "embeddings_label_centroid": LABEL_CENTROID_SQL,
+    "events_hourly_gapfill": HOURLY_GAPFILL_SQL,
 }
