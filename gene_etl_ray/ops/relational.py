@@ -1468,3 +1468,129 @@ def trailing_window_median(
         )
 
     return ds.groupby(key).map_groups(fn, batch_format="pandas")
+
+
+def interval_overlap_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    l_interval: tuple[str, str],
+    r_interval: tuple[str, str],
+    bucket_width: int,
+    l_cols: list[str],
+    r_cols: list[str],
+    suffixes: tuple[str, str] = ("_a", "_b"),
+    tile: int = 4096,
+) -> ray.data.Dataset:
+    """KEYLESS interval-overlap join — pairs (l, r) with
+    ``l.start <= r.end AND r.start <= l.end`` (inclusive ends) and NO
+    equality key to co-locate on (``range_join_bucketed`` covers the
+    keyed case). The spatial-join pattern: range-partition the axis
+    into ``bucket_width`` buckets, REPLICATE each interval into every
+    bucket it touches (pick width ≈ typical interval length so the
+    factor stays ~2), test overlaps inside each bucket with tiled
+    vectorized masks, and dedup the multi-bucket double-counting by
+    OWNERSHIP — a pair is emitted only by the bucket containing
+    ``max(l.start, r.start)``, which every overlapping pair lies in
+    exactly once (that max is inside both intervals). One hash exchange
+    of (interval, kept columns); driver never sees the pairs.
+
+    Interval bounds must be integers (cast timestamps to epoch-us
+    first); output columns are ``l_cols``/``r_cols`` with
+    ``suffixes`` applied to collisions."""
+    w = int(bucket_width)
+
+    def keyed(cols: list[str], iv: tuple[str, str], side: int):
+        s_col, e_col = iv
+
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b):
+                out = {c: b[c] for c in cols}
+                out.update(
+                    {"__s": pd.Series([], dtype=np.int64),
+                     "__e": pd.Series([], dtype=np.int64),
+                     "__side": pd.Series([], dtype=np.int64),
+                     "__bucket": pd.Series([], dtype=np.int64)}
+                )
+                return pd.DataFrame(out)
+            s = b[s_col].to_numpy(np.int64)
+            e = b[e_col].to_numpy(np.int64)
+            if (e < s).any():
+                raise ValueError("interval_overlap_join: end < start")
+            lo, hi = s // w, e // w
+            reps = (hi - lo + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(b)), reps)
+            bkt = np.concatenate(
+                [np.arange(a, z + 1) for a, z in zip(lo, hi)]
+            ).astype(np.int64)
+            out = {c: b[c].to_numpy()[idx] for c in cols}
+            out["__s"] = s[idx]
+            out["__e"] = e[idx]
+            out["__side"] = np.full(len(idx), side, dtype=np.int64)
+            out["__bucket"] = bkt
+            return pd.DataFrame(out)
+
+        return fn
+
+    lk = left.map_batches(
+        keyed(l_cols, l_interval, 0), batch_format="pandas"
+    )
+    rk = right.map_batches(
+        keyed(r_cols, r_interval, 1), batch_format="pandas"
+    )
+    # union both sides into ONE exchange; frames are column-aligned by
+    # padding the other side's columns with nulls
+    all_cols = list(dict.fromkeys(l_cols + r_cols))
+
+    def pad(b: pd.DataFrame) -> pd.DataFrame:
+        for c in all_cols:
+            if c not in b.columns:
+                b[c] = pd.Series([pd.NA] * len(b), dtype=object)
+        return b[all_cols + ["__s", "__e", "__side", "__bucket"]]
+
+    both = lk.map_batches(pad, batch_format="pandas").union(
+        rk.map_batches(pad, batch_format="pandas")
+    )
+
+    out_l = [
+        (c, c + (suffixes[0] if c in r_cols else "")) for c in l_cols
+    ]
+    out_r = [
+        (c, c + (suffixes[1] if c in l_cols else "")) for c in r_cols
+    ]
+    empty_cols = {n: pd.Series([], dtype=object) for _, n in out_l + out_r}
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        L = g[g["__side"] == 0]
+        R = g[g["__side"] == 1]
+        if not len(L) or not len(R):
+            return pd.DataFrame(empty_cols)
+        bkt = int(g["__bucket"].iloc[0])
+        ls, le = L["__s"].to_numpy(), L["__e"].to_numpy()
+        rs, re_ = R["__s"].to_numpy(), R["__e"].to_numpy()
+        frames = []
+        for lo in range(0, len(L), tile):
+            hi = min(lo + tile, len(L))
+            m = (ls[lo:hi, None] <= re_[None, :]) & (
+                rs[None, :] <= le[lo:hi, None]
+            )
+            # ownership dedup: only the bucket holding max(l.s, r.s)
+            m &= (
+                np.maximum(ls[lo:hi, None], rs[None, :]) // w == bkt
+            )
+            li, ri = np.nonzero(m)
+            if not len(li):
+                continue
+            li = li + lo
+            row = {}
+            for c, n in out_l:
+                row[n] = L[c].to_numpy()[li]
+            for c, n in out_r:
+                row[n] = R[c].to_numpy()[ri]
+            frames.append(pd.DataFrame(row))
+        if not frames:
+            return pd.DataFrame(empty_cols)
+        return pd.concat(frames, ignore_index=True)
+
+    return both.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )

@@ -4351,6 +4351,53 @@ FROM s3 ORDER BY doc_id
 """
 
 
+def orders_priority_overlaps(sf_dir: str) -> pd.DataFrame:
+    """KEYLESS interval-overlap join (``relational
+    .interval_overlap_join``): urgent-order 3-day windows × high-order
+    3-day windows, pairs whose windows overlap — the spatial-join
+    family ``range_join_bucketed`` can't express (no equality key).
+    Range-partition + boundary replication + ownership dedup; one hash
+    exchange, pairs never gathered."""
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+    day_us = 86_400 * 1_000_000
+
+    def mk(pri):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["o_orderpriority"] == pri]
+            s = b["o_orderdate"].astype("datetime64[us]").astype(np.int64)
+            return pd.DataFrame(
+                {"o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+                 "s_us": s.to_numpy(),
+                 "e_us": s.to_numpy() + 3 * day_us}
+            )
+
+        return fn
+
+    left = ds.map_batches(mk("1-URGENT"), batch_format="pandas")
+    right = ds.map_batches(mk("2-HIGH"), batch_format="pandas")
+    out = relational.interval_overlap_join(
+        left, right, ("s_us", "e_us"), ("s_us", "e_us"),
+        bucket_width=3 * day_us, l_cols=["o_orderkey"],
+        r_cols=["o_orderkey"],
+    ).to_pandas()
+    out["o_orderkey_a"] = out["o_orderkey_a"].astype("int64")
+    out["o_orderkey_b"] = out["o_orderkey_b"].astype("int64")
+    return out.sort_values(["o_orderkey_a", "o_orderkey_b"]).reset_index(
+        drop=True
+    )
+
+
+PRIORITY_OVERLAPS_SQL = """
+SELECT a.o_orderkey AS o_orderkey_a, b.o_orderkey AS o_orderkey_b
+FROM orders a JOIN orders b
+  ON a.o_orderpriority = '1-URGENT' AND b.o_orderpriority = '2-HIGH'
+ AND a.o_orderdate <= b.o_orderdate + INTERVAL 3 DAY
+ AND b.o_orderdate <= a.o_orderdate + INTERVAL 3 DAY
+ORDER BY o_orderkey_a, o_orderkey_b
+"""
+
+
 def embeddings_gram_matrix(sf_dir: str) -> pd.DataFrame:
     """Upper-triangle Gram matrix over the embedding column — the
     reference's blocked pairwise-matrix kernel
@@ -5029,6 +5076,7 @@ QUERIES = {
     "docs_stratified_weighted_sample": docs_stratified_weighted_sample,
     "embeddings_label_centroid": embeddings_label_centroid,
     "events_hourly_gapfill": events_hourly_gapfill,
+    "orders_priority_overlaps": orders_priority_overlaps,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -5160,4 +5208,5 @@ ORACLE_SQL = {
     "docs_stratified_weighted_sample": STRAT_WEIGHTED_SAMPLE_SQL,
     "embeddings_label_centroid": LABEL_CENTROID_SQL,
     "events_hourly_gapfill": HOURLY_GAPFILL_SQL,
+    "orders_priority_overlaps": PRIORITY_OVERLAPS_SQL,
 }

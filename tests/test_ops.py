@@ -1585,3 +1585,65 @@ class TestLmQuality:
         out = lm_quality(rd.from_pandas(docs), vocab_size=1).to_pandas()
         s = dict(zip(out["doc_id"], out["lm_score"]))
         assert s[1] > s[2]
+
+
+class TestIntervalOverlapJoin:
+    def _brute(self, L, R):
+        out = []
+        for _, l in L.iterrows():
+            for _, r in R.iterrows():
+                if l["s"] <= r["e"] and r["s"] <= l["e"]:
+                    out.append((l["lid"], r["rid"]))
+        return sorted(out)
+
+    def test_matches_bruteforce_across_blockings_and_widths(self):
+        rng = np.random.RandomState(6)
+        nl, nr = 120, 150
+        ls = rng.randint(0, 1000, nl).astype(np.int64)
+        rs = rng.randint(0, 1000, nr).astype(np.int64)
+        L = pd.DataFrame(
+            {"lid": np.arange(nl, dtype=np.int64), "s": ls,
+             "e": ls + rng.randint(0, 40, nl)}
+        )
+        R = pd.DataFrame(
+            {"rid": np.arange(nr, dtype=np.int64), "s": rs,
+             "e": rs + rng.randint(0, 40, nr)}
+        )
+        want = self._brute(L, R)
+        for blocks, width, tile in ((1, 37, 4096), (5, 37, 4096),
+                                    (5, 500, 7), (5, 7, 4096)):
+            got = relational.interval_overlap_join(
+                rd.from_pandas(L, override_num_blocks=blocks),
+                rd.from_pandas(R, override_num_blocks=blocks),
+                ("s", "e"), ("s", "e"), bucket_width=width,
+                l_cols=["lid"], r_cols=["rid"], tile=tile,
+            ).to_pandas()
+            assert sorted(zip(got["lid"].astype(int),
+                              got["rid"].astype(int))) == want
+
+    def test_touching_endpoints_inclusive_and_shared_names_suffixed(self):
+        L = pd.DataFrame({"k": np.array([1], dtype=np.int64),
+                          "s": np.array([0], dtype=np.int64),
+                          "e": np.array([10], dtype=np.int64)})
+        R = pd.DataFrame({"k": np.array([2], dtype=np.int64),
+                          "s": np.array([10], dtype=np.int64),
+                          "e": np.array([20], dtype=np.int64)})
+        got = relational.interval_overlap_join(
+            rd.from_pandas(L), rd.from_pandas(R),
+            ("s", "e"), ("s", "e"), bucket_width=8,
+            l_cols=["k"], r_cols=["k"],
+        ).to_pandas()
+        assert list(got.columns) == ["k_a", "k_b"]
+        assert len(got) == 1  # touching endpoints DO overlap (inclusive)
+        assert (int(got["k_a"][0]), int(got["k_b"][0])) == (1, 2)
+
+    def test_end_before_start_raises(self):
+        L = pd.DataFrame({"k": np.array([1], dtype=np.int64),
+                          "s": np.array([5], dtype=np.int64),
+                          "e": np.array([3], dtype=np.int64)})
+        with pytest.raises(Exception, match="end < start"):
+            relational.interval_overlap_join(
+                rd.from_pandas(L), rd.from_pandas(L),
+                ("s", "e"), ("s", "e"), bucket_width=8,
+                l_cols=["k"], r_cols=["k"],
+            ).to_pandas()
