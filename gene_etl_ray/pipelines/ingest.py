@@ -1736,6 +1736,27 @@ def compact_lake(cfg: EngineConfig, cluster_rows: int | None = None) -> dict:
         release(lake_dir)
 
 
+def maybe_compact(
+    cfg: EngineConfig,
+    max_delta_files: int = 4,
+    cluster_rows: int | None = None,
+) -> dict:
+    """Policy-gated compaction — the steady-state MOR maintenance loop:
+    fold delta stacks ONLY when some partition's depth exceeds
+    ``max_delta_files`` (each extra delta is one more file every read
+    must LWW-fold, so depth is the read-amplification knob). Metadata-
+    only when it declines: one ``current_files`` listing, no data read.
+    Run it after every ingest (or on a timer); it self-arms exactly
+    when reads start paying."""
+    by_part = current_files(cfg.lake_dir)
+    depth = max((len(fs) for fs in by_part.values()), default=0)
+    if depth <= max_delta_files:
+        return {"triggered": False, "max_depth": depth, "compacted": 0}
+    rep = compact_lake(cfg, cluster_rows=cluster_rows)
+    rep.update({"triggered": True, "max_depth": depth})
+    return rep
+
+
 def _compact_locked(
     cfg: EngineConfig,
     meta: dict,

@@ -148,10 +148,17 @@ def cmd_export(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    from gene_etl_ray.pipelines.ingest import compact_lake
+    from gene_etl_ray.pipelines.ingest import compact_lake, maybe_compact
 
     cfg = load_config(args.config)
-    print(json.dumps(compact_lake(cfg, cluster_rows=args.cluster_rows)))
+    if args.max_depth is not None:
+        rep = maybe_compact(
+            cfg, max_delta_files=args.max_depth,
+            cluster_rows=args.cluster_rows,
+        )
+    else:
+        rep = compact_lake(cfg, cluster_rows=args.cluster_rows)
+    print(json.dumps(rep))
     return 0
 
 
@@ -449,6 +456,14 @@ def main(argv: list[str] | None = None) -> int:
         help="time-clustered layout: sort winners by warc_ts and write "
         "files of at most this many rows (tight zone-map ranges; enables "
         "within-partition pruning for time-range reads)",
+    )
+    pc_.add_argument(
+        "--max-depth",
+        type=int,
+        default=None,
+        help="policy gate: compact only when some partition holds more "
+        "than this many delta files (metadata-only when it declines — "
+        "the steady-state MOR maintenance loop)",
     )
     pc_.set_defaults(fn=cmd_compact)
 

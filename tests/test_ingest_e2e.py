@@ -1732,3 +1732,26 @@ class TestTransformLake:
         assert rep["compacted"] > 0
         after = lake_df(tmp_lake)
         pd.testing.assert_frame_equal(before, after)
+
+
+def test_maybe_compact_policy_gate(tmp_events, tmp_lake):
+    """maybe_compact declines (metadata-only) below the depth threshold
+    and folds the stacks above it — the steady-state MOR loop."""
+    from gene_etl_ray.pipelines.ingest import maybe_compact
+
+    generate_events(tmp_events, n_urls=200, n_events=900, n_epochs=6)
+    cfg = EngineConfig(
+        lake_dir=tmp_lake, num_partitions=4, epochs_per_commit=2,
+        merge_mode="mor",
+    )
+    run_ingest(cfg, tmp_events)  # 3 commit groups -> depth up to 3
+    depth = max(len(fs) for fs in current_files(tmp_lake).values())
+    assert depth > 1
+    rep = maybe_compact(cfg, max_delta_files=depth)  # at threshold: no-op
+    assert rep == {"triggered": False, "max_depth": depth, "compacted": 0}
+    assert max(len(fs) for fs in current_files(tmp_lake).values()) == depth
+    before = lake_df(tmp_lake)
+    rep = maybe_compact(cfg, max_delta_files=depth - 1)
+    assert rep["triggered"] and rep["compacted"] > 0
+    assert max(len(fs) for fs in current_files(tmp_lake).values()) == 1
+    pd.testing.assert_frame_equal(before, lake_df(tmp_lake))
