@@ -1736,6 +1736,81 @@ def compact_lake(cfg: EngineConfig, cluster_rows: int | None = None) -> dict:
         release(lake_dir)
 
 
+def build_expiry_wal(
+    cfg: EngineConfig, out_dir: str, older_than_us: int
+) -> dict:
+    """Row-level retention expiry THROUGH the WAL (GDPR/TTL deletes):
+    scan the live view for rows whose winning ``warc_ts`` is older than
+    the cutoff and emit ordinary DELETION EVENTS (op="D",
+    ``warc_ts = cutoff``) into a WAL directory — mux it into the
+    consumer WAL (or ingest it directly) and every guarantee is
+    inherited for free: exactly-once application, crash/resume, LWW
+    (the tombstone beats everything older than the cutoff; data newer
+    than the cutoff legitimately resurrects the url), replay-oracle
+    equivalence, snapshot/lineage accounting. No new mutation machinery
+    — expiry is just change data.
+
+    Distributed end to end: the live-view scan is column-pruned to
+    (url, warc_ts), each block becomes its own WAL segment (bounded
+    memory at any corpus size), and segment epoch numbers are stamped
+    per file. Returns {"segments", "expired"}."""
+    import shutil as _shutil
+
+    ds = read_lake(cfg.lake_dir, columns=["url", "warc_ts"])
+    cut = int(older_than_us)
+
+    def to_events(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.less(pc.cast(t.column("warc_ts"), pa.int64()), cut)
+        )
+        n = t.num_rows
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "warc_ts": pa.array([cut] * n, pa.timestamp("us")),
+                "html": pa.nulls(n, pa.binary()),
+                "text": pa.nulls(n, pa.string()),
+                "lang": pa.nulls(n, pa.string()),
+                "op": pa.array(["D"] * n, pa.string()),
+                # live view holds one row per url, so within-(url, ts)
+                # ordering never arises between expiry events
+                "seq": pa.array([0] * n, pa.int64()),
+                "epoch": pa.array([0] * n, pa.int32()),
+            }
+        )
+
+    tmp = out_dir + ".tmp-expiry"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    evs = ds.map_batches(to_events, batch_format="pyarrow")
+    evs.write_parquet(tmp)
+    os.makedirs(out_dir, exist_ok=True)
+    segments = 0
+    expired = 0
+    if not os.path.isdir(tmp):  # nothing expired: write_parquet of an
+        return {"segments": 0, "expired": 0, "cutoff_us": cut}  # empty ds
+    for i, f in enumerate(
+        sorted(
+            os.path.join(tmp, n) for n in os.listdir(tmp)
+            if n.endswith(".parquet")
+        )
+    ):
+        t = pq.read_table(f)
+        if t.num_rows == 0:
+            continue
+        idx = t.schema.get_field_index("epoch")
+        t = t.set_column(
+            idx, t.schema.field(idx),
+            pa.array([segments] * t.num_rows, pa.int32()),
+        )
+        dest = os.path.join(out_dir, f"epoch={segments:05d}.parquet")
+        pq.write_table(t, dest + ".tmp", row_group_size=16384)
+        os.replace(dest + ".tmp", dest)
+        segments += 1
+        expired += t.num_rows
+    _shutil.rmtree(tmp, ignore_errors=True)
+    return {"segments": segments, "expired": expired, "cutoff_us": cut}
+
+
 def maybe_compact(
     cfg: EngineConfig,
     max_delta_files: int = 4,

@@ -1651,13 +1651,16 @@ class TestTransformLake:
                 cfg, fill_len,
                 add_fields=[pa.field("text_len", pa.float64())],
             )
-        # a later ingest over the evolved schema still converges: the
-        # new WAL events lack text_len and null-backfill into it
+        # ingest after the evolution keeps its exactly-once semantics: a
+        # WAL dir REUSING already-committed epoch numbers is a replay
+        # and must apply ZERO events (multi-source continuation goes
+        # through the mux from the start — covered by cdc_mux_ingest)
         from gene_etl_ray.fixtures import generate_events as gen2
 
         more = os.path.join(os.path.dirname(tmp_events), "more_events")
         gen2(more, n_urls=60, n_events=300, n_epochs=2, seed=99)
-        run_ingest(cfg, more)
+        rep2 = run_ingest(cfg, more)
+        assert rep2["events_applied"] == 0
         assert validate_lake(tmp_lake)["one_row_per_url"]
         assert all(consistency_report(tmp_lake).values())
 
@@ -1755,3 +1758,48 @@ def test_maybe_compact_policy_gate(tmp_events, tmp_lake):
     assert rep["triggered"] and rep["compacted"] > 0
     assert max(len(fs) for fs in current_files(tmp_lake).values()) == 1
     pd.testing.assert_frame_equal(before, lake_df(tmp_lake))
+
+
+def test_retention_expiry_through_the_wal(tmp_path):
+    """Row-level TTL expiry as ordinary change data: build_expiry_wal
+    emits deletion events for rows older than the cutoff; muxed into the
+    consumer WAL and ingested, every guarantee (exactly-once, LWW,
+    replay-oracle equivalence) is inherited — no new mutation machinery."""
+    from gene_etl_ray.pipelines.ingest import build_expiry_wal
+    from gene_etl_ray.pipelines.mux import merge_wals
+
+    src = str(tmp_path / "src")
+    consumer = str(tmp_path / "consumer")
+    expiry = str(tmp_path / "expiry")
+    lake = str(tmp_path / "lake")
+    generate_events(src, n_urls=250, n_events=1200, n_epochs=4,
+                    out_of_order_frac=0.2)
+    merge_wals([src], consumer)
+    cfg = EngineConfig(lake_dir=lake, num_partitions=8,
+                       epochs_per_commit=2)
+    run_ingest(cfg, consumer)
+
+    live = lake_df(lake)
+    cutoff = int(
+        live["warc_ts"].astype("datetime64[us]").astype("int64").median()
+    )
+    rep = build_expiry_wal(cfg, expiry, cutoff)
+    assert rep["expired"] > 0 and rep["segments"] >= 1
+
+    merge_wals([src, expiry], consumer)  # src index stays 0 — stable
+    rep2 = run_ingest(cfg, consumer)
+    assert rep2["events_applied"] == rep["expired"]
+
+    after = lake_df(lake)
+    ts = after["warc_ts"].astype("datetime64[us]").astype("int64")
+    assert (ts >= cutoff).all()  # nothing older than the cutoff survives
+    # survivors are exactly the young rows, byte-identical
+    young = live[
+        live["warc_ts"].astype("datetime64[us]").astype("int64") >= cutoff
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(after.reset_index(drop=True), young)
+    # and the lake still equals the full WAL replay (expiry included)
+    assert_matches_oracle(lake, consumer)
+    # idempotent: re-running the same expiry applies nothing new
+    rep3 = build_expiry_wal(cfg, str(tmp_path / "expiry2"), cutoff)
+    assert rep3["expired"] == 0
