@@ -176,6 +176,24 @@ def cmd_transform(args) -> int:
     return 0
 
 
+def cmd_expire(args) -> int:
+    """Row-level TTL retention: emit deletion events for live rows whose
+    winning warc_ts is older than the cutoff into a WAL directory (see
+    ``pipelines.ingest.build_expiry_wal``) — mux into the consumer WAL
+    and ingest; nothing mutates outside the normal change-data path."""
+    import time as _time
+
+    from gene_etl_ray.pipelines.ingest import build_expiry_wal
+
+    cfg = load_config(args.config)
+    if args.older_than_us is not None:
+        cut = args.older_than_us
+    else:
+        cut = int((_time.time() - args.older_than_days * 86_400) * 1e6)
+    print(json.dumps(build_expiry_wal(cfg, args.out, cut)))
+    return 0
+
+
 def cmd_repartition(args) -> int:
     """Online partition scale-out: grow the lake's partition count by an
     integer factor (shuffle-free per-partition split, atomic overlay
@@ -466,6 +484,19 @@ def main(argv: list[str] | None = None) -> int:
         "the steady-state MOR maintenance loop)",
     )
     pc_.set_defaults(fn=cmd_compact)
+
+    pex = sub.add_parser(
+        "expire",
+        help="emit TTL deletion events (rows older than the cutoff) "
+        "into a WAL dir — mux + ingest to apply; pure change data",
+    )
+    pex.add_argument("--config", required=True)
+    pex.add_argument("--out", required=True, help="expiry WAL directory")
+    g = pex.add_mutually_exclusive_group(required=True)
+    g.add_argument("--older-than-days", type=float, default=None)
+    g.add_argument("--older-than-us", type=int, default=None,
+                   help="absolute cutoff, epoch microseconds")
+    pex.set_defaults(fn=cmd_expire)
 
     ptr = sub.add_parser(
         "transform",

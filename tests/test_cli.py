@@ -378,3 +378,17 @@ def test_cli_transform_named_ops(events_and_config, capsys):
         main(["transform", "--config", cfg, "--op", "reextract"])
     with pytest.raises(Exception, match="unknown transform op"):
         main(["transform", "--config", cfg, "--op", "nope"])
+
+
+def test_cli_expire(events_and_config, tmp_path, capsys):
+    ev, cfg, lake = events_and_config
+    assert main(["ingest", "--config", cfg, "--events", ev]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "expiry_wal")
+    # everything is older than "now" → every live row expires
+    assert main(["expire", "--config", cfg, "--out", out,
+                 "--older-than-days", "0"]) == 0
+    rep = last_json(capsys)
+    assert rep["expired"] > 0 and rep["segments"] >= 1
+    import glob as _glob
+    assert _glob.glob(out + "/epoch=*.parquet")
