@@ -1557,17 +1557,28 @@ def interval_overlap_join(
     out_r = [
         (c, c + (suffixes[1] if c in l_cols else "")) for c in r_cols
     ]
-    empty_cols = {n: pd.Series([], dtype=object) for _, n in out_l + out_r}
+    # explicit output schema (driver-derived from the input datasets):
+    # the union pads the other side's columns with nulls, which degrades
+    # pandas dtypes to object inside the bucket frames — typing the
+    # emitted Arrow table restores them, and an all-empty result keeps
+    # its schema instead of collapsing to zero columns
+    lsch, rsch = left.schema(), right.schema()
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    out_schema = pa.schema(
+        [pa.field(n, ltypes[c]) for c, n in out_l]
+        + [pa.field(n, rtypes[c]) for c, n in out_r]
+    )
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
         L = g[g["__side"] == 0]
         R = g[g["__side"] == 1]
         if not len(L) or not len(R):
-            return pd.DataFrame(empty_cols)
+            return out_schema.empty_table()
         bkt = int(g["__bucket"].iloc[0])
         ls, le = L["__s"].to_numpy(), L["__e"].to_numpy()
         rs, re_ = R["__s"].to_numpy(), R["__e"].to_numpy()
-        frames = []
+        lis, ris = [], []
         for lo in range(0, len(L), tile):
             hi = min(lo + tile, len(L))
             m = (ls[lo:hi, None] <= re_[None, :]) & (
@@ -1578,18 +1589,19 @@ def interval_overlap_join(
                 np.maximum(ls[lo:hi, None], rs[None, :]) // w == bkt
             )
             li, ri = np.nonzero(m)
-            if not len(li):
-                continue
-            li = li + lo
-            row = {}
-            for c, n in out_l:
-                row[n] = L[c].to_numpy()[li]
-            for c, n in out_r:
-                row[n] = R[c].to_numpy()[ri]
-            frames.append(pd.DataFrame(row))
-        if not frames:
-            return pd.DataFrame(empty_cols)
-        return pd.concat(frames, ignore_index=True)
+            if len(li):
+                lis.append(li + lo)
+                ris.append(ri)
+        if not lis:
+            return out_schema.empty_table()
+        li = np.concatenate(lis)
+        ri = np.concatenate(ris)
+        cols = {}
+        for c, n in out_l:
+            cols[n] = pa.array(L[c].to_numpy()[li], out_schema.field(n).type)
+        for c, n in out_r:
+            cols[n] = pa.array(R[c].to_numpy()[ri], out_schema.field(n).type)
+        return pa.table(cols, schema=out_schema)
 
     return both.groupby("__bucket").map_groups(
         per_bucket, batch_format="pandas"

@@ -608,3 +608,91 @@ def test_pq_encode_and_adc_match_bruteforce(seed, n, dim4):
     )
     assert top["vec_id"].tolist() == want_top["vec_id"].tolist()
     assert np.allclose(top["adc_dist"].to_numpy(), want_top["adc_dist"].to_numpy())
+
+
+# ---------------------------------------------------------------------------
+# round-3 kernels: hypothesis properties beyond the fixed-seed unit tests.
+# Ray round-trips are slow per example, so these run few examples — the
+# value is the ADVERSARIAL shapes hypothesis finds (gaps, duplicates-free
+# arbitrary ids, touching intervals), not volume.
+# ---------------------------------------------------------------------------
+
+ids_strategy = st.lists(
+    st.integers(min_value=0, max_value=2**40), min_size=1, max_size=60,
+    unique=True,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(ids_strategy, st.integers(min_value=0, max_value=9))
+def test_shuffle_rank_is_exact_md5_permutation_property(ids, seed):
+    import hashlib
+
+    import ray.data as rd
+
+    from gene_etl_ray.ops.select import deterministic_shuffle_rank
+
+    df = pd.DataFrame({"doc_id": np.array(sorted(ids), dtype=np.int64)})
+    out = (
+        deterministic_shuffle_rank(
+            rd.from_pandas(df, override_num_blocks=min(3, len(ids))),
+            "doc_id", seed=seed,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    keys = {i: hashlib.md5(f"{seed}:{i}".encode()).hexdigest() for i in ids}
+    want = {
+        i: r
+        for r, i in enumerate(sorted(ids, key=lambda i: (keys[i], i)))
+    }
+    assert dict(zip(out["doc_id"], out["rank"])) == want
+
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),
+        st.integers(min_value=0, max_value=60),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(intervals_strategy, intervals_strategy,
+       st.integers(min_value=1, max_value=80))
+def test_interval_overlap_join_equals_bruteforce_property(li, ri, width):
+    import ray.data as rd
+
+    from gene_etl_ray.ops.relational import interval_overlap_join
+
+    L = pd.DataFrame(
+        {"lid": np.arange(len(li), dtype=np.int64),
+         "s": np.array([s for s, _ in li], dtype=np.int64),
+         "e": np.array([s + d for s, d in li], dtype=np.int64)}
+    )
+    R = pd.DataFrame(
+        {"rid": np.arange(len(ri), dtype=np.int64),
+         "s": np.array([s for s, _ in ri], dtype=np.int64),
+         "e": np.array([s + d for s, d in ri], dtype=np.int64)}
+    )
+    got = interval_overlap_join(
+        rd.from_pandas(L), rd.from_pandas(R), ("s", "e"), ("s", "e"),
+        bucket_width=width, l_cols=["lid"], r_cols=["rid"], tile=3,
+    ).to_pandas()
+    want = sorted(
+        (int(l.lid), int(r.rid))
+        for l in L.itertuples()
+        for r in R.itertuples()
+        if l.s <= r.e and r.s <= l.e
+    )
+    # an all-empty Ray dataset loses its schema through to_pandas()
+    # (same documented quirk lake_df guards) — treat as the empty result
+    pairs = (
+        []
+        if "lid" not in got.columns
+        else sorted(zip(got["lid"].astype(int), got["rid"].astype(int)))
+    )
+    assert pairs == want
