@@ -35,6 +35,7 @@ def oracle_sql() -> dict[str, str]:
         ORACLE_SQL,
         cdc_diff_oracle_sql,
         cdc_domain_stats_oracle_sql,
+        cdc_expiry_oracle_sql,
         cdc_late_dl_oracle_sql,
         cdc_late_oracle_sql,
         cdc_mux_oracle_sql,
@@ -63,4 +64,7 @@ def oracle_sql() -> dict[str, str]:
     d["cdc_late_dead_letters"] = cdc_late_dl_oracle_sql("/root/testdata/sf0.01")
     # incremental materialized view == full recomputation from the log
     d["cdc_domain_stats_view"] = cdc_domain_stats_oracle_sql("/root/testdata/sf0.01")
+    # retention expiry as change data: the twin replays the consumer WAL
+    # INCLUDING the TTL deletion segment the engine emitted
+    d["cdc_expired_lake"] = cdc_expiry_oracle_sql("/root/testdata/sf0.01")
     return d

@@ -2049,6 +2049,65 @@ def cdc_mux_ingest(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("url").reset_index(drop=True)
 
 
+def ensure_cdc_expiry(sf_dir: str) -> tuple[str, str]:
+    """Build (once, deterministically) the retention-expiry CDC chain:
+    consumer WAL ← base change log, lake ingested, TTL deletion events
+    emitted at the lake's median winning warc_ts
+    (``ingest.build_expiry_wal``), muxed back into the SAME consumer
+    WAL, re-ingested. Returns (consumer_wal_dir, lake_dir). The cutoff
+    is frozen on first build (marker file), so re-runs and the DuckDB
+    twin always see the same on-disk segments."""
+    from gene_etl_ray.config import EngineConfig
+    from gene_etl_ray.pipelines.ingest import (
+        build_expiry_wal,
+        read_lake,
+        run_ingest,
+    )
+    from gene_etl_ray.pipelines.mux import merge_wals
+
+    base = _cdc_base_dir(sf_dir)
+    ev_dir = ensure_cdc_events(sf_dir)
+    con_dir = f"{base}/wal_expiry"
+    lake_dir = f"{base}/lake_expiry"
+    exp_src = f"{base}/wal_expiry_src"
+    marker = f"{base}/.expiry_done"
+    cfg = EngineConfig(lake_dir=lake_dir, num_partitions=8)
+    if os.path.exists(marker):
+        run_ingest(cfg, con_dir)  # replay no-op; heals a torn build
+        return con_dir, lake_dir
+    merge_wals([ev_dir], con_dir)
+    run_ingest(cfg, con_dir)
+    live = read_lake(lake_dir, columns=["url", "warc_ts"]).to_pandas()
+    cutoff = int(
+        live["warc_ts"].astype("datetime64[us]").astype("int64").median()
+    )
+    build_expiry_wal(cfg, exp_src, cutoff)
+    merge_wals([ev_dir, exp_src], con_dir)  # ev_dir keeps source index 0
+    run_ingest(cfg, con_dir)
+    open(marker, "w").close()
+    return con_dir, lake_dir
+
+
+def cdc_expired_lake(sf_dir: str) -> pd.DataFrame:
+    """Retention expiry under the oracle gate: TTL deletion events
+    (rows older than the frozen median cutoff) flow through the mux and
+    the ordinary exactly-once ingest — the DuckDB twin replays the
+    consumer WAL INCLUDING the expiry segment, so the whole
+    expire-as-change-data contract is value-hash-checked."""
+    from gene_etl_ray.pipelines.ingest import read_lake
+
+    _, lake_dir = ensure_cdc_expiry(sf_dir)
+    df = read_lake(lake_dir).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def cdc_expiry_oracle_sql(sf_dir: str) -> str:
+    con_dir, _ = ensure_cdc_expiry(sf_dir)
+    return CDC_SQL_TEMPLATE.format(
+        ev_glob=f"{con_dir}/epoch=*.parquet", admit_ctes="", src="ev"
+    )
+
+
 def cdc_mux_oracle_sql(sf_dir: str) -> str:
     """Oracle for the multi-shard flagship: QUALIFY-LWW replay of the
     MUXED consumer WAL (same template as the single-WAL flagship)."""
@@ -4948,6 +5007,7 @@ QUERIES = {
     "cdc_lateness_lake": cdc_lateness_lake,
     "cdc_late_dead_letters": cdc_late_dead_letters,
     "cdc_domain_stats_view": cdc_domain_stats_view,
+    "cdc_expired_lake": cdc_expired_lake,
     # --- 2. round-3 newly-oracled operators ---
     "docs_lang_id": docs_lang_id,
     "docs_fingerprints": docs_fingerprints,

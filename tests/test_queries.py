@@ -249,3 +249,21 @@ def test_cdc_mux_ingest_matches_duckdb_oracle():
         single[c].sort_values(c).reset_index(drop=True),
         check_dtype=True,
     )
+
+
+def test_cdc_expired_lake_matches_duckdb_oracle():
+    """Retention expiry as change data: the lake after ingesting the
+    consumer WAL (base log + TTL deletion segment the engine emitted)
+    equals DuckDB's QUALIFY-LWW replay of those SAME files — and the
+    expiry is non-vacuous (strictly fewer live rows than the unexpired
+    flagship lake)."""
+    import duckdb
+
+    ray_df = to_df(Q.cdc_expired_lake(SF))
+    sql_df = duckdb.connect().execute(Q.cdc_expiry_oracle_sql(SF)).fetchdf()
+    cols = sorted(ray_df.columns)
+    a = ray_df[cols].sort_values(cols).reset_index(drop=True)
+    b = sql_df[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=True)
+    assert len(a) < len(to_df(Q.cdc_ingest_lake(SF)))
