@@ -374,3 +374,79 @@ def corr_with_fdr(
     res = pd.concat(parts, ignore_index=True) if parts else out.assign(q_value=[])
     res["significant"] = res["q_value"] < alpha
     return res.sort_values([group_col, "var_a", "var_b"]).reset_index(drop=True)
+
+
+def grouped_welch_ttest(
+    ds: ray.data.Dataset,
+    group_col: str,
+    cohort_col: str,
+    value_col: str,
+    cohort_a,
+    cohort_b,
+) -> pd.DataFrame:
+    """Per-group Welch two-sample t-test between two cohorts — the
+    hypothesis-testing slot beside the correlation engine (the
+    reference tests gene-pair effects per illness cohort;
+    ``correlate.py:124-189`` family). Fully distributed via MERGEABLE
+    per-batch moments: each batch emits (n, Σx, Σx²) per
+    (group, cohort); the driver merge is O(groups) and computes
+
+      t  = (m_a − m_b) / √(s²_a/n_a + s²_b/n_b)
+      df = (s²_a/n_a + s²_b/n_b)² /
+           ((s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1))   (Welch–
+      p  = 2·SF_t(|t|, df)                                Satterthwaite)
+
+    with s² the SAMPLE variance. t and df are closed-form arithmetic —
+    SQL-oracle-able; p uses the repo's own regularized-incomplete-beta
+    Student SF (``t_sf_two_sided``). Groups with a cohort of n < 2 get
+    NaN. Returns (group, n_a, n_b, t_stat, welch_df, p_value)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[cohort_col].isin([cohort_a, cohort_b])]
+        if not len(b):
+            return pd.DataFrame(
+                {group_col: pd.Series([], dtype=object),
+                 "c": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64),
+                 "s": pd.Series([], dtype=np.float64),
+                 "q": pd.Series([], dtype=np.float64)}
+            )
+        v = b[value_col].to_numpy(dtype=np.float64)
+        g = b.assign(__v=v, __v2=v * v).groupby(
+            [group_col, cohort_col], sort=False, as_index=False
+        ).agg(n=("__v", "size"), s=("__v", "sum"), q=("__v2", "sum"))
+        return g.rename(columns={cohort_col: "c"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    m = parts.groupby([group_col, "c"], as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"), q=("q", "sum")
+    )
+    rows = []
+    for gval, sub in m.groupby(group_col, sort=True):
+        stats = {}
+        for _, r in sub.iterrows():
+            n = int(r["n"])
+            mean = r["s"] / n
+            var = (r["q"] - n * mean * mean) / (n - 1) if n > 1 else np.nan
+            stats[r["c"]] = (n, mean, var)
+        a = stats.get(cohort_a)
+        b_ = stats.get(cohort_b)
+        if a is None or b_ is None or a[0] < 2 or b_[0] < 2:
+            rows.append((gval, a[0] if a else 0, b_[0] if b_ else 0,
+                         np.nan, np.nan, np.nan))
+            continue
+        (na, ma, va), (nb, mb, vb) = a, b_
+        se2 = va / na + vb / nb
+        t = (ma - mb) / np.sqrt(se2)
+        df = se2 * se2 / (
+            (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+        )
+        p = float(t_sf_two_sided(np.array([t]), df)[0])
+        rows.append((gval, na, nb, t, df, p))
+    out = pd.DataFrame(
+        rows,
+        columns=[group_col, "n_a", "n_b", "t_stat", "welch_df", "p_value"],
+    )
+    out["n_a"] = out["n_a"].astype("int64")
+    out["n_b"] = out["n_b"].astype("int64")
+    return out.reset_index(drop=True)

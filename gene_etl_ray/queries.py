@@ -4457,6 +4457,52 @@ ORDER BY o_orderkey_a, o_orderkey_b
 """
 
 
+def orders_welch_ttest(sf_dir: str) -> pd.DataFrame:
+    """Per-priority Welch two-sample t-test
+    (``correlate.grouped_welch_ttest``): does o_totalprice differ
+    between open ('O') and fulfilled ('F') orders within each priority?
+    Mergeable (n, Σx, Σx²) partials per (group, cohort) — O(groups)
+    driver bytes; t and the Welch–Satterthwaite df are closed-form
+    arithmetic, so both sit under the SQL gate (the p-value, a
+    regularized-incomplete-beta SF, is unit-tested instead)."""
+    from gene_etl_ray.ops import correlate
+
+    ds = read(
+        sf_dir, "orders",
+        ["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+    out = correlate.grouped_welch_ttest(
+        ds, "o_orderpriority", "o_orderstatus", "o_totalprice", "O", "F"
+    )
+    out = out[["o_orderpriority", "n_a", "n_b", "t_stat", "welch_df"]].copy()
+    out["t_stat"] = out["t_stat"].round(6)
+    out["welch_df"] = out["welch_df"].round(4)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+WELCH_SQL = """
+WITH s AS (
+  SELECT o_orderpriority,
+         count(*) FILTER (o_orderstatus = 'O') AS n_a,
+         avg(o_totalprice) FILTER (o_orderstatus = 'O') AS m_a,
+         var_samp(o_totalprice) FILTER (o_orderstatus = 'O') AS v_a,
+         count(*) FILTER (o_orderstatus = 'F') AS n_b,
+         avg(o_totalprice) FILTER (o_orderstatus = 'F') AS m_b,
+         var_samp(o_totalprice) FILTER (o_orderstatus = 'F') AS v_b
+  FROM orders
+  WHERE o_orderstatus IN ('O', 'F')
+  GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_a, n_b,
+       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS t_stat,
+       round(
+         pow(v_a / n_a + v_b / n_b, 2) /
+         (pow(v_a / n_a, 2) / (n_a - 1) + pow(v_b / n_b, 2) / (n_b - 1)),
+         4) AS welch_df
+FROM s ORDER BY o_orderpriority
+"""
+
+
 def embeddings_gram_matrix(sf_dir: str) -> pd.DataFrame:
     """Upper-triangle Gram matrix over the embedding column — the
     reference's blocked pairwise-matrix kernel
@@ -5137,6 +5183,7 @@ QUERIES = {
     "embeddings_label_centroid": embeddings_label_centroid,
     "events_hourly_gapfill": events_hourly_gapfill,
     "orders_priority_overlaps": orders_priority_overlaps,
+    "orders_welch_ttest": orders_welch_ttest,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -5269,4 +5316,5 @@ ORACLE_SQL = {
     "embeddings_label_centroid": LABEL_CENTROID_SQL,
     "events_hourly_gapfill": HOURLY_GAPFILL_SQL,
     "orders_priority_overlaps": PRIORITY_OVERLAPS_SQL,
+    "orders_welch_ttest": WELCH_SQL,
 }

@@ -194,3 +194,44 @@ def test_corr_with_fdr_end_to_end(ray_session):
         out["var_a"].isin(["v0", "v1", "v2"]) & out["var_b"].isin(["v0", "v1", "v2"])
     ]
     assert strong["significant"].all()
+
+
+def test_welch_ttest_matches_closed_form_and_p_value():
+    """grouped_welch_ttest vs a single-process Welch computation,
+    including the p-value via the repo's own Student SF, across
+    blockings; a cohort with n<2 yields NaN."""
+    import ray.data as rd
+
+    from gene_etl_ray.ops.correlate import (
+        grouped_welch_ttest,
+        t_sf_two_sided,
+    )
+
+    rng = np.random.RandomState(21)
+    n = 400
+    grp = np.array(["g1", "g2"])[np.arange(n) % 2]
+    coh = np.array(["a", "b"])[(np.arange(n) // 2) % 2]
+    val = rng.randn(n) * 10 + np.where(coh == "a", 3.0, 0.0)
+    # g2/b gets only ONE row -> NaN for g2
+    keep = ~((grp == "g2") & (coh == "b") & (np.arange(n) > 3))
+    df = pd.DataFrame({"g": grp[keep], "c": coh[keep], "v": val[keep]})
+    for blocks in (1, 7):
+        out = grouped_welch_ttest(
+            rd.from_pandas(df, override_num_blocks=blocks),
+            "g", "c", "v", "a", "b",
+        )
+        r1 = out[out["g"] == "g1"].iloc[0]
+        a = df[(df.g == "g1") & (df.c == "a")]["v"].to_numpy()
+        b = df[(df.g == "g1") & (df.c == "b")]["v"].to_numpy()
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        se2 = va / len(a) + vb / len(b)
+        t = (a.mean() - b.mean()) / np.sqrt(se2)
+        dof = se2**2 / (
+            (va / len(a)) ** 2 / (len(a) - 1)
+            + (vb / len(b)) ** 2 / (len(b) - 1)
+        )
+        assert abs(r1["t_stat"] - t) < 1e-9
+        assert abs(r1["welch_df"] - dof) < 1e-6
+        want_p = float(t_sf_two_sided(np.array([t]), dof)[0])
+        assert abs(r1["p_value"] - want_p) < 1e-12
+        assert np.isnan(out[out["g"] == "g2"]["t_stat"].iloc[0])
