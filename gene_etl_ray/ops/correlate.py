@@ -450,3 +450,44 @@ def grouped_welch_ttest(
     out["n_a"] = out["n_a"].astype("int64")
     out["n_b"] = out["n_b"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def chi2_independence(
+    ds: ray.data.Dataset,
+    a_col: str,
+    b_col: str,
+) -> pd.DataFrame:
+    """Pearson χ² test of independence between two categorical columns
+    (bot-vs-human event-mix, language-vs-source drift — the categorical
+    sibling of the correlation engine). Pure counts, so the distributed
+    shape is one (a, b) count combiner per batch and an
+    O(|A|·|B|)-cell driver merge; the statistic
+    ``Σ (O − E)² / E`` with ``E = row·col/n`` and
+    ``df = (|A|−1)(|B|−1)`` is closed-form arithmetic — fully
+    SQL-oracle-able. Null categories are their own level, as SQL
+    GROUP BY treats them. Returns one row (chi2, df, n)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby([a_col, b_col], sort=False, dropna=False,
+                      as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby([a_col, b_col], dropna=False, as_index=False)["n"]
+        .sum()
+    )
+    n = float(cells["n"].sum())
+    piv = cells.pivot_table(
+        index=a_col, columns=b_col, values="n", fill_value=0,
+        aggfunc="sum", dropna=False,
+    ).to_numpy(dtype=np.float64)
+    row = piv.sum(axis=1, keepdims=True)
+    col = piv.sum(axis=0, keepdims=True)
+    expected = row @ col / n
+    chi2 = float(((piv - expected) ** 2 / expected).sum())
+    df = (piv.shape[0] - 1) * (piv.shape[1] - 1)
+    return pd.DataFrame(
+        {"chi2": [chi2], "df": [np.int64(df)], "n": [np.int64(n)]}
+    )

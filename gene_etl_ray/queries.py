@@ -4503,6 +4503,54 @@ FROM s ORDER BY o_orderpriority
 """
 
 
+def events_chi2_type_dow(sf_dir: str) -> pd.DataFrame:
+    """Pearson χ² independence test (``correlate.chi2_independence``):
+    is event type independent of day-of-week? One (a, b) count combiner
+    per batch, O(cells) driver merge, closed-form statistic under the
+    SQL gate. (Day-of-week numbering conventions differ between engines
+    but χ² is invariant under category relabeling, so each side may use
+    its own.)"""
+    from gene_etl_ray.ops import correlate
+
+    ds = read(sf_dir, "events", ["event_type", "ts"])
+
+    def add_dow(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "dow": b["ts"].astype("datetime64[us]").dt.dayofweek
+                .to_numpy(np.int64),
+            }
+        )
+
+    out = correlate.chi2_independence(
+        ds.map_batches(add_dow, batch_format="pandas"), "event_type", "dow"
+    )
+    out["chi2"] = out["chi2"].round(6)
+    return out
+
+
+CHI2_SQL = """
+WITH o AS (
+  SELECT event_type AS a, dayofweek(ts) AS b, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n FROM o),
+r AS (SELECT a, CAST(sum(n) AS DOUBLE) AS rn FROM o GROUP BY a),
+c AS (SELECT b, CAST(sum(n) AS DOUBLE) AS cn FROM o GROUP BY b),
+cells AS (
+  SELECT COALESCE(o.n, 0) AS obs, r.rn * c.cn / tot.n AS exp
+  FROM r CROSS JOIN c CROSS JOIN tot
+  LEFT JOIN o ON o.a = r.a AND o.b = c.b
+)
+SELECT round(sum((obs - exp) * (obs - exp) / exp), 6) AS chi2,
+       CAST((SELECT count(*) - 1 FROM r)
+            * (SELECT count(*) - 1 FROM c) AS BIGINT) AS df,
+       CAST((SELECT n FROM tot) AS BIGINT) AS n
+FROM cells
+"""
+
+
 def embeddings_gram_matrix(sf_dir: str) -> pd.DataFrame:
     """Upper-triangle Gram matrix over the embedding column — the
     reference's blocked pairwise-matrix kernel
@@ -5184,6 +5232,7 @@ QUERIES = {
     "events_hourly_gapfill": events_hourly_gapfill,
     "orders_priority_overlaps": orders_priority_overlaps,
     "orders_welch_ttest": orders_welch_ttest,
+    "events_chi2_type_dow": events_chi2_type_dow,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -5317,4 +5366,5 @@ ORACLE_SQL = {
     "events_hourly_gapfill": HOURLY_GAPFILL_SQL,
     "orders_priority_overlaps": PRIORITY_OVERLAPS_SQL,
     "orders_welch_ttest": WELCH_SQL,
+    "events_chi2_type_dow": CHI2_SQL,
 }

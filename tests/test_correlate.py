@@ -235,3 +235,33 @@ def test_welch_ttest_matches_closed_form_and_p_value():
         want_p = float(t_sf_two_sided(np.array([t]), dof)[0])
         assert abs(r1["p_value"] - want_p) < 1e-12
         assert np.isnan(out[out["g"] == "g2"]["t_stat"].iloc[0])
+
+
+def test_chi2_independence_matches_closed_form():
+    """chi2_independence vs a hand-computed contingency statistic,
+    blocking-invariant; independent uniform columns give a small χ²,
+    a perfectly dependent pair gives ~n·(k-1)."""
+    import ray.data as rd
+
+    from gene_etl_ray.ops.correlate import chi2_independence
+
+    rng = np.random.RandomState(9)
+    n = 600
+    a = rng.randint(0, 3, n)
+    b = rng.randint(0, 4, n)
+    df = pd.DataFrame({"a": a.astype(str), "b": b.astype(np.int64)})
+    outs = [
+        chi2_independence(rd.from_pandas(df, override_num_blocks=k),
+                          "a", "b")
+        for k in (1, 6)
+    ]
+    piv = pd.crosstab(df["a"], df["b"]).to_numpy(dtype=float)
+    exp = piv.sum(1, keepdims=True) @ piv.sum(0, keepdims=True) / n
+    want = ((piv - exp) ** 2 / exp).sum()
+    for out in outs:
+        assert abs(out["chi2"][0] - want) < 1e-9
+        assert int(out["df"][0]) == 6 and int(out["n"][0]) == n
+    # perfect dependence: b == a ⇒ χ² = n·(k−1)
+    dep = pd.DataFrame({"a": a.astype(str), "b": a.astype(np.int64)})
+    out = chi2_independence(rd.from_pandas(dep), "a", "b")
+    assert abs(out["chi2"][0] - n * 2) < 1e-9
