@@ -228,6 +228,10 @@ def logreg_train(
             )
 
         parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        if not len(parts) or "n" not in parts.columns:
+            raise ValueError(
+                "logreg_train: empty dataset (no rows survived the read)"
+            )
         n = int(parts["n"].sum())
         grad = np.sum(
             [np.frombuffer(v, dtype=np.float64) for v in parts["g"]], axis=0

@@ -576,7 +576,10 @@ def deterministic_shuffle_rank(
             }
         )
 
-    keyed = ds.map_batches(key_batch, batch_format="pandas")
+    # checkpoint the keyed table: the md5-per-row keying (this op's
+    # dominant cost) would otherwise execute twice — once for the counts
+    # pass below, again inside bucketed_group_apply's lazy re-execution
+    keyed = ds.map_batches(key_batch, batch_format="pandas").materialize()
 
     def bucket_counts(b: pd.DataFrame) -> pd.DataFrame:
         vc = b["bucket"].value_counts()
@@ -614,6 +617,29 @@ def deterministic_shuffle_rank(
     return bucketed_group_apply(keyed, ["bucket"], stamp)
 
 
+def _es_keys(ids, w: np.ndarray, seed: int) -> np.ndarray:
+    """Shared Efraimidis-Spirakis key derivation: u = md5(seed:id)'s
+    first 13 hex chars (52 bits — mantissa-exact in BOTH engines, so the
+    SQL twin sees the SAME double) scaled to [0,1), key = u**(1/w).
+    Single source of truth for weighted_sample AND
+    grouped_weighted_sample — the constants here are load-bearing for
+    their oracles."""
+    import hashlib
+
+    pre = f"{seed}:"
+    u = (
+        np.array(
+            [
+                int(hashlib.md5((pre + str(i)).encode()).hexdigest()[:13], 16)
+                for i in ids
+            ],
+            dtype=np.float64,
+        )
+        / np.float64(16.0**13)
+    )
+    return u ** (1.0 / w)
+
+
 def weighted_sample(
     ds: ray.data.Dataset,
     weight_col: str,
@@ -634,9 +660,6 @@ def weighted_sample(
     global top-k (key DESC, id ASC) — same contract as ``top_k``. Rows
     with weight ≤ 0 or null can never be sampled and are dropped, as
     the SQL twin's WHERE does. Returns (id, weight, es_key) pandas."""
-    import hashlib
-
-    pre = f"{seed}:"
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b[weight_col].notna() & (b[weight_col] > 0)]
@@ -648,19 +671,9 @@ def weighted_sample(
             )
         ids = b[id_col].to_numpy()
         w = b[weight_col].to_numpy(np.float64)
-        u = (
-            np.array(
-                [
-                    int(hashlib.md5((pre + str(i)).encode()).hexdigest()[:13], 16)
-                    for i in ids
-                ],
-                dtype=np.float64,
-            )
-            / np.float64(16.0**13)
-        )
         out = pd.DataFrame(
             {id_col: ids, weight_col: b[weight_col].to_numpy(),
-             "es_key": u ** (1.0 / w)}
+             "es_key": _es_keys(ids, w, seed)}
         )
         if len(out) <= k:
             return out
@@ -693,9 +706,6 @@ def grouped_weighted_sample(
     the grouped top-k shape, no global sort. Equivalent SQL:
     ``QUALIFY row_number() OVER (PARTITION BY group ORDER BY es_key
     DESC, id) <= k``."""
-    import hashlib
-
-    pre = f"{seed}:"
 
     def key_batch(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b[weight_col].notna() & (b[weight_col] > 0)]
@@ -708,21 +718,11 @@ def grouped_weighted_sample(
             )
         ids = b[id_col].to_numpy()
         w = b[weight_col].to_numpy(np.float64)
-        u = (
-            np.array(
-                [
-                    int(hashlib.md5((pre + str(i)).encode()).hexdigest()[:13], 16)
-                    for i in ids
-                ],
-                dtype=np.float64,
-            )
-            / np.float64(16.0**13)
-        )
         return pd.DataFrame(
             {group_col: b[group_col].to_numpy(),
              id_col: ids,
              weight_col: b[weight_col].to_numpy(),
-             "es_key": u ** (1.0 / w)}
+             "es_key": _es_keys(ids, w, seed)}
         )
 
     keyed = ds.map_batches(key_batch, batch_format="pandas")

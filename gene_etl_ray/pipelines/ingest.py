@@ -723,16 +723,16 @@ def _make_merge_fn(
                     f"({t.num_rows} -> {t2.num_rows})"
                 )
             for key_col in ("url", "warc_ts", "seq", DELETED_COLUMN):
-                if not pc.all(
-                    pc.equal(
-                        pc.fill_null(t2.column(key_col), False)
-                        if key_col == DELETED_COLUMN
-                        else t2.column(key_col),
-                        pc.fill_null(t.column(key_col), False)
-                        if key_col == DELETED_COLUMN
-                        else t.column(key_col),
-                    )
-                ).as_py():
+                a, b2 = t.column(key_col), t2.column(key_col)
+                # null-safe equality: null patterns must match AND every
+                # non-null pair must be equal. pc.all() skips nulls, so a
+                # bare pc.equal would silently PASS a fn that nulled out
+                # key values (null == x -> null -> skipped).
+                same = pc.and_(
+                    pc.equal(pc.is_valid(a), pc.is_valid(b2)),
+                    pc.fill_null(pc.equal(a, b2), True),
+                )
+                if not pc.all(same).as_py():
                     raise ValueError(
                         f"transform_lake: fn changed key column {key_col!r}"
                     )
@@ -1753,8 +1753,14 @@ def build_expiry_wal(
     Distributed end to end: the live-view scan is column-pruned to
     (url, warc_ts), each block becomes its own WAL segment (bounded
     memory at any corpus size), and segment epoch numbers are stamped
-    per file. Returns {"segments", "expired"}."""
+    per file. APPEND-ONLY: numbering continues after any segments
+    already in ``out_dir`` (a WAL segment, once muxed, is immutable —
+    the mux's (source, epoch) dedup relies on it), and the single-writer
+    lock on ``out_dir`` serializes concurrent expiry runs. Returns
+    {"segments", "expired"}."""
     import shutil as _shutil
+
+    from gene_etl_ray.state.lock import acquire, release
 
     ds = read_lake(cfg.lake_dir, columns=["url", "warc_ts"])
     cut = int(older_than_us)
@@ -1779,36 +1785,46 @@ def build_expiry_wal(
             }
         )
 
-    tmp = out_dir + ".tmp-expiry"
+    tmp = f"{out_dir}.tmp-expiry-{os.getpid()}"
     _shutil.rmtree(tmp, ignore_errors=True)
     evs = ds.map_batches(to_events, batch_format="pyarrow")
     evs.write_parquet(tmp)
     os.makedirs(out_dir, exist_ok=True)
-    segments = 0
-    expired = 0
-    if not os.path.isdir(tmp):  # nothing expired: write_parquet of an
-        return {"segments": 0, "expired": 0, "cutoff_us": cut}  # empty ds
-    for i, f in enumerate(
-        sorted(
+    acquire(out_dir)
+    try:
+        # append-only numbering: never rewrite a segment another run (or
+        # a mux assignment) may already reference
+        existing = [
+            int(n[6:-8]) for n in os.listdir(out_dir)
+            if n.startswith("epoch=") and n.endswith(".parquet")
+        ]
+        next_e = 1 + max(existing, default=-1)
+        segments = 0
+        expired = 0
+        if not os.path.isdir(tmp):  # nothing expired: write_parquet of
+            return {"segments": 0, "expired": 0, "cutoff_us": cut}  # []
+        for f in sorted(
             os.path.join(tmp, n) for n in os.listdir(tmp)
             if n.endswith(".parquet")
-        )
-    ):
-        t = pq.read_table(f)
-        if t.num_rows == 0:
-            continue
-        idx = t.schema.get_field_index("epoch")
-        t = t.set_column(
-            idx, t.schema.field(idx),
-            pa.array([segments] * t.num_rows, pa.int32()),
-        )
-        dest = os.path.join(out_dir, f"epoch={segments:05d}.parquet")
-        pq.write_table(t, dest + ".tmp", row_group_size=16384)
-        os.replace(dest + ".tmp", dest)
-        segments += 1
-        expired += t.num_rows
-    _shutil.rmtree(tmp, ignore_errors=True)
-    return {"segments": segments, "expired": expired, "cutoff_us": cut}
+        ):
+            t = pq.read_table(f)
+            if t.num_rows == 0:
+                continue
+            e = next_e + segments
+            idx = t.schema.get_field_index("epoch")
+            t = t.set_column(
+                idx, t.schema.field(idx),
+                pa.array([e] * t.num_rows, pa.int32()),
+            )
+            dest = os.path.join(out_dir, f"epoch={e:05d}.parquet")
+            pq.write_table(t, dest + ".tmp", row_group_size=16384)
+            os.replace(dest + ".tmp", dest)
+            segments += 1
+            expired += t.num_rows
+        _shutil.rmtree(tmp, ignore_errors=True)
+        return {"segments": segments, "expired": expired, "cutoff_us": cut}
+    finally:
+        release(out_dir)
 
 
 def maybe_compact(

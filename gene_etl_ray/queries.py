@@ -2077,10 +2077,21 @@ def ensure_cdc_expiry(sf_dir: str) -> tuple[str, str]:
         return con_dir, lake_dir
     merge_wals([ev_dir], con_dir)
     run_ingest(cfg, con_dir)
-    live = read_lake(lake_dir, columns=["url", "warc_ts"]).to_pandas()
-    cutoff = int(
-        live["warc_ts"].astype("datetime64[us]").astype("int64").median()
-    )
+    # freeze the cutoff BEFORE anything expiry-related mutates the lake:
+    # a torn build resumed after the expiry segments already applied
+    # would otherwise recompute the median over the SURVIVORS and derive
+    # a drifting second cutoff
+    cut_file = f"{base}/.expiry_cutoff"
+    if os.path.exists(cut_file):
+        with open(cut_file) as fh:
+            cutoff = int(fh.read())
+    else:
+        live = read_lake(lake_dir, columns=["url", "warc_ts"]).to_pandas()
+        cutoff = int(
+            live["warc_ts"].astype("datetime64[us]").astype("int64").median()
+        )
+        with open(cut_file, "w") as fh:
+            fh.write(str(cutoff))
     build_expiry_wal(cfg, exp_src, cutoff)
     merge_wals([ev_dir, exp_src], con_dir)  # ev_dir keeps source index 0
     run_ingest(cfg, con_dir)

@@ -1803,3 +1803,63 @@ def test_retention_expiry_through_the_wal(tmp_path):
     # idempotent: re-running the same expiry applies nothing new
     rep3 = build_expiry_wal(cfg, str(tmp_path / "expiry2"), cutoff)
     assert rep3["expired"] == 0
+
+
+    def test_null_key_transform_refused(self, tmp_events, tmp_lake):
+        """Regression (review finding): pc.all skips nulls, so a fn that
+        NULLS key values used to slip past the equality check and commit
+        a corrupted lake — null-safe comparison must refuse it."""
+        from gene_etl_ray.pipelines.ingest import transform_lake
+
+        cfg = self._build(tmp_events, tmp_lake, "cow")
+        before = lake_df(tmp_lake)
+
+        def null_one_ts(t):
+            import pyarrow as _pa
+
+            col = t.column("warc_ts").to_pylist()
+            col[0] = None
+            i = t.schema.get_field_index("warc_ts")
+            return t.set_column(
+                i, "warc_ts", _pa.array(col, t.schema.field(i).type)
+            )
+
+        with pytest.raises(ValueError, match="key column"):
+            transform_lake(cfg, null_one_ts)
+        pd.testing.assert_frame_equal(before, lake_df(tmp_lake))
+
+
+def test_expiry_wal_is_append_only(tmp_path):
+    """Regression (review finding): a second expiry into the same WAL dir
+    must APPEND new segments, never renumber/overwrite ones a mux may
+    already reference."""
+    import glob as _glob
+
+    from gene_etl_ray.pipelines.ingest import build_expiry_wal
+
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "expiry")
+    generate_events(src, n_urls=150, n_events=600, n_epochs=3)
+    cfg = EngineConfig(lake_dir=lake, num_partitions=4)
+    run_ingest(cfg, src)
+    live = lake_df(lake)
+    ts = live["warc_ts"].astype("datetime64[us]").astype("int64")
+    c1, c2 = int(ts.quantile(0.3)), int(ts.quantile(0.7))
+    r1 = build_expiry_wal(cfg, out, c1)
+    first = {
+        f: open(f, "rb").read()
+        for f in _glob.glob(out + "/epoch=*.parquet")
+    }
+    assert r1["segments"] == len(first) > 0
+    r2 = build_expiry_wal(cfg, out, c2)  # lake NOT yet expired: overlaps
+    assert r2["expired"] > 0
+    # every first-run segment byte-identical; new ones numbered after
+    for f, blob in first.items():
+        assert open(f, "rb").read() == blob
+    all_eps = sorted(
+        int(os.path.basename(f)[6:-8])
+        for f in _glob.glob(out + "/epoch=*.parquet")
+    )
+    assert all_eps == list(range(len(all_eps)))
+    assert len(all_eps) == r1["segments"] + r2["segments"]
