@@ -491,3 +491,59 @@ def chi2_independence(
     return pd.DataFrame(
         {"chi2": [chi2], "df": [np.int64(df)], "n": [np.int64(n)]}
     )
+
+
+def grouped_mann_whitney(
+    ds: ray.data.Dataset,
+    group_col: str,
+    cohort_col: str,
+    value_col: str,
+    cohort_a,
+    cohort_b,
+) -> pd.DataFrame:
+    """Per-group Mann–Whitney U (Wilcoxon rank-sum) between two cohorts
+    — the nonparametric sibling of ``grouped_welch_ttest`` for skewed
+    webtext metrics where means mislead. A full-group barrier op (A7):
+    the combined sample's AVERAGE ranks must be assigned per group, so
+    the group is the shuffle key and the in-group kernel is the same
+    vectorized average-rank transform Spearman uses. Emits the exact U
+    for cohort a (``U = R_a − n_a(n_a+1)/2``) and the tie-corrected
+    normal approximation
+    ``z = (U − n_a·n_b/2) / √(n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))))``
+    — both closed-form arithmetic, SQL-oracle-able (average ranks =
+    ``RANK() + (ties−1)/2``). Groups missing a cohort yield NaN.
+    Returns (group, n_a, n_b, u_stat, z)."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        gval = g[group_col].iloc[0]
+        g = g[g[cohort_col].isin([cohort_a, cohort_b])]
+        va = g.loc[g[cohort_col] == cohort_a, value_col].to_numpy(np.float64)
+        vb = g.loc[g[cohort_col] == cohort_b, value_col].to_numpy(np.float64)
+        na, nb = len(va), len(vb)
+        if na == 0 or nb == 0:
+            return pd.DataFrame(
+                {group_col: [gval], "n_a": [np.int64(na)],
+                 "n_b": [np.int64(nb)], "u_stat": [np.nan], "z": [np.nan]}
+            )
+        both = np.concatenate([va, vb])
+        ranks = _rank_average(both)
+        r_a = float(ranks[:na].sum())
+        u = r_a - na * (na + 1) / 2.0
+        n = na + nb
+        _, counts = np.unique(both, return_counts=True)
+        tie_term = float((counts.astype(np.float64) ** 3 - counts).sum())
+        var = na * nb / 12.0 * ((n + 1) - tie_term / (n * (n - 1)))
+        z = (u - na * nb / 2.0) / np.sqrt(var) if var > 0 else np.nan
+        return pd.DataFrame(
+            {group_col: [gval], "n_a": [np.int64(na)],
+             "n_b": [np.int64(nb)], "u_stat": [u], "z": [z]}
+        )
+
+    out = (
+        ds.groupby(group_col)
+        .map_groups(per_group, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_a"] = out["n_a"].astype("int64")
+    out["n_b"] = out["n_b"].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -4514,6 +4514,61 @@ FROM s ORDER BY o_orderpriority
 """
 
 
+def orders_mann_whitney(sf_dir: str) -> pd.DataFrame:
+    """Per-priority Mann–Whitney U (``correlate.grouped_mann_whitney``):
+    the nonparametric two-sample test between open and fulfilled
+    orders' totals — one hash shuffle on the group key, vectorized
+    in-group average ranks, closed-form U and tie-corrected z under
+    the SQL gate (average rank = RANK() + (ties−1)/2)."""
+    from gene_etl_ray.ops import correlate
+
+    ds = read(
+        sf_dir, "orders",
+        ["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+    out = correlate.grouped_mann_whitney(
+        ds, "o_orderpriority", "o_orderstatus", "o_totalprice", "O", "F"
+    )
+    out["u_stat"] = out["u_stat"].round(6)
+    out["z"] = out["z"].round(6)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+MANN_WHITNEY_SQL = """
+WITH s AS (
+  SELECT o_orderpriority AS g, o_orderstatus AS c, o_totalprice AS v
+  FROM orders WHERE o_orderstatus IN ('O', 'F')
+),
+r AS (
+  SELECT g, c,
+         RANK() OVER (PARTITION BY g ORDER BY v) AS rmin,
+         COUNT(*) OVER (PARTITION BY g, v) AS tcnt
+  FROM s
+),
+agg AS (
+  SELECT g,
+         count(*) FILTER (c = 'O') AS n_a,
+         count(*) FILTER (c = 'F') AS n_b,
+         sum(rmin + (tcnt - 1) / 2.0) FILTER (c = 'O') AS r_a
+  FROM r GROUP BY g
+),
+ties AS (
+  SELECT g, sum(pow(t, 3) - t) AS tt FROM (
+    SELECT g, v, CAST(count(*) AS DOUBLE) AS t FROM s GROUP BY g, v
+  ) GROUP BY g
+)
+SELECT agg.g AS o_orderpriority, n_a, n_b,
+       round(r_a - n_a * (n_a + 1) / 2.0, 6) AS u_stat,
+       round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+             / sqrt(n_a * n_b / 12.0 *
+                    ((n_a + n_b + 1)
+                     - tt / ((n_a + n_b) * (n_a + n_b - 1.0)))),
+             6) AS z
+FROM agg JOIN ties ON agg.g = ties.g
+ORDER BY o_orderpriority
+"""
+
+
 def events_chi2_type_dow(sf_dir: str) -> pd.DataFrame:
     """Pearson χ² independence test (``correlate.chi2_independence``):
     is event type independent of day-of-week? One (a, b) count combiner
@@ -5244,6 +5299,7 @@ QUERIES = {
     "orders_priority_overlaps": orders_priority_overlaps,
     "orders_welch_ttest": orders_welch_ttest,
     "events_chi2_type_dow": events_chi2_type_dow,
+    "orders_mann_whitney": orders_mann_whitney,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -5378,4 +5434,5 @@ ORACLE_SQL = {
     "orders_priority_overlaps": PRIORITY_OVERLAPS_SQL,
     "orders_welch_ttest": WELCH_SQL,
     "events_chi2_type_dow": CHI2_SQL,
+    "orders_mann_whitney": MANN_WHITNEY_SQL,
 }

@@ -265,3 +265,49 @@ def test_chi2_independence_matches_closed_form():
     dep = pd.DataFrame({"a": a.astype(str), "b": a.astype(np.int64)})
     out = chi2_independence(rd.from_pandas(dep), "a", "b")
     assert abs(out["chi2"][0] - n * 2) < 1e-9
+
+
+def test_mann_whitney_matches_scipy_formula_and_handles_ties():
+    """grouped_mann_whitney vs a hand-computed U/z with heavy ties,
+    blocking-invariant; a missing cohort yields NaN."""
+    import ray.data as rd
+
+    from gene_etl_ray.ops.correlate import grouped_mann_whitney
+
+    rng = np.random.RandomState(3)
+    n = 300
+    coh = np.array(["a", "b"])[np.arange(n) % 2]
+    # integer values => heavy ties (the tie-corrected z path matters)
+    val = rng.randint(0, 20, n).astype(np.float64)
+    val[coh == "a"] += 2  # real location shift
+    df = pd.DataFrame({"g": ["x"] * n, "c": coh, "v": val})
+    df.loc[len(df)] = ["y", "a", 1.0]  # group y: cohort b missing -> NaN
+    for blocks in (1, 5):
+        out = grouped_mann_whitney(
+            rd.from_pandas(df, override_num_blocks=blocks),
+            "g", "c", "v", "a", "b",
+        )
+        rx = out[out["g"] == "x"].iloc[0]
+        a = df[(df.g == "x") & (df.c == "a")]["v"].to_numpy()
+        b = df[(df.g == "x") & (df.c == "b")]["v"].to_numpy()
+        both = np.concatenate([a, b])
+        order = both.argsort(kind="mergesort")
+        ranks = np.empty(len(both))
+        # average ranks with ties
+        sv = both[order]
+        rr = np.arange(1, len(both) + 1, dtype=np.float64)
+        uniq, inv, cnt = np.unique(sv, return_inverse=True,
+                                   return_counts=True)
+        csum = np.concatenate([[0], np.cumsum(cnt)])
+        avg = (csum[:-1] + 1 + csum[1:]) / 2.0
+        ranks[order] = avg[inv]
+        na, nb = len(a), len(b)
+        u = ranks[:na].sum() - na * (na + 1) / 2
+        nn = na + nb
+        tt = float((cnt.astype(float) ** 3 - cnt).sum())
+        var = na * nb / 12 * ((nn + 1) - tt / (nn * (nn - 1)))
+        z = (u - na * nb / 2) / np.sqrt(var)
+        assert abs(rx["u_stat"] - u) < 1e-9
+        assert abs(rx["z"] - z) < 1e-12
+        assert rx["z"] > 3  # the planted shift is detected
+        assert np.isnan(out[out["g"] == "y"]["u_stat"].iloc[0])
