@@ -1892,7 +1892,11 @@ def _compact_locked(
     by_pkey: dict[int, list[dict]] = {}
     for r in rows:
         by_pkey.setdefault(int(r["pkey"]), []).append(r)
+    from gene_etl_ray.state.lock import heartbeat
+
     for pkey, rs in sorted(by_pkey.items()):
+        heartbeat(lake_dir)  # lease renewal: a long rewrite must not
+        # let its lock age past LEASE_SEC and get stolen mid-commit
         commit_partition(
             lake_dir,
             pkey,

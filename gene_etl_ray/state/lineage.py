@@ -33,5 +33,16 @@ def read_lineage(lake_dir: str, epoch: int | None = None) -> list[dict]:
     out = []
     for n in names:
         with open(os.path.join(d, n)) as f:
-            out.extend(json.loads(line) for line in f if line.strip())
+            lines = [ln for ln in f if ln.strip()]
+        for i, ln in enumerate(lines):
+            try:
+                out.append(json.loads(ln))
+            except json.JSONDecodeError:
+                # appends are not atomic: a crash mid-append leaves a
+                # torn TRAILING line, and the resume path must read past
+                # it (the interrupted commit re-runs and re-appends). A
+                # malformed NON-trailing line is real corruption — raise.
+                if i == len(lines) - 1:
+                    continue
+                raise
     return out

@@ -54,7 +54,10 @@ def acquire(lake_dir: str, lease_sec: float = LEASE_SEC) -> None:
     path = _lock_path(lake_dir)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     host = socket.gethostname()
-    tmp = f"{path}.claim.{os.getpid()}"
+    # host in the claim name: two hosts sharing the lake can carry EQUAL
+    # pids (containers), and a shared {path}.claim.<pid> would let one
+    # claimant truncate/delete the other's in-flight claim file
+    tmp = f"{path}.claim.{host}.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump({"pid": os.getpid(), "host": host}, f)
         f.flush()
@@ -76,7 +79,18 @@ def acquire(lake_dir: str, lease_sec: float = LEASE_SEC) -> None:
             owner_pid = int(owner.get("pid", -1))
             owner_host = owner.get("host", host)  # legacy locks: assume local
             if owner_host == host:
+                # pid probe AND lease recency: the probe alone can pin a
+                # dead writer's lock forever when the OS recycles its pid
+                # for an unrelated long-lived process — a live owner
+                # heartbeats, so a stale mtime overrides the probe
                 alive = owner_pid != -1 and _pid_alive(owner_pid)
+                if alive:
+                    try:
+                        alive = (
+                            time.time() - os.path.getmtime(path)
+                        ) < lease_sec
+                    except OSError:
+                        continue  # lock vanished under us — retry
             else:
                 # cross-host: liveness = heartbeat recency, never pid probes
                 try:
@@ -128,10 +142,32 @@ def heartbeat(lake_dir: str) -> None:
                 f"{owner.get('pid')} on {owner.get('host')} — aborting commit"
             )
         os.utime(path, None)
+    except FileNotFoundError:
+        # a MISSING lock is exactly the steal-in-progress signature (the
+        # thief renames the stale lock away before linking its own) — a
+        # short re-check separates that from a transient FS hiccup, and
+        # if the lock is still gone or renamed to someone else we must
+        # NOT keep committing (split-brain)
+        time.sleep(0.05)
+        try:
+            with open(path) as f:
+                owner = json.load(f)
+        except (OSError, ValueError):
+            raise LakeLockedError(
+                f"writer lock for {lake_dir} disappeared mid-commit "
+                "(lease expired and was stolen?) — aborting"
+            ) from None
+        if int(owner.get("pid", -1)) != os.getpid() or owner.get(
+            "host", socket.gethostname()
+        ) != socket.gethostname():
+            raise LakeLockedError(
+                f"writer lock for {lake_dir} was taken over by pid "
+                f"{owner.get('pid')} on {owner.get('host')} — aborting commit"
+            )
+        os.utime(path, None)
     except (OSError, ValueError):
-        # lock unreadable/missing: keep going — the local pid probe still
-        # protects the single-node case, and failing an ingest over a
-        # transient metadata read would be worse
+        # lock UNREADABLE (but present): keep going — failing an ingest
+        # over a transient metadata read would be worse
         pass
 
 

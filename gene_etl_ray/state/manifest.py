@@ -211,7 +211,10 @@ def commit_partition(
     # the surviving file set — readers prune time-range scans with zero
     # file IO (`read_lake(ts_min/ts_max)`)
     file_stats = dict((old or {}).get("file_stats") or {}) if append else {}
-    file_stats.update(stats.pop("file_stats", {}) or {})
+    file_stats.update(stats.get("file_stats") or {})
+    # never mutate the CALLER's stats dict (a retry or post-commit log
+    # that reuses it would silently lose the zone-map entry)
+    stats = {k: v for k, v in stats.items() if k != "file_stats"}
     manifest = {"pkey": pkey, "epoch": epoch, "files": sorted(set(finals)), "stats": stats}
     keep = {os.path.basename(f) for f in manifest["files"]}
     file_stats = {b: s for b, s in file_stats.items() if b in keep}

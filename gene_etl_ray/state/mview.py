@@ -33,6 +33,7 @@ from __future__ import annotations
 import glob
 import os
 import re
+import time
 
 import numpy as np
 import pandas as pd
@@ -115,6 +116,7 @@ def refresh_view(lake_dir: str, view: str = DOMAIN_VIEW) -> dict:
 
     out_dir = _mv_dir(lake_dir, view)
     os.makedirs(out_dir, exist_ok=True)
+    _gc_stale_tmps(out_dir)
     schema = _schema_from_hex(meta["schema_hex"])
     mor = meta.get("merge_mode") == "mor"
     need = ["url", "text", "pkey", "is_deleted"] + (["warc_ts", "seq"] if mor else [])
@@ -198,19 +200,43 @@ def _delta_state(lake_dir: str) -> tuple[int, pd.DataFrame | None, str | None]:
     """(cursor_epoch, state frame, path) of the newest delta-view state;
     (-2, None, None) when the view was never bootstrapped."""
     d = _mv_dir(lake_dir, DELTA_VIEW)
-    best: tuple[int, str] | None = None
-    for p in glob.glob(os.path.join(d, "state.epoch=*.parquet")):
-        m = _STATE_RE.search(os.path.basename(p))
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), p)
-    if best is None:
-        return -2, None, None
-    return best[0], pq.read_table(best[1]).to_pandas(), best[1]
+    # publish-then-GC race (same as read_view's shard retry): a
+    # concurrent refresh can delete the state file between our glob and
+    # the read — re-list and pick the fresh one
+    for _ in range(5):
+        best: tuple[int, str] | None = None
+        for p in glob.glob(os.path.join(d, "state.epoch=*.parquet")):
+            m = _STATE_RE.search(os.path.basename(p))
+            if m and (best is None or int(m.group(1)) > best[0]):
+                best = (int(m.group(1)), p)
+        if best is None:
+            return -2, None, None
+        try:
+            return best[0], pq.read_table(best[1]).to_pandas(), best[1]
+        except FileNotFoundError:
+            continue
+    raise FileNotFoundError(
+        f"delta-view state in {d} kept vanishing across retries"
+    )
+
+
+def _gc_stale_tmps(d: str, max_age_sec: float = 3600.0) -> None:
+    """Sweep `.tmp<pid>` strays a crashed refresh stranded (nothing else
+    ever globs them, so without this they accumulate forever). Age-gated
+    so a concurrent writer's in-flight tmp is never touched."""
+    now = time.time()
+    for p in glob.glob(os.path.join(d, "*.tmp*")):
+        try:
+            if now - os.path.getmtime(p) > max_age_sec:
+                os.remove(p)
+        except OSError:
+            pass
 
 
 def _write_delta_state(lake_dir: str, epoch: int, state: pd.DataFrame) -> None:
     d = _mv_dir(lake_dir, DELTA_VIEW)
     os.makedirs(d, exist_ok=True)
+    _gc_stale_tmps(d)
     final = os.path.join(d, f"state.epoch={epoch:05d}.parquet")
     tmp = final + f".tmp{os.getpid()}"
     pq.write_table(pa.Table.from_pandas(state, schema=_SHARD_SCHEMA), tmp)
@@ -223,13 +249,19 @@ def _write_delta_state(lake_dir: str, epoch: int, state: pd.DataFrame) -> None:
                 pass
 
 
-def _full_domain_stats(lake_dir: str) -> pd.DataFrame:
+def _full_domain_stats(
+    lake_dir: str, asof_epoch: int | None = None
+) -> pd.DataFrame:
     """Distributed full compute of the view (bootstrap path): per-batch
     domain partials over the live lake, merged driver-side — the same
-    aggregate :func:`read_view` yields, computed from the base table."""
+    aggregate :func:`read_view` yields, computed from the base table.
+    ``asof_epoch`` pins the scan to the cursor being stamped: without
+    it a commit racing the bootstrap lands rows in the scan that the
+    next refresh's change feed then applies AGAIN (permanent
+    double-count)."""
     from gene_etl_ray.pipelines.ingest import read_lake
 
-    ds = read_lake(lake_dir, columns=["url", "text"])
+    ds = read_lake(lake_dir, columns=["url", "text"], asof_epoch=asof_epoch)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -279,7 +311,7 @@ def refresh_view_delta(lake_dir: str) -> dict:
     if cursor == head:
         return {"refreshed": False, "reason": "fresh", "epoch": head}
     if cursor == -2:
-        state = _full_domain_stats(lake_dir)
+        state = _full_domain_stats(lake_dir, asof_epoch=head)
         _write_delta_state(lake_dir, head, state)
         return {"refreshed": True, "bootstrap": True, "epoch": head,
                 "domains": len(state)}
