@@ -547,3 +547,75 @@ def grouped_mann_whitney(
     out["n_a"] = out["n_a"].astype("int64")
     out["n_b"] = out["n_b"].astype("int64")
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def grouped_ols(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> pd.DataFrame:
+    """Per-group simple linear regression (OLS of y on x) — the
+    effect-size companion to the correlation engine (the reference
+    reports correlation strength per cohort, ``correlate.py:124-189``;
+    slope/intercept/R² is the same bivariate-moment family). Fully
+    distributed via MERGEABLE per-batch moments: each batch emits
+    (n, Σx, Σy, Σxx, Σyy, Σxy) per group — six doubles, so the driver
+    merge is O(groups) regardless of row count — and the closed forms
+
+      slope     = Sxy / Sxx          (Sxy = Σxy − n·x̄·ȳ, …)
+      intercept = ȳ − slope·x̄
+      r2        = Sxy² / (Sxx·Syy)
+
+    are plain arithmetic — fully SQL-oracle-able against DuckDB's
+    regr_slope / regr_intercept / regr_r2. Rows where either value is
+    null are dropped (SQL regr_* semantics); groups with n < 2 or zero
+    x-variance yield NaN. Returns
+    (group, n, slope, intercept, r2)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[group_col, x_col, y_col]].dropna(subset=[x_col, y_col])
+        if not len(b):
+            return pd.DataFrame(
+                {group_col: pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64),
+                 "sx": pd.Series([], dtype=np.float64),
+                 "sy": pd.Series([], dtype=np.float64),
+                 "sxx": pd.Series([], dtype=np.float64),
+                 "syy": pd.Series([], dtype=np.float64),
+                 "sxy": pd.Series([], dtype=np.float64)}
+            )
+        x = b[x_col].to_numpy(dtype=np.float64)
+        y = b[y_col].to_numpy(dtype=np.float64)
+        g = b.assign(
+            __x=x, __y=y, __xx=x * x, __yy=y * y, __xy=x * y
+        ).groupby(group_col, sort=False, as_index=False).agg(
+            n=("__x", "size"), sx=("__x", "sum"), sy=("__y", "sum"),
+            sxx=("__xx", "sum"), syy=("__yy", "sum"), sxy=("__xy", "sum")
+        )
+        return g
+
+    m = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(group_col, as_index=False)
+        .agg(n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+             sxx=("sxx", "sum"), syy=("syy", "sum"), sxy=("sxy", "sum"))
+    )
+    n = m["n"].to_numpy(dtype=np.float64)
+    mx = m["sx"].to_numpy() / n
+    my = m["sy"].to_numpy() / n
+    cxx = m["sxx"].to_numpy() - n * mx * mx
+    cyy = m["syy"].to_numpy() - n * my * my
+    cxy = m["sxy"].to_numpy() - n * mx * my
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = np.where((n >= 2) & (cxx > 0), cxy / cxx, np.nan)
+        intercept = my - slope * mx
+        r2 = np.where(
+            (n >= 2) & (cxx > 0) & (cyy > 0), cxy * cxy / (cxx * cyy), np.nan
+        )
+    out = pd.DataFrame(
+        {group_col: m[group_col], "n": m["n"].astype("int64"),
+         "slope": slope, "intercept": intercept, "r2": r2}
+    )
+    return out.sort_values(group_col).reset_index(drop=True)

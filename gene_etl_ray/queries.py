@@ -305,6 +305,62 @@ ORDER BY t.event_type, window_start
 """
 
 
+def events_hourly_acf(sf_dir: str) -> pd.DataFrame:
+    """Per-type autocorrelation of the hourly event-count series at
+    lags 1–3 (traffic periodicity / burstiness detection). The count
+    aggregate runs distributed exactly as ``events_hourly_gapfill``;
+    the ACF — Pearson between the zero-filled series and its lag —
+    runs on the AGGREGATE, which is output-sized (hours × types) by
+    construction, the only place a lag-correlation belongs at 100 TB."""
+    dense = events_hourly_gapfill(sf_dir)
+    rows = []
+    for etype, sub in dense.groupby("event_type", sort=True):
+        x = sub.sort_values("window_start")["n_events"].to_numpy(np.float64)
+        for k in (1, 2, 3):
+            if len(x) > k + 1 and x[k:].std() > 0 and x[:-k].std() > 0:
+                r = float(np.corrcoef(x[k:], x[:-k])[0, 1])
+            else:
+                r = np.nan
+            rows.append((etype, np.int64(k), round(r, 6)))
+    return pd.DataFrame(rows, columns=["event_type", "lag_h", "acf"])
+
+
+HOURLY_ACF_SQL = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT unnest(generate_series(
+    (SELECT min(h) FROM agg), (SELECT max(h) FROM agg),
+    INTERVAL 1 HOUR)) AS h
+),
+types AS (SELECT DISTINCT event_type FROM events),
+dense AS (
+  SELECT t.event_type, s.h, COALESCE(a.n_events, 0) AS n
+  FROM span s CROSS JOIN types t
+  LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = s.h
+),
+l AS (
+  SELECT event_type, n,
+         lag(n, 1) OVER w AS l1,
+         lag(n, 2) OVER w AS l2,
+         lag(n, 3) OVER w AS l3
+  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY h)
+)
+SELECT event_type, lag_h, acf FROM (
+  SELECT event_type, 1 AS lag_h, round(corr(n, l1), 6) AS acf
+  FROM l WHERE l1 IS NOT NULL GROUP BY event_type
+  UNION ALL
+  SELECT event_type, 2, round(corr(n, l2), 6)
+  FROM l WHERE l2 IS NOT NULL GROUP BY event_type
+  UNION ALL
+  SELECT event_type, 3, round(corr(n, l3), 6)
+  FROM l WHERE l3 IS NOT NULL GROUP BY event_type
+) ORDER BY event_type, lag_h
+"""
+
+
 def events_user_sessions(sf_dir: str) -> pd.DataFrame:
     """Gap-based session windows per user (30-min gap): one row per
     session with start/end/count — streaming-shaped workload expressed as
@@ -4641,6 +4697,33 @@ WHERE a.i <= b.i GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def lineitem_ols_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Per-returnflag OLS regression of extendedprice on quantity
+    (``correlate.grouped_ols``): the effect-size slot beside
+    Spearman/Pearson — six mergeable moments per group, O(groups)
+    driver bytes, closed-form slope/intercept/R² under the SQL gate
+    (DuckDB regr_slope / regr_intercept / regr_r2)."""
+    from gene_etl_ray.ops import correlate
+
+    ds = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = correlate.grouped_ols(
+        ds, "l_returnflag", "l_quantity", "l_extendedprice")
+    out["slope"] = out["slope"].round(6)
+    out["intercept"] = out["intercept"].round(4)
+    out["r2"] = out["r2"].round(8)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+OLS_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 8) AS r2
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def embeddings_pca_axis(sf_dir: str) -> pd.DataFrame:
     """PCA projection gated in its d=1 EXACT regime (the
     ``corr_fdr_significant`` twin pattern): vectors are collapsed to
@@ -5300,6 +5383,8 @@ QUERIES = {
     "orders_welch_ttest": orders_welch_ttest,
     "events_chi2_type_dow": events_chi2_type_dow,
     "orders_mann_whitney": orders_mann_whitney,
+    "lineitem_ols_by_flag": lineitem_ols_by_flag,
+    "events_hourly_acf": events_hourly_acf,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -5435,4 +5520,6 @@ ORACLE_SQL = {
     "orders_welch_ttest": WELCH_SQL,
     "events_chi2_type_dow": CHI2_SQL,
     "orders_mann_whitney": MANN_WHITNEY_SQL,
+    "lineitem_ols_by_flag": OLS_SQL,
+    "events_hourly_acf": HOURLY_ACF_SQL,
 }

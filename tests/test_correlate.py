@@ -311,3 +311,43 @@ def test_mann_whitney_matches_scipy_formula_and_handles_ties():
         assert abs(rx["z"] - z) < 1e-12
         assert rx["z"] > 3  # the planted shift is detected
         assert np.isnan(out[out["g"] == "y"]["u_stat"].iloc[0])
+
+
+def test_grouped_ols_matches_polyfit_and_edge_cases():
+    """grouped_ols vs numpy.polyfit per group, blocking-invariant;
+    null rows are dropped (regr_* semantics); a zero-x-variance group
+    and an n<2 group yield NaN."""
+    import ray.data as rd
+
+    from gene_etl_ray.ops.correlate import grouped_ols
+
+    rng = np.random.RandomState(33)
+    n = 300
+    grp = np.array(["g1", "g2"])[np.arange(n) % 2]
+    x = rng.rand(n) * 50
+    y = 3.5 * x + 7.0 + rng.randn(n) * 4
+    df = pd.DataFrame({"g": grp, "x": x, "y": y})
+    # null rows must not count toward n
+    df.loc[5, "y"] = np.nan
+    df.loc[8, "x"] = np.nan
+    # a constant-x group and a single-row group
+    extra = pd.DataFrame(
+        {"g": ["flat", "flat", "flat", "tiny"],
+         "x": [2.0, 2.0, 2.0, 1.0], "y": [1.0, 2.0, 3.0, 9.0]}
+    )
+    df = pd.concat([df, extra], ignore_index=True)
+    for blocks in (1, 7):
+        out = grouped_ols(
+            rd.from_pandas(df, override_num_blocks=blocks), "g", "x", "y"
+        )
+        for gname in ("g1", "g2"):
+            sub = df[(df.g == gname)].dropna(subset=["x", "y"])
+            slope, intercept = np.polyfit(sub.x, sub.y, 1)
+            r = np.corrcoef(sub.x, sub.y)[0, 1]
+            row = out[out["g"] == gname].iloc[0]
+            assert row["n"] == len(sub)
+            assert abs(row["slope"] - slope) < 1e-9
+            assert abs(row["intercept"] - intercept) < 1e-7
+            assert abs(row["r2"] - r * r) < 1e-9
+        assert np.isnan(out[out["g"] == "flat"]["slope"].iloc[0])
+        assert np.isnan(out[out["g"] == "tiny"]["slope"].iloc[0])
