@@ -1078,3 +1078,105 @@ def prefix_key(
         return typed_if_empty(b)
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def _distinct_term_doc_pairs(
+    b: pd.DataFrame, id_col: str, text_col: str
+) -> pd.DataFrame:
+    """Per-batch distinct (term, doc) pairs — the inverted-index /
+    DF combiner: a batch emits at most its vocabulary × docs pairs,
+    never its raw token stream. Flat-array build (no per-row loop)."""
+    lists = b[text_col].fillna("").str.split().tolist()
+    lens = np.fromiter(
+        (len(t) for t in lists), dtype=np.int64, count=len(lists)
+    )
+    if lens.sum() == 0:
+        return pd.DataFrame(
+            {"term": pd.Series([], dtype="object"),
+             id_col: pd.Series([], dtype="int64")}
+        )
+    terms = np.concatenate([np.asarray(t, dtype=object) for t in lists if t])
+    ids = np.repeat(b[id_col].to_numpy(), lens)
+    return (
+        pd.DataFrame({"term": terms, id_col: ids})
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+
+
+def inverted_index(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 1000,
+) -> pd.DataFrame:
+    """Distributed inverted-index build: term → (df, sorted posting
+    list) — the corpus-search structure every retrieval/dedup stack
+    needs beside the DF table. Shape: the distinct-(term, doc)-pair
+    combiner per batch (repeats collapse before anything moves), ONE
+    vocab-keyed groupby, and a per-term in-group kernel that sorts the
+    posting list. Stop-term guard: a term whose df exceeds
+    ``max_postings`` keeps its exact df but ELIDES the posting list
+    (postings = NULL) — the standard stop-list rule that bounds the
+    widest row at 100 TB instead of materializing an O(corpus) list in
+    one group task; callers that need full stop-term postings shard
+    them by doc range instead. Postings serialize as a comma-joined
+    string (equal to SQL ``string_agg(id, ',' ORDER BY id)``), so the
+    whole structure sits under the value-hash oracle gate."""
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return _distinct_term_doc_pairs(b, id_col, text_col)
+
+    def per_term(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy(dtype=np.int64))
+        df = len(ids)
+        post = (
+            ",".join(map(str, ids.tolist())) if df <= max_postings else None
+        )
+        return pd.DataFrame(
+            {"term": [g["term"].iloc[0]], "df": [np.int64(df)],
+             "postings": pd.Series([post], dtype="object")}
+        )
+
+    out = (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("term")
+        .map_groups(per_term, batch_format="pandas")
+        .to_pandas()
+    )
+    out["df"] = out["df"].astype("int64")
+    return out.sort_values("term").reset_index(drop=True)
+
+
+def search_and(
+    ds: ray.data.Dataset,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Conjunctive (AND) term search: doc ids containing EVERY query
+    term. The query-term filter is pushed into the tokenize batch —
+    each batch emits at most |terms| × docs pairs (usually far fewer),
+    so the single doc-keyed groupby exchange carries query-sized data,
+    never the token stream. Equivalent to intersecting the inverted
+    index's posting lists, fused with the build."""
+    want = sorted(set(terms))
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        p = _distinct_term_doc_pairs(b, id_col, text_col)
+        return typed_if_empty(p[p["term"].isin(want)])
+
+    hits = (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby(id_col)
+        .map_groups(
+            lambda g: g.iloc[:1][[id_col]]
+            if g["term"].nunique() == len(want) else g.iloc[:0][[id_col]],
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if id_col not in hits.columns:  # every group filtered out
+        hits = pd.DataFrame({id_col: pd.Series([], dtype="int64")})
+    hits[id_col] = hits[id_col].astype("int64")
+    return hits.sort_values(id_col).reset_index(drop=True)

@@ -594,6 +594,53 @@ GROUP BY term ORDER BY df DESC, term LIMIT 200
 """
 
 
+def docs_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Distributed inverted-index build (``text.inverted_index``):
+    term → (df, sorted posting list) via the distinct-pair combiner +
+    ONE vocab-keyed groupby; posting lists serialize as comma-joined
+    sorted ids so the whole structure sits under the value-hash gate.
+    Terms past the ``max_postings`` stop-list bound keep their df but
+    elide the list (rule pinned by unit test)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return text.inverted_index(ds, max_postings=10000)
+
+
+INVERTED_INDEX_SQL = r"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CASE WHEN count(*) <= 10000
+            THEN string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+            END AS postings
+FROM pairs GROUP BY term ORDER BY term
+"""
+
+
+def docs_search_and(sf_dir: str) -> pd.DataFrame:
+    """Conjunctive term search (``text.search_and``): doc ids
+    containing ALL of {vector, spark, big} — posting-list intersection
+    fused into the tokenize pass, with the query-term filter pushed
+    into the batch combiner so the doc-keyed exchange carries
+    query-sized data only."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return text.search_and(ds, ["vector", "spark", "big"])
+
+
+SEARCH_AND_SQL = r"""
+SELECT doc_id FROM (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+)
+WHERE term IN ('vector', 'spark', 'big')
+GROUP BY doc_id HAVING count(DISTINCT term) = 3
+ORDER BY doc_id
+"""
+
+
 def order_priority_class(sf_dir: str) -> pd.DataFrame:
     """CASE-style categorizer + grouped counts (M8, ``models.py:253-258``)."""
     ds = read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
@@ -5385,6 +5432,8 @@ QUERIES = {
     "orders_mann_whitney": orders_mann_whitney,
     "lineitem_ols_by_flag": lineitem_ols_by_flag,
     "events_hourly_acf": events_hourly_acf,
+    "docs_inverted_index": docs_inverted_index,
+    "docs_search_and": docs_search_and,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -5522,4 +5571,6 @@ ORACLE_SQL = {
     "orders_mann_whitney": MANN_WHITNEY_SQL,
     "lineitem_ols_by_flag": OLS_SQL,
     "events_hourly_acf": HOURLY_ACF_SQL,
+    "docs_inverted_index": INVERTED_INDEX_SQL,
+    "docs_search_and": SEARCH_AND_SQL,
 }

@@ -1647,3 +1647,50 @@ class TestIntervalOverlapJoin:
                 ("s", "e"), ("s", "e"), bucket_width=8,
                 l_cols=["k"], r_cols=["k"],
             ).to_pandas()
+
+
+class TestInvertedIndex:
+    """text.inverted_index / text.search_and: distinct-pair combiner
+    semantics, the stop-list elision bound, and query-pushdown search."""
+
+    def _corpus(self):
+        return pd.DataFrame({
+            "doc_id": np.array([10, 11, 12, 13], dtype=np.int64),
+            "text": [
+                "apple banana apple",        # within-doc repeat collapses
+                "banana cherry",
+                "apple cherry durian",
+                "",                           # empty doc emits nothing
+            ],
+        })
+
+    def test_postings_sorted_distinct_and_elision(self, ray_session):
+        import ray.data as rd
+        from gene_etl_ray.ops import text as t
+
+        for blocks in (1, 3):
+            ds = rd.from_pandas(self._corpus(), override_num_blocks=blocks)
+            out = t.inverted_index(ds, max_postings=2)
+            byterm = out.set_index("term")
+            assert byterm.loc["banana", "df"] == 2
+            assert byterm.loc["banana", "postings"] == "10,11"
+            assert byterm.loc["durian", "postings"] == "12"
+            # apple df=2 <= cap keeps its list; cherry df=2 too
+            assert byterm.loc["apple", "postings"] == "10,12"
+            # lower the cap: df=2 terms elide, df stays exact
+            out1 = t.inverted_index(ds, max_postings=1)
+            b1 = out1.set_index("term")
+            assert b1.loc["apple", "df"] == 2
+            assert b1.loc["apple", "postings"] is None
+            assert b1.loc["durian", "postings"] == "12"
+
+    def test_search_and_pushdown_and_misses(self, ray_session):
+        import ray.data as rd
+        from gene_etl_ray.ops import text as t
+
+        ds = rd.from_pandas(self._corpus(), override_num_blocks=2)
+        got = t.search_and(ds, ["apple", "cherry"])
+        assert got["doc_id"].tolist() == [12]
+        # a term absent from the corpus -> empty, schema intact
+        none = t.search_and(ds, ["apple", "zzz"])
+        assert none.empty and list(none.columns) == ["doc_id"]
