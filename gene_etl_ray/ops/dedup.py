@@ -1741,3 +1741,200 @@ def span_dedup(
         )
 
     return joined.map_batches(cut, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy self-join (edit distance <= 1, SymSpell-style blocking)
+# ---------------------------------------------------------------------------
+
+#: fuzzy_pairs operates on short KEY strings (names, titles, normalized
+#: urls). The deletion-neighborhood blocking emits len+1 keys per string,
+#: so unbounded strings would blow the exchange up linearly in length —
+#: refuse loudly instead of degrading silently.
+FUZZY_MAX_LEN = 64
+
+
+def _poly_hash_rows(M: np.ndarray) -> np.ndarray:
+    """Vectorized polynomial row hash (uint64 wraparound) of a byte
+    matrix, length-mixed so same bytes at different widths collide only
+    by chance; collisions are harmless (verification filters)."""
+    n, L = M.shape
+    if L == 0:
+        return _mix64(np.zeros(n, dtype=np.uint64)).astype(np.int64)
+    base = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        w = np.empty(L, dtype=np.uint64)
+        w[0] = np.uint64(1)
+        for j in range(1, L):
+            w[j] = w[j - 1] * base
+        h = (M.astype(np.uint64) * w).sum(axis=1, dtype=np.uint64)
+    return _mix64(h ^ np.uint64(L)).astype(np.int64)
+
+
+def _del1_keys(ids: np.ndarray, strs: list[str]):
+    """(key, id) rows for SymSpell delete-1 blocking: each string emits
+    the hash of itself plus the hash of every single-byte deletion.
+    Two strings within edit distance 1 (byte-level) always share a key:
+    equal → identity; substitution at i → both delete i; insertion →
+    the longer's deletion equals the shorter's identity. Vectorized per
+    length group (byte matrix + column-slice deletions) — the only
+    Python loop is over the ≤ FUZZY_MAX_LEN deletion positions."""
+    bs = [s.encode() for s in strs]
+    lens = np.fromiter((len(x) for x in bs), np.int64, len(bs))
+    if len(lens) and lens.max() > FUZZY_MAX_LEN:
+        raise ValueError(
+            f"fuzzy_pairs key exceeds FUZZY_MAX_LEN={FUZZY_MAX_LEN} bytes "
+            f"(got {int(lens.max())}): deletion-neighborhood blocking is "
+            "for short key strings; normalize or truncate upstream"
+        )
+    out_ids, out_keys = [], []
+    for L in np.unique(lens):
+        sel = np.where(lens == L)[0]
+        if L == 0:
+            out_ids.append(ids[sel])
+            out_keys.append(_poly_hash_rows(np.empty((len(sel), 0), np.uint8)))
+            continue
+        M = np.frombuffer(
+            b"".join(bs[i] for i in sel), dtype=np.uint8
+        ).reshape(len(sel), int(L))
+        out_ids.append(ids[sel])
+        out_keys.append(_poly_hash_rows(M))
+        for i in range(int(L)):
+            D = np.concatenate([M[:, :i], M[:, i + 1:]], axis=1)
+            out_ids.append(ids[sel])
+            out_keys.append(_poly_hash_rows(D))
+    return np.concatenate(out_keys), np.concatenate(out_ids)
+
+
+def _lev_le1_mask(sa: list[str], sb: list[str]) -> np.ndarray:
+    """Vectorized edit-distance-≤-1 verification (byte-level; equals
+    character distance on ASCII keys). Same length: ≤1 mismatching
+    position. Length diff 1: single-gap alignment — prefix equal up to
+    the first divergence i, then the shorter's suffix matches the
+    longer's shifted suffix. Length diff ≥2: false."""
+    ba = [s.encode() for s in sa]
+    bb = [s.encode() for s in sb]
+    la = np.fromiter((len(x) for x in ba), np.int64, len(ba))
+    lb = np.fromiter((len(x) for x in bb), np.int64, len(bb))
+    mask = np.zeros(len(ba), dtype=bool)
+
+    def mat(items, sel, L):
+        return np.frombuffer(
+            b"".join(items[i] for i in sel), dtype=np.uint8
+        ).reshape(len(sel), L)
+
+    for (L1, L2) in {(int(a), int(b)) for a, b in zip(la, lb)}:
+        sel = np.where((la == L1) & (lb == L2))[0]
+        if abs(L1 - L2) > 1:
+            continue
+        if L1 == L2:
+            if L1 == 0:
+                mask[sel] = True
+                continue
+            A, B = mat(ba, sel, L1), mat(bb, sel, L2)
+            mask[sel] = (A != B).sum(axis=1) <= 1
+            continue
+        # length diff exactly 1: S = shorter, G = longer
+        S, G = (ba, bb) if L1 < L2 else (bb, ba)
+        Ls = min(L1, L2)
+        if Ls == 0:
+            mask[sel] = True
+            continue
+        A = mat(S, sel, Ls)
+        B = mat(G, sel, Ls + 1)
+        eq1 = A == B[:, :Ls]
+        eq2 = A == B[:, 1:]
+        neq = ~eq1
+        i = np.where(neq.any(axis=1), neq.argmax(axis=1), Ls)
+        suffix_all = np.flip(
+            np.cumprod(np.flip(eq2, axis=1), axis=1), axis=1
+        ).astype(bool)
+        rows = np.arange(len(sel))
+        ok = np.where(i < Ls, suffix_all[rows, np.minimum(i, Ls - 1)], True)
+        mask[sel] = ok
+    return mask
+
+
+def fuzzy_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    max_bucket: int = 2000,
+) -> pd.DataFrame:
+    """Blocked fuzzy self-join: all (id_a < id_b) pairs whose key
+    strings are within edit distance 1 — record linkage over names /
+    titles / normalized urls without the O(n²) cross join. Shape:
+
+    1. delete-1 blocking keys per batch (``_del1_keys``, exact recall
+       for distance ≤ 1) — the exchange carries (key, id, string),
+       strings bounded by ``FUZZY_MAX_LEN``;
+    2. ONE key-bucketed groupby; per bucket: candidate enumeration
+       capped at ``max_bucket`` ids (over-cap buckets sort, truncate
+       and log loudly — the skew guard every blocking join needs),
+       then the vectorized ≤-1 verification runs IN the bucket, where
+       the strings already live — only verified int pairs leave;
+    3. cross-bucket pair dedup fused with the driver materialization:
+       this function RETURNS a driver frame, and a pair can surface
+       from at most len+1 shared keys, so the pre-dedup gather is
+       O(output × (L+1)) — the same order as the returned result. (A
+       Dataset-returning variant at unbounded output would instead
+       dedup in one more (id_a)-bucketed pass before any gather.)
+
+    Returns (id_a, id_b), sorted. DuckDB twin: self join with
+    ``levenshtein(a, b) <= 1`` (byte == char distance on ASCII)."""
+
+    def _empty_int_pairs() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64")}
+        )
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(np.int64)
+        strs = b[text_col].fillna("").tolist()
+        keys, kids = _del1_keys(ids, strs)
+        smap = pd.Series(strs, index=ids)
+        return pd.DataFrame(
+            {"key": keys, id_col: kids,
+             "s": smap.loc[kids].to_numpy(dtype=object)}
+        ).drop_duplicates(["key", id_col])
+
+    def bucket_verified_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["key", id_col])
+        sizes = g.groupby("key", sort=False)[id_col].transform("size")
+        g = g[sizes > 1]
+        if not len(g):
+            return _empty_int_pairs()
+        outs = []
+        for key, mem in g.groupby("key", sort=False):
+            mem = mem.sort_values(id_col)
+            if len(mem) > max_bucket:
+                logger.warning(
+                    "fuzzy_pairs bucket key=%s has %d ids > max_bucket=%d: "
+                    "truncating candidate enumeration (pairs beyond the cap "
+                    "in THIS bucket are dropped; raise max_bucket or "
+                    "pre-collapse exact duplicates)",
+                    key, len(mem), max_bucket,
+                )
+                mem = mem.iloc[:max_bucket]
+            ids = mem[id_col].to_numpy(np.int64)
+            ss = mem["s"].to_numpy(dtype=object)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = _lev_le1_mask(list(ss[ii]), list(ss[jj]))
+            outs.append(pd.DataFrame(
+                {"id_a": ids[ii][keep], "id_b": ids[jj][keep]}
+            ))
+        out = pd.concat(outs, ignore_index=True)
+        return out if len(out) else _empty_int_pairs()
+
+    cand = bucketed_group_apply(
+        ds.map_batches(explode, batch_format="pandas"),
+        ["key"], bucket_verified_pairs,
+    )
+    out = cand.to_pandas()
+    if "id_a" not in out.columns:  # every bucket empty
+        out = _empty_int_pairs()
+    out = out.drop_duplicates(["id_a", "id_b"])
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

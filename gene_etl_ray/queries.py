@@ -620,6 +620,24 @@ FROM pairs GROUP BY term ORDER BY term
 """
 
 
+def supplier_fuzzy_pairs(sf_dir: str) -> pd.DataFrame:
+    """Blocked fuzzy self-join (``dedup.fuzzy_pairs``): supplier-name
+    pairs within edit distance 1 — record linkage without the O(n²)
+    cross join, via SymSpell delete-1 blocking (exact recall at
+    distance ≤ 1), a capped key-bucketed candidate pass, and fused
+    cross-bucket dedup + vectorized verification."""
+    ds = read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    return dedup.fuzzy_pairs(ds, "s_suppkey", "s_name")
+
+
+FUZZY_PAIRS_SQL = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+
 def docs_search_and(sf_dir: str) -> pd.DataFrame:
     """Conjunctive term search (``text.search_and``): doc ids
     containing ALL of {vector, spark, big} — posting-list intersection
@@ -5434,6 +5452,7 @@ QUERIES = {
     "events_hourly_acf": events_hourly_acf,
     "docs_inverted_index": docs_inverted_index,
     "docs_search_and": docs_search_and,
+    "supplier_fuzzy_pairs": supplier_fuzzy_pairs,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -5573,4 +5592,5 @@ ORACLE_SQL = {
     "events_hourly_acf": HOURLY_ACF_SQL,
     "docs_inverted_index": INVERTED_INDEX_SQL,
     "docs_search_and": SEARCH_AND_SQL,
+    "supplier_fuzzy_pairs": FUZZY_PAIRS_SQL,
 }

@@ -1694,3 +1694,87 @@ class TestInvertedIndex:
         # a term absent from the corpus -> empty, schema intact
         none = t.search_and(ds, ["apple", "zzz"])
         assert none.empty and list(none.columns) == ["doc_id"]
+
+
+class TestFuzzyPairs:
+    """dedup.fuzzy_pairs: delete-1 blocking recall, vectorized lev<=1
+    verification vs a reference DP, the bucket cap, and the key-length
+    guard."""
+
+    @staticmethod
+    def _lev(a: str, b: str) -> int:
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[lb]
+
+    def test_lev_mask_matches_dp_on_random_strings(self):
+        from gene_etl_ray.ops.dedup import _lev_le1_mask
+
+        rng = np.random.RandomState(7)
+        alpha = list("abcd")
+        strs = [
+            "".join(rng.choice(alpha, size=rng.randint(0, 7)))
+            for _ in range(120)
+        ]
+        sa = [strs[rng.randint(len(strs))] for _ in range(400)]
+        sb = [strs[rng.randint(len(strs))] for _ in range(400)]
+        got = _lev_le1_mask(sa, sb)
+        want = np.array([self._lev(a, b) <= 1 for a, b in zip(sa, sb)])
+        assert (got == want).all()
+
+    def test_del1_blocking_has_exact_recall_at_distance_1(self):
+        from gene_etl_ray.ops.dedup import _del1_keys, _lev_le1_mask
+
+        rng = np.random.RandomState(11)
+        alpha = list("ab")
+        strs = list({
+            "".join(rng.choice(alpha, size=rng.randint(1, 6)))
+            for _ in range(60)
+        })
+        ids = np.arange(len(strs), dtype=np.int64)
+        keys, kids = _del1_keys(ids, strs)
+        keysets = {
+            i: set(keys[kids == i].tolist()) for i in ids
+        }
+        for i in range(len(strs)):
+            for j in range(i + 1, len(strs)):
+                if self._lev(strs[i], strs[j]) <= 1:
+                    assert keysets[i] & keysets[j], (strs[i], strs[j])
+
+    def test_end_to_end_matches_bruteforce_and_cap_truncates(self, ray_session):
+        import ray.data as rd
+
+        from gene_etl_ray.ops import dedup as dd
+
+        names = ["node%03d" % i for i in range(30)]
+        df = pd.DataFrame({"id": np.arange(30, dtype=np.int64), "name": names})
+        ds = rd.from_pandas(df, override_num_blocks=3)
+        got = dd.fuzzy_pairs(ds, "id", "name")
+        want = sorted(
+            (i, j)
+            for i in range(30) for j in range(i + 1, 30)
+            if self._lev(names[i], names[j]) <= 1
+        )
+        assert list(map(tuple, got.to_numpy())) == want
+        # over-cap bucket: enumeration truncates (the loud log is emitted
+        # in the worker process, so assert the effect, not the record)
+        capped = dd.fuzzy_pairs(ds, "id", "name", max_bucket=5)
+        assert len(capped) < len(got)
+        assert set(map(tuple, capped.to_numpy())) <= set(want)
+
+    def test_long_key_raises(self, ray_session):
+        import ray.data as rd
+
+        from gene_etl_ray.ops import dedup as dd
+
+        df = pd.DataFrame({"id": np.array([1], dtype=np.int64),
+                           "name": ["x" * 100]})
+        # surfaces as a RayTaskError wrapping the ValueError
+        with pytest.raises(Exception, match="FUZZY_MAX_LEN"):
+            dd.fuzzy_pairs(rd.from_pandas(df), "id", "name")
