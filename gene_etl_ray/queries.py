@@ -620,6 +620,47 @@ FROM pairs GROUP BY term ORDER BY term
 """
 
 
+def docs_profile(sf_dir: str) -> pd.DataFrame:
+    """Column profiler (``relational.profile_table``) over documents:
+    per-column n / nulls / exact distinct / numeric bounds + mean /
+    lexicographic string bounds — two column-pruned passes, O(columns)
+    driver bytes, distinct counts via the 64-bit-digest pair combiner."""
+    ds = read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    out = relational.profile_table(
+        ds, ["doc_id", "lang", "source", "n_chars"],
+        numeric_cols=["doc_id", "n_chars"],
+    )
+    out["mean_num"] = out["mean_num"].round(6)
+    return out
+
+
+PROFILE_SQL = """
+SELECT * FROM (
+  SELECT 'doc_id' AS "column", count(*) AS n,
+         count(*) - count(doc_id) AS n_null,
+         count(DISTINCT doc_id) AS n_distinct,
+         CAST(min(doc_id) AS DOUBLE) AS min_num,
+         CAST(max(doc_id) AS DOUBLE) AS max_num,
+         round(avg(doc_id), 6) AS mean_num,
+         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', count(*), count(*) - count(n_chars),
+         count(DISTINCT n_chars), CAST(min(n_chars) AS DOUBLE),
+         CAST(max(n_chars) AS DOUBLE), round(avg(n_chars), 6), NULL, NULL
+  FROM documents
+  UNION ALL
+  SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+         NULL, NULL, NULL, min(lang), max(lang)
+  FROM documents
+  UNION ALL
+  SELECT 'source', count(*), count(*) - count(source),
+         count(DISTINCT source), NULL, NULL, NULL, min(source), max(source)
+  FROM documents
+) ORDER BY "column"
+"""
+
+
 def supplier_fuzzy_pairs(sf_dir: str) -> pd.DataFrame:
     """Blocked fuzzy self-join (``dedup.fuzzy_pairs``): supplier-name
     pairs within edit distance 1 — record linkage without the O(n²)
@@ -5453,6 +5494,7 @@ QUERIES = {
     "docs_inverted_index": docs_inverted_index,
     "docs_search_and": docs_search_and,
     "supplier_fuzzy_pairs": supplier_fuzzy_pairs,
+    "docs_profile": docs_profile,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -5593,4 +5635,5 @@ ORACLE_SQL = {
     "docs_inverted_index": INVERTED_INDEX_SQL,
     "docs_search_and": SEARCH_AND_SQL,
     "supplier_fuzzy_pairs": FUZZY_PAIRS_SQL,
+    "docs_profile": PROFILE_SQL,
 }

@@ -1778,3 +1778,38 @@ class TestFuzzyPairs:
         # surfaces as a RayTaskError wrapping the ValueError
         with pytest.raises(Exception, match="FUZZY_MAX_LEN"):
             dd.fuzzy_pairs(rd.from_pandas(df), "id", "name")
+
+
+class TestProfileTable:
+    """relational.profile_table: null accounting, exact distincts via
+    the digest combiner, numeric vs string bounds, blocking-invariant."""
+
+    def test_profile_with_nulls_and_mixed_types(self, ray_session):
+        import ray.data as rd
+
+        from gene_etl_ray.ops import relational as rel
+
+        df = pd.DataFrame({
+            "k": np.array([1, 2, 2, 3, 3], dtype=np.int64),
+            "v": [1.5, np.nan, 2.5, np.nan, 4.0],
+            "s": ["b", None, "a", "a", None],
+        })
+        for blocks in (1, 4):
+            ds = rd.from_pandas(df, override_num_blocks=blocks)
+            out = rel.profile_table(
+                ds, ["k", "v", "s"], numeric_cols=["k", "v"]
+            ).set_index("column")
+            assert out.loc["k", "n"] == 5 and out.loc["k", "n_null"] == 0
+            assert out.loc["k", "n_distinct"] == 3
+            assert out.loc["k", "min_num"] == 1.0
+            assert out.loc["k", "max_num"] == 3.0
+            assert abs(out.loc["k", "mean_num"] - 2.2) < 1e-12
+            assert out.loc["v", "n_null"] == 2
+            assert out.loc["v", "n_distinct"] == 3
+            # mean over NON-NULL values only (SQL avg semantics)
+            assert abs(out.loc["v", "mean_num"] - (8.0 / 3)) < 1e-12
+            assert out.loc["s", "n_null"] == 2
+            assert out.loc["s", "n_distinct"] == 2
+            assert out.loc["s", "min_str"] == "a"
+            assert out.loc["s", "max_str"] == "b"
+            assert out.loc["s", "min_num"] is None or np.isnan(out.loc["s", "min_num"])
