@@ -40,6 +40,7 @@ def oracle_sql() -> dict[str, str]:
         cdc_late_oracle_sql,
         cdc_mux_oracle_sql,
         cdc_oracle_sql,
+        cdc_scd2_oracle_sql,
         cdc_since_oracle_sql,
     )
 
@@ -67,4 +68,6 @@ def oracle_sql() -> dict[str, str]:
     # retention expiry as change data: the twin replays the consumer WAL
     # INCLUDING the TTL deletion segment the engine emitted
     d["cdc_expired_lake"] = cdc_expiry_oracle_sql("/root/testdata/sf0.01")
+    # SCD2 audit trail: validity intervals over the same change log
+    d["cdc_scd2_history"] = cdc_scd2_oracle_sql("/root/testdata/sf0.01")
     return d

@@ -1701,3 +1701,100 @@ def profile_table(
     cols = ["column", "n", "n_null", "n_distinct",
             "min_num", "max_num", "mean_num", "min_str", "max_str"]
     return out[cols].sort_values("column").reset_index(drop=True)
+
+
+def cooccurrence_counts(
+    ds: ray.data.Dataset,
+    entity_col: str,
+    item_col: str,
+) -> pd.DataFrame:
+    """Pairwise co-occurrence (basket / market-basket support counts):
+    for every unordered item pair (a < b), the number of entities that
+    carry BOTH — association mining's support table, and the seed for
+    PMI / lift scoring. Shape: the distinct-(entity, item) combiner per
+    batch (an entity's repeat events collapse before anything moves),
+    ONE entity-bucketed groupby, then a bucket-LOCAL vectorized
+    self-merge expands each entity's item set into pairs — bounded per
+    entity by |item domain|², the operator's documented assumption
+    (item domains are enums/categories, never unbounded ids) — and
+    per-bucket (a, b) count partials reduce to an O(|domain|²) driver
+    merge."""
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return b[[entity_col, item_col]].drop_duplicates()
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([entity_col, item_col])
+        m = g.merge(g, on=entity_col, suffixes=("_a", "_b"))
+        m = m[m[f"{item_col}_a"] < m[f"{item_col}_b"]]
+        out = (
+            m.groupby([f"{item_col}_a", f"{item_col}_b"], as_index=False)
+            .size()
+            .rename(columns={
+                f"{item_col}_a": "item_a", f"{item_col}_b": "item_b",
+                "size": "n",
+            })
+        )
+        if not len(out):
+            return pd.DataFrame(
+                {"item_a": pd.Series([], dtype="object"),
+                 "item_b": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        return out
+
+    from gene_etl_ray.ops.dedup import bucketed_group_apply
+
+    parts = bucketed_group_apply(
+        ds.map_batches(pairs, batch_format="pandas"),
+        [entity_col], bucket_counts,
+    ).to_pandas()
+    if "item_a" not in parts.columns:
+        return pd.DataFrame(
+            {"item_a": pd.Series([], dtype="object"),
+             "item_b": pd.Series([], dtype="object"),
+             "n_entities": pd.Series([], dtype="int64")}
+        )
+    out = (
+        parts.groupby(["item_a", "item_b"], as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "n_entities"})
+    )
+    out["n_entities"] = out["n_entities"].astype("int64")
+    return out.sort_values(["item_a", "item_b"]).reset_index(drop=True)
+
+
+def scd2_intervals(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    tiebreak: str,
+    op_col: str | None = None,
+    delete_value: str = "D",
+) -> ray.data.Dataset:
+    """Slowly-changing-dimension type-2 history: turn a change log into
+    validity intervals — per key ordered by (ts, tiebreak), every
+    version is valid from its own timestamp until the NEXT version's
+    (``valid_to`` NULL on the last), and ``is_current`` marks the last
+    version unless it is a delete. The warehouse-side companion of the
+    LWW merge: ``latest_per_key`` keeps the winner, this keeps the
+    full audit trail with interval semantics.
+
+    Shape: one key-bucketed exchange (``bucketed_group_apply``), then a
+    fully vectorized in-bucket sort + per-key shift — no per-key Python
+    dispatch, no barrier beyond the single groupby every history
+    derivation needs."""
+    from gene_etl_ray.ops.dedup import bucketed_group_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, tiebreak], kind="mergesort")
+        nxt = g.groupby(key, sort=False)[ts_col].shift(-1)
+        g = g.assign(
+            valid_from=g[ts_col],
+            valid_to=nxt,
+            is_current=nxt.isna()
+            & (g[op_col].ne(delete_value) if op_col else True),
+        )
+        return g.drop(columns=[ts_col])
+
+    return bucketed_group_apply(ds, [key], per_bucket)

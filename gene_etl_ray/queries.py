@@ -620,6 +620,26 @@ FROM pairs GROUP BY term ORDER BY term
 """
 
 
+def events_type_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Basket analysis (``relational.cooccurrence_counts``): for every
+    unordered event-type pair, how many users performed both — the
+    association-mining support table. Distinct-(user, type) combiner,
+    one user-bucketed groupby, bucket-local vectorized self-merge,
+    O(|types|²) driver merge."""
+    ds = read(sf_dir, "events", ["user_id", "event_type"])
+    return relational.cooccurrence_counts(ds, "user_id", "event_type")
+
+
+COOCCURRENCE_SQL = """
+WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS item_a, b.event_type AS item_b,
+       count(*) AS n_entities
+FROM p a JOIN p b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def docs_profile(sf_dir: str) -> pd.DataFrame:
     """Column profiler (``relational.profile_table``) over documents:
     per-column n / nulls / exact distinct / numeric bounds + mean /
@@ -2340,6 +2360,47 @@ ORDER BY url
 def cdc_diff_oracle_sql(sf_dir: str) -> str:
     ev_dir = ensure_cdc_events(sf_dir)
     return CDC_DIFF_SQL_TEMPLATE.format(ev_glob=f"{ev_dir}/epoch=*.parquet")
+
+
+def cdc_scd2_history(sf_dir: str) -> pd.DataFrame:
+    """SCD type-2 audit history (``relational.scd2_intervals``) over the
+    flagship change log: every version of every url as a validity
+    interval [valid_from, valid_to) in the engine's merge order
+    (warc_ts, seq), valid_to NULL on the open version, is_current on
+    the last non-delete — the warehouse companion of the LWW merge
+    (winner-only) and the snapshot diff (two-point): the FULL trail.
+    One url-bucketed exchange, vectorized in-bucket sort + shift."""
+    ev_dir = ensure_cdc_events(sf_dir)
+    files = sorted(
+        os.path.join(ev_dir, f)
+        for f in os.listdir(ev_dir)
+        if f.startswith("epoch=") and f.endswith(".parquet")
+    )
+    ds = ray.data.read_parquet(
+        files, columns=["url", "warc_ts", "op", "seq"]
+    )
+    out = relational.scd2_intervals(
+        ds, "url", "warc_ts", "seq", op_col="op", delete_value="D"
+    ).to_pandas()
+    out = out[["url", "seq", "op", "valid_from", "valid_to", "is_current"]]
+    return out.sort_values(
+        ["url", "valid_from", "seq"]
+    ).reset_index(drop=True)
+
+
+CDC_SCD2_SQL_TEMPLATE = """
+SELECT url, seq, op, warc_ts AS valid_from,
+       lead(warc_ts) OVER w AS valid_to,
+       (lead(warc_ts) OVER w IS NULL AND op <> 'D') AS is_current
+FROM read_parquet('{ev_glob}', hive_partitioning = false)
+WINDOW w AS (PARTITION BY url ORDER BY warc_ts, seq)
+ORDER BY url, valid_from, seq
+"""
+
+
+def cdc_scd2_oracle_sql(sf_dir: str) -> str:
+    ev_dir = ensure_cdc_events(sf_dir)
+    return CDC_SCD2_SQL_TEMPLATE.format(ev_glob=f"{ev_dir}/epoch=*.parquet")
 
 
 def _cdc_since_ts_us(sf_dir: str) -> int:
@@ -5495,6 +5556,8 @@ QUERIES = {
     "docs_search_and": docs_search_and,
     "supplier_fuzzy_pairs": supplier_fuzzy_pairs,
     "docs_profile": docs_profile,
+    "events_type_cooccurrence": events_type_cooccurrence,
+    "cdc_scd2_history": cdc_scd2_history,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -5636,4 +5699,5 @@ ORACLE_SQL = {
     "docs_search_and": SEARCH_AND_SQL,
     "supplier_fuzzy_pairs": FUZZY_PAIRS_SQL,
     "docs_profile": PROFILE_SQL,
+    "events_type_cooccurrence": COOCCURRENCE_SQL,
 }

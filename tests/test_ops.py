@@ -1813,3 +1813,36 @@ class TestProfileTable:
             assert out.loc["s", "min_str"] == "a"
             assert out.loc["s", "max_str"] == "b"
             assert out.loc["s", "min_num"] is None or np.isnan(out.loc["s", "min_num"])
+
+
+class TestCooccurrence:
+    """relational.cooccurrence_counts: hand-computed support counts,
+    cross-batch entity straddle, repeats collapse."""
+
+    def test_hand_computed_and_straddle(self, ray_session):
+        import ray.data as rd
+
+        from gene_etl_ray.ops import relational as rel
+
+        # u1: {a,b,c}  u2: {a,b}  u3: {b} ; u1's rows straddle batches
+        df = pd.DataFrame({
+            "u": np.array([1, 1, 1, 1, 2, 2, 3, 3], dtype=np.int64),
+            "i": ["a", "b", "c", "a", "a", "b", "b", "b"],
+        })
+        want = [("a", "b", 2), ("a", "c", 1), ("b", "c", 1)]
+        for blocks in (1, 4):
+            got = rel.cooccurrence_counts(
+                rd.from_pandas(df, override_num_blocks=blocks), "u", "i"
+            )
+            assert [tuple(r) for r in got.to_numpy()] == want
+
+    def test_no_pairs_is_typed_empty(self, ray_session):
+        import ray.data as rd
+
+        from gene_etl_ray.ops import relational as rel
+
+        df = pd.DataFrame({"u": np.array([1, 2], dtype=np.int64),
+                           "i": ["a", "b"]})
+        got = rel.cooccurrence_counts(rd.from_pandas(df), "u", "i")
+        assert got.empty
+        assert list(got.columns) == ["item_a", "item_b", "n_entities"]

@@ -267,3 +267,20 @@ def test_cdc_expired_lake_matches_duckdb_oracle():
     assert len(a) == len(b) > 0
     pd.testing.assert_frame_equal(a, b, check_dtype=True)
     assert len(a) < len(to_df(Q.cdc_ingest_lake(SF)))
+
+
+def test_cdc_scd2_history_matches_duckdb_oracle():
+    """SCD2 validity intervals vs the DuckDB lead() window over the same
+    event files — dtype-loose on is_current (pandas bool vs duckdb
+    BOOLEAN), values exact."""
+    import duckdb
+
+    ray_df = Q.cdc_scd2_history(SF)
+    sql_df = duckdb.connect().execute(Q.cdc_scd2_oracle_sql(SF)).fetchdf()
+    assert len(ray_df) == len(sql_df) > 0
+    # non-vacuous: open and closed intervals both present, deletes never current
+    assert ray_df["valid_to"].isna().any() and ray_df["valid_to"].notna().any()
+    assert not ray_df[(ray_df["op"] == "D") & ray_df["is_current"]].shape[0]
+    a = ray_df.sort_values(["url", "valid_from", "seq"]).reset_index(drop=True)
+    b = sql_df.sort_values(["url", "valid_from", "seq"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
