@@ -1180,3 +1180,42 @@ def search_and(
         hits = pd.DataFrame({id_col: pd.Series([], dtype="int64")})
     hits[id_col] = hits[id_col].astype("int64")
     return hits.sort_values(id_col).reset_index(drop=True)
+
+
+def phrase_search(
+    ds: ray.data.Dataset,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Exact phrase search: doc ids containing the query tokens as a
+    CONTIGUOUS run — the positional-index query beside ``search_and``
+    (bag-of-words AND). Fused with tokenization: each batch builds its
+    word n-grams (n = phrase length) from ONE flat token array
+    (``_flat_ngrams`` — no per-document loop), filters to the phrase,
+    and emits matching ids; the only exchange is the match-sized doc-id
+    dedup. Equivalent to intersecting a positional index's postings
+    with adjacency — done in one pass at query-sized cost."""
+    want = phrase.split()
+    n = len(want)
+    if n == 0:
+        raise ValueError("empty phrase")
+    target = " ".join(want)
+
+    def match(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.split()
+        doc_idx, grams = _flat_ngrams(toks, n)
+        hit = doc_idx[grams == target]
+        ids = b[id_col].to_numpy(np.int64)[np.unique(hit)]
+        return pd.DataFrame({id_col: pd.Series(ids, dtype="int64")})
+
+    out = (
+        ds.map_batches(match, batch_format="pandas")
+        .groupby(id_col)
+        .map_groups(lambda g: g.iloc[:1], batch_format="pandas")
+        .to_pandas()
+    )
+    if id_col not in out.columns:
+        out = pd.DataFrame({id_col: pd.Series([], dtype="int64")})
+    out[id_col] = out[id_col].astype("int64")
+    return out.sort_values(id_col).reset_index(drop=True)

@@ -620,6 +620,91 @@ FROM pairs GROUP BY term ORDER BY term
 """
 
 
+def lineitem_geomean_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Geometric + harmonic means per returnflag — the multiplicative /
+    rate-style companions of avg, both fully mergeable (Σ ln x and
+    Σ 1/x partials through ``grouped_aggregate_partial``, O(groups)
+    driver bytes). Quantities are strictly positive in the schema, the
+    domain both means require."""
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity")
+        b = b.append_column("ln_q", pc.ln(q))
+        return b.append_column("inv_q", pc.divide(pa.scalar(1.0), q))
+
+    out = grouped_aggregate_partial(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag"],
+        sums={"s_ln": "ln_q", "s_inv": "inv_q"},
+        counts="n",
+    )
+    out["geo_mean"] = np.exp(out["s_ln"] / out["n"]).round(6)
+    out["harm_mean"] = (out["n"] / out["s_inv"]).round(6)
+    out["n"] = out["n"].astype("int64")
+    out = out[["l_returnflag", "n", "geo_mean", "harm_mean"]]
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+GEOMEAN_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       round(exp(avg(ln(l_quantity))), 6) AS geo_mean,
+       round(count(*) / sum(1.0 / l_quantity), 6) AS harm_mean
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def events_type_lift(sf_dir: str) -> pd.DataFrame:
+    """Association lift per event-type pair:
+    lift = P(a ∧ b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b) over distinct
+    users — the scoring layer on ``relational.cooccurrence_counts``
+    (support), with the per-item and total cardinalities from the same
+    distinct-pair combiner family. All three inputs are O(|domain|)
+    driver bytes; the arithmetic is closed-form under the SQL gate."""
+    ds = read(sf_dir, "events", ["user_id", "event_type"])
+    pairs = relational.cooccurrence_counts(ds, "user_id", "event_type")
+    per_item = relational.grouped_count_distinct(
+        ds, "event_type", "user_id", out="n_item"
+    )
+    n_total = int(
+        relational.grouped_count_distinct(
+            ds.map_batches(
+                lambda b: b.assign(__one=np.int64(1)),
+                batch_format="pandas",
+            ),
+            "__one", "user_id", out="n",
+        )["n"].iloc[0]
+    )
+    m = dict(zip(per_item["event_type"], per_item["n_item"]))
+    na = pairs["item_a"].map(m).to_numpy(dtype=np.float64)
+    nb = pairs["item_b"].map(m).to_numpy(dtype=np.float64)
+    pairs["lift"] = (
+        pairs["n_entities"].to_numpy(np.float64) * n_total / (na * nb)
+    ).round(6)
+    return pairs.sort_values(["item_a", "item_b"]).reset_index(drop=True)
+
+
+LIFT_SQL = """
+WITH p AS (SELECT DISTINCT user_id, event_type FROM events),
+co AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b,
+         count(*) AS n_entities
+  FROM p a JOIN p b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+item AS (SELECT event_type, count(*) AS n_item FROM p GROUP BY 1),
+tot AS (SELECT count(DISTINCT user_id) AS n FROM events)
+SELECT co.item_a, co.item_b, co.n_entities,
+       round(co.n_entities * tot.n / (ia.n_item * 1.0 * ib.n_item), 6)
+         AS lift
+FROM co, tot
+JOIN item ia ON ia.event_type = co.item_a
+JOIN item ib ON ib.event_type = co.item_b
+ORDER BY co.item_a, co.item_b
+"""
+
+
 def events_type_cooccurrence(sf_dir: str) -> pd.DataFrame:
     """Basket analysis (``relational.cooccurrence_counts``): for every
     unordered event-type pair, how many users performed both — the
@@ -678,6 +763,28 @@ SELECT * FROM (
          count(DISTINCT source), NULL, NULL, NULL, min(source), max(source)
   FROM documents
 ) ORDER BY "column"
+"""
+
+
+def docs_phrase_search(sf_dir: str) -> pd.DataFrame:
+    """Exact phrase search (``text.phrase_search``): doc ids containing
+    "vector scan" as a contiguous token run — the positional-index
+    query, fused with tokenization via the flat n-gram kernel (no
+    per-document loop); the only exchange is the match-sized id dedup."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return text.phrase_search(ds, "vector scan")
+
+
+PHRASE_SEARCH_SQL = r"""
+WITH w AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents)
+)
+SELECT DISTINCT a.doc_id AS doc_id
+FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+WHERE a.tok = 'vector' AND b.tok = 'scan'
+ORDER BY a.doc_id
 """
 
 
@@ -5558,6 +5665,9 @@ QUERIES = {
     "docs_profile": docs_profile,
     "events_type_cooccurrence": events_type_cooccurrence,
     "cdc_scd2_history": cdc_scd2_history,
+    "lineitem_geomean_by_flag": lineitem_geomean_by_flag,
+    "events_type_lift": events_type_lift,
+    "docs_phrase_search": docs_phrase_search,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -5700,4 +5810,7 @@ ORACLE_SQL = {
     "supplier_fuzzy_pairs": FUZZY_PAIRS_SQL,
     "docs_profile": PROFILE_SQL,
     "events_type_cooccurrence": COOCCURRENCE_SQL,
+    "lineitem_geomean_by_flag": GEOMEAN_SQL,
+    "events_type_lift": LIFT_SQL,
+    "docs_phrase_search": PHRASE_SEARCH_SQL,
 }

@@ -1846,3 +1846,31 @@ class TestCooccurrence:
         got = rel.cooccurrence_counts(rd.from_pandas(df), "u", "i")
         assert got.empty
         assert list(got.columns) == ["item_a", "item_b", "n_entities"]
+
+
+class TestPhraseSearch:
+    """text.phrase_search: contiguity (AND-search would match, phrase
+    must not), boundary masking in the flat n-gram build, empty-miss
+    schema."""
+
+    def test_contiguity_and_boundaries(self, ray_session):
+        import ray.data as rd
+
+        from gene_etl_ray.ops import text as t
+
+        df = pd.DataFrame({
+            "doc_id": np.array([1, 2, 3, 4], dtype=np.int64),
+            "text": [
+                "big data model ship",   # phrase present
+                "data x model",          # both words, NOT contiguous
+                "model data",            # reversed
+                "trailing data",         # 'model' starts next doc in flat array
+            ],
+        })
+        ds = rd.from_pandas(df, override_num_blocks=1)  # one flat array
+        got = t.phrase_search(ds, "data model")
+        assert got["doc_id"].tolist() == [1]
+        none = t.phrase_search(ds, "model ship big")
+        assert none.empty and list(none.columns) == ["doc_id"]
+        with pytest.raises(ValueError, match="empty phrase"):
+            t.phrase_search(ds, "  ")
