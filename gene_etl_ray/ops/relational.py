@@ -1798,3 +1798,32 @@ def scd2_intervals(
         return g.drop(columns=[ts_col])
 
     return bucketed_group_apply(ds, [key], per_bucket)
+
+
+def debounce(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    ts_col: str,
+    min_gap_us: int,
+    tiebreak: str | None = None,
+) -> ray.data.Dataset:
+    """Event debounce (lag semantics): drop a row whose PREVIOUS
+    same-key event — in (ts, tiebreak) order — is younger than
+    ``min_gap_us``. The monitoring-pipeline noise filter (double-fires,
+    retry storms) in its SQL-twinnable form: each row compares to its
+    literal predecessor, so one key-bucketed exchange + a vectorized
+    in-group shift decides every row (the greedy keep-anchored variant
+    is sequential per key and intentionally NOT this operator).
+    Returns the kept rows with original columns."""
+    from gene_etl_ray.ops.dedup import bucketed_group_apply
+
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_cols + order, kind="mergesort")
+        prev = g.groupby(key_cols, sort=False)[ts_col].shift(1)
+        gap = (g[ts_col] - prev).dt.total_seconds() * 1_000_000
+        keep = prev.isna() | (gap >= min_gap_us)
+        return g[keep.to_numpy()]
+
+    return bucketed_group_apply(ds, key_cols, per_bucket)

@@ -705,6 +705,31 @@ ORDER BY co.item_a, co.item_b
 """
 
 
+def events_debounced(sf_dir: str) -> pd.DataFrame:
+    """Noise filter (``relational.debounce``): drop an event whose
+    previous same-(user, type) event is < 10 minutes older — double-
+    fire / retry-storm suppression in its lag-twinnable form. One
+    key-bucketed exchange, vectorized in-group shift."""
+    ds = read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out = relational.debounce(
+        ds, ["user_id", "event_type"], "ts",
+        min_gap_us=10 * 60 * 1_000_000, tiebreak="event_id",
+    ).to_pandas()
+    return (
+        out[["event_id", "user_id", "event_type", "ts"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+DEBOUNCE_SQL = """
+SELECT event_id, user_id, event_type, ts FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+QUALIFY lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+ORDER BY event_id
+"""
+
+
 def events_type_cooccurrence(sf_dir: str) -> pd.DataFrame:
     """Basket analysis (``relational.cooccurrence_counts``): for every
     unordered event-type pair, how many users performed both — the
@@ -5668,6 +5693,7 @@ QUERIES = {
     "lineitem_geomean_by_flag": lineitem_geomean_by_flag,
     "events_type_lift": events_type_lift,
     "docs_phrase_search": docs_phrase_search,
+    "events_debounced": events_debounced,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -5813,4 +5839,5 @@ ORACLE_SQL = {
     "lineitem_geomean_by_flag": GEOMEAN_SQL,
     "events_type_lift": LIFT_SQL,
     "docs_phrase_search": PHRASE_SEARCH_SQL,
+    "events_debounced": DEBOUNCE_SQL,
 }

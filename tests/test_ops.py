@@ -1874,3 +1874,30 @@ class TestPhraseSearch:
         assert none.empty and list(none.columns) == ["doc_id"]
         with pytest.raises(ValueError, match="empty phrase"):
             t.phrase_search(ds, "  ")
+
+
+class TestDebounce:
+    """relational.debounce: lag (previous-EVENT) semantics pinned —
+    distinct from the greedy keep-anchored throttle — plus key
+    isolation and tiebreak determinism."""
+
+    def test_lag_semantics_and_key_isolation(self, ray_session):
+        import ray.data as rd
+
+        from gene_etl_ray.ops import relational as rel
+
+        t0 = pd.Timestamp("2026-01-01")
+        mins = lambda m: t0 + pd.Timedelta(minutes=m)
+        df = pd.DataFrame({
+            "eid": np.arange(6, dtype=np.int64),
+            "u": np.array([1, 1, 1, 2, 2, 3], dtype=np.int64),
+            # u1: 0, 6, 12 -> lag keeps ONLY t=0 (6-0 and 12-6 both < 10);
+            # the greedy variant would keep 12 — this pins the difference
+            "ts": [mins(0), mins(6), mins(12), mins(0), mins(30), mins(0)],
+        })
+        for blocks in (1, 3):
+            out = rel.debounce(
+                rd.from_pandas(df, override_num_blocks=blocks),
+                ["u"], "ts", 10 * 60 * 1_000_000, tiebreak="eid",
+            ).to_pandas()
+            assert sorted(out["eid"].tolist()) == [0, 3, 4, 5]
