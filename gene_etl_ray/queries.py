@@ -361,6 +361,56 @@ SELECT event_type, lag_h, acf FROM (
 """
 
 
+def events_hourly_ewma(sf_dir: str) -> pd.DataFrame:
+    """Exponentially weighted moving average (α = 0.3, adjust=False —
+    the streaming smoother: y₁ = x₁, yₜ = α·xₜ + (1−α)·yₜ₋₁) over each
+    type's zero-filled hourly count series. Like the ACF, the recursion
+    runs on the OUTPUT-SIZED aggregate (hours × types). The SQL twin
+    unrolls the recursion to a scaled cumulative sum — exact to double
+    precision for spans ≤ ~2000 hours at this α (pow(0.7,−r) stays
+    under 1e308; terms older than ~110 hours fall below double epsilon
+    on both sides identically)."""
+    dense = events_hourly_gapfill(sf_dir)
+    outs = []
+    for etype, sub in dense.groupby("event_type", sort=True):
+        sub = sub.sort_values("window_start").reset_index(drop=True)
+        sub["ewma"] = (
+            sub["n_events"].astype("float64")
+            .ewm(alpha=0.3, adjust=False).mean().round(4)
+        )
+        outs.append(sub[["event_type", "window_start", "ewma"]])
+    return pd.concat(outs, ignore_index=True)
+
+
+HOURLY_EWMA_SQL = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT unnest(generate_series(
+    (SELECT min(h) FROM agg), (SELECT max(h) FROM agg),
+    INTERVAL 1 HOUR)) AS h
+),
+types AS (SELECT DISTINCT event_type FROM events),
+dense AS (
+  SELECT t.event_type, s.h, COALESCE(a.n_events, 0) AS n
+  FROM span s CROSS JOIN types t
+  LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = s.h
+),
+l AS (
+  SELECT event_type, h, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+  FROM dense
+)
+SELECT event_type, h AS window_start,
+       round(pow(0.7, r) * sum(
+         CASE WHEN r = 1 THEN n / 0.7 ELSE 0.3 * n * pow(0.7, -r) END
+       ) OVER (PARTITION BY event_type ORDER BY r), 4) AS ewma
+FROM l ORDER BY event_type, window_start
+"""
+
+
 def events_user_sessions(sf_dir: str) -> pd.DataFrame:
     """Gap-based session windows per user (30-min gap): one row per
     session with start/end/count — streaming-shaped workload expressed as
@@ -5694,6 +5744,7 @@ QUERIES = {
     "events_type_lift": events_type_lift,
     "docs_phrase_search": docs_phrase_search,
     "events_debounced": events_debounced,
+    "events_hourly_ewma": events_hourly_ewma,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -5840,4 +5891,5 @@ ORACLE_SQL = {
     "events_type_lift": LIFT_SQL,
     "docs_phrase_search": PHRASE_SEARCH_SQL,
     "events_debounced": DEBOUNCE_SQL,
+    "events_hourly_ewma": HOURLY_EWMA_SQL,
 }
