@@ -665,3 +665,74 @@ def semdedup_auto(
     seeding, pinned tie rules)."""
     cents, _ = kmeans(ds, k, n_iters=n_iters, id_col=id_col, vec_col=vec_col)
     return semdedup(ds, cents, tau=tau, id_col=id_col, vec_col=vec_col)
+
+
+def knn_graph(
+    ds: ray.data.Dataset,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact k-nearest-neighbor GRAPH (cosine, self excluded): every
+    vector's global top-k — the structure semantic dedup, graph-based
+    ANN indexes and label propagation start from. Two passes:
+
+    1. gather the (id, normalized-vector) matrix and broadcast it once
+       via ``ray.put`` — the documented bounded-corpus assumption this
+       exact graph needs (n·d·8 bytes; 1M×256 ≈ 2 GB). Past that
+       bound, the IVF/LSH chains (``ivf_topk``, ``lsh_topk_indexed``)
+       are the scale path and this operator is their exactness oracle;
+    2. one shuffle-free ``map_batches`` pass: each batch's rows matmul
+       against the broadcast matrix — because the WHOLE corpus is
+       resident per task, the per-row top-k is already global and each
+       row emits exactly k edges (no merge, no boundary-tie widening).
+
+    Ties break (cosine desc, id asc). Returns (vec_id, nbr_id, cosine)
+    sorted, float64 throughout so membership matches a double oracle."""
+    import ray
+
+    gathered = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {id_col: b[id_col].to_numpy(),
+             "__v": list(_to_matrix(b[vec_col]).astype(np.float64))}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    gathered = gathered.sort_values(id_col).reset_index(drop=True)
+    all_ids = gathered[id_col].to_numpy(np.int64)
+    M = np.stack(gathered["__v"].to_numpy())
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((all_ids, M))
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        ids_all, mat = ray.get(ref)
+        if b.empty:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "nbr_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        q = _to_matrix(b[vec_col]).astype(np.float64)
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        sims = q @ mat.T  # (batch, n)
+        bids = b[id_col].to_numpy(np.int64)
+        # exclude self by id (duplicate vectors stay, as SQL would keep)
+        sims[bids[:, None] == ids_all[None, :]] = -np.inf
+        kk = min(k, sims.shape[1] - 1)
+        # the broadcast matrix is id-SORTED, so a stable argsort of
+        # -sims breaks exact-cosine ties by ascending id — the whole
+        # (cosine desc, id asc) total order in one vectorized kernel,
+        # no per-row Python
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(bids, kk)
+        return pd.DataFrame(
+            {id_col: rows,
+             "nbr_id": ids_all[order].ravel(),
+             "cosine": np.take_along_axis(sims, order, axis=1).ravel()}
+        )
+
+    out = ds.map_batches(edges, batch_format="pandas").to_pandas()
+    return out.sort_values(
+        [id_col, "cosine", "nbr_id"], ascending=[True, False, True],
+        kind="mergesort",
+    ).reset_index(drop=True)

@@ -2006,6 +2006,35 @@ ORDER BY query_id, cosine DESC, vec_id
 """
 
 
+def embeddings_knn_graph(sf_dir: str) -> pd.DataFrame:
+    """Exact cosine kNN graph (``knn.knn_graph``, k=3, self excluded):
+    every vector's global top-3 — broadcast-matrix matmul per batch,
+    shuffle-free, per-row top-k already global because the corpus is
+    resident per task (the bounded-corpus exactness oracle for the
+    IVF/LSH scale paths)."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn.knn_graph(ds, k=3)
+    out["cosine"] = out["cosine"].round(6)
+    return out.reset_index(drop=True)
+
+
+KNN_GRAPH_SQL = """
+WITH ed AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+)
+SELECT q.vec_id AS vec_id, e.vec_id AS nbr_id,
+       round(list_cosine_similarity(q.emb, e.emb), 6) AS cosine
+FROM ed q CROSS JOIN ed e
+WHERE q.vec_id <> e.vec_id
+QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
+) <= 3
+ORDER BY vec_id, cosine DESC, nbr_id
+"""
+
+
 def embeddings_norm_by_label(sf_dir: str) -> pd.DataFrame:
     """Per-label mean L2 norm (vectorized numpy per batch + partials)."""
     ds = read(sf_dir, "embeddings", ["label", "embedding"])
@@ -5745,6 +5774,7 @@ QUERIES = {
     "docs_phrase_search": docs_phrase_search,
     "events_debounced": events_debounced,
     "events_hourly_ewma": events_hourly_ewma,
+    "embeddings_knn_graph": embeddings_knn_graph,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -5892,4 +5922,5 @@ ORACLE_SQL = {
     "docs_phrase_search": PHRASE_SEARCH_SQL,
     "events_debounced": DEBOUNCE_SQL,
     "events_hourly_ewma": HOURLY_EWMA_SQL,
+    "embeddings_knn_graph": KNN_GRAPH_SQL,
 }

@@ -1901,3 +1901,39 @@ class TestDebounce:
                 ["u"], "ts", 10 * 60 * 1_000_000, tiebreak="eid",
             ).to_pandas()
             assert sorted(out["eid"].tolist()) == [0, 3, 4, 5]
+
+
+class TestKnnGraph:
+    """knn.knn_graph: global exactness vs a numpy all-pairs reference,
+    self-exclusion, deterministic ties, blocking invariance."""
+
+    def test_matches_allpairs_reference(self, ray_session):
+        import ray.data as rd
+
+        from gene_etl_ray.ops import knn as K
+
+        rng = np.random.RandomState(3)
+        n, d, k = 40, 8, 3
+        M = rng.randn(n, d)
+        M[7] = M[3]  # duplicate vector: stays a neighbor, self excluded
+        df = pd.DataFrame({
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(M.astype(np.float32)),
+        })
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = Mn @ Mn.T
+        np.fill_diagonal(sims, -np.inf)
+        want = []
+        for i in range(n):
+            order = np.lexsort((np.arange(n), -sims[i]))[:k]
+            want += [(i, int(j)) for j in order]
+        for blocks in (1, 5):
+            got = K.knn_graph(
+                rd.from_pandas(df, override_num_blocks=blocks), k=k
+            )
+            assert [(int(a), int(b)) for a, b in
+                    got[["vec_id", "nbr_id"]].to_numpy()] == want
+            assert not (got["vec_id"] == got["nbr_id"]).any()
+            # the duplicate pair is each other's top neighbor at cosine 1
+            top7 = got[got["vec_id"] == 7].iloc[0]
+            assert top7["nbr_id"] == 3 and abs(top7["cosine"] - 1) < 1e-9
