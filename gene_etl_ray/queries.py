@@ -411,6 +411,139 @@ FROM l ORDER BY event_type, window_start
 """
 
 
+def events_hourly_anomalies(sf_dir: str) -> pd.DataFrame:
+    """Traffic-anomaly flags: hours where a type's zero-filled count
+    sits more than 3 population-σ from that type's mean — the
+    monitoring alert query on top of the shared gapfill aggregate
+    (output-sized, like the ACF/EWMA siblings)."""
+    dense = events_hourly_gapfill(sf_dir)
+    st = dense.groupby("event_type")["n_events"].agg(["mean", "std"])
+    st["std"] *= np.sqrt(
+        (dense.groupby("event_type").size() - 1)
+        / dense.groupby("event_type").size()
+    )  # population σ (SQL stddev_pop)
+    m = dense.merge(st, left_on="event_type", right_index=True)
+    z = (m["n_events"] - m["mean"]) / m["std"]
+    out = m.loc[(m["std"] > 0) & (z.abs() > 3),
+                ["event_type", "window_start", "n_events"]].copy()
+    out["z"] = z[out.index].round(4)
+    return out.sort_values(
+        ["event_type", "window_start"]
+    ).reset_index(drop=True)
+
+
+HOURLY_ANOMALY_SQL = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT unnest(generate_series(
+    (SELECT min(h) FROM agg), (SELECT max(h) FROM agg),
+    INTERVAL 1 HOUR)) AS h
+),
+types AS (SELECT DISTINCT event_type FROM events),
+dense AS (
+  SELECT t.event_type, s.h, COALESCE(a.n, 0) AS n
+  FROM span s CROSS JOIN types t
+  LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = s.h
+),
+st AS (
+  SELECT event_type, avg(n) AS m, stddev_pop(n) AS sd
+  FROM dense GROUP BY 1
+)
+SELECT d.event_type, d.h AS window_start, d.n AS n_events,
+       round((d.n - st.m) / st.sd, 4) AS z
+FROM dense d JOIN st USING (event_type)
+WHERE st.sd > 0 AND abs(d.n - st.m) / st.sd > 3
+ORDER BY d.event_type, window_start
+"""
+
+
+def lineitem_trimmed_mean_by_flag(sf_dir: str) -> pd.DataFrame:
+    """10%-trimmed mean per returnflag — the robust-location statistic
+    beside MAD/IQR: a full-group barrier op (A7 family — exact ranks
+    need the whole group co-located), one hash shuffle on the flag,
+    vectorized in-group sort + slice."""
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["l_quantity"].to_numpy(np.float64))
+        k = int(len(v) * 0.1)
+        core = v[k:len(v) - k]
+        if not len(core):
+            return g.iloc[:0][["l_returnflag"]].assign(
+                n_kept=pd.Series([], dtype="int64"),
+                trimmed_mean=pd.Series([], dtype="float64"),
+            )
+        return pd.DataFrame(
+            {"l_returnflag": [g["l_returnflag"].iloc[0]],
+             "n_kept": [np.int64(len(core))],
+             "trimmed_mean": [round(float(core.mean()), 6)]}
+        )
+
+    out = (
+        ds.groupby("l_returnflag")
+        .map_groups(per_group, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+TRIMMED_MEAN_SQL = """
+WITH r AS (
+  SELECT l_returnflag, l_quantity,
+         row_number() OVER (
+           PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag, count(*) AS n_kept,
+       round(avg(l_quantity), 6) AS trimmed_mean
+FROM r
+WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def events_daily_trending(sf_dir: str) -> pd.DataFrame:
+    """Trending feed: each day's top-2 event types by count —
+    (day, type) count partials through ``grouped_aggregate_partial``
+    (no all-to-all), per-day rank on the output-sized aggregate,
+    ties broken by type ascending."""
+    ds = read(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b["day"] = b["ts"].dt.floor("D")
+        return b[["day", "event_type"]]
+
+    agg = grouped_aggregate_partial(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["day", "event_type"], sums={}, counts="n",
+    )
+    agg = agg.sort_values(
+        ["day", "n", "event_type"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    out = agg.groupby("day", as_index=False).head(2)
+    out["n"] = out["n"].astype("int64")
+    return out[["day", "event_type", "n"]].sort_values(
+        ["day", "n", "event_type"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
+DAILY_TRENDING_SQL = """
+SELECT day, event_type, n FROM (
+  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+QUALIFY row_number() OVER (
+  PARTITION BY day ORDER BY n DESC, event_type) <= 2
+ORDER BY day, n DESC, event_type
+"""
+
+
 def events_user_sessions(sf_dir: str) -> pd.DataFrame:
     """Gap-based session windows per user (30-min gap): one row per
     session with start/end/count — streaming-shaped workload expressed as
@@ -5775,6 +5908,9 @@ QUERIES = {
     "events_debounced": events_debounced,
     "events_hourly_ewma": events_hourly_ewma,
     "embeddings_knn_graph": embeddings_knn_graph,
+    "events_hourly_anomalies": events_hourly_anomalies,
+    "lineitem_trimmed_mean_by_flag": lineitem_trimmed_mean_by_flag,
+    "events_daily_trending": events_daily_trending,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -5923,4 +6059,7 @@ ORACLE_SQL = {
     "events_debounced": DEBOUNCE_SQL,
     "events_hourly_ewma": HOURLY_EWMA_SQL,
     "embeddings_knn_graph": KNN_GRAPH_SQL,
+    "events_hourly_anomalies": HOURLY_ANOMALY_SQL,
+    "lineitem_trimmed_mean_by_flag": TRIMMED_MEAN_SQL,
+    "events_daily_trending": DAILY_TRENDING_SQL,
 }
