@@ -569,8 +569,9 @@ def grouped_ols(
 
     are plain arithmetic — fully SQL-oracle-able against DuckDB's
     regr_slope / regr_intercept / regr_r2. Rows where either value is
-    null are dropped (SQL regr_* semantics); groups with n < 2 or zero
-    x-variance yield NaN. Returns
+    null are dropped (SQL regr_* semantics — n matches regr_count);
+    groups with n < 2 or zero x-variance yield NaN; a constant-y group
+    with varying x is a perfect fit (r2 = 1.0, regr_r2 parity). Returns
     (group, n, slope, intercept, r2)."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -609,10 +610,13 @@ def grouped_ols(
     cyy = m["syy"].to_numpy() - n * my * my
     cxy = m["sxy"].to_numpy() - n * mx * my
     with np.errstate(divide="ignore", invalid="ignore"):
-        slope = np.where((n >= 2) & (cxx > 0), cxy / cxx, np.nan)
+        ok = (n >= 2) & (cxx > 0)
+        slope = np.where(ok, cxy / cxx, np.nan)
         intercept = my - slope * mx
+        # regr_r2 parity: a constant-y group (cyy == 0) with varying x
+        # is a perfect fit -> 1.0, not NaN (verified DuckDB behavior)
         r2 = np.where(
-            (n >= 2) & (cxx > 0) & (cyy > 0), cxy * cxy / (cxx * cyy), np.nan
+            ok, np.where(cyy > 0, cxy * cxy / (cxx * cyy), 1.0), np.nan
         )
     out = pd.DataFrame(
         {group_col: m[group_col], "n": m["n"].astype("int64"),

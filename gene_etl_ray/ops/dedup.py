@@ -1780,8 +1780,10 @@ def _del1_keys(ids: np.ndarray, strs: list[str]):
     length group (byte matrix + column-slice deletions) — the only
     Python loop is over the ≤ FUZZY_MAX_LEN deletion positions."""
     bs = [s.encode() for s in strs]
+    if not bs:  # empty batch: typed empties, no np.concatenate crash
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     lens = np.fromiter((len(x) for x in bs), np.int64, len(bs))
-    if len(lens) and lens.max() > FUZZY_MAX_LEN:
+    if lens.max() > FUZZY_MAX_LEN:
         raise ValueError(
             f"fuzzy_pairs key exceeds FUZZY_MAX_LEN={FUZZY_MAX_LEN} bytes "
             f"(got {int(lens.max())}): deletion-neighborhood blocking is "
@@ -1890,14 +1892,17 @@ def fuzzy_pairs(
         )
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
+        # NULL keys match nothing (SQL: levenshtein(NULL, x) is NULL),
+        # so they are dropped BEFORE blocking, not coerced to ""
+        b = b.dropna(subset=[text_col])
         ids = b[id_col].to_numpy(np.int64)
-        strs = b[text_col].fillna("").tolist()
+        strs = b[text_col].tolist()
         keys, kids = _del1_keys(ids, strs)
-        smap = pd.Series(strs, index=ids)
-        return pd.DataFrame(
+        smap = pd.Series(strs, index=ids, dtype=object)
+        return typed_if_empty(pd.DataFrame(
             {"key": keys, id_col: kids,
              "s": smap.loc[kids].to_numpy(dtype=object)}
-        ).drop_duplicates(["key", id_col])
+        ).drop_duplicates(["key", id_col]))
 
     def bucket_verified_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["key", id_col])

@@ -1822,8 +1822,12 @@ def debounce(
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(key_cols + order, kind="mergesort")
         prev = g.groupby(key_cols, sort=False)[ts_col].shift(1)
-        gap = (g[ts_col] - prev).dt.total_seconds() * 1_000_000
-        keep = prev.isna() | (gap >= min_gap_us)
+        # integer timedelta compare — total_seconds()*1e6 double-rounds
+        # below the threshold for many gap values (boundary rows would
+        # silently drop where the SQL twin keeps them)
+        keep = prev.isna() | (
+            (g[ts_col] - prev) >= pd.Timedelta(microseconds=int(min_gap_us))
+        )
         return g[keep.to_numpy()]
 
     return bucketed_group_apply(ds, key_cols, per_bucket)

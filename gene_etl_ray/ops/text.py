@@ -1144,6 +1144,12 @@ def inverted_index(
         .map_groups(per_term, batch_format="pandas")
         .to_pandas()
     )
+    if "term" not in out.columns:  # all-empty corpus loses the schema
+        out = pd.DataFrame(
+            {"term": pd.Series([], dtype="object"),
+             "df": pd.Series([], dtype="int64"),
+             "postings": pd.Series([], dtype="object")}
+        )
     out["df"] = out["df"].astype("int64")
     return out.sort_values("term").reset_index(drop=True)
 

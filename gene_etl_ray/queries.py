@@ -371,6 +371,13 @@ def events_hourly_ewma(sf_dir: str) -> pd.DataFrame:
     under 1e308; terms older than ~110 hours fall below double epsilon
     on both sides identically)."""
     dense = events_hourly_gapfill(sf_dir)
+    span = dense.groupby("event_type").size().max()
+    if span > 1900:  # pow(0.7, -r) overflows double near r ~ 1988
+        raise ValueError(
+            f"hourly span {span} exceeds the EWMA oracle's double-"
+            "precision bound (~1900 rows at alpha=0.3); shrink the "
+            "window or raise alpha"
+        )
     outs = []
     for etype, sub in dense.groupby("event_type", sort=True):
         sub = sub.sort_values("window_start").reset_index(drop=True)
@@ -845,13 +852,20 @@ def events_type_lift(sf_dir: str) -> pd.DataFrame:
     distinct-pair combiner family. All three inputs are O(|domain|)
     driver bytes; the arithmetic is closed-form under the SQL gate."""
     ds = read(sf_dir, "events", ["user_id", "event_type"])
-    pairs = relational.cooccurrence_counts(ds, "user_id", "event_type")
+    # ONE scan: the distinct-(user, type) pair table feeds all three
+    # cardinalities (support pairs, per-item, total) — materialized so
+    # the lazy chain isn't re-executed per consumer
+    pair_ds = ds.map_batches(
+        lambda b: b[["user_id", "event_type"]].drop_duplicates(),
+        batch_format="pandas",
+    ).materialize()
+    pairs = relational.cooccurrence_counts(pair_ds, "user_id", "event_type")
     per_item = relational.grouped_count_distinct(
-        ds, "event_type", "user_id", out="n_item"
+        pair_ds, "event_type", "user_id", out="n_item"
     )
     n_total = int(
         relational.grouped_count_distinct(
-            ds.map_batches(
+            pair_ds.map_batches(
                 lambda b: b.assign(__one=np.int64(1)),
                 batch_format="pandas",
             ),
@@ -5227,7 +5241,8 @@ def lineitem_ols_by_flag(sf_dir: str) -> pd.DataFrame:
 
 
 OLS_SQL = """
-SELECT l_returnflag, count(*) AS n,
+SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
        round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
        round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
        round(regr_r2(l_extendedprice, l_quantity), 8) AS r2

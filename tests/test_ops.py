@@ -1937,3 +1937,43 @@ class TestKnnGraph:
             # the duplicate pair is each other's top neighbor at cosine 1
             top7 = got[got["vec_id"] == 7].iloc[0]
             assert top7["nbr_id"] == 3 and abs(top7["cosine"] - 1) < 1e-9
+
+
+class TestReviewRegressions:
+    """Pins for the session-3 review findings (boundary float-rounding,
+    NULL-key fuzzy semantics, empty-block fuzzy batches)."""
+
+    def test_debounce_keeps_exact_boundary_gap(self, ray_session):
+        import ray.data as rd
+
+        from gene_etl_ray.ops import relational as rel
+
+        # 498 us is one of the gaps where total_seconds()*1e6
+        # double-rounds BELOW the integer threshold
+        t0 = pd.Timestamp("2026-01-01")
+        df = pd.DataFrame({
+            "eid": np.array([0, 1], dtype=np.int64),
+            "u": np.array([1, 1], dtype=np.int64),
+            "ts": [t0, t0 + pd.Timedelta(microseconds=498)],
+        })
+        out = rel.debounce(
+            rd.from_pandas(df), ["u"], "ts", 498, tiebreak="eid"
+        ).to_pandas()
+        assert sorted(out["eid"].tolist()) == [0, 1]
+
+    def test_fuzzy_null_keys_match_nothing_and_empty_blocks_ok(self, ray_session):
+        import ray.data as rd
+
+        from gene_etl_ray.ops import dedup as dd
+
+        df = pd.DataFrame({
+            "id": np.arange(4, dtype=np.int64),
+            "name": ["abc", None, "abd", None],
+        })
+        # more blocks than rows -> empty batches reach explode
+        out = dd.fuzzy_pairs(
+            rd.from_pandas(df, override_num_blocks=6), "id", "name"
+        )
+        # NULLs pair with nothing (SQL levenshtein(NULL,x) semantics),
+        # not with each other and not with 1-char-away strings
+        assert [tuple(r) for r in out.to_numpy()] == [(0, 2)]
