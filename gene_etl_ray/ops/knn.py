@@ -736,3 +736,64 @@ def knn_graph(
         [id_col, "cosine", "nbr_id"], ascending=[True, False, True],
         kind="mergesort",
     ).reset_index(drop=True)
+
+
+def hard_negatives(
+    ds: ray.data.Dataset,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pd.DataFrame:
+    """Hard-negative mining: each vector's top-k most-similar vectors
+    with a DIFFERENT label — the contrastive-training pair miner
+    (the closest impostors are the informative negatives). Same shape
+    as :func:`knn_graph` (broadcast id-sorted corpus, shuffle-free
+    per-batch matmul, stable-argsort tie order), with the cross-label
+    mask applied before selection so the per-row top-k is global."""
+    import ray
+
+    gathered = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {id_col: b[id_col].to_numpy(),
+             label_col: b[label_col].to_numpy(),
+             "__v": list(_to_matrix(b[vec_col]).astype(np.float64))}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    gathered = gathered.sort_values(id_col).reset_index(drop=True)
+    all_ids = gathered[id_col].to_numpy(np.int64)
+    all_labels = gathered[label_col].to_numpy()
+    M = np.stack(gathered["__v"].to_numpy())
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((all_ids, all_labels, M))
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        ids_all, labels_all, mat = ray.get(ref)
+        if b.empty:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "neg_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        q = _to_matrix(b[vec_col]).astype(np.float64)
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        sims = q @ mat.T
+        blab = b[label_col].to_numpy()
+        sims[blab[:, None] == labels_all[None, :]] = -np.inf  # same label out
+        kk = min(k, sims.shape[1])
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        cos = np.take_along_axis(sims, order, axis=1)
+        keep = np.isfinite(cos)  # a label owning ALL vectors has no negative
+        rows = np.repeat(b[id_col].to_numpy(np.int64), kk).reshape(-1, kk)
+        return pd.DataFrame(
+            {id_col: rows[keep].ravel(),
+             "neg_id": ids_all[order][keep].ravel(),
+             "cosine": cos[keep].ravel()}
+        )
+
+    out = ds.map_batches(edges, batch_format="pandas").to_pandas()
+    return out.sort_values(
+        [id_col, "cosine", "neg_id"], ascending=[True, False, True],
+        kind="mergesort",
+    ).reset_index(drop=True)

@@ -988,6 +988,43 @@ SELECT * FROM (
 """
 
 
+def docs_snippets(sf_dir: str) -> pd.DataFrame:
+    """Keyword-in-context extraction: the first "vector" occurrence per
+    doc with up to two words of context either side — the search-result
+    snippet stage. One compiled-regex ``str.extract`` per batch
+    (map-only, zero shuffle); the pattern anchors context words on a
+    space boundary so Python re and DuckDB RE2 pick the identical
+    leftmost match."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    pat = r"(?:^|\s)((?:\S+ ){0,2}vector(?: \S+){0,2})"
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        from gene_etl_ray.ops.util import typed_if_empty
+
+        snip = b["text"].fillna("").str.extract(pat, expand=False)
+        out = pd.DataFrame({"doc_id": b["doc_id"], "snippet": snip})
+        return typed_if_empty(out.dropna(subset=["snippet"]))
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "snippet": pd.Series([], dtype="object")}
+        )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SNIPPETS_SQL = r"""
+SELECT doc_id,
+       regexp_extract(text, '(?:^|\s)((?:\S+ ){0,2}vector(?: \S+){0,2})', 1)
+         AS snippet
+FROM documents
+WHERE regexp_matches(text, '(?:^|\s)(?:\S+ ){0,2}vector')
+ORDER BY doc_id
+"""
+
+
 def docs_phrase_search(sf_dir: str) -> pd.DataFrame:
     """Exact phrase search (``text.phrase_search``): doc ids containing
     "vector scan" as a contiguous token run — the positional-index
@@ -2179,6 +2216,35 @@ QUALIFY row_number() OVER (
     ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
 ) <= 3
 ORDER BY vec_id, cosine DESC, nbr_id
+"""
+
+
+def embeddings_hard_negatives(sf_dir: str) -> pd.DataFrame:
+    """Contrastive-pair mining (``knn.hard_negatives``): each vector's
+    single most-similar vector with a DIFFERENT label — the closest
+    impostor. Broadcast-matrix matmul with a cross-label mask; same
+    shuffle-free shape as the kNN graph."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    out = knn.hard_negatives(ds, k=1)
+    out["cosine"] = out["cosine"].round(6)
+    return out.reset_index(drop=True)
+
+
+HARD_NEG_SQL = """
+WITH ed AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+)
+SELECT q.vec_id AS vec_id, e.vec_id AS neg_id,
+       round(list_cosine_similarity(q.emb, e.emb), 6) AS cosine
+FROM ed q CROSS JOIN ed e
+WHERE q.label <> e.label
+QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
+) <= 1
+ORDER BY vec_id, cosine DESC, neg_id
 """
 
 
@@ -5926,6 +5992,8 @@ QUERIES = {
     "events_hourly_anomalies": events_hourly_anomalies,
     "lineitem_trimmed_mean_by_flag": lineitem_trimmed_mean_by_flag,
     "events_daily_trending": events_daily_trending,
+    "embeddings_hard_negatives": embeddings_hard_negatives,
+    "docs_snippets": docs_snippets,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -6077,4 +6145,6 @@ ORACLE_SQL = {
     "events_hourly_anomalies": HOURLY_ANOMALY_SQL,
     "lineitem_trimmed_mean_by_flag": TRIMMED_MEAN_SQL,
     "events_daily_trending": DAILY_TRENDING_SQL,
+    "embeddings_hard_negatives": HARD_NEG_SQL,
+    "docs_snippets": SNIPPETS_SQL,
 }

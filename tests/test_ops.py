@@ -1977,3 +1977,35 @@ class TestReviewRegressions:
         # NULLs pair with nothing (SQL levenshtein(NULL,x) semantics),
         # not with each other and not with 1-char-away strings
         assert [tuple(r) for r in out.to_numpy()] == [(0, 2)]
+
+
+class TestHardNegatives:
+    """knn.hard_negatives: the closest impostor per vector, vs a numpy
+    reference; a label owning every vector yields no row for it."""
+
+    def test_cross_label_topk(self, ray_session):
+        import ray.data as rd
+
+        from gene_etl_ray.ops import knn as K
+
+        rng = np.random.RandomState(9)
+        n, d = 30, 6
+        M = rng.randn(n, d)
+        labels = (np.arange(n) % 3).astype(np.int32)
+        df = pd.DataFrame({
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(M.astype(np.float32)),
+            "label": labels,
+        })
+        Mn = M.astype(np.float32).astype(np.float64)
+        Mn = Mn / np.linalg.norm(Mn, axis=1, keepdims=True)
+        sims = Mn @ Mn.T
+        got = K.hard_negatives(rd.from_pandas(df, override_num_blocks=3), k=1)
+        assert len(got) == n
+        for _, r in got.iterrows():
+            i = int(r["vec_id"])
+            s = sims[i].copy()
+            s[labels == labels[i]] = -np.inf
+            j = np.lexsort((np.arange(n), -s))[0]
+            assert int(r["neg_id"]) == j
+            assert labels[int(r["neg_id"])] != labels[i]
