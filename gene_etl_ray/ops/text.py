@@ -1225,3 +1225,83 @@ def phrase_search(
         out = pd.DataFrame({id_col: pd.Series([], dtype="int64")})
     out[id_col] = out[id_col].astype("int64")
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def bm25_topk(
+    ds: ray.data.Dataset,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """BM25 ranked retrieval: top-k documents for a bag-of-words query
+    under the Robertson/Okapi scorer
+
+      score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·len/avglen))
+      idf(t)   = ln((N − df + 0.5) / (df + 0.5) + 1)
+
+    — the canonical search-engine ranking beside the boolean
+    (``search_and``) and phrase (``phrase_search``) queries. Two cheap
+    passes: (1) corpus stats — per-batch partials for N, Σlen and the
+    QUERY terms' document frequencies (the term filter is pushed into
+    the batch, so the partial is query-sized); (2) scoring — per-batch
+    vectorized tf/len for query terms only, then the global top-k via
+    ``relational.top_k`` partial merges (no full sort). Ties break by
+    id ascending."""
+    from gene_etl_ray.ops import relational
+
+    want = sorted(set(terms))
+    if not want:
+        raise ValueError("empty query")
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.split()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        p = _distinct_term_doc_pairs(batch, id_col, text_col)
+        p = p[p["term"].isin(want)]
+        dfc = p.groupby("term").size()
+        row = {"n": [np.int64(len(batch))], "sum_len": [np.int64(lens.sum())]}
+        for t in want:
+            row[f"df_{t}"] = [np.int64(dfc.get(t, 0))]
+        return pd.DataFrame(row)
+
+    stats = ds.map_batches(stats_partial, batch_format="pandas").to_pandas()
+    n_docs = float(stats["n"].sum())
+    avglen = float(stats["sum_len"].sum()) / max(n_docs, 1.0)
+    idf = {
+        t: float(np.log((n_docs - stats[f"df_{t}"].sum() + 0.5)
+                        / (stats[f"df_{t}"].sum() + 0.5) + 1.0))
+        for t in want
+    }
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        toks = batch[text_col].fillna("").str.split()
+        lens = toks.str.len().to_numpy(dtype=np.float64)
+        norm = k1 * (1.0 - b + b * lens / avglen)
+        total = np.zeros(len(batch), dtype=np.float64)
+        any_hit = np.zeros(len(batch), dtype=bool)
+        flat = toks.explode()
+        for t in want:
+            tf = (
+                (flat == t).groupby(level=0).sum()
+                .reindex(range(len(batch)), fill_value=0)
+                .to_numpy(dtype=np.float64)
+            )
+            any_hit |= tf > 0
+            total += idf[t] * tf * (k1 + 1.0) / (tf + norm)
+        ids = batch[id_col].to_numpy(np.int64)[any_hit]
+        # top_k tie-breaks DESC on extra_sort; SQL wants id ASC — negate
+        return pd.DataFrame(
+            {id_col: ids, "score": total[any_hit], "__negid": -ids}
+        )
+
+    scored = ds.map_batches(score, batch_format="pandas")
+    top = relational.top_k(scored, "score", k, extra_sort=["__negid"])
+    top = top.sort_values(
+        ["score", id_col], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    top[id_col] = top[id_col].astype("int64")
+    return top[[id_col, "score"]].reset_index(drop=True)

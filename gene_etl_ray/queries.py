@@ -1025,6 +1025,55 @@ ORDER BY doc_id
 """
 
 
+def docs_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 ranked retrieval (``text.bm25_topk``): top-10 docs for the
+    query {vector, spark} under the Robertson/Okapi scorer — two
+    query-sized stat passes + vectorized scoring + partial top-k, no
+    full sort. Completes the retrieval family: boolean → phrase →
+    ranked."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = text.bm25_topk(ds, ["vector", "spark"], k=10)
+    out["score"] = out["score"].round(6)
+    return out
+
+
+BM25_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+len AS (
+  SELECT doc_id, count(*) AS L FROM tok WHERE term <> '' GROUP BY doc_id
+),
+lend AS (
+  SELECT d.doc_id, COALESCE(l.L, 0) AS L
+  FROM documents d LEFT JOIN len l USING (doc_id)
+),
+stats AS (SELECT count(*) AS N, avg(L) AS avgl FROM lend),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ('vector', 'spark') GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('vector', 'spark') GROUP BY 1, 2
+),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln((stats.N - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * lend.L / stats.avgl))
+         ) AS score
+  FROM tf
+  JOIN dfreq USING (term) JOIN lend USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM sc
+QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10
+ORDER BY score DESC, doc_id
+"""
+
+
 def docs_phrase_search(sf_dir: str) -> pd.DataFrame:
     """Exact phrase search (``text.phrase_search``): doc ids containing
     "vector scan" as a contiguous token run — the positional-index
@@ -5994,6 +6043,7 @@ QUERIES = {
     "events_daily_trending": events_daily_trending,
     "embeddings_hard_negatives": embeddings_hard_negatives,
     "docs_snippets": docs_snippets,
+    "docs_bm25_topk": docs_bm25_topk,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -6147,4 +6197,5 @@ ORACLE_SQL = {
     "events_daily_trending": DAILY_TRENDING_SQL,
     "embeddings_hard_negatives": HARD_NEG_SQL,
     "docs_snippets": SNIPPETS_SQL,
+    "docs_bm25_topk": BM25_SQL,
 }

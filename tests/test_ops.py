@@ -2009,3 +2009,47 @@ class TestHardNegatives:
             j = np.lexsort((np.arange(n), -s))[0]
             assert int(r["neg_id"]) == j
             assert labels[int(r["neg_id"])] != labels[i]
+
+
+class TestBM25:
+    """text.bm25_topk vs a hand-computed Okapi score on a tiny corpus,
+    blocking-invariant; docs with no query term never appear."""
+
+    def test_hand_computed_scores(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from gene_etl_ray.ops import text as t
+
+        docs = ["x x y a b", "x a", "z z z", "y y y y y"]
+        df = pd.DataFrame({
+            "doc_id": np.arange(4, dtype=np.int64), "text": docs,
+        })
+        N, avglen = 4, np.mean([5, 2, 3, 5])
+        dfs = {"x": 2, "y": 2}
+        idf = {q: math.log((N - d + 0.5) / (d + 0.5) + 1)
+               for q, d in dfs.items()}
+
+        def score(doc):
+            toks = doc.split()
+            s = 0.0
+            for q in ("x", "y"):
+                tf = toks.count(q)
+                s += idf[q] * tf * 2.2 / (
+                    tf + 1.2 * (0.25 + 0.75 * len(toks) / avglen))
+            return s
+
+        want = sorted(
+            ((i, score(d)) for i, d in enumerate(docs) if score(d) > 0),
+            key=lambda p: (-p[1], p[0]),
+        )
+        for blocks in (1, 3):
+            got = t.bm25_topk(
+                rd.from_pandas(df, override_num_blocks=blocks),
+                ["x", "y"], k=10,
+            )
+            assert got["doc_id"].tolist() == [i for i, _ in want]
+            assert 2 not in got["doc_id"].tolist()  # no query term
+            for (_, w), g in zip(want, got["score"]):
+                assert abs(w - g) < 1e-12
