@@ -1124,26 +1124,37 @@ def inverted_index(
     string (equal to SQL ``string_agg(id, ',' ORDER BY id)``), so the
     whole structure sits under the value-hash oracle gate."""
 
+    from gene_etl_ray.ops.dedup import bucketed_group_apply
+
     def pairs(b: pd.DataFrame) -> pd.DataFrame:
         return _distinct_term_doc_pairs(b, id_col, text_col)
 
-    def per_term(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy(dtype=np.int64))
-        df = len(ids)
-        post = (
-            ",".join(map(str, ids.tolist())) if df <= max_postings else None
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # whole terms are co-located per bucket; one vectorized task per
+        # bucket, NOT one Ray dispatch per term (ruinous at natural-
+        # language vocabulary sizes — the GROUP_BUCKETS rationale)
+        g = g.drop_duplicates(["term", id_col]).sort_values(
+            ["term", id_col], kind="mergesort"
         )
-        return pd.DataFrame(
-            {"term": [g["term"].iloc[0]], "df": [np.int64(df)],
-             "postings": pd.Series([post], dtype="object")}
+        sizes = g.groupby("term", sort=False)[id_col].size()
+        under = sizes[sizes <= max_postings].index
+        joined = (
+            g[g["term"].isin(under)]
+            .astype({id_col: str})
+            .groupby("term", sort=False)[id_col]
+            .agg(",".join)
         )
+        out = pd.DataFrame(
+            {"term": sizes.index.to_numpy(dtype=object),
+             "df": sizes.to_numpy(np.int64)}
+        )
+        out["postings"] = out["term"].map(joined).astype(object)
+        out.loc[out["postings"].isna(), "postings"] = None  # not NaN
+        return out
 
-    out = (
-        ds.map_batches(pairs, batch_format="pandas")
-        .groupby("term")
-        .map_groups(per_term, batch_format="pandas")
-        .to_pandas()
-    )
+    out = bucketed_group_apply(
+        ds.map_batches(pairs, batch_format="pandas"), ["term"], per_bucket
+    ).to_pandas()
     if "term" not in out.columns:  # all-empty corpus loses the schema
         out = pd.DataFrame(
             {"term": pd.Series([], dtype="object"),
