@@ -1183,16 +1183,18 @@ def search_and(
         p = _distinct_term_doc_pairs(b, id_col, text_col)
         return typed_if_empty(p[p["term"].isin(want)])
 
-    hits = (
-        ds.map_batches(pairs, batch_format="pandas")
-        .groupby(id_col)
-        .map_groups(
-            lambda g: g.iloc[:1][[id_col]]
-            if g["term"].nunique() == len(want) else g.iloc[:0][[id_col]],
-            batch_format="pandas",
-        )
-        .to_pandas()
-    )
+    from gene_etl_ray.ops.dedup import bucketed_group_apply
+
+    def covered(g: pd.DataFrame) -> pd.DataFrame:
+        # whole docs co-locate per bucket; vectorized coverage count —
+        # no per-doc dispatch
+        g = g.drop_duplicates([id_col, "term"])
+        n = g.groupby(id_col, sort=False)["term"].size()
+        return pd.DataFrame({id_col: n.index[n == len(want)].to_numpy()})
+
+    hits = bucketed_group_apply(
+        ds.map_batches(pairs, batch_format="pandas"), [id_col], covered
+    ).to_pandas()
     if id_col not in hits.columns:  # every group filtered out
         hits = pd.DataFrame({id_col: pd.Series([], dtype="int64")})
     hits[id_col] = hits[id_col].astype("int64")
@@ -1226,12 +1228,12 @@ def phrase_search(
         ids = b[id_col].to_numpy(np.int64)[np.unique(hit)]
         return pd.DataFrame({id_col: pd.Series(ids, dtype="int64")})
 
-    out = (
-        ds.map_batches(match, batch_format="pandas")
-        .groupby(id_col)
-        .map_groups(lambda g: g.iloc[:1], batch_format="pandas")
-        .to_pandas()
-    )
+    from gene_etl_ray.ops.dedup import bucketed_group_apply
+
+    out = bucketed_group_apply(
+        ds.map_batches(match, batch_format="pandas"), [id_col],
+        lambda g: g.drop_duplicates(id_col),
+    ).to_pandas()
     if id_col not in out.columns:
         out = pd.DataFrame({id_col: pd.Series([], dtype="int64")})
     out[id_col] = out[id_col].astype("int64")
