@@ -1831,3 +1831,52 @@ def debounce(
         return g[keep.to_numpy()]
 
     return bucketed_group_apply(ds, key_cols, per_bucket)
+
+
+def transition_counts(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    item_col: str,
+    tiebreak: str,
+) -> pd.DataFrame:
+    """First-order Markov transition matrix over per-key ordered
+    sequences: for every key, order its rows by (ts, tiebreak), pair
+    each item with its successor, and count (prev_item → next_item)
+    transitions globally, with ``prob`` the row-normalized transition
+    probability (count / Σ count over the same prev_item). The sequence
+    analog of the co-occurrence operator: co-occurrence asks "appear
+    together", transitions ask "follow each other".
+
+    Shape: one key-bucketed exchange (``bucketed_group_apply`` — a
+    key's whole sequence lands in exactly one bucket, so adjacency is
+    globally exact), vectorized in-bucket sort + per-key shift, and each
+    bucket emits item-domain-sized partial counts; the driver merges
+    partials bounded by |items|², never by rows. Normalization is a
+    closed-form scoring layer over the merged counts."""
+    from gene_etl_ray.ops.dedup import bucketed_group_apply
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, tiebreak], kind="mergesort")
+        nxt = g.groupby(key, sort=False)[item_col].shift(-1)
+        m = nxt.notna().to_numpy()
+        pairs = pd.DataFrame(
+            {"prev_item": g[item_col].to_numpy()[m], "next_item": nxt.to_numpy()[m]}
+        )
+        out = pairs.groupby(
+            ["prev_item", "next_item"], as_index=False, sort=False
+        ).size().rename(columns={"size": "n"})
+        return out
+
+    parts = bucketed_group_apply(ds, [key], per_bucket).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"prev_item": pd.Series([], dtype=object),
+             "next_item": pd.Series([], dtype=object),
+             "n": pd.array([], dtype="int64"),
+             "prob": pd.Series([], dtype="float64")}
+        )
+    out = parts.groupby(["prev_item", "next_item"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    out["prob"] = out["n"] / out.groupby("prev_item")["n"].transform("sum")
+    return out.sort_values(["prev_item", "next_item"]).reset_index(drop=True)

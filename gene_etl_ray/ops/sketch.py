@@ -446,3 +446,95 @@ def heavy_hitters(
             "max_error": pd.array([r[2] for r in rows], dtype="int64"),
         }
     )
+
+
+class CountMin:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): a depth × width
+    counter grid; each key increments one counter per row (double
+    hashing, Kirsch-Mitzenmacher h1 + i·h2 — two vectorized 64-bit
+    hashes serve every row). Point estimate = min over rows, a ONE-SIDED
+    overestimate: estimate ∈ [true, true + εN] with probability 1−δ for
+    width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉. Mergeable by elementwise counter
+    addition (same width/depth/seed), so the per-batch-sketch → driver
+    merge shape moves depth·width int64s per batch regardless of rows or
+    distinct keys. Completes the sketch family next to HLL (distincts),
+    SpaceSaving (top-k) and KLL (quantiles): CM answers point-frequency
+    queries over keys it never stored."""
+
+    _KEY2 = "cm-sketch-h2-seed"  # 17 chars; pandas uses first 16 bytes
+
+    def __init__(self, width: int = 4096, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    def _hashes(self, values) -> tuple[np.ndarray, np.ndarray]:
+        arr = np.asarray(values, dtype=object)
+        h1 = pd.util.hash_array(arr, categorize=False)
+        h2 = pd.util.hash_array(arr, hash_key=self._KEY2[:16], categorize=False)
+        return h1, h2 | np.uint64(1)  # odd h2: full-period double hashing
+
+    def _rows(self, h1: np.ndarray, h2: np.ndarray, i: int) -> np.ndarray:
+        return ((h1 + np.uint64(i) * h2) % np.uint64(self.width)).astype(np.int64)
+
+    def add_counted(self, keys, counts) -> None:
+        """Bulk insert of pre-combined (key, count) pairs — the
+        per-batch value_counts combiner output, not raw rows."""
+        h1, h2 = self._hashes(keys)
+        c = np.asarray(counts, dtype=np.int64)
+        for i in range(self.depth):
+            np.add.at(self.table[i], self._rows(h1, h2, i), c)
+
+    def estimate(self, keys) -> np.ndarray:
+        h1, h2 = self._hashes(keys)
+        est = np.full(len(h1), np.iinfo(np.int64).max, dtype=np.int64)
+        for i in range(self.depth):
+            np.minimum(est, self.table[i][self._rows(h1, h2, i)], out=est)
+        return est
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        self.table += other.table
+        return self
+
+    def serialize(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, width: int, depth: int) -> "CountMin":
+        s = cls(width, depth)
+        s.table = np.frombuffer(data, dtype=np.int64).reshape(depth, width).copy()
+        return s
+
+
+def countmin_frequencies(
+    ds: ray.data.Dataset,
+    column: str,
+    query_keys,
+    width: int = 4096,
+    depth: int = 4,
+) -> pd.DataFrame:
+    """Point-frequency estimates for ``query_keys`` from a merged
+    Count-Min sketch: per-batch pandas value_counts combiner → one CM
+    per batch → driver merges depth×width grids (≈``depth·width·8``
+    bytes per batch, independent of rows and of distinct keys) →
+    vectorized point queries. Deterministic (fixed hash seeds); exact
+    when no queried key collides with any other live key in every row —
+    guaranteed-tested in the oracle gate's small-domain regime, bounded
+    by εN in the approximate regime (unit-tested)."""
+
+    def sketch(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[column].value_counts()
+        s = CountMin(width, depth)
+        if len(vc):
+            s.add_counted(vc.index.to_numpy(), vc.to_numpy())
+        return pd.DataFrame({"sk": [s.serialize()]})
+
+    parts = ds.map_batches(sketch, batch_format="pandas").take_all()
+    acc = CountMin(width, depth)
+    for r in parts:
+        acc.merge(CountMin.deserialize(r["sk"], width, depth))
+    keys = list(query_keys)
+    return pd.DataFrame(
+        {column: keys, "est_count": pd.array(acc.estimate(keys), dtype="int64")}
+    )

@@ -5872,6 +5872,133 @@ ORDER BY doc_id
 """
 
 
+def events_type_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (``relational.transition_counts``): one user-bucketed
+    exchange, vectorized in-bucket sort + shift, item-domain-sized
+    partials; ``prob`` row-normalizes per prev_type as a closed-form
+    scoring layer. The sequence-order companion of
+    ``events_type_cooccurrence``."""
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    out = relational.transition_counts(
+        ds, "user_id", "ts", "event_type", "event_id"
+    )
+    out = out.rename(columns={"prev_item": "prev_type", "next_item": "next_type"})
+    out["prob"] = out["prob"].round(6)
+    return out.reset_index(drop=True)
+
+
+TRANSITIONS_SQL = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_type
+    FROM events
+)
+SELECT event_type AS prev_type, next_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 1.0 /
+             sum(count(*)) OVER (PARTITION BY event_type), 6) AS prob
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_countmin_types(sf_dir: str) -> pd.DataFrame:
+    """Point-frequency estimates from a merged Count-Min sketch
+    (``sketch.CountMin``): per-batch value_counts combiner → one
+    depth×width grid per batch → driver merge → vectorized point
+    queries for the distinct event types. Run in the small-domain
+    regime where no two live keys collide in every row, so CM's
+    one-sided estimate is EXACT and SQL-gateable (same exact-regime
+    pattern as ``events_heavy_hitters``); the approximate regime's
+    ε·N bound is unit-tested separately."""
+    from gene_etl_ray.ops.sketch import countmin_frequencies
+
+    ds = read(sf_dir, "events", ["event_type"])
+    keys = grouped_aggregate_partial(ds, ["event_type"], {}, counts="c")[
+        "event_type"
+    ].sort_values().tolist()
+    out = countmin_frequencies(ds, "event_type", keys, width=4096, depth=4)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+COUNTMIN_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS est_count
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def embeddings_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the exact cosine kNN graph (``graph.pagerank``,
+    k=3, d=0.85, 5 fixed power iterations): similarity-graph centrality
+    — the corpus-curation signal for "how prototypical is this
+    document". Rank state and edges live as Datasets (per-round
+    bucketed join + grouped sum; driver holds scalars only); the fixed
+    iteration count makes the twin an unrolled-CTE recomputation.
+    ``pr_ratio`` = N·pr, rank mass relative to uniform, rounded on
+    both sides."""
+    from gene_etl_ray.ops import graph
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    edges_df = knn.knn_graph(ds, k=3)[["vec_id", "nbr_id"]].rename(
+        columns={"vec_id": "src", "nbr_id": "dst"}
+    )
+    edges = ray.data.from_pandas(edges_df)
+    pr = graph.pagerank(edges, iters=5).to_pandas()
+    n = len(pr)
+    pr["pr_ratio"] = (pr["pr"] * n).round(6)
+    pr = pr.rename(columns={"node": "vec_id"})
+    pr["vec_id"] = pr["vec_id"].astype("int64")
+    return pr[["vec_id", "pr_ratio"]].sort_values("vec_id").reset_index(drop=True)
+
+
+def _pagerank_sql(iters: int = 5, k: int = 3, damping: float = 0.85) -> str:
+    """Unrolled-iteration PageRank twin (same pattern as the EWMA
+    oracle's unrolled recursion): r0 = uniform, each r_i one
+    LEFT-JOINed grouped sum over the kNN edge CTE."""
+    head = f"""
+WITH ed AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+), edges AS (
+    SELECT q.vec_id AS src, e.vec_id AS dst
+    FROM ed q CROSS JOIN ed e
+    WHERE q.vec_id <> e.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
+    ) <= {k}
+), deg AS (
+    SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+), nn AS (SELECT count(*) AS c FROM ed),
+r0 AS (SELECT vec_id AS node, 1.0 / (SELECT c FROM nn) AS pr FROM ed)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""", r{i} AS (
+    SELECT b.node,
+           (1 - {damping}) / (SELECT c FROM nn)
+           + {damping} * coalesce(s.m, 0) AS pr
+    FROM (SELECT node FROM r0) b LEFT JOIN (
+        SELECT e.dst AS node, sum(r.pr / d.outdeg) AS m
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) s USING (node)
+)""")
+    tail = f"""
+SELECT node AS vec_id,
+       round(pr * (SELECT c FROM nn), 6) AS pr_ratio
+FROM r{iters} ORDER BY vec_id
+"""
+    return head + "".join(steps) + tail
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+
 # Registry order IS the driver's gate order: the driver runs a 50-entry
 # PREFIX against DuckDB at sf0.01 (verified in round 2: CORRECTNESS_r02
 # keys == registry positions 0-49). Ordering policy:
@@ -6044,6 +6171,9 @@ QUERIES = {
     "embeddings_hard_negatives": embeddings_hard_negatives,
     "docs_snippets": docs_snippets,
     "docs_bm25_topk": docs_bm25_topk,
+    "events_type_transitions": events_type_transitions,
+    "events_countmin_types": events_countmin_types,
+    "embeddings_pagerank": embeddings_pagerank,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -6198,4 +6328,7 @@ ORACLE_SQL = {
     "embeddings_hard_negatives": HARD_NEG_SQL,
     "docs_snippets": SNIPPETS_SQL,
     "docs_bm25_topk": BM25_SQL,
+    "events_type_transitions": TRANSITIONS_SQL,
+    "events_countmin_types": COUNTMIN_SQL,
+    "embeddings_pagerank": PAGERANK_SQL,
 }

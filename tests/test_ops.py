@@ -2053,3 +2053,158 @@ class TestBM25:
             assert 2 not in got["doc_id"].tolist()  # no query term
             for (_, w), g in zip(want, got["score"]):
                 assert abs(w - g) < 1e-12
+
+
+class TestCountMin:
+    """sketch.CountMin: one-sided overestimate, εN error bound, merge ==
+    single-pass build, exactness in the no-collision regime."""
+
+    def test_exact_small_domain(self):
+        from gene_etl_ray.ops.sketch import CountMin
+
+        s = CountMin(width=4096, depth=4)
+        keys = [f"k{i}" for i in range(8)]
+        true = np.arange(1, 9) * 10
+        s.add_counted(keys, true)
+        assert (s.estimate(keys) == true).all()
+        assert (s.estimate(["absent-a", "absent-b"]) == 0).all()
+
+    def test_one_sided_and_error_bound(self):
+        from gene_etl_ray.ops.sketch import CountMin
+
+        rng = np.random.RandomState(11)
+        keys = [f"u{i}" for i in range(2000)]
+        counts = rng.zipf(1.5, 2000).astype(np.int64)
+        n_total = int(counts.sum())
+        width, depth = 256, 4
+        s = CountMin(width=width, depth=depth)
+        s.add_counted(keys, counts)
+        est = s.estimate(keys)
+        assert (est >= counts).all()  # never underestimates
+        # Markov bound per row: overshoot ≤ e·N/width w.h.p. over depth
+        # rows; assert the loose deterministic-seed observed bound
+        assert (est - counts).max() <= np.e * n_total / width * 4
+
+    def test_merge_equals_single_build(self):
+        from gene_etl_ray.ops.sketch import CountMin
+
+        a = CountMin(width=128, depth=3)
+        b = CountMin(width=128, depth=3)
+        one = CountMin(width=128, depth=3)
+        a.add_counted(["x", "y"], [3, 5])
+        b.add_counted(["y", "z"], [2, 7])
+        one.add_counted(["x", "y", "z"], [3, 7, 7])
+        a.merge(b)
+        assert (a.table == one.table).all()
+        r = CountMin.deserialize(a.serialize(), 128, 3)
+        assert (r.table == a.table).all()
+
+    def test_distributed_matches_exact_counts(self, ray_session):
+        from gene_etl_ray.ops.sketch import countmin_frequencies
+
+        rng = np.random.RandomState(5)
+        vals = rng.choice(list("abcde"), 5000, p=[0.5, 0.2, 0.15, 0.1, 0.05])
+        df = pd.DataFrame({"v": vals})
+        true = df["v"].value_counts()
+        out = countmin_frequencies(
+            rd.from_pandas(df, override_num_blocks=7), "v",
+            sorted(true.index), width=4096, depth=4,
+        )
+        got = dict(zip(out["v"], out["est_count"]))
+        assert got == {k: int(v) for k, v in true.items()}
+
+
+class TestTransitions:
+    """relational.transition_counts: hand-counted adjacency, per-key
+    isolation, tie ordering, blocking invariance."""
+
+    def _df(self):
+        return pd.DataFrame({
+            "k": [1, 1, 1, 2, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:01:00",
+                 "2024-01-01 00:02:00", "2024-01-01 00:00:30",
+                 "2024-01-01 00:00:30", "2024-01-01 00:09:00"]),
+            "item": ["a", "b", "a", "b", "a", "a"],
+            "tb": [1, 2, 3, 5, 4, 6],  # ties at 00:00:30 broken: tb 4 < 5
+        })
+
+    def test_hand_counts(self, ray_session):
+        out = relational.transition_counts(
+            ds_from(self._df()), "k", "ts", "item", "tb"
+        )
+        got = {(r.prev_item, r.next_item): (r.n, round(r.prob, 6))
+               for r in out.itertuples()}
+        # key 1: a→b, b→a; key 2 tie order (ts equal, tb 4 first): a→b;
+        # key 3: single row, no transition
+        assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+    def test_blocking_invariance(self, ray_session):
+        df = self._df()
+        a = relational.transition_counts(
+            rd.from_pandas(df, override_num_blocks=1), "k", "ts", "item", "tb")
+        b = relational.transition_counts(
+            rd.from_pandas(df, override_num_blocks=4), "k", "ts", "item", "tb")
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_empty(self, ray_session):
+        out = relational.transition_counts(
+            ds_from(self._df().iloc[:0]), "k", "ts", "item", "tb"
+        )
+        assert len(out) == 0
+        assert list(out.columns) == ["prev_item", "next_item", "n", "prob"]
+
+
+class TestPageRank:
+    """graph.pagerank vs a dense numpy power iteration: dangling mass,
+    rank-sum conservation, blocking invariance."""
+
+    @staticmethod
+    def _dense(edge_list, n, d, iters):
+        M = np.zeros((n, n)); out = np.zeros(n)
+        for s_, t_ in edge_list:
+            M[t_, s_] += 1
+            out[s_] += 1
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            dm = r[out == 0].sum()
+            contrib = np.zeros(n)
+            for s_ in range(n):
+                if out[s_]:
+                    contrib += M[:, s_] * r[s_] / out[s_]
+            r = (1 - d) / n + d * (contrib + dm / n)
+        return r
+
+    def test_matches_dense_reference(self, ray_session):
+        from gene_etl_ray.ops import graph
+
+        rng = np.random.RandomState(7)
+        n = 30
+        edges = [(int(s), int(t)) for s, t in rng.randint(0, n, (120, 2))
+                 if s != t]
+        edges = sorted(set(edges))
+        # force node 0 dangling: remove its out-edges
+        edges = [(s, t) for s, t in edges if s != 0]
+        df = pd.DataFrame(edges, columns=["src", "dst"])
+        want = self._dense(edges, n, 0.85, 8)
+        for blocks in (1, 5):
+            pr = graph.pagerank(
+                rd.from_pandas(df, override_num_blocks=blocks), iters=8
+            ).to_pandas().sort_values("node")
+            # node set = touched nodes only; dense ref covers all 30
+            # (every node is touched in this fixture)
+            assert len(pr) == n
+            np.testing.assert_allclose(
+                pr["pr"].to_numpy(), want[pr["node"].to_numpy().astype(int)],
+                rtol=1e-12, atol=1e-15,
+            )
+            assert abs(pr["pr"].sum() - 1.0) < 1e-9
+
+    def test_uniform_on_cycle(self, ray_session):
+        from gene_etl_ray.ops import graph
+
+        n = 6
+        df = pd.DataFrame({"src": list(range(n)),
+                           "dst": [(i + 1) % n for i in range(n)]})
+        pr = graph.pagerank(ds_from(df), iters=12).to_pandas()
+        np.testing.assert_allclose(pr["pr"].to_numpy(), 1.0 / n, rtol=1e-12)
