@@ -623,3 +623,58 @@ def grouped_ols(
          "slope": slope, "intercept": intercept, "r2": r2}
     )
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def grouped_block_jackknife(
+    ds: ray.data.Dataset,
+    group_col: str,
+    val_col: str,
+    id_col: str,
+    n_blocks: int = 20,
+) -> pd.DataFrame:
+    """Delete-one-block jackknife standard error of the per-group mean
+    (Efron 1981; the distributed-friendly resampling scheme — unlike
+    the bootstrap, block jackknife needs only per-(group, block) sum /
+    count partials, so the exchange is |groups|·``n_blocks`` rows no
+    matter how many rows stream through). Blocks are assigned by
+    ``id_col % n_blocks`` — deterministic AND SQL-expressible, which is
+    what puts a resampling estimator under the value-hash oracle gate.
+
+    Per group: mean = S/N over non-null values; leave-one-out means
+    θ_b = (S−s_b)/(N−n_b) over the blocks that hold data; jackknife
+    SE = √((B−1)/B · Σ(θ_b − θ̄)²). Returns (group, mean, jk_se, B
+    as n_blocks_used)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[group_col, val_col, id_col]].dropna(subset=[val_col])
+        if not len(b):
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 "__blk": pd.array([], dtype="int64"),
+                                 "s": pd.Series([], dtype="float64"),
+                                 "n": pd.array([], dtype="int64")})
+        blk = (b[id_col].to_numpy(dtype=np.int64) % n_blocks)
+        return b.assign(__blk=blk).groupby(
+            [group_col, "__blk"], as_index=False, sort=False
+        ).agg(s=(val_col, "sum"), n=(val_col, "count"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby([group_col, "__blk"], as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum")
+    )
+    g = agg.groupby(group_col)
+    agg["S"] = g["s"].transform("sum")
+    agg["N"] = g["n"].transform("sum")
+    agg["B"] = g["s"].transform("size")
+    agg["theta"] = (agg["S"] - agg["s"]) / (agg["N"] - agg["n"])
+    agg["tbar"] = agg.groupby(group_col)["theta"].transform("mean")
+    dev2 = (agg["theta"] - agg["tbar"]) ** 2
+    out = agg.assign(__d2=dev2).groupby(group_col, as_index=False).agg(
+        S=("S", "first"), N=("N", "first"), B=("B", "first"),
+        ssd=("__d2", "sum"),
+    )
+    out["mean"] = out["S"] / out["N"]
+    out["jk_se"] = np.sqrt((out["B"] - 1.0) / out["B"] * out["ssd"])
+    out["n_blocks_used"] = out["B"].astype("int64")
+    return out[[group_col, "mean", "jk_se", "n_blocks_used"]].sort_values(
+        group_col
+    ).reset_index(drop=True)

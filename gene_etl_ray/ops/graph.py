@@ -156,3 +156,81 @@ def pagerank(
         ).map_batches(step, batch_format="pandas").materialize()
 
     return ranks
+
+
+def undirected_edges(
+    edges: ray.data.Dataset, src: str = "src", dst: str = "dst"
+) -> ray.data.Dataset:
+    """Canonicalize a directed edge list to distinct undirected edges
+    (u < v): vectorized min/max swap per batch, then one bucketed
+    distinct. Self-loops dropped."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = a != b
+        a, b = a[m], b[m]
+        return pa.table({"u": np.minimum(a, b), "v": np.maximum(a, b)})
+
+    canoned = edges.map_batches(canon, batch_format="pyarrow")
+    return bucketed_group_apply(
+        canoned, ["u", "v"], lambda g: g.drop_duplicates(["u", "v"])
+    )
+
+
+def triangle_counts(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+) -> pd.DataFrame:
+    """Per-node triangle participation counts over the undirected-ized
+    edge list — the compact-forward (node-ordered) triangle algorithm
+    as two bucketed joins: canonical edges (u<v) joined on the middle
+    vertex give wedges a<b<c, wedges joined against the edge set on the
+    closing (a,c) pair give triangles, and each triangle credits its
+    three corners. Wedge volume is Σ deg²(middle) — bounded for
+    degree-bounded graphs (kNN: k²·N) and the reason production
+    triangle counts pre-order by degree; no all-pairs pass, no driver
+    gather of the edge set. Returns (node, n_tri) for nodes in ≥1
+    triangle."""
+    und = undirected_edges(edges, src, dst).materialize()
+    M = np.int64(1) << np.int64(32)
+
+    wedges = partitioned_join(
+        _rename(und, {"u": "a", "v": "b"}),
+        _rename(und, {"u": "b2", "v": "c"}),
+        "b",
+        "b2",
+    )
+
+    def wkey(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": a, "b": t.column("b"), "c": c, "ac": a * M + c})
+
+    def ekey(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"uv": u * M + v})
+
+    tri = partitioned_join(
+        wedges.map_batches(wkey, batch_format="pyarrow"),
+        und.map_batches(ekey, batch_format="pyarrow"),
+        "ac",
+        "uv",
+        how="semi",
+    )
+
+    def corner_counts(b: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat([b["a"], b["b"], b["c"]], ignore_index=True)
+        out = nodes.value_counts().rename_axis("node").reset_index(name="n_tri")
+        return out
+
+    parts = tri.map_batches(corner_counts, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"node": pd.array([], dtype="int64"),
+                             "n_tri": pd.array([], dtype="int64")})
+    out = parts.groupby("node", as_index=False)["n_tri"].sum()
+    out["node"] = out["node"].astype("int64")
+    out["n_tri"] = out["n_tri"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)

@@ -5999,6 +5999,100 @@ FROM r{iters} ORDER BY vec_id
 PAGERANK_SQL = _pagerank_sql()
 
 
+def embeddings_knn_triangles(sf_dir: str) -> pd.DataFrame:
+    """Per-node triangle participation over the undirected-ized cosine
+    kNN graph (``graph.triangle_counts``): the node-ordered wedge
+    enumeration as two bucketed joins (canonical edges self-joined on
+    the middle vertex, wedges closed by a semi join against the edge
+    set) — the local-clustering signal over the similarity graph. The
+    twin recomputes the same wedge→closure chain as SQL self-joins."""
+    from gene_etl_ray.ops import graph
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    edges_df = knn.knn_graph(ds, k=3)[["vec_id", "nbr_id"]].rename(
+        columns={"vec_id": "src", "nbr_id": "dst"}
+    )
+    out = graph.triangle_counts(ray.data.from_pandas(edges_df))
+    return out.rename(columns={"node": "vec_id"}).reset_index(drop=True)
+
+
+KNN_TRIANGLES_SQL = """
+WITH ed AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+), edges AS (
+    SELECT q.vec_id AS src, e.vec_id AS dst
+    FROM ed q CROSS JOIN ed e
+    WHERE q.vec_id <> e.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
+    ) <= 3
+), und AS (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM edges
+), tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM und e1
+    JOIN und e2 ON e1.v = e2.u
+    JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node AS vec_id, CAST(count(*) AS BIGINT) AS n_tri
+FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+GROUP BY node ORDER BY node
+"""
+
+
+def events_jackknife_mean(sf_dir: str) -> pd.DataFrame:
+    """Per-type mean of ``value`` with a delete-one-block jackknife
+    standard error (``correlate.grouped_block_jackknife``, 20 blocks by
+    ``event_id % 20``): resampling error bars whose exchange is
+    |groups|·blocks partial rows regardless of stream size — and whose
+    deterministic block assignment is SQL-expressible, putting a
+    resampling estimator under the value-hash gate."""
+    from gene_etl_ray.ops.correlate import grouped_block_jackknife
+
+    ds = read(sf_dir, "events", ["event_type", "value", "event_id"])
+    out = grouped_block_jackknife(
+        ds, "event_type", "value", "event_id", n_blocks=20
+    )
+    out["mean"] = out["mean"].round(6)
+    out["jk_se"] = out["jk_se"].round(6)
+    return out.reset_index(drop=True)
+
+
+JACKKNIFE_SQL = """
+WITH blocks AS (
+    SELECT event_type, event_id % 20 AS blk,
+           sum(value) AS s, count(value) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+), loo AS (
+    SELECT event_type,
+           sum(s) OVER (PARTITION BY event_type) AS S,
+           sum(n) OVER (PARTITION BY event_type) AS N,
+           count(*) OVER (PARTITION BY event_type) AS B,
+           (sum(s) OVER (PARTITION BY event_type) - s)
+           / (sum(n) OVER (PARTITION BY event_type) - n) AS theta
+    FROM blocks
+), dev AS (
+    SELECT event_type, S, N, B, theta,
+           avg(theta) OVER (PARTITION BY event_type) AS tbar
+    FROM loo
+)
+SELECT event_type,
+       round(any_value(S) / any_value(N), 6) AS mean,
+       round(sqrt((any_value(B) - 1.0) / any_value(B)
+                  * sum((theta - tbar) * (theta - tbar))), 6) AS jk_se,
+       CAST(any_value(B) AS BIGINT) AS n_blocks_used
+FROM dev GROUP BY event_type ORDER BY event_type
+"""
+
+
 # Registry order IS the driver's gate order: the driver runs a 50-entry
 # PREFIX against DuckDB at sf0.01 (verified in round 2: CORRECTNESS_r02
 # keys == registry positions 0-49). Ordering policy:
@@ -6174,6 +6268,8 @@ QUERIES = {
     "events_type_transitions": events_type_transitions,
     "events_countmin_types": events_countmin_types,
     "embeddings_pagerank": embeddings_pagerank,
+    "embeddings_knn_triangles": embeddings_knn_triangles,
+    "events_jackknife_mean": events_jackknife_mean,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -6331,4 +6427,6 @@ ORACLE_SQL = {
     "events_type_transitions": TRANSITIONS_SQL,
     "events_countmin_types": COUNTMIN_SQL,
     "embeddings_pagerank": PAGERANK_SQL,
+    "embeddings_knn_triangles": KNN_TRIANGLES_SQL,
+    "events_jackknife_mean": JACKKNIFE_SQL,
 }

@@ -2208,3 +2208,85 @@ class TestPageRank:
                            "dst": [(i + 1) % n for i in range(n)]})
         pr = graph.pagerank(ds_from(df), iters=12).to_pandas()
         np.testing.assert_allclose(pr["pr"].to_numpy(), 1.0 / n, rtol=1e-12)
+
+
+class TestTriangles:
+    """graph.triangle_counts vs an itertools brute force: direction /
+    duplicate invariance, blocking invariance, triangle-free graphs."""
+
+    def test_matches_bruteforce(self, ray_session):
+        import itertools
+
+        from gene_etl_ray.ops import graph
+
+        rng = np.random.RandomState(13)
+        E = sorted(set((int(a), int(b))
+                       for a, b in rng.randint(0, 20, (100, 2)) if a != b))
+        # direction + duplicate noise must not change the result
+        noisy = E + [(b, a) for a, b in E[:30]] + E[:10]
+        df = pd.DataFrame(noisy, columns=["src", "dst"])
+        und = set((min(a, b), max(a, b)) for a, b in E)
+        adj: dict = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        ref: dict = {}
+        for a, b, c in itertools.combinations(sorted(adj), 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for n_ in (a, b, c):
+                    ref[n_] = ref.get(n_, 0) + 1
+        for blocks in (1, 4):
+            got = graph.triangle_counts(
+                rd.from_pandas(df, override_num_blocks=blocks))
+            assert dict(zip(got["node"], got["n_tri"])) == ref
+
+    def test_triangle_free(self, ray_session):
+        from gene_etl_ray.ops import graph
+
+        # even cycle: no triangles
+        n = 8
+        df = pd.DataFrame({"src": list(range(n)),
+                           "dst": [(i + 1) % n for i in range(n)]})
+        got = graph.triangle_counts(ds_from(df))
+        assert len(got) == 0
+        assert list(got.columns) == ["node", "n_tri"]
+
+
+class TestBlockJackknife:
+    """correlate.grouped_block_jackknife vs the direct formula on a
+    hand-held frame; null handling; blocking invariance."""
+
+    @staticmethod
+    def _ref(df, n_blocks):
+        out = []
+        for grp, g in df.dropna(subset=["v"]).groupby("g"):
+            blk = g["id"].to_numpy(dtype=np.int64) % n_blocks
+            s = pd.Series(g["v"].to_numpy()).groupby(blk).sum()
+            n = pd.Series(g["v"].to_numpy()).groupby(blk).count()
+            S, N, B = s.sum(), n.sum(), len(s)
+            theta = (S - s) / (N - n)
+            se = np.sqrt((B - 1) / B * ((theta - theta.mean()) ** 2).sum())
+            out.append((grp, S / N, se, B))
+        return out
+
+    def test_matches_direct(self, ray_session):
+        from gene_etl_ray.ops.correlate import grouped_block_jackknife
+
+        rng = np.random.RandomState(2)
+        df = pd.DataFrame({
+            "g": rng.choice(["x", "y"], 400),
+            "v": rng.randn(400),
+            "id": np.arange(400, dtype=np.int64),
+        })
+        df.loc[5, "v"] = np.nan  # nulls excluded on both sides
+        for blocks in (1, 6):
+            got = grouped_block_jackknife(
+                rd.from_pandas(df, override_num_blocks=blocks),
+                "g", "v", "id", n_blocks=7,
+            )
+            for (grp, m, se, b), row in zip(self._ref(df, 7),
+                                            got.itertuples()):
+                assert row.g == grp
+                assert abs(row.mean - m) < 1e-12
+                assert abs(row.jk_se - se) < 1e-12
+                assert row.n_blocks_used == b
