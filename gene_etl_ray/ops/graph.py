@@ -234,3 +234,83 @@ def triangle_counts(
     out["node"] = out["node"].astype("int64")
     out["n_tri"] = out["n_tri"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
+
+
+def hits(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> ray.data.Dataset:
+    """HITS hubs & authorities (Kleinberg 1999), ``iters`` fixed
+    mutual-recursion rounds with L1 normalization: a(v) = Σ_{u→v} h(u)
+    then a /= Σa; h(u) = Σ_{u→v} a(v) then h /= Σh. Same
+    Dataset-state shape as ``pagerank`` — each half-round is one
+    bucketed join of the opposite vector onto the edges plus one
+    grouped sum, the normalizer is a driver scalar from per-batch
+    partials, and the fixed round count keeps the operator
+    SQL-twinnable by CTE unrolling. Returns (node, hub, authority)."""
+    e = edges.select_columns([src, dst])
+    nodes = _rename(e.select_columns([src]), {src: "node"}).union(
+        _rename(e.select_columns([dst]), {dst: "node"})
+    )
+    nodes = bucketed_group_apply(
+        nodes, ["node"], lambda g: g.drop_duplicates("node")
+    ).materialize()
+    if nodes.count() == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": pd.Series([], dtype=object),
+                          "hub": pd.Series([], dtype="float64"),
+                          "authority": pd.Series([], dtype="float64")})
+        )
+    e = e.materialize()
+
+    def _uniform(name: str) -> ray.data.Dataset:
+        return nodes.map_batches(
+            lambda b, _n=name: b.assign(**{_n: np.ones(len(b))}),
+            batch_format="pandas",
+        ).materialize()
+
+    def _half_round(vec: ray.data.Dataset, vcol: str, join_on: str,
+                    group_to: str, out_col: str) -> ray.data.Dataset:
+        """sum the opposite vector over edges incident via ``join_on``,
+        grouped onto ``group_to``, re-seeded over all nodes, normalized."""
+        contrib = partitioned_join(
+            e, _rename(vec, {"node": "__vnode", vcol: "__v"}),
+            join_on, "__vnode",
+        ).map_batches(
+            lambda b, _g=group_to: pd.DataFrame(
+                {"__gnode": b[_g], "w": b["__v"]}
+            ),
+            batch_format="pandas",
+        )
+        sums = bucketed_group_apply(
+            contrib,
+            ["__gnode"],
+            lambda g: g.groupby("__gnode", as_index=False, sort=False)["w"].sum(),
+        )
+        raw = partitioned_join(nodes, sums, "node", "__gnode", how="left")
+        raw = raw.map_batches(
+            lambda b, _o=out_col: pd.DataFrame(
+                {"node": b["node"],
+                 _o: (b["w"].fillna(0.0) if "w" in b.columns
+                      else np.zeros(len(b)))}
+            ),
+            batch_format="pandas",
+        ).materialize()
+        total = _scalar_sum(raw, out_col)
+        if total == 0.0:
+            return raw
+        return raw.map_batches(
+            lambda b, _o=out_col, _t=total: b.assign(**{_o: b[_o] / _t}),
+            batch_format="pandas",
+        ).materialize()
+
+    hubs = _uniform("hub")
+    auth = _uniform("authority")
+    for _ in range(iters):
+        auth = _half_round(hubs, "hub", src, dst, "authority")
+        hubs = _half_round(auth, "authority", dst, src, "hub")
+    return partitioned_join(
+        hubs, _rename(auth, {"node": "__anode"}), "node", "__anode"
+    ).drop_columns(["__anode"])

@@ -5959,10 +5959,10 @@ def _pagerank_sql(iters: int = 5, k: int = 3, damping: float = 0.85) -> str:
     oracle's unrolled recursion): r0 = uniform, each r_i one
     LEFT-JOINed grouped sum over the kNN edge CTE."""
     head = f"""
-WITH ed AS (
+WITH ed AS MATERIALIZED (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
     FROM embeddings
-), edges AS (
+), edges AS MATERIALIZED (
     SELECT q.vec_id AS src, e.vec_id AS dst
     FROM ed q CROSS JOIN ed e
     WHERE q.vec_id <> e.vec_id
@@ -5970,13 +5970,13 @@ WITH ed AS (
         PARTITION BY q.vec_id
         ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
     ) <= {k}
-), deg AS (
+), deg AS MATERIALIZED (
     SELECT src, count(*) AS outdeg FROM edges GROUP BY src
-), nn AS (SELECT count(*) AS c FROM ed),
-r0 AS (SELECT vec_id AS node, 1.0 / (SELECT c FROM nn) AS pr FROM ed)"""
+), nn AS MATERIALIZED (SELECT count(*) AS c FROM ed),
+r0 AS MATERIALIZED (SELECT vec_id AS node, 1.0 / (SELECT c FROM nn) AS pr FROM ed)"""
     steps = []
     for i in range(1, iters + 1):
-        steps.append(f""", r{i} AS (
+        steps.append(f""", r{i} AS MATERIALIZED (
     SELECT b.node,
            (1 - {damping}) / (SELECT c FROM nn)
            + {damping} * coalesce(s.m, 0) AS pr
@@ -6028,10 +6028,10 @@ WITH ed AS (
         PARTITION BY q.vec_id
         ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
     ) <= 3
-), und AS (
+), und AS MATERIALIZED (
     SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
     FROM edges
-), tri AS (
+), tri AS MATERIALIZED (
     SELECT e1.u AS a, e1.v AS b, e2.v AS c
     FROM und e1
     JOIN und e2 ON e1.v = e2.u
@@ -6091,6 +6091,83 @@ SELECT event_type,
        CAST(any_value(B) AS BIGINT) AS n_blocks_used
 FROM dev GROUP BY event_type ORDER BY event_type
 """
+
+
+def embeddings_hits(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs & authorities over the cosine kNN graph
+    (``graph.hits``, k=3, 3 L1-normalized mutual-recursion rounds):
+    directional centrality — a high-authority vector is one many
+    others choose as a neighbor, a high-hub vector points at
+    high-authority ones. Same Dataset-state iteration shape as
+    ``embeddings_pagerank``; the twin unrolls the mutual recursion."""
+    from gene_etl_ray.ops import graph
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    edges_df = knn.knn_graph(ds, k=3)[["vec_id", "nbr_id"]].rename(
+        columns={"vec_id": "src", "nbr_id": "dst"}
+    )
+    out = graph.hits(ray.data.from_pandas(edges_df), iters=3).to_pandas()
+    out["hub"] = out["hub"].round(6)
+    out["authority"] = out["authority"].round(6)
+    out = out.rename(columns={"node": "vec_id"})
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out[["vec_id", "hub", "authority"]].sort_values(
+        "vec_id"
+    ).reset_index(drop=True)
+
+
+def _hits_sql(iters: int = 3, k: int = 3) -> str:
+    """Unrolled HITS twin: h0 = 1, each round one LEFT-JOINed grouped
+    sum per direction plus an L1-normalizing scalar subquery."""
+    # every CTE is AS MATERIALIZED: each a{i}/h{i} is referenced more
+    # than once (value + L1 normalizer), and without materialization
+    # DuckDB re-inlines the whole upstream chain per reference — the
+    # edge cross-join would be recomputed O(4^iters) times and spill
+    head = f"""
+WITH ed AS MATERIALIZED (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+), edges AS MATERIALIZED (
+    SELECT q.vec_id AS src, e.vec_id AS dst
+    FROM ed q CROSS JOIN ed e
+    WHERE q.vec_id <> e.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
+    ) <= {k}
+), nodes AS MATERIALIZED (
+    SELECT DISTINCT src AS node FROM edges
+    UNION SELECT DISTINCT dst FROM edges
+),
+h0 AS MATERIALIZED (SELECT node, 1.0 AS v FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""", a{i}r AS MATERIALIZED (
+    SELECT n.node, coalesce(s.m, 0) AS v
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(h.v) AS m
+        FROM edges e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst
+    ) s USING (node)
+), a{i} AS MATERIALIZED (
+    SELECT node, v / (SELECT sum(v) FROM a{i}r) AS v FROM a{i}r
+), h{i}r AS MATERIALIZED (
+    SELECT n.node, coalesce(s.m, 0) AS v
+    FROM nodes n LEFT JOIN (
+        SELECT e.src AS node, sum(a.v) AS m
+        FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+    ) s USING (node)
+), h{i} AS MATERIALIZED (
+    SELECT node, v / (SELECT sum(v) FROM h{i}r) AS v FROM h{i}r
+)""")
+    tail = f"""
+SELECT h.node AS vec_id, round(h.v, 6) AS hub, round(a.v, 6) AS authority
+FROM h{iters} h JOIN a{iters} a USING (node)
+ORDER BY vec_id
+"""
+    return head + "".join(steps) + tail
+
+
+HITS_SQL = _hits_sql()
 
 
 # Registry order IS the driver's gate order: the driver runs a 50-entry
@@ -6270,6 +6347,7 @@ QUERIES = {
     "embeddings_pagerank": embeddings_pagerank,
     "embeddings_knn_triangles": embeddings_knn_triangles,
     "events_jackknife_mean": events_jackknife_mean,
+    "embeddings_hits": embeddings_hits,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -6429,4 +6507,5 @@ ORACLE_SQL = {
     "embeddings_pagerank": PAGERANK_SQL,
     "embeddings_knn_triangles": KNN_TRIANGLES_SQL,
     "events_jackknife_mean": JACKKNIFE_SQL,
+    "embeddings_hits": HITS_SQL,
 }

@@ -2290,3 +2290,35 @@ class TestBlockJackknife:
                 assert abs(row.mean - m) < 1e-12
                 assert abs(row.jk_se - se) < 1e-12
                 assert row.n_blocks_used == b
+
+
+class TestHITS:
+    """graph.hits vs dense numpy mutual recursion with L1 norms."""
+
+    def test_matches_dense_reference(self, ray_session):
+        from gene_etl_ray.ops import graph
+
+        rng = np.random.RandomState(5)
+        E = sorted(set((int(a), int(b))
+                       for a, b in rng.randint(0, 15, (60, 2)) if a != b))
+        df = pd.DataFrame(E, columns=["src", "dst"])
+        nodes = sorted(set(df.src) | set(df.dst))
+        idx = {n: i for i, n in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)))
+        for s_, t_ in E:
+            A[idx[s_], idx[t_]] = 1
+        h = np.ones(len(nodes)); a = np.ones(len(nodes))
+        for _ in range(4):
+            a = A.T @ h; a /= a.sum()
+            h = A @ a; h /= h.sum()
+        for blocks in (1, 3):
+            got = graph.hits(
+                rd.from_pandas(df, override_num_blocks=blocks), iters=4
+            ).to_pandas().sort_values("node")
+            order = [idx[n] for n in got["node"]]
+            np.testing.assert_allclose(got["hub"].to_numpy(), h[order],
+                                       rtol=1e-12)
+            np.testing.assert_allclose(got["authority"].to_numpy(), a[order],
+                                       rtol=1e-12)
+            assert abs(got["hub"].sum() - 1) < 1e-9
+            assert abs(got["authority"].sum() - 1) < 1e-9
