@@ -314,3 +314,42 @@ def hits(
     return partitioned_join(
         hubs, _rename(auth, {"node": "__anode"}), "node", "__anode"
     ).drop_columns(["__anode"])
+
+
+def clustering_coefficients(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+) -> pd.DataFrame:
+    """Local clustering coefficient per node: n_tri / C(degree, 2) over
+    the undirected-ized graph — how close each node's neighborhood is
+    to a clique (the structural cohesion signal next to the volume
+    signal of ``triangle_counts``). One triangle pass plus one bucketed
+    degree count; nodes with degree < 2 are excluded (undefined
+    denominator). Returns (node, degree, clustering) as a node-sized
+    frame (same driver-size contract as ``triangle_counts``)."""
+    und = undirected_edges(edges, src, dst).materialize()
+    tri = triangle_counts(und, "u", "v")
+
+    def ends(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({"node": np.concatenate([u, v])})
+
+    deg = bucketed_group_apply(
+        und.map_batches(ends, batch_format="pyarrow"),
+        ["node"],
+        lambda g: g.groupby("node", as_index=False, sort=False)
+        .size()
+        .rename(columns={"size": "degree"}),
+    ).to_pandas()
+    out = deg[deg["degree"] >= 2].merge(tri, on="node", how="left")
+    out["n_tri"] = out["n_tri"].fillna(0).astype("int64")
+    out["degree"] = out["degree"].astype("int64")
+    out["clustering"] = (
+        2.0 * out["n_tri"] / (out["degree"] * (out["degree"] - 1.0))
+    )
+    out["node"] = out["node"].astype("int64")
+    return out[["node", "degree", "clustering"]].sort_values(
+        "node"
+    ).reset_index(drop=True)

@@ -6170,6 +6170,63 @@ ORDER BY vec_id
 HITS_SQL = _hits_sql()
 
 
+def embeddings_clustering_coeff(sf_dir: str) -> pd.DataFrame:
+    """Local clustering coefficient over the undirected-ized cosine kNN
+    graph (``graph.clustering_coefficients``): per-node neighborhood
+    cohesion = 2·n_tri / (deg·(deg−1)), degree ≥ 2 only — one triangle
+    pass plus one bucketed degree count. Twin: the triangle self-join
+    chain plus a degree CTE."""
+    from gene_etl_ray.ops import graph
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    edges_df = knn.knn_graph(ds, k=3)[["vec_id", "nbr_id"]].rename(
+        columns={"vec_id": "src", "nbr_id": "dst"}
+    )
+    out = graph.clustering_coefficients(ray.data.from_pandas(edges_df))
+    out["clustering"] = out["clustering"].round(6)
+    return out.rename(columns={"node": "vec_id"}).reset_index(drop=True)
+
+
+CLUSTERING_SQL = """
+WITH ed AS MATERIALIZED (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+), edges AS MATERIALIZED (
+    SELECT q.vec_id AS src, e.vec_id AS dst
+    FROM ed q CROSS JOIN ed e
+    WHERE q.vec_id <> e.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
+    ) <= 3
+), und AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM edges
+), tri AS MATERIALIZED (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM und e1
+    JOIN und e2 ON e1.v = e2.u
+    JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+), tric AS MATERIALIZED (
+    SELECT node, count(*) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY node
+), deg AS MATERIALIZED (
+    SELECT node, count(*) AS degree FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+    ) GROUP BY node
+)
+SELECT d.node AS vec_id, CAST(d.degree AS BIGINT) AS degree,
+       round(2.0 * coalesce(t.n_tri, 0) / (d.degree * (d.degree - 1.0)), 6)
+           AS clustering
+FROM deg d LEFT JOIN tric t USING (node)
+WHERE d.degree >= 2
+ORDER BY vec_id
+"""
+
+
 # Registry order IS the driver's gate order: the driver runs a 50-entry
 # PREFIX against DuckDB at sf0.01 (verified in round 2: CORRECTNESS_r02
 # keys == registry positions 0-49). Ordering policy:
@@ -6348,6 +6405,7 @@ QUERIES = {
     "embeddings_knn_triangles": embeddings_knn_triangles,
     "events_jackknife_mean": events_jackknife_mean,
     "embeddings_hits": embeddings_hits,
+    "embeddings_clustering_coeff": embeddings_clustering_coeff,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -6508,4 +6566,5 @@ ORACLE_SQL = {
     "embeddings_knn_triangles": KNN_TRIANGLES_SQL,
     "events_jackknife_mean": JACKKNIFE_SQL,
     "embeddings_hits": HITS_SQL,
+    "embeddings_clustering_coeff": CLUSTERING_SQL,
 }

@@ -2322,3 +2322,46 @@ class TestHITS:
                                        rtol=1e-12)
             assert abs(got["hub"].sum() - 1) < 1e-9
             assert abs(got["authority"].sum() - 1) < 1e-9
+
+
+class TestClusteringCoeff:
+    """graph.clustering_coefficients vs a brute-force reference."""
+
+    def test_matches_bruteforce(self, ray_session):
+        import itertools
+
+        from gene_etl_ray.ops import graph
+
+        rng = np.random.RandomState(9)
+        E = sorted(set((int(a), int(b))
+                       for a, b in rng.randint(0, 15, (60, 2)) if a != b))
+        df = pd.DataFrame(E, columns=["src", "dst"])
+        und = set((min(a, b), max(a, b)) for a, b in E)
+        adj: dict = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        ref = {}
+        for n_, nb in adj.items():
+            d = len(nb)
+            if d < 2:
+                continue
+            links = sum(1 for x, y in itertools.combinations(sorted(nb), 2)
+                        if y in adj[x])
+            ref[n_] = (d, 2.0 * links / (d * (d - 1)))
+        got = graph.clustering_coefficients(
+            rd.from_pandas(df, override_num_blocks=3))
+        assert {int(r.node): (int(r.degree), round(r.clustering, 9))
+                for r in got.itertuples()} == {
+            k: (d, round(c, 9)) for k, (d, c) in ref.items()}
+
+    def test_complete_graph_is_one(self, ray_session):
+        import itertools
+
+        from gene_etl_ray.ops import graph
+
+        E = list(itertools.permutations(range(5), 2))
+        df = pd.DataFrame(E, columns=["src", "dst"])
+        got = graph.clustering_coefficients(ds_from(df))
+        assert (got["clustering"] == 1.0).all()
+        assert (got["degree"] == 4).all()
