@@ -42,6 +42,8 @@ def oracle_sql() -> dict[str, str]:
         cdc_oracle_sql,
         cdc_scd2_oracle_sql,
         cdc_since_oracle_sql,
+        csv_events_oracle_sql,
+        jsonl_events_oracle_sql,
     )
 
     d = dict(ORACLE_SQL)
@@ -70,4 +72,8 @@ def oracle_sql() -> dict[str, str]:
     d["cdc_expired_lake"] = cdc_expiry_oracle_sql("/root/testdata/sf0.01")
     # SCD2 audit trail: validity intervals over the same change log
     d["cdc_scd2_history"] = cdc_scd2_oracle_sql("/root/testdata/sf0.01")
+    # source-format parity: the oracle reads the IDENTICAL JSONL/CSV
+    # files the engine reads (builders idempotently derive them)
+    d["events_jsonl_hourly"] = jsonl_events_oracle_sql("/root/testdata/sf0.01")
+    d["events_csv_type_stats"] = csv_events_oracle_sql("/root/testdata/sf0.01")
     return d

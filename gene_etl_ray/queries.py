@@ -6227,6 +6227,123 @@ ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# source-format coverage: the same table served as JSONL and CSV, read
+# with ray.data.read_json / read_csv and gated against DuckDB reading
+# the IDENTICAL file (the oracle twins carry the file path, so they are
+# registered through __ray_entry__.oracle_sql like the CDC oracles)
+# ---------------------------------------------------------------------------
+
+def ensure_events_textfiles(sf_dir: str) -> str:
+    """Idempotently derive JSONL + CSV copies of the events table under
+    a deterministic scratch dir (atomic tmp+rename; parquet row order;
+    ts as int64 epoch-µs so neither format's timestamp parser is in the
+    comparison loop). Returns the directory."""
+    import json
+
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join("/tmp/gene_etl_ray_src", sfname)
+    jpath = os.path.join(out_dir, "events.jsonl")
+    cpath = os.path.join(out_dir, "events.csv")
+    if os.path.exists(jpath) and os.path.exists(cpath):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+    df = t.to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")
+    df = df[["event_id", "user_id", "event_type", "ts_us", "value"]]
+    tmp = jpath + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        for r in df.itertuples(index=False):
+            f.write(json.dumps(
+                {"event_id": int(r.event_id), "user_id": int(r.user_id),
+                 "event_type": r.event_type, "ts_us": int(r.ts_us),
+                 "value": float(r.value)}) + "\n")
+    os.replace(tmp, jpath)
+    tmp = cpath + f".tmp{os.getpid()}"
+    df.to_csv(tmp, index=False)
+    os.replace(tmp, cpath)
+    return out_dir
+
+
+def events_jsonl_hourly(sf_dir: str) -> pd.DataFrame:
+    """Hourly per-type counts/sums computed from a JSONL serving of the
+    events table (``ray.data.read_json`` — line-delimited, Arrow json
+    reader under the hood): source-format parity with the parquet path.
+    The oracle reads the SAME file via DuckDB ``read_json_auto``."""
+    d = ensure_events_textfiles(sf_dir)
+    ds = ray.data.read_json(os.path.join(d, "events.jsonl"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        hour = pc.divide(t.column("ts_us"), pa.scalar(_HOUR_US, pa.int64()))
+        return pa.table({"event_type": t.column("event_type"),
+                         "hour": hour, "value": t.column("value")})
+
+    out = grouped_aggregate_partial(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hour"], {"sum_value": "value"}, counts="n",
+    )
+    out["n"] = out["n"].astype("int64")
+    out["hour"] = out["hour"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(6)
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def jsonl_events_oracle_sql(sf_dir: str) -> str:
+    d = ensure_events_textfiles(sf_dir)
+    return f"""
+SELECT event_type, CAST(ts_us // {_HOUR_US} AS BIGINT) AS hour,
+       round(sum(value), 6) AS sum_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM read_json_auto('{d}/events.jsonl')
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_csv_type_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-type count / mean / min / max of ``value`` computed from a
+    CSV serving of the events table (``ray.data.read_csv`` — Arrow csv
+    reader): the second source-format parity check. The oracle reads
+    the SAME file via DuckDB ``read_csv_auto``."""
+    d = ensure_events_textfiles(sf_dir)
+    ds = ray.data.read_csv(os.path.join(d, "events.csv"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("event_type", as_index=False, sort=False)
+        out = g.agg(s=("value", "sum"), n=("value", "count"),
+                    mn=("value", "min"), mx=("value", "max"))
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+    res = pd.DataFrame({
+        "event_type": out["event_type"],
+        "n": out["n"].astype("int64"),
+        "mean_value": (out["s"] / out["n"]).round(6),
+        "min_value": out["mn"].round(6),
+        "max_value": out["mx"].round(6),
+    })
+    return res.sort_values("event_type").reset_index(drop=True)
+
+
+def csv_events_oracle_sql(sf_dir: str) -> str:
+    d = ensure_events_textfiles(sf_dir)
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 6) AS mean_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM read_csv_auto('{d}/events.csv')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registry order IS the driver's gate order: the driver runs a 50-entry
 # PREFIX against DuckDB at sf0.01 (verified in round 2: CORRECTNESS_r02
 # keys == registry positions 0-49). Ordering policy:
@@ -6406,6 +6523,8 @@ QUERIES = {
     "events_jackknife_mean": events_jackknife_mean,
     "embeddings_hits": embeddings_hits,
     "embeddings_clustering_coeff": embeddings_clustering_coeff,
+    "events_jsonl_hourly": events_jsonl_hourly,
+    "events_csv_type_stats": events_csv_type_stats,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,

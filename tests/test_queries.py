@@ -284,3 +284,23 @@ def test_cdc_scd2_history_matches_duckdb_oracle():
     a = ray_df.sort_values(["url", "valid_from", "seq"]).reset_index(drop=True)
     b = sql_df.sort_values(["url", "valid_from", "seq"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+@pytest.mark.parametrize(
+    "name,builder",
+    [("events_jsonl_hourly", "jsonl_events_oracle_sql"),
+     ("events_csv_type_stats", "csv_events_oracle_sql")],
+)
+def test_textfile_sources_match_duckdb_oracle(name, builder):
+    """Source-format parity: ray.data.read_json / read_csv over the
+    derived JSONL/CSV servings vs DuckDB reading the IDENTICAL file
+    (path-carrying oracles, registered via __ray_entry__ like CDC)."""
+    import duckdb
+
+    ray_df = normalize(to_df(Q.QUERIES[name](SF)))
+    sql_df = normalize(
+        duckdb.connect().execute(getattr(Q, builder)(SF)).fetchdf()
+    )
+    assert len(ray_df) == len(sql_df) > 0
+    assert list(ray_df.columns) == list(sql_df.columns)
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False)
