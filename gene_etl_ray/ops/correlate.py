@@ -668,9 +668,12 @@ def grouped_block_jackknife(
     agg["theta"] = (agg["S"] - agg["s"]) / (agg["N"] - agg["n"])
     agg["tbar"] = agg.groupby(group_col)["theta"].transform("mean")
     dev2 = (agg["theta"] - agg["tbar"]) ** 2
+    # skipna=False: a single-block group has theta = 0/0 = NaN and the
+    # SQL twin's sum over an all-NULL partition is NULL — propagate NaN
+    # instead of silently reporting jk_se = 0.0
     out = agg.assign(__d2=dev2).groupby(group_col, as_index=False).agg(
         S=("S", "first"), N=("N", "first"), B=("B", "first"),
-        ssd=("__d2", "sum"),
+        ssd=("__d2", lambda x: x.sum(skipna=False)),
     )
     out["mean"] = out["S"] / out["N"]
     out["jk_se"] = np.sqrt((out["B"] - 1.0) / out["B"] * out["ssd"])

@@ -168,6 +168,16 @@ def undirected_edges(
     def canon(t: pa.Table) -> pa.Table:
         a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
         b = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        # the triangle closure packs (a,c) as a*2^32+c — enforce the
+        # id range that packing relies on LOUDLY instead of wrapping
+        if len(a):
+            lo = min(a.min(), b.min()) if len(b) else a.min()
+            hi = max(a.max(), b.max()) if len(b) else a.max()
+            if lo < 0 or hi >= (1 << 32):
+                raise ValueError(
+                    "graph ops require node ids in [0, 2^32): got "
+                    f"[{lo}, {hi}] — remap ids (e.g. dense-rank) first"
+                )
         m = a != b
         a, b = a[m], b[m]
         return pa.table({"u": np.minimum(a, b), "v": np.maximum(a, b)})
@@ -182,6 +192,7 @@ def triangle_counts(
     edges: ray.data.Dataset,
     src: str = "src",
     dst: str = "dst",
+    canonical: bool = False,
 ) -> pd.DataFrame:
     """Per-node triangle participation counts over the undirected-ized
     edge list — the compact-forward (node-ordered) triangle algorithm
@@ -193,7 +204,14 @@ def triangle_counts(
     triangle counts pre-order by degree; no all-pairs pass, no driver
     gather of the edge set. Returns (node, n_tri) for nodes in ≥1
     triangle."""
-    und = undirected_edges(edges, src, dst).materialize()
+    if canonical:
+        # caller guarantees canonical (u<v, distinct, range-checked)
+        # edges — e.g. clustering_coefficients reusing its own und set —
+        # so skip the second canonicalization shuffle
+        und = _rename(edges.select_columns([src, dst]),
+                      {src: "u", dst: "v"}).materialize()
+    else:
+        und = undirected_edges(edges, src, dst).materialize()
     M = np.int64(1) << np.int64(32)
 
     wedges = partitioned_join(
@@ -329,7 +347,7 @@ def clustering_coefficients(
     denominator). Returns (node, degree, clustering) as a node-sized
     frame (same driver-size contract as ``triangle_counts``)."""
     und = undirected_edges(edges, src, dst).materialize()
-    tri = triangle_counts(und, "u", "v")
+    tri = triangle_counts(und, "u", "v", canonical=True)
 
     def ends(t: pa.Table) -> pa.Table:
         u = t.column("u").to_numpy(zero_copy_only=False)

@@ -1859,7 +1859,9 @@ def transition_counts(
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, ts_col, tiebreak], kind="mergesort")
         nxt = g.groupby(key, sort=False)[item_col].shift(-1)
-        m = nxt.notna().to_numpy()
+        # a null item forms no transition on EITHER side of the pair
+        # (the SQL twin filters both prev and next NULLs the same way)
+        m = (nxt.notna() & g[item_col].notna()).to_numpy()
         pairs = pd.DataFrame(
             {"prev_item": g[item_col].to_numpy()[m], "next_item": nxt.to_numpy()[m]}
         )

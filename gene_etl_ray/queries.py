@@ -5900,7 +5900,7 @@ SELECT event_type AS prev_type, next_type,
        CAST(count(*) AS BIGINT) AS n,
        round(count(*) * 1.0 /
              sum(count(*)) OVER (PARTITION BY event_type), 6) AS prob
-FROM seq WHERE next_type IS NOT NULL
+FROM seq WHERE next_type IS NOT NULL AND event_type IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -6245,7 +6245,17 @@ def ensure_events_textfiles(sf_dir: str) -> str:
     out_dir = os.path.join("/tmp/gene_etl_ray_src", sfname)
     jpath = os.path.join(out_dir, "events.jsonl")
     cpath = os.path.join(out_dir, "events.csv")
-    if os.path.exists(jpath) and os.path.exists(cpath):
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    marker = os.path.join(out_dir, "_src_stamp")
+    fresh = False
+    try:
+        with open(marker) as f:
+            fresh = f.read() == stamp
+    except OSError:
+        pass
+    if fresh and os.path.exists(jpath) and os.path.exists(cpath):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     import pyarrow.parquet as pq
@@ -6260,14 +6270,22 @@ def ensure_events_textfiles(sf_dir: str) -> str:
     tmp = jpath + f".tmp{os.getpid()}"
     with open(tmp, "w") as f:
         for r in df.itertuples(index=False):
+            v = float(r.value)
             f.write(json.dumps(
                 {"event_id": int(r.event_id), "user_id": int(r.user_id),
                  "event_type": r.event_type, "ts_us": int(r.ts_us),
-                 "value": float(r.value)}) + "\n")
+                 # json.dumps would emit the bare token NaN (invalid
+                 # JSON) for a null value — write JSON null like the
+                 # CSV path's empty field
+                 "value": None if v != v else v}) + "\n")
     os.replace(tmp, jpath)
     tmp = cpath + f".tmp{os.getpid()}"
     df.to_csv(tmp, index=False)
     os.replace(tmp, cpath)
+    tmp = marker + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(stamp)
+    os.replace(tmp, marker)
     return out_dir
 
 

@@ -2365,3 +2365,71 @@ class TestClusteringCoeff:
         got = graph.clustering_coefficients(ds_from(df))
         assert (got["clustering"] == 1.0).all()
         assert (got["degree"] == 4).all()
+
+
+class TestSession4ReviewRegressions:
+    """Pins for the session-4 review findings: jackknife single-block
+    NaN parity, null transition items, graph id-range guard, JSONL null
+    serialization + stale-cache regeneration."""
+
+    def test_jackknife_single_block_is_nan(self, ray_session):
+        from gene_etl_ray.ops.correlate import grouped_block_jackknife
+
+        # group 'solo' has every id ≡ 0 (mod 4): one populated block →
+        # theta = 0/0; SQL sums an all-NULL partition to NULL, so the
+        # engine must report NaN, not 0.0
+        df = pd.DataFrame({
+            "g": ["solo"] * 3 + ["multi"] * 4,
+            "v": [1.0, 2.0, 3.0, 1.0, 2.0, 3.0, 4.0],
+            "id": [0, 4, 8, 0, 1, 2, 3],
+        })
+        out = grouped_block_jackknife(ds_from(df), "g", "v", "id", n_blocks=4)
+        solo = out[out["g"] == "solo"].iloc[0]
+        multi = out[out["g"] == "multi"].iloc[0]
+        assert np.isnan(solo.jk_se) and solo.n_blocks_used == 1
+        assert np.isfinite(multi.jk_se) and multi.n_blocks_used == 4
+
+    def test_transitions_null_items_form_no_transition(self, ray_session):
+        df = pd.DataFrame({
+            "k": [1, 1, 1],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"]),
+            "item": ["x", None, "y"],
+            "tb": [1, 2, 3],
+        })
+        out = relational.transition_counts(ds_from(df), "k", "ts", "item", "tb")
+        # x→NULL and NULL→y both dropped; no x→y fabricated either
+        assert len(out) == 0
+
+    def test_graph_id_range_guard(self, ray_session):
+        from gene_etl_ray.ops import graph
+
+        df = pd.DataFrame({"src": [1 << 33, 0], "dst": [0, 1]})
+        with pytest.raises(Exception, match="ids in \\[0, 2\\^32\\)"):
+            graph.triangle_counts(ds_from(df))
+
+    def test_jsonl_null_value_roundtrip(self, ray_session, tmp_path):
+        import json
+
+        import gene_etl_ray.queries as Q
+
+        sf = tmp_path / "sfx"
+        sf.mkdir()
+        df = pd.DataFrame({
+            "event_id": [1, 2], "user_id": [10, 20],
+            "event_type": ["a", "b"],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+            "value": [1.5, np.nan],
+        })
+        df.to_parquet(sf / "events.parquet")
+        d = Q.ensure_events_textfiles(str(sf))
+        lines = [json.loads(ln) for ln in open(f"{d}/events.jsonl")]
+        assert lines[1]["value"] is None  # JSON null, not bare NaN
+        # Arrow json reader parses the file (would raise on bare NaN)
+        t = rd.read_json(f"{d}/events.jsonl").to_pandas()
+        assert np.isnan(t["value"].iloc[1])
+        # stale-cache regeneration: rewrite the parquet → cache refreshes
+        df2 = df.assign(value=[9.0, 9.0])
+        df2.to_parquet(sf / "events.parquet")
+        d2 = Q.ensure_events_textfiles(str(sf))
+        lines2 = [json.loads(ln) for ln in open(f"{d2}/events.jsonl")]
+        assert lines2[0]["value"] == 9.0
