@@ -371,3 +371,68 @@ def clustering_coefficients(
     return out[["node", "degree", "clustering"]].sort_values(
         "node"
     ).reset_index(drop=True)
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+) -> pd.DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) made DETERMINISTIC: labels start as node ids; each
+    round every node takes the most frequent label among its
+    (undirected) neighbors, ties broken by the smallest label; a fixed
+    round count replaces convergence detection. Determinism + fixed
+    rounds is exactly what makes the op twin-able by CTE unrolling —
+    the classic formulation's random visit order is not.
+
+    Shape per round: one bucketed join of the label vector onto the
+    symmetrized edge list, then one node-bucketed count+argmax (a
+    node's whole neighbor-label multiset co-locates in its bucket, so
+    the argmax is globally exact). Labels are a Dataset; the driver
+    only counts rounds. Returns (node, community) as a node-sized
+    frame."""
+    und = undirected_edges(edges, src, dst)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({"node": np.concatenate([u, v]),
+                         "nbr": np.concatenate([v, u])})
+
+    sym = und.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    nodes = bucketed_group_apply(
+        sym.select_columns(["node"]), ["node"],
+        lambda g: g.drop_duplicates("node"),
+    ).materialize()
+
+    labels = nodes.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"], "label": b["node"]}),
+        batch_format="pandas",
+    ).materialize()
+
+    def argmax_label(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby(["node", "__lbl"], as_index=False, sort=False).size()
+        cnt = cnt.sort_values(["node", "size", "__lbl"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        top = cnt.drop_duplicates("node")
+        return pd.DataFrame({"node": top["node"], "label": top["__lbl"]})
+
+    for _ in range(iters):
+        nbr_lbl = partitioned_join(
+            sym, _rename(labels, {"node": "__lnode", "label": "__lbl"}),
+            "nbr", "__lnode",
+        ).map_batches(
+            lambda b: b[["node", "__lbl"]], batch_format="pandas"
+        )
+        labels = bucketed_group_apply(
+            nbr_lbl, ["node"], argmax_label
+        ).materialize()
+
+    out = labels.to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["community"] = out["label"].astype("int64")
+    return out[["node", "community"]].sort_values("node").reset_index(drop=True)

@@ -6227,6 +6227,69 @@ ORDER BY vec_id
 """
 
 
+def embeddings_communities(sf_dir: str) -> pd.DataFrame:
+    """Community detection over the cosine kNN graph by DETERMINISTIC
+    synchronous label propagation (``graph.label_propagation``, 4
+    rounds, most-frequent-neighbor-label with min-label ties): the
+    similarity-cluster signal one level above connected components.
+    Fixed rounds + deterministic ties are what make the twin an
+    unrolled-CTE recomputation (the classic random-order LPA is not
+    oracle-able)."""
+    from gene_etl_ray.ops import graph
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    edges_df = knn.knn_graph(ds, k=3)[["vec_id", "nbr_id"]].rename(
+        columns={"vec_id": "src", "nbr_id": "dst"}
+    )
+    out = graph.label_propagation(ray.data.from_pandas(edges_df), iters=4)
+    return out.rename(columns={"node": "vec_id"}).reset_index(drop=True)
+
+
+def _lpa_sql(iters: int = 4, k: int = 3) -> str:
+    """Unrolled label-propagation twin: per round one grouped count of
+    neighbor labels with a (count DESC, label ASC) row_number argmax."""
+    head = f"""
+WITH ed AS MATERIALIZED (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+), edges AS MATERIALIZED (
+    SELECT q.vec_id AS src, e.vec_id AS dst
+    FROM ed q CROSS JOIN ed e
+    WHERE q.vec_id <> e.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
+    ) <= {k}
+), und AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM edges
+), sym AS MATERIALIZED (
+    SELECT u AS node, v AS nbr FROM und
+    UNION ALL SELECT v, u FROM und
+),
+l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM sym)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""", l{i} AS MATERIALIZED (
+    SELECT node, label FROM (
+        SELECT s.node, l.label,
+               row_number() OVER (
+                   PARTITION BY s.node ORDER BY count(*) DESC, l.label
+               ) AS rn
+        FROM sym s JOIN l{i - 1} l ON s.nbr = l.node
+        GROUP BY s.node, l.label
+    ) WHERE rn = 1
+)""")
+    tail = f"""
+SELECT node AS vec_id, CAST(label AS BIGINT) AS community
+FROM l{iters} ORDER BY vec_id
+"""
+    return head + "".join(steps) + tail
+
+
+LPA_SQL = _lpa_sql()
+
+
 # ---------------------------------------------------------------------------
 # source-format coverage: the same table served as JSONL and CSV, read
 # with ray.data.read_json / read_csv and gated against DuckDB reading
@@ -6543,6 +6606,7 @@ QUERIES = {
     "embeddings_clustering_coeff": embeddings_clustering_coeff,
     "events_jsonl_hourly": events_jsonl_hourly,
     "events_csv_type_stats": events_csv_type_stats,
+    "embeddings_communities": embeddings_communities,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -6704,4 +6768,5 @@ ORACLE_SQL = {
     "events_jackknife_mean": JACKKNIFE_SQL,
     "embeddings_hits": HITS_SQL,
     "embeddings_clustering_coeff": CLUSTERING_SQL,
+    "embeddings_communities": LPA_SQL,
 }

@@ -2433,3 +2433,49 @@ class TestSession4ReviewRegressions:
         d2 = Q.ensure_events_textfiles(str(sf))
         lines2 = [json.loads(ln) for ln in open(f"{d2}/events.jsonl")]
         assert lines2[0]["value"] == 9.0
+
+
+class TestLabelPropagation:
+    """graph.label_propagation vs a synchronous Counter reference:
+    two-clique split, blocking invariance, deterministic ties."""
+
+    def test_two_cliques_split(self, ray_session):
+        import itertools
+
+        from gene_etl_ray.ops import graph
+
+        E = [(a, b) for a, b in itertools.permutations(range(5), 2)]
+        E += [(a + 5, b + 5) for a, b in itertools.permutations(range(5), 2)]
+        E += [(4, 5)]  # one bridge must not merge the communities
+        df = pd.DataFrame(E, columns=["src", "dst"])
+        for blocks in (1, 3):
+            out = graph.label_propagation(
+                rd.from_pandas(df, override_num_blocks=blocks), iters=4)
+            comm = out.groupby("community")["node"].apply(
+                lambda s: tuple(sorted(s))).tolist()
+            assert sorted(comm) == [(0, 1, 2, 3, 4), (5, 6, 7, 8, 9)]
+
+    def test_matches_synchronous_reference(self, ray_session):
+        from collections import Counter
+
+        from gene_etl_ray.ops import graph
+
+        rng = np.random.RandomState(21)
+        E = sorted(set((int(a), int(b))
+                       for a, b in rng.randint(0, 25, (80, 2)) if a != b))
+        df = pd.DataFrame(E, columns=["src", "dst"])
+        und = set((min(a, b), max(a, b)) for a, b in E)
+        adj: dict = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        lbl = {n: n for n in adj}
+        for _ in range(3):
+            lbl = {
+                n: sorted(Counter(lbl[x] for x in nb).items(),
+                          key=lambda kv: (-kv[1], kv[0]))[0][0]
+                for n, nb in adj.items()
+            }
+        got = graph.label_propagation(ds_from(df), iters=3)
+        assert dict(zip(got["node"], got["community"])) == {
+            n: lbl[n] for n in sorted(adj)}
