@@ -2586,6 +2586,7 @@ def export_lake(
     columns: list[str] | None = None,
     live_only: bool = True,
     resume: bool = True,
+    fmt: str = "parquet",
 ) -> dict:
     """RESUMABLE partitioned export of the live view: one output
     directory per lake partition, the file named by the partition's
@@ -2608,7 +2609,12 @@ def export_lake(
     re-exports rather than silently mixing views. Reference analog: the
     paginated Parquet archival export (``io.py:289-335``), made
     shard-resumable; the plain streaming export stays available as
-    ``read_lake(...).write_parquet`` for one-shot runs."""
+    ``read_lake(...).write_parquet`` for one-shot runs.
+
+    ``fmt="jsonl"`` writes line-delimited JSON shards instead (the
+    format training-data consumers actually read): same epoch-named
+    resume contract, timestamps ISO-encoded; the format is folded into
+    the params tag so a format switch re-exports rather than mixing."""
     from gene_etl_ray.state.manifest import read_manifest
 
     meta = read_lake_meta(lake_dir)
@@ -2617,8 +2623,11 @@ def export_lake(
     mor = meta.get("merge_mode") == "mor"
     schema_hex = meta["schema_hex"]
     files_by_part = current_files(lake_dir)
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"export_lake: unknown fmt {fmt!r}")
     params_tag = hashlib.sha256(
-        json.dumps([sorted(columns) if columns else None, bool(live_only)]).encode()
+        json.dumps([sorted(columns) if columns else None, bool(live_only),
+                    fmt]).encode()
     ).hexdigest()[:8]
     os.makedirs(out_dir, exist_ok=True)
 
@@ -2654,12 +2663,18 @@ def export_lake(
         pdir = os.path.join(out_dir, f"part={k:05d}")
         os.makedirs(pdir, exist_ok=True)
         dest = os.path.join(
-            pdir, f"data.epoch={epoch:05d}.params={params_tag}.parquet"
+            pdir, f"data.epoch={epoch:05d}.params={params_tag}.{fmt}"
         )
         tmp = os.path.join(
-            pdir, f".tmp-data.epoch={epoch:05d}.{os.getpid()}.parquet"
+            pdir, f".tmp-data.epoch={epoch:05d}.{os.getpid()}.{fmt}"
         )
-        pq.write_table(t, tmp)
+        if fmt == "jsonl":
+            t.to_pandas().to_json(
+                tmp, orient="records", lines=True,
+                date_format="iso", date_unit="us", default_handler=str,
+            )
+        else:
+            pq.write_table(t, tmp)
         os.replace(tmp, dest)
         # GC superseded epochs + orphan tmps only AFTER the new file is live
         for n in os.listdir(pdir):
@@ -2684,7 +2699,7 @@ def export_lake(
         dest = os.path.join(
             out_dir,
             f"part={k:05d}",
-            f"data.epoch={epoch:05d}.params={params_tag}.parquet",
+            f"data.epoch={epoch:05d}.params={params_tag}.{fmt}",
         )
         if resume and os.path.exists(dest):
             skipped += 1

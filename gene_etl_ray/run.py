@@ -116,6 +116,8 @@ def cmd_export(args) -> int:
                 raise SystemExit(
                     f"unknown columns: {unknown}; lake has {sorted(known)}"
                 )
+    if args.format != "parquet" and not args.resumable:
+        raise SystemExit("--format jsonl requires --resumable")
     if args.resumable:
         if args.asof is not None or args.since or args.until:
             raise SystemExit(
@@ -127,6 +129,7 @@ def cmd_export(args) -> int:
         rep = export_lake(
             args.lake, args.out, columns=cols,
             live_only=not args.include_tombstones,
+            fmt=args.format,
         )
         print(json.dumps({"out": args.out, **rep}))
         return 0
@@ -444,6 +447,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated column subset (pruned at the read)")
     pe.add_argument("--count", action="store_true",
                     help="also report the row count (extra pass over the lake)")
+    pe.add_argument("--format", choices=("parquet", "jsonl"),
+                    default="parquet",
+                    help="resumable-export shard format (jsonl = the "
+                         "line-delimited form training-data consumers "
+                         "read; requires --resumable)")
     pe.add_argument("--resumable", action="store_true",
                     help="partitioned resumable export: one epoch-named file "
                          "per lake partition, re-runs skip finished partitions "

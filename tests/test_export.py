@@ -149,3 +149,39 @@ def test_column_subset_export(tmp_path, ray_session):
         .to_pandas().sort_values("url").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_jsonl_export_equals_live_view(tmp_path, ray_session):
+    """fmt="jsonl": line-delimited shards equal the live view (ISO
+    timestamps re-parsed), resume is a no-op, and a format switch
+    re-exports under its own params tag rather than mixing."""
+    ev, lake, out = (str(tmp_path / "wal"), str(tmp_path / "lake"),
+                     str(tmp_path / "out"))
+    generate_events(ev, n_urls=60, n_epochs=2, seed=48)
+    run_ingest(EngineConfig(lake_dir=lake), ev)
+    rep = export_lake(lake, out, fmt="jsonl")
+    assert rep["exported"] > 0
+    files = sorted(glob.glob(os.path.join(out, "part=*", "data.epoch=*.jsonl")))
+    assert len(files) == rep["exported"]
+    got = pd.concat(
+        [pd.read_json(f, lines=True) for f in files], ignore_index=True
+    ).sort_values("url").reset_index(drop=True)
+    want = _live(lake)
+    assert got["url"].tolist() == want["url"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
+    got_ts = pd.to_datetime(got["warc_ts"]).dt.tz_localize(None)
+    assert (got_ts == want["warc_ts"]).all()
+    # resume no-op
+    rep2 = export_lake(lake, out, fmt="jsonl")
+    assert rep2["exported"] == 0 and rep2["skipped"] == rep["exported"]
+    # switching format re-exports (params tag covers fmt)
+    rep3 = export_lake(lake, out, fmt="parquet")
+    assert rep3["exported"] == rep["exported"]
+
+
+def test_jsonl_export_unknown_fmt_rejected(tmp_path, ray_session):
+    ev, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    generate_events(ev, n_urls=10, n_epochs=1, seed=49)
+    run_ingest(EngineConfig(lake_dir=lake), ev)
+    with pytest.raises(ValueError, match="unknown fmt"):
+        export_lake(lake, str(tmp_path / "o"), fmt="csvx")
