@@ -1882,3 +1882,51 @@ def transition_counts(
     out["n"] = out["n"].astype("int64")
     out["prob"] = out["n"] / out.groupby("prev_item")["n"].transform("sum")
     return out.sort_values(["prev_item", "next_item"]).reset_index(drop=True)
+
+
+def skew_report(
+    ds: ray.data.Dataset,
+    id_col: str,
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Partition-skew diagnostic for a prospective shuffle key: bucket
+    rows by ``id_col % n_buckets`` (deterministic AND SQL-expressible —
+    the engine's internal siphash buckets are not, and the diagnostic's
+    job is the distribution's SHAPE, which any uniform-ish bucketing
+    exposes), then summarize the bucket-size distribution: row count,
+    occupied buckets, the heaviest bucket's share, and the Gini
+    coefficient of bucket sizes (0 = perfectly even shuffle, →1 = one
+    straggler task does everything). The numbers that decide whether a
+    key needs salting (``partitioned_join hot_keys`` /
+    ``ingest``'s hot-domain salting) BEFORE the expensive shuffle runs.
+    One pass of tiny per-batch partials; the driver folds ``n_buckets``
+    integers."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        blk = b[id_col].to_numpy(dtype=np.int64) % n_buckets
+        u, c = np.unique(blk, return_counts=True)
+        return pd.DataFrame({"b": u, "c": c})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    if len(parts):
+        np.add.at(counts, parts["b"].to_numpy(), parts["c"].to_numpy())
+    n = int(counts.sum())
+    occupied = int((counts > 0).sum())
+    if n == 0:
+        return pd.DataFrame({"n_rows": pd.array([0], dtype="int64"),
+                             "n_buckets_occupied": pd.array([0], dtype="int64"),
+                             "max_share": [float("nan")],
+                             "gini": [float("nan")]})
+    x = np.sort(counts.astype(np.float64))
+    m = float(n_buckets)
+    # standard sorted-rank Gini over ALL n_buckets cells (empties count:
+    # an empty bucket IS skew for the shuffle)
+    gini = float((2.0 * np.sum(np.arange(1, n_buckets + 1) * x))
+                 / (m * x.sum()) - (m + 1.0) / m)
+    return pd.DataFrame({
+        "n_rows": pd.array([n], dtype="int64"),
+        "n_buckets_occupied": pd.array([occupied], dtype="int64"),
+        "max_share": [float(counts.max()) / n],
+        "gini": [gini],
+    })

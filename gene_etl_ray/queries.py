@@ -6290,6 +6290,39 @@ FROM l{iters} ORDER BY vec_id
 LPA_SQL = _lpa_sql()
 
 
+def events_skew_report(sf_dir: str) -> pd.DataFrame:
+    """Shuffle-key skew diagnostic (``relational.skew_report``): bucket
+    events by ``user_id % 64``, report row count / occupied buckets /
+    heaviest-bucket share / Gini of bucket sizes — the pre-shuffle
+    numbers that decide whether a key needs salting. One pass of
+    per-batch partials; 64 integers fold on the driver."""
+    ds = read(sf_dir, "events", ["user_id"])
+    out = relational.skew_report(ds, "user_id", n_buckets=64)
+    out["max_share"] = out["max_share"].round(6)
+    out["gini"] = out["gini"].round(6)
+    return out
+
+
+SKEW_SQL = """
+WITH cells AS (
+    SELECT g.b, coalesce(c.cnt, 0) AS cnt
+    FROM (SELECT unnest(generate_series(0, 63)) AS b) g
+    LEFT JOIN (
+        SELECT user_id % 64 AS b, count(*) AS cnt FROM events GROUP BY 1
+    ) c USING (b)
+), ranked AS (
+    SELECT cnt, row_number() OVER (ORDER BY cnt, b) AS r FROM cells
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE cnt > 0) AS BIGINT)
+           AS n_buckets_occupied,
+       round(max(cnt) * 1.0 / sum(cnt), 6) AS max_share,
+       round(2.0 * sum(r * cnt) / (64.0 * sum(cnt)) - 65.0 / 64.0, 6)
+           AS gini
+FROM ranked
+"""
+
+
 # ---------------------------------------------------------------------------
 # source-format coverage: the same table served as JSONL and CSV, read
 # with ray.data.read_json / read_csv and gated against DuckDB reading
@@ -6607,6 +6640,7 @@ QUERIES = {
     "events_jsonl_hourly": events_jsonl_hourly,
     "events_csv_type_stats": events_csv_type_stats,
     "embeddings_communities": embeddings_communities,
+    "events_skew_report": events_skew_report,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -6769,4 +6803,5 @@ ORACLE_SQL = {
     "embeddings_hits": HITS_SQL,
     "embeddings_clustering_coeff": CLUSTERING_SQL,
     "embeddings_communities": LPA_SQL,
+    "events_skew_report": SKEW_SQL,
 }

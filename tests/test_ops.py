@@ -2479,3 +2479,42 @@ class TestLabelPropagation:
         got = graph.label_propagation(ds_from(df), iters=3)
         assert dict(zip(got["node"], got["community"])) == {
             n: lbl[n] for n in sorted(adj)}
+
+
+class TestSkewReport:
+    """relational.skew_report: uniform vs degenerate distributions,
+    Gini formula against a direct computation, blocking invariance."""
+
+    def test_uniform_and_degenerate(self, ray_session):
+        # perfectly even: one row per bucket → gini 0, max_share 1/B
+        df = pd.DataFrame({"id": np.arange(64, dtype=np.int64)})
+        out = relational.skew_report(ds_from(df), "id", n_buckets=64)
+        assert out["gini"].iloc[0] == pytest.approx(0.0, abs=1e-12)
+        assert out["max_share"].iloc[0] == pytest.approx(1 / 64)
+        assert out["n_buckets_occupied"].iloc[0] == 64
+        # degenerate: every row in one bucket → gini → (B-1)/B
+        df = pd.DataFrame({"id": np.zeros(1000, dtype=np.int64)})
+        out = relational.skew_report(ds_from(df), "id", n_buckets=64)
+        assert out["gini"].iloc[0] == pytest.approx(63 / 64, abs=1e-12)
+        assert out["max_share"].iloc[0] == 1.0
+        assert out["n_buckets_occupied"].iloc[0] == 1
+
+    def test_matches_direct_formula(self, ray_session):
+        rng = np.random.RandomState(3)
+        ids = rng.zipf(1.3, 5000).astype(np.int64)
+        for blocks in (1, 5):
+            out = relational.skew_report(
+                rd.from_pandas(pd.DataFrame({"id": ids}),
+                               override_num_blocks=blocks),
+                "id", n_buckets=32)
+            counts = np.bincount(ids % 32, minlength=32).astype(np.float64)
+            x = np.sort(counts)
+            g = 2 * np.sum(np.arange(1, 33) * x) / (32 * x.sum()) - 33 / 32
+            assert out["gini"].iloc[0] == pytest.approx(g, abs=1e-12)
+            assert out["n_rows"].iloc[0] == 5000
+
+    def test_empty(self, ray_session):
+        out = relational.skew_report(
+            ds_from(pd.DataFrame({"id": pd.array([], dtype="int64")})),
+            "id")
+        assert out["n_rows"].iloc[0] == 0 and np.isnan(out["gini"].iloc[0])
