@@ -6303,7 +6303,7 @@ def events_skew_report(sf_dir: str) -> pd.DataFrame:
     return out
 
 
-SKEW_SQL = """
+SKEW_REPORT_SQL = """
 WITH cells AS (
     SELECT g.b, coalesce(c.cnt, 0) AS cnt
     FROM (SELECT unnest(generate_series(0, 63)) AS b) g
@@ -6803,5 +6803,5 @@ ORACLE_SQL = {
     "embeddings_hits": HITS_SQL,
     "embeddings_clustering_coeff": CLUSTERING_SQL,
     "embeddings_communities": LPA_SQL,
-    "events_skew_report": SKEW_SQL,
+    "events_skew_report": SKEW_REPORT_SQL,
 }
