@@ -50,6 +50,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iters: int = 5,
+    weight: str | None = None,
 ) -> ray.data.Dataset:
     """PageRank over a directed edge list, ``iters`` fixed power
     iterations from the uniform vector:
@@ -73,9 +74,15 @@ def pagerank(
     that single-shuffle cost model visible exactly as the join layer
     documents.
 
+    ``weight`` names an optional positive edge-weight column: each
+    source then distributes its rank proportionally to w/Σw_out instead
+    of 1/outdeg (weighted PageRank). Pass PRE-ROUNDED weights when an
+    oracle twin recomputes them — identical inputs keep the fixed-point
+    comparable across engines.
+
     Returns a Dataset of (node, pr) with Σ pr = 1.
     """
-    e = edges.select_columns([src, dst])
+    e = edges.select_columns([src, dst] + ([weight] if weight else []))
 
     # ---- node set = distinct src ∪ dst (one bucketed distinct) ----
     nodes = _rename(e.select_columns([src]), {src: "node"}).union(
@@ -91,14 +98,23 @@ def pagerank(
                           "pr": pd.Series([], dtype="float64")})
         )
 
-    # ---- out-degree, annotated onto the edges once ----
-    deg = bucketed_group_apply(
-        e.select_columns([src]),
-        [src],
-        lambda g: g.groupby(src, as_index=False, sort=False)
-        .size()
-        .rename(columns={src: "__dsrc", "size": "outdeg"}),
-    )
+    # ---- out-degree (or out-weight-sum), annotated onto the edges ----
+    if weight:
+        deg = bucketed_group_apply(
+            e.select_columns([src, weight]),
+            [src],
+            lambda g: g.groupby(src, as_index=False, sort=False)[weight]
+            .sum()
+            .rename(columns={src: "__dsrc", weight: "outdeg"}),
+        )
+    else:
+        deg = bucketed_group_apply(
+            e.select_columns([src]),
+            [src],
+            lambda g: g.groupby(src, as_index=False, sort=False)
+            .size()
+            .rename(columns={src: "__dsrc", "size": "outdeg"}),
+        )
     edges_w = partitioned_join(e, deg, src, "__dsrc").drop_columns(
         ["__dsrc"]
     ).materialize()
@@ -134,7 +150,9 @@ def pagerank(
             src, "__rnode",
         ).map_batches(
             lambda b: pd.DataFrame(
-                {"__cdst": b[dst], "w": b["__pr"] / b["outdeg"]}
+                {"__cdst": b[dst],
+                 "w": (b["__pr"] * b[weight] / b["outdeg"]) if weight
+                 else (b["__pr"] / b["outdeg"])}
             ),
             batch_format="pandas",
         )

@@ -6290,6 +6290,78 @@ FROM l{iters} ORDER BY vec_id
 LPA_SQL = _lpa_sql()
 
 
+def embeddings_pagerank_weighted(sf_dir: str) -> pd.DataFrame:
+    """Cosine-WEIGHTED PageRank over the kNN graph: each vector
+    distributes rank proportionally to the (6dp-rounded) cosine of each
+    neighbor edge instead of uniformly — the centrality a curation
+    pipeline actually wants (strong similarities count more). Rounding
+    the weights BEFORE propagation makes engine and twin start from
+    bit-identical inputs; the twin recomputes the same weighted
+    fixed-point with unrolled CTEs."""
+    from gene_etl_ray.ops import graph
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    g = knn.knn_graph(ds, k=3)
+    g["w"] = g["cosine"].round(6)
+    edges = ray.data.from_pandas(
+        g.rename(columns={"vec_id": "src", "nbr_id": "dst"})[
+            ["src", "dst", "w"]]
+    )
+    pr = graph.pagerank(edges, iters=5, weight="w").to_pandas()
+    n = len(pr)
+    pr["pr_ratio"] = (pr["pr"] * n).round(6)
+    pr = pr.rename(columns={"node": "vec_id"})
+    pr["vec_id"] = pr["vec_id"].astype("int64")
+    return pr[["vec_id", "pr_ratio"]].sort_values("vec_id").reset_index(drop=True)
+
+
+def _pagerank_weighted_sql(iters: int = 5, k: int = 3,
+                           damping: float = 0.85) -> str:
+    """Weighted-PageRank twin: identical to ``_pagerank_sql`` with
+    6dp-rounded cosine edge weights and Σw normalization."""
+    head = f"""
+WITH ed AS MATERIALIZED (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+), edges AS MATERIALIZED (
+    SELECT q.vec_id AS src, e.vec_id AS dst,
+           round(list_cosine_similarity(q.emb, e.emb), 6) AS w
+    FROM ed q CROSS JOIN ed e
+    WHERE q.vec_id <> e.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
+    ) <= {k}
+), deg AS MATERIALIZED (
+    SELECT src, sum(w) AS wout FROM edges GROUP BY src
+), nn AS MATERIALIZED (SELECT count(*) AS c FROM ed),
+r0 AS MATERIALIZED (
+    SELECT vec_id AS node, 1.0 / (SELECT c FROM nn) AS pr FROM ed)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""", r{i} AS MATERIALIZED (
+    SELECT b.node,
+           (1 - {damping}) / (SELECT c FROM nn)
+           + {damping} * coalesce(s.m, 0) AS pr
+    FROM (SELECT node FROM r0) b LEFT JOIN (
+        SELECT e.dst AS node, sum(r.pr * e.w / d.wout) AS m
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) s USING (node)
+)""")
+    tail = f"""
+SELECT node AS vec_id,
+       round(pr * (SELECT c FROM nn), 6) AS pr_ratio
+FROM r{iters} ORDER BY vec_id
+"""
+    return head + "".join(steps) + tail
+
+
+PAGERANK_W_SQL = _pagerank_weighted_sql()
+
+
 def events_skew_report(sf_dir: str) -> pd.DataFrame:
     """Shuffle-key skew diagnostic (``relational.skew_report``): bucket
     events by ``user_id % 64``, report row count / occupied buckets /
@@ -6641,6 +6713,7 @@ QUERIES = {
     "events_csv_type_stats": events_csv_type_stats,
     "embeddings_communities": embeddings_communities,
     "events_skew_report": events_skew_report,
+    "embeddings_pagerank_weighted": embeddings_pagerank_weighted,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -6804,4 +6877,5 @@ ORACLE_SQL = {
     "embeddings_clustering_coeff": CLUSTERING_SQL,
     "embeddings_communities": LPA_SQL,
     "events_skew_report": SKEW_REPORT_SQL,
+    "embeddings_pagerank_weighted": PAGERANK_W_SQL,
 }

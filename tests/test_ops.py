@@ -2518,3 +2518,47 @@ class TestSkewReport:
             ds_from(pd.DataFrame({"id": pd.array([], dtype="int64")})),
             "id")
         assert out["n_rows"].iloc[0] == 0 and np.isnan(out["gini"].iloc[0])
+
+
+class TestWeightedPageRank:
+    """graph.pagerank(weight=...) vs a dense weighted reference; the
+    uniform-weight case must equal the unweighted path exactly."""
+
+    def test_matches_dense_weighted_reference(self, ray_session):
+        from gene_etl_ray.ops import graph
+
+        rng = np.random.RandomState(17)
+        n = 20
+        E = sorted(set((int(a), int(b))
+                       for a, b in rng.randint(0, n, (70, 2)) if a != b))
+        w = {e: round(float(rng.uniform(0.1, 1.0)), 6) for e in E}
+        df = pd.DataFrame([(a, b, w[(a, b)]) for a, b in E],
+                          columns=["src", "dst", "w"])
+        # dense reference
+        wout = np.zeros(n)
+        for (a, b), ww in w.items():
+            wout[a] += ww
+        r = np.full(n, 1.0 / n); d = 0.85
+        for _ in range(8):
+            dm = r[wout == 0].sum()
+            contrib = np.zeros(n)
+            for (a, b), ww in w.items():
+                contrib[b] += r[a] * ww / wout[a]
+            r = (1 - d) / n + d * (contrib + dm / n)
+        pr = graph.pagerank(ds_from(df), iters=8, weight="w"
+                            ).to_pandas().sort_values("node")
+        np.testing.assert_allclose(
+            pr["pr"].to_numpy(), r[pr["node"].to_numpy().astype(int)],
+            rtol=1e-12)
+        assert abs(pr["pr"].sum() - 1.0) < 1e-9
+
+    def test_uniform_weights_equal_unweighted(self, ray_session):
+        from gene_etl_ray.ops import graph
+
+        df = pd.DataFrame({"src": [0, 0, 1, 2], "dst": [1, 2, 0, 0]})
+        a = graph.pagerank(ds_from(df), iters=6).to_pandas().sort_values("node")
+        dfw = df.assign(w=np.full(len(df), 0.5))
+        b = graph.pagerank(ds_from(dfw), iters=6, weight="w"
+                           ).to_pandas().sort_values("node")
+        np.testing.assert_allclose(a["pr"].to_numpy(), b["pr"].to_numpy(),
+                                   rtol=1e-14)
