@@ -22,8 +22,6 @@ from gene_etl_ray.ops.dedup import bucketed_group_apply
 from gene_etl_ray.ops.relational import partitioned_join
 
 
-
-
 def _rename(ds: ray.data.Dataset, mapping: dict) -> ray.data.Dataset:
     """Column rename that works on pandas AND arrow blocks (Ray's
     ``rename_columns`` assumes arrow blocks)."""
@@ -32,7 +30,6 @@ def _rename(ds: ray.data.Dataset, mapping: dict) -> ray.data.Dataset:
         return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
     return ds.map_batches(fn, batch_format="pyarrow")
-
 
 
 def _scalar_sum(ds: ray.data.Dataset, col: str) -> float:
