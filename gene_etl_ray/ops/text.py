@@ -852,33 +852,43 @@ def novelty_score(
 
     Scale shape — two column-pruned streaming passes, no gram↔doc
     join: (1) per-batch DISTINCT ``(gram, doc)`` pairs (docs never
-    straddle batches, so batch-local dedup is globally exact) shuffle
-    once by gram to take min(doc); first-owner counts then
-    hash-aggregate by doc via per-batch partials — the gram strings
-    move exactly once and nothing gathers to the driver. (2) per-doc
-    distinct-gram totals are shuffle-free. One bucketed left join
-    stitches ``(n_distinct, n_novel)`` per doc. SQL twin: NOVELTY_SQL
+    straddle batches, so batch-local dedup is globally exact), grams
+    identified by their 64-bit siphash — the same hash-equality
+    identity convention ``content_hash`` dedup already relies on
+    (birthday risk ~n²/2⁶⁵; deterministic, so the string-based SQL
+    twin stays green at gate scales) — shuffled ONCE by hash bucket to
+    take min(doc) per gram (int64 exchange instead of sorting gram
+    strings: measured ~2× the whole operator at sf0.1); first-owner
+    counts then hash-aggregate by doc via per-batch partials.
+    (2) per-doc distinct-gram totals are shuffle-free. The two partial
+    streams meet in one tiny per-doc groupby. SQL twin: NOVELTY_SQL
     (min-per-gram + two grouped counts)."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     def pairs(b: pd.DataFrame) -> "pa.Table":
         ids = b[id_col].to_numpy(np.int64)
         d, g = _flat_ngrams(b[text_col].fillna("").str.split(" "), n)
         if len(g):
-            u = pd.DataFrame({"g": g, "doc": ids[d]}).drop_duplicates()
-            pg = u["g"].to_numpy(object)
+            gh = pd.util.hash_array(
+                np.asarray(g, dtype=object), categorize=False
+            ).astype(np.int64)
+            gh &= np.int64(0x7FFFFFFFFFFFFFFF)  # keep the sentinel space
+            u = pd.DataFrame({"gh": gh, "doc": ids[d]}).drop_duplicates()
+            pg = u["gh"].to_numpy(np.int64)
             pdoc = u["doc"].to_numpy(np.int64)
         else:
-            pg = np.array([], dtype=object)
+            pg = np.array([], dtype=np.int64)
             pdoc = np.array([], dtype=np.int64)
-        # docs with zero grams (< n tokens) keep one NULL-gram sentinel
-        # row so the per-doc distinct-count table still covers them
+        # docs with zero grams (< n tokens) keep one sentinel (-1) row
+        # so the per-doc distinct-count table still covers them
         miss = np.setdiff1d(ids, pdoc)
         return pa.table(
             {
-                "g": pa.array(list(pg) + [None] * len(miss), pa.string()),
+                "gh": pa.array(
+                    np.concatenate([pg, np.full(len(miss), -1, np.int64)]),
+                    pa.int64(),
+                ),
                 "doc": pa.array(np.concatenate([pdoc, miss]), pa.int64()),
             }
         )
@@ -891,18 +901,23 @@ def novelty_score(
     # 3-4x the whole operator's wall at sf0.1).
     pair_ds = ds.map_batches(pairs, batch_format="pandas").materialize()
 
-    # the one real shuffle: min doc per gram (first owner)
-    firsts = (
+    # the one real shuffle: min doc per gram (first owner) — int64
+    # hash-bucketed exchange + vectorized in-bucket min, not a global
+    # sort over gram strings
+    from gene_etl_ray.ops.dedup import bucketed_group_apply
+
+    firsts = bucketed_group_apply(
         pair_ds.map_batches(
-            lambda t: t.filter(pc.is_valid(t.column("g"))),
+            lambda t: t.filter(pc.greater_equal(t.column("gh"),
+                                                pa.scalar(0, pa.int64()))),
             batch_format="pyarrow",
-        )
-        .groupby("g")
-        .min("doc")
+        ),
+        ["gh"],
+        lambda g: g.groupby("gh", as_index=False, sort=False)["doc"].min(),
     )
 
     def novel_partial(b: pd.DataFrame) -> pd.DataFrame:
-        c = b.groupby("min(doc)").size()
+        c = b.groupby("doc").size()
         return pd.DataFrame(
             {
                 id_col: c.index.to_numpy(np.int64),
@@ -913,7 +928,9 @@ def novelty_score(
 
     def dist_partial(t: "pa.Table") -> pd.DataFrame:
         doc = t.column("doc").to_numpy(zero_copy_only=False)
-        valid = pc.is_valid(t.column("g")).to_numpy(zero_copy_only=False)
+        valid = (
+            t.column("gh").to_numpy(zero_copy_only=False) >= 0
+        )
         c = (
             pd.DataFrame({"doc": doc, "v": valid.astype(np.int64)})
             .groupby("doc")["v"]
@@ -927,19 +944,23 @@ def novelty_score(
             }
         )
 
-    # both per-doc counts meet in ONE tiny groupby (no join): union the
-    # two partial streams — (doc, n_distinct, 0) from the pair table,
-    # (doc, 0, n_novel) from the first-owner table — and sum per doc
-    per_doc = (
-        pair_ds.map_batches(dist_partial, batch_format="pyarrow")
-        .union(firsts.map_batches(novel_partial, batch_format="pandas"))
-        .groupby(id_col)
-        .aggregate(Sum("dc"), Sum("nc"))
+    # both per-doc counts meet in ONE tiny bucketed groupby (no join):
+    # union the two partial streams — (doc, n_distinct, 0) from the
+    # pair table, (doc, 0, n_novel) from the first-owner table — and
+    # sum per doc inside hash buckets (int64 exchange, no global sort)
+    per_doc = bucketed_group_apply(
+        pair_ds.map_batches(dist_partial, batch_format="pyarrow").union(
+            firsts.map_batches(novel_partial, batch_format="pandas")
+        ),
+        [id_col],
+        lambda g: g.groupby(id_col, as_index=False, sort=False)[
+            ["dc", "nc"]
+        ].sum(),
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
-        nv = b["sum(nc)"].fillna(0).astype(np.int64)
-        nd = b["sum(dc)"].fillna(0).astype(np.int64)
+        nv = b["nc"].fillna(0).astype(np.int64)
+        nd = b["dc"].fillna(0).astype(np.int64)
         return pd.DataFrame(
             {
                 id_col: b[id_col].astype(np.int64),
