@@ -22,6 +22,49 @@ from gene_etl_ray.ops.dedup import bucketed_group_apply
 from gene_etl_ray.ops.relational import partitioned_join
 
 
+#: edge count below which an iterative graph op runs its whole fixed-point
+#: inside ONE Ray task holding the edge list (~16 B/edge ⇒ ≤64 MB worker
+#: memory at the default) — the same scale-adaptive split the near-dup
+#: connected-components pass uses (``ops/dedup.py SMALL_EDGE_LIMIT``).
+#: Above it, every round is Dataset joins/groupbys. The in-task kernels
+#: compute the identical fixed-point (same masses, ties and round
+#:  counts); only float summation order differs (absorbed by the 6dp
+#: oracle rounding like every other aggregate).
+SMALL_EDGE_LIMIT = 4_000_000
+
+
+def _gather_edges(e: ray.data.Dataset) -> "ray.ObjectRef":
+    """Block refs resolve inside the consuming TASK — the edge list
+    never lands on the driver (the CC small-path convention)."""
+    return e.to_pandas_refs()
+
+
+def _pagerank_kernel(edges: pd.DataFrame, src: str, dst: str,
+                     damping: float, iters: int,
+                     weight: str | None) -> pd.DataFrame:
+    si = edges[src].to_numpy(np.int64)
+    ti = edges[dst].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([si, ti]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    s_ = np.fromiter((idx[int(v)] for v in si), np.int64, len(si))
+    t_ = np.fromiter((idx[int(v)] for v in ti), np.int64, len(ti))
+    w = (edges[weight].to_numpy(np.float64) if weight
+         else np.ones(len(si)))
+    n = len(nodes)
+    wout = np.zeros(n)
+    np.add.at(wout, s_, w)
+    dang = wout == 0
+    denom = np.where(dang, 1.0, wout)
+    r = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        dm = float(r[dang].sum())
+        contrib = np.zeros(n)
+        np.add.at(contrib, t_, r[s_] * w / denom[s_])
+        r = base + damping * (contrib + dm / n)
+    return pd.DataFrame({"node": nodes, "pr": r})
+
+
 def _rename(ds: ray.data.Dataset, mapping: dict) -> ray.data.Dataset:
     """Column rename that works on pandas AND arrow blocks (Ray's
     ``rename_columns`` assumes arrow blocks)."""
@@ -48,6 +91,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 5,
     weight: str | None = None,
+    small_edge_limit: int = SMALL_EDGE_LIMIT,
 ) -> ray.data.Dataset:
     """PageRank over a directed edge list, ``iters`` fixed power
     iterations from the uniform vector:
@@ -80,6 +124,20 @@ def pagerank(
     Returns a Dataset of (node, pr) with Σ pr = 1.
     """
     e = edges.select_columns([src, dst] + ([weight] if weight else []))
+
+    # scale-adaptive: a bounded edge list runs the whole fixed-point in
+    # ONE task (every per-round Dataset execution costs ~0.5 s of fixed
+    # scheduling wall — 10 executions dwarf the math at small sizes)
+    if e.count() <= small_edge_limit:
+        @ray.remote(num_cpus=1)
+        def solve(*parts: pd.DataFrame) -> pd.DataFrame:
+            df = pd.concat(parts, ignore_index=True)
+            if not len(df):
+                return pd.DataFrame({"node": pd.Series([], dtype=object),
+                                     "pr": pd.Series([], dtype="float64")})
+            return _pagerank_kernel(df, src, dst, damping, iters, weight)
+
+        return ray.data.from_pandas(ray.get(solve.remote(*_gather_edges(e))))
 
     # ---- node set = distinct src ∪ dst (one bucketed distinct) ----
     nodes = _rename(e.select_columns([src]), {src: "node"}).union(
@@ -269,11 +327,69 @@ def triangle_counts(
     return out.sort_values("node").reset_index(drop=True)
 
 
+def _hits_kernel(edges: pd.DataFrame, src: str, dst: str,
+                 iters: int) -> pd.DataFrame:
+    si = edges[src].to_numpy(np.int64)
+    ti = edges[dst].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([si, ti]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    s_ = np.fromiter((idx[int(v)] for v in si), np.int64, len(si))
+    t_ = np.fromiter((idx[int(v)] for v in ti), np.int64, len(ti))
+    n = len(nodes)
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        np.add.at(a, t_, h[s_])
+        tot = a.sum()
+        if tot:
+            a /= tot
+        h = np.zeros(n)
+        np.add.at(h, s_, a[t_])
+        tot = h.sum()
+        if tot:
+            h /= tot
+    return pd.DataFrame({"node": nodes, "hub": h, "authority": a})
+
+
+def _lpa_kernel(edges: pd.DataFrame, src: str, dst: str,
+                iters: int) -> pd.DataFrame:
+    a = edges[src].to_numpy(np.int64)
+    b = edges[dst].to_numpy(np.int64)
+    m = a != b
+    a, b = a[m], b[m]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    und = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    nodes = np.unique(und)
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    u = np.fromiter((idx[int(v)] for v in und[:, 0]), np.int64, len(und))
+    v = np.fromiter((idx[int(v)] for v in und[:, 1]), np.int64, len(und))
+    pn = np.concatenate([u, v])   # node side of each (node, nbr) pair
+    pb = np.concatenate([v, u])   # neighbor side
+    lbl = nodes.copy()            # labels ARE original ids throughout
+    for _ in range(iters):
+        nl = lbl[pb]
+        # mode per node, ties -> smallest label: count (node,label)
+        # pairs, then lexsort (label asc, count desc) within node and
+        # take the first row per node
+        pairs = np.stack([pn, nl], axis=1)
+        uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+        order = np.lexsort((uniq[:, 1], -cnt, uniq[:, 0]))
+        su = uniq[order]
+        first = np.ones(len(su), dtype=bool)
+        first[1:] = su[1:, 0] != su[:-1, 0]
+        newlbl = lbl.copy()
+        newlbl[su[first, 0]] = su[first, 1]
+        lbl = newlbl
+    return pd.DataFrame({"node": nodes, "label": lbl})
+
+
 def hits(
     edges: ray.data.Dataset,
     src: str = "src",
     dst: str = "dst",
     iters: int = 3,
+    small_edge_limit: int = SMALL_EDGE_LIMIT,
 ) -> ray.data.Dataset:
     """HITS hubs & authorities (Kleinberg 1999), ``iters`` fixed
     mutual-recursion rounds with L1 normalization: a(v) = Σ_{u→v} h(u)
@@ -284,6 +400,18 @@ def hits(
     partials, and the fixed round count keeps the operator
     SQL-twinnable by CTE unrolling. Returns (node, hub, authority)."""
     e = edges.select_columns([src, dst])
+    if e.count() <= small_edge_limit:
+        @ray.remote(num_cpus=1)
+        def solve(*parts: pd.DataFrame) -> pd.DataFrame:
+            df = pd.concat(parts, ignore_index=True)
+            if not len(df):
+                return pd.DataFrame(
+                    {"node": pd.Series([], dtype=object),
+                     "hub": pd.Series([], dtype="float64"),
+                     "authority": pd.Series([], dtype="float64")})
+            return _hits_kernel(df, src, dst, iters)
+
+        return ray.data.from_pandas(ray.get(solve.remote(*_gather_edges(e))))
     nodes = _rename(e.select_columns([src]), {src: "node"}).union(
         _rename(e.select_columns([dst]), {dst: "node"})
     )
@@ -393,6 +521,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     iters: int = 4,
+    small_edge_limit: int = SMALL_EDGE_LIMIT,
 ) -> pd.DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007) made DETERMINISTIC: labels start as node ids; each
@@ -408,6 +537,21 @@ def label_propagation(
     the argmax is globally exact). Labels are a Dataset; the driver
     only counts rounds. Returns (node, community) as a node-sized
     frame."""
+    e = edges.select_columns([src, dst])
+    if e.count() <= small_edge_limit:
+        @ray.remote(num_cpus=1)
+        def solve(*parts: pd.DataFrame) -> pd.DataFrame:
+            df = pd.concat(parts, ignore_index=True)
+            if not len(df):
+                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                     "label": pd.Series([], dtype="int64")})
+            return _lpa_kernel(df, src, dst, iters)
+
+        out = ray.get(solve.remote(*_gather_edges(e)))
+        out["node"] = out["node"].astype("int64")
+        out["community"] = out["label"].astype("int64")
+        return out[["node", "community"]].sort_values(
+            "node").reset_index(drop=True)
     und = undirected_edges(edges, src, dst)
 
     def both_dirs(t: pa.Table) -> pa.Table:

@@ -2562,3 +2562,52 @@ class TestWeightedPageRank:
                            ).to_pandas().sort_values("node")
         np.testing.assert_allclose(a["pr"].to_numpy(), b["pr"].to_numpy(),
                                    rtol=1e-14)
+
+
+class TestGraphPathParity:
+    """The small-graph in-task kernels and the Dataset-round paths must
+    produce the same fixed-points (float ulps absorbed by tolerance;
+    LPA labels exactly equal)."""
+
+    def test_pagerank_paths_agree(self, ray_session):
+        from gene_etl_ray.ops import graph
+
+        rng = np.random.RandomState(31)
+        E = sorted(set((int(a), int(b))
+                       for a, b in rng.randint(0, 20, (70, 2)) if a != b))
+        E = [(s, t) for s, t in E if s != 3]  # keep a dangling node
+        df = pd.DataFrame(E, columns=["src", "dst"])
+        fast = graph.pagerank(ds_from(df), iters=6
+                              ).to_pandas().sort_values("node")
+        dist = graph.pagerank(ds_from(df), iters=6, small_edge_limit=0
+                              ).to_pandas().sort_values("node")
+        assert fast["node"].tolist() == dist["node"].tolist()
+        np.testing.assert_allclose(fast["pr"].to_numpy(),
+                                   dist["pr"].to_numpy(), rtol=1e-12)
+
+    def test_hits_paths_agree(self, ray_session):
+        from gene_etl_ray.ops import graph
+
+        rng = np.random.RandomState(33)
+        E = sorted(set((int(a), int(b))
+                       for a, b in rng.randint(0, 15, (50, 2)) if a != b))
+        df = pd.DataFrame(E, columns=["src", "dst"])
+        fast = graph.hits(ds_from(df), iters=3
+                          ).to_pandas().sort_values("node")
+        dist = graph.hits(ds_from(df), iters=3, small_edge_limit=0
+                          ).to_pandas().sort_values("node")
+        for c in ("hub", "authority"):
+            np.testing.assert_allclose(fast[c].to_numpy(),
+                                       dist[c].to_numpy(), rtol=1e-12)
+
+    def test_lpa_paths_agree(self, ray_session):
+        from gene_etl_ray.ops import graph
+
+        rng = np.random.RandomState(35)
+        E = sorted(set((int(a), int(b))
+                       for a, b in rng.randint(0, 30, (100, 2)) if a != b))
+        df = pd.DataFrame(E, columns=["src", "dst"])
+        fast = graph.label_propagation(ds_from(df), iters=4)
+        dist = graph.label_propagation(ds_from(df), iters=4,
+                                       small_edge_limit=0)
+        pd.testing.assert_frame_equal(fast, dist)
