@@ -31,8 +31,11 @@ def ring_of_cliques(ray_session):
 
 def test_lpa_recovers_planted_cliques(ring_of_cliques):
     t0 = time.time()
+    # force the Dataset-round path: the planted-structure tests exist
+    # to exercise the DISTRIBUTED rounds, not the in-task kernel
     out = graph.label_propagation(
-        rd.from_pandas(ring_of_cliques, override_num_blocks=8), iters=4)
+        rd.from_pandas(ring_of_cliques, override_num_blocks=8), iters=4,
+        small_edge_limit=0)
     wall = time.time() - t0
     assert len(out) == N_CLIQUES * CLIQUE
     groups = out.groupby("community")["node"].apply(
@@ -45,7 +48,8 @@ def test_lpa_recovers_planted_cliques(ring_of_cliques):
 
 def test_pagerank_on_planted_graph(ring_of_cliques):
     pr = graph.pagerank(
-        rd.from_pandas(ring_of_cliques, override_num_blocks=8), iters=5
+        rd.from_pandas(ring_of_cliques, override_num_blocks=8), iters=5,
+        small_edge_limit=0,
     ).to_pandas()
     assert len(pr) == N_CLIQUES * CLIQUE
     assert abs(pr["pr"].sum() - 1.0) < 1e-9
