@@ -33,10 +33,29 @@ from gene_etl_ray.ops.relational import partitioned_join
 SMALL_EDGE_LIMIT = 4_000_000
 
 
+def _integer_ids(ds: ray.data.Dataset, cols: list) -> bool:
+    """The in-task kernels index ids as int64; non-integer id columns
+    (string doc keys, floats) must stay on the type-generic
+    Dataset-round paths. Checked from schema metadata — no execution."""
+    try:
+        sch = ds.schema()
+        by_name = dict(zip(sch.names, sch.types))
+        return all(pa.types.is_integer(by_name[c]) for c in cols)
+    except Exception:
+        return False
+
+
 def _gather_edges(e: ray.data.Dataset) -> "ray.ObjectRef":
     """Block refs resolve inside the consuming TASK — the edge list
     never lands on the driver (the CC small-path convention)."""
     return e.to_pandas_refs()
+
+
+def _node_index(si: np.ndarray, ti: np.ndarray):
+    """Dense node index for the in-task kernels — one vectorized
+    np.unique(return_inverse) instead of per-element dict lookups."""
+    nodes, inv = np.unique(np.concatenate([si, ti]), return_inverse=True)
+    return nodes, inv[: len(si)], inv[len(si):]
 
 
 def _pagerank_kernel(edges: pd.DataFrame, src: str, dst: str,
@@ -44,12 +63,14 @@ def _pagerank_kernel(edges: pd.DataFrame, src: str, dst: str,
                      weight: str | None) -> pd.DataFrame:
     si = edges[src].to_numpy(np.int64)
     ti = edges[dst].to_numpy(np.int64)
-    nodes = np.unique(np.concatenate([si, ti]))
-    idx = {int(v): i for i, v in enumerate(nodes)}
-    s_ = np.fromiter((idx[int(v)] for v in si), np.int64, len(si))
-    t_ = np.fromiter((idx[int(v)] for v in ti), np.int64, len(ti))
+    nodes, s_, t_ = _node_index(si, ti)
     w = (edges[weight].to_numpy(np.float64) if weight
          else np.ones(len(si)))
+    if weight and (w <= 0).any():
+        raise ValueError(
+            "pagerank: edge weights must be > 0 (a zero out-weight sum "
+            "would be mass-losing in the distributed rounds)"
+        )
     n = len(nodes)
     wout = np.zeros(n)
     np.add.at(wout, s_, w)
@@ -115,7 +136,8 @@ def pagerank(
     that single-shuffle cost model visible exactly as the join layer
     documents.
 
-    ``weight`` names an optional positive edge-weight column: each
+    ``weight`` names an optional STRICTLY POSITIVE edge-weight column
+    (validated loudly on both paths): each
     source then distributes its rank proportionally to w/Σw_out instead
     of 1/outdeg (weighted PageRank). Pass PRE-ROUNDED weights when an
     oracle twin recomputes them — identical inputs keep the fixed-point
@@ -128,7 +150,7 @@ def pagerank(
     # scale-adaptive: a bounded edge list runs the whole fixed-point in
     # ONE task (every per-round Dataset execution costs ~0.5 s of fixed
     # scheduling wall — 10 executions dwarf the math at small sizes)
-    if e.count() <= small_edge_limit:
+    if e.count() <= small_edge_limit and _integer_ids(e, [src, dst]):
         @ray.remote(num_cpus=1)
         def solve(*parts: pd.DataFrame) -> pd.DataFrame:
             df = pd.concat(parts, ignore_index=True)
@@ -155,6 +177,17 @@ def pagerank(
 
     # ---- out-degree (or out-weight-sum), annotated onto the edges ----
     if weight:
+        def check_w(t: pa.Table) -> pa.Table:
+            wv = t.column(weight).to_numpy(zero_copy_only=False)
+            if len(wv) and (wv <= 0).any():
+                raise ValueError(
+                    "pagerank: edge weights must be > 0 (a zero "
+                    "out-weight sum would divide by zero and NaN-poison "
+                    "the rank vector)"
+                )
+            return t
+
+        e = e.map_batches(check_w, batch_format="pyarrow")
         deg = bucketed_group_apply(
             e.select_columns([src, weight]),
             [src],
@@ -331,10 +364,7 @@ def _hits_kernel(edges: pd.DataFrame, src: str, dst: str,
                  iters: int) -> pd.DataFrame:
     si = edges[src].to_numpy(np.int64)
     ti = edges[dst].to_numpy(np.int64)
-    nodes = np.unique(np.concatenate([si, ti]))
-    idx = {int(v): i for i, v in enumerate(nodes)}
-    s_ = np.fromiter((idx[int(v)] for v in si), np.int64, len(si))
-    t_ = np.fromiter((idx[int(v)] for v in ti), np.int64, len(ti))
+    nodes, s_, t_ = _node_index(si, ti)
     n = len(nodes)
     h = np.ones(n)
     a = np.ones(n)
@@ -360,10 +390,7 @@ def _lpa_kernel(edges: pd.DataFrame, src: str, dst: str,
     a, b = a[m], b[m]
     lo, hi = np.minimum(a, b), np.maximum(a, b)
     und = np.unique(np.stack([lo, hi], axis=1), axis=0)
-    nodes = np.unique(und)
-    idx = {int(v): i for i, v in enumerate(nodes)}
-    u = np.fromiter((idx[int(v)] for v in und[:, 0]), np.int64, len(und))
-    v = np.fromiter((idx[int(v)] for v in und[:, 1]), np.int64, len(und))
+    nodes, u, v = _node_index(und[:, 0], und[:, 1])
     pn = np.concatenate([u, v])   # node side of each (node, nbr) pair
     pb = np.concatenate([v, u])   # neighbor side
     lbl = nodes.copy()            # labels ARE original ids throughout
@@ -400,7 +427,7 @@ def hits(
     partials, and the fixed round count keeps the operator
     SQL-twinnable by CTE unrolling. Returns (node, hub, authority)."""
     e = edges.select_columns([src, dst])
-    if e.count() <= small_edge_limit:
+    if e.count() <= small_edge_limit and _integer_ids(e, [src, dst]):
         @ray.remote(num_cpus=1)
         def solve(*parts: pd.DataFrame) -> pd.DataFrame:
             df = pd.concat(parts, ignore_index=True)
@@ -538,7 +565,7 @@ def label_propagation(
     only counts rounds. Returns (node, community) as a node-sized
     frame."""
     e = edges.select_columns([src, dst])
-    if e.count() <= small_edge_limit:
+    if e.count() <= small_edge_limit and _integer_ids(e, [src, dst]):
         @ray.remote(num_cpus=1)
         def solve(*parts: pd.DataFrame) -> pd.DataFrame:
             df = pd.concat(parts, ignore_index=True)

@@ -1890,7 +1890,8 @@ def skew_report(
     n_buckets: int = 64,
 ) -> pd.DataFrame:
     """Partition-skew diagnostic for a prospective shuffle key: bucket
-    rows by ``id_col % n_buckets`` (deterministic AND SQL-expressible —
+    rows by ``id_col % n_buckets`` (numpy floored modulo — negative ids
+    wrap into [0, B); deterministic AND SQL-expressible —
     the engine's internal siphash buckets are not, and the diagnostic's
     job is the distribution's SHAPE, which any uniform-ish bucketing
     exposes), then summarize the bucket-size distribution: row count,

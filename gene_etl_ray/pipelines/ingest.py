@@ -2669,10 +2669,16 @@ def export_lake(
             pdir, f".tmp-data.epoch={epoch:05d}.{os.getpid()}.{fmt}"
         )
         if fmt == "jsonl":
-            t.to_pandas().to_json(
-                tmp, orient="records", lines=True,
-                date_format="iso", date_unit="us", default_handler=str,
-            )
+            if t.num_rows == 0:
+                # zero-byte shard (the JSONL convention for empty —
+                # a blank line is not a valid record); JSONL carries
+                # no schema, unlike the parquet branch's empty file
+                open(tmp, "w").close()
+            else:
+                t.to_pandas().to_json(
+                    tmp, orient="records", lines=True,
+                    date_format="iso", date_unit="us", default_handler=str,
+                )
         else:
             pq.write_table(t, tmp)
         os.replace(tmp, dest)

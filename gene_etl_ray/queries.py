@@ -6294,15 +6294,18 @@ def embeddings_pagerank_weighted(sf_dir: str) -> pd.DataFrame:
     """Cosine-WEIGHTED PageRank over the kNN graph: each vector
     distributes rank proportionally to the (6dp-rounded) cosine of each
     neighbor edge instead of uniformly — the centrality a curation
-    pipeline actually wants (strong similarities count more). Rounding
-    the weights BEFORE propagation makes engine and twin start from
-    bit-identical inputs; the twin recomputes the same weighted
-    fixed-point with unrolled CTEs."""
+    pipeline actually wants (strong similarities count more). Weights
+    are rounded to 4dp BEFORE propagation so engine and twin start from
+    identical inputs — 4dp (not the output's 6) because a rounded value
+    used as a fixed-point INPUT must not straddle a boundary when the
+    two engines' cosines differ in the last ulp, and 100× fewer
+    boundaries means 100× fewer chances; the twin recomputes the same
+    weighted fixed-point with unrolled CTEs."""
     from gene_etl_ray.ops import graph
 
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
     g = knn.knn_graph(ds, k=3)
-    g["w"] = g["cosine"].round(6)
+    g["w"] = g["cosine"].round(4)
     edges = ray.data.from_pandas(
         g.rename(columns={"vec_id": "src", "nbr_id": "dst"})[
             ["src", "dst", "w"]]
@@ -6325,7 +6328,7 @@ WITH ed AS MATERIALIZED (
     FROM embeddings
 ), edges AS MATERIALIZED (
     SELECT q.vec_id AS src, e.vec_id AS dst,
-           round(list_cosine_similarity(q.emb, e.emb), 6) AS w
+           round(list_cosine_similarity(q.emb, e.emb), 4) AS w
     FROM ed q CROSS JOIN ed e
     WHERE q.vec_id <> e.vec_id
     QUALIFY row_number() OVER (
@@ -6380,7 +6383,9 @@ WITH cells AS (
     SELECT g.b, coalesce(c.cnt, 0) AS cnt
     FROM (SELECT unnest(generate_series(0, 63)) AS b) g
     LEFT JOIN (
-        SELECT user_id % 64 AS b, count(*) AS cnt FROM events GROUP BY 1
+        -- floored modulo, matching numpy: negative ids wrap into [0, 64)
+        SELECT ((user_id % 64) + 64) % 64 AS b, count(*) AS cnt
+        FROM events GROUP BY 1
     ) c USING (b)
 ), ranked AS (
     SELECT cnt, row_number() OVER (ORDER BY cnt, b) AS r FROM cells

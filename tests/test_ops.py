@@ -2611,3 +2611,31 @@ class TestGraphPathParity:
         dist = graph.label_propagation(ds_from(df), iters=4,
                                        small_edge_limit=0)
         pd.testing.assert_frame_equal(fast, dist)
+
+
+class TestGraphReviewRegressions:
+    """Pins for the second review pass: non-integer ids route to the
+    type-generic distributed path; non-positive weights rejected on
+    both paths."""
+
+    def test_string_ids_fall_back_to_distributed(self, ray_session):
+        from gene_etl_ray.ops import graph
+
+        df = pd.DataFrame({"src": ["a", "a", "b", "c"],
+                           "dst": ["b", "c", "a", "a"]})
+        pr = graph.pagerank(ds_from(df), iters=4).to_pandas()
+        assert sorted(pr["node"]) == ["a", "b", "c"]
+        assert abs(pr["pr"].sum() - 1.0) < 1e-9
+        h = graph.hits(ds_from(df), iters=2).to_pandas()
+        assert sorted(h["node"]) == ["a", "b", "c"]
+
+    def test_nonpositive_weights_rejected_both_paths(self, ray_session):
+        from gene_etl_ray.ops import graph
+
+        df = pd.DataFrame({"src": [0, 1], "dst": [1, 0],
+                           "w": [0.5, 0.0]})
+        with pytest.raises(Exception, match="weights must be > 0"):
+            graph.pagerank(ds_from(df), iters=2, weight="w")
+        with pytest.raises(Exception, match="weights must be > 0"):
+            graph.pagerank(ds_from(df), iters=2, weight="w",
+                           small_edge_limit=0).to_pandas()
