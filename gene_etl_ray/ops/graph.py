@@ -622,3 +622,93 @@ def label_propagation(
     out["node"] = out["node"].astype("int64")
     out["community"] = out["label"].astype("int64")
     return out[["node", "community"]].sort_values("node").reset_index(drop=True)
+
+
+def _bfs_kernel(edges: pd.DataFrame, src: str, dst: str,
+                source: int, max_hops: int) -> pd.DataFrame:
+    si = edges[src].to_numpy(np.int64)
+    ti = edges[dst].to_numpy(np.int64)
+    nodes, s_, t_ = _node_index(si, ti)
+    pos = np.searchsorted(nodes, source)
+    if pos >= len(nodes) or nodes[pos] != source:
+        return pd.DataFrame({"node": pd.array([source], dtype="int64"),
+                             "hops": pd.array([0], dtype="int64")})
+    dist = np.full(len(nodes), -1, dtype=np.int64)
+    dist[pos] = 0
+    frontier = np.array([pos], dtype=np.int64)
+    for h in range(1, max_hops + 1):
+        mask = np.isin(s_, frontier)
+        nxt = np.unique(t_[mask])
+        nxt = nxt[dist[nxt] < 0]
+        if not len(nxt):
+            break
+        dist[nxt] = h
+        frontier = nxt
+    seen = dist >= 0
+    return pd.DataFrame({"node": nodes[seen], "hops": dist[seen]})
+
+
+def bfs_hops(
+    edges: ray.data.Dataset,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+    small_edge_limit: int = SMALL_EDGE_LIMIT,
+) -> pd.DataFrame:
+    """Unweighted single-source reachability: the BFS hop distance of
+    every node within ``max_hops`` of ``source`` (directed edges).
+    The traversal member of the graph family next to the centrality
+    (PageRank/HITS) and cohesion (triangles/LPA) members; the fixed
+    hop bound is what makes it an unrolled-CTE twin.
+
+    Scale shape: the visited set is a Dataset; each hop is one bucketed
+    join of the CURRENT FRONTIER onto the edges plus a bucketed
+    min-hops merge into the visited set — exchange volume tracks the
+    frontier, not the graph. Bounded edge lists run the whole BFS in
+    one task (``SMALL_EDGE_LIMIT`` convention). Returns (node, hops),
+    hops ∈ [0, max_hops]."""
+    e = edges.select_columns([src, dst])
+    if e.count() <= small_edge_limit and _integer_ids(e, [src, dst]):
+        @ray.remote(num_cpus=1)
+        def solve(*parts: pd.DataFrame) -> pd.DataFrame:
+            df = pd.concat(parts, ignore_index=True)
+            if not len(df):
+                return pd.DataFrame(
+                    {"node": pd.array([source], dtype="int64"),
+                     "hops": pd.array([0], dtype="int64")})
+            return _bfs_kernel(df, src, dst, source, max_hops)
+
+        out = ray.get(solve.remote(*_gather_edges(e)))
+    else:
+        e = e.materialize()
+        visited = ray.data.from_pandas(pd.DataFrame(
+            {"node": pd.array([source], dtype="int64"),
+             "hops": pd.array([0], dtype="int64")}))
+        frontier = visited
+        for h in range(1, max_hops + 1):
+            hop = int(h)
+            reached = partitioned_join(
+                e, _rename(frontier, {"node": "__fnode", "hops": "__fh"}),
+                src, "__fnode",
+            ).map_batches(
+                lambda b, _h=hop: pd.DataFrame(
+                    {"node": b[dst], "hops": np.full(len(b), _h)}),
+                batch_format="pandas",
+            )
+            # min-hops merge: previously-visited nodes keep their level
+            visited = bucketed_group_apply(
+                visited.union(reached), ["node"],
+                lambda g: g.groupby("node", as_index=False, sort=False)[
+                    "hops"].min(),
+            ).materialize()
+            frontier = visited.map_batches(
+                lambda b, _h=hop: b[b["hops"] == _h],
+                batch_format="pandas",
+            ).materialize()
+            if frontier.count() == 0:
+                break
+        out = visited.to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["hops"] = out["hops"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)

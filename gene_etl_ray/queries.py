@@ -6365,6 +6365,62 @@ FROM r{iters} ORDER BY vec_id
 PAGERANK_W_SQL = _pagerank_weighted_sql()
 
 
+def embeddings_knn_reach(sf_dir: str) -> pd.DataFrame:
+    """Single-source BFS reachability over the kNN graph
+    (``graph.bfs_hops``, source = vec 0, ≤4 hops): the traversal member
+    of the graph family — hop distance doubles as a similarity-radius
+    signal ("how many neighbor steps from this exemplar"). Frontier
+    Dataset rounds above the small-graph threshold; unrolled min-hops
+    CTE twin."""
+    from gene_etl_ray.ops import graph
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    edges_df = knn.knn_graph(ds, k=3)[["vec_id", "nbr_id"]].rename(
+        columns={"vec_id": "src", "nbr_id": "dst"}
+    )
+    out = graph.bfs_hops(ray.data.from_pandas(edges_df), source=0,
+                         max_hops=4)
+    return out.rename(columns={"node": "vec_id"}).reset_index(drop=True)
+
+
+def _bfs_sql(max_hops: int = 4, k: int = 3) -> str:
+    """Unrolled BFS twin: each round unions frontier expansions into a
+    min-hops visited set (AS MATERIALIZED throughout — multiply
+    referenced)."""
+    head = f"""
+WITH ed AS MATERIALIZED (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+), edges AS MATERIALIZED (
+    SELECT q.vec_id AS src, e.vec_id AS dst
+    FROM ed q CROSS JOIN ed e
+    WHERE q.vec_id <> e.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
+    ) <= {k}
+),
+v0 AS MATERIALIZED (SELECT 0 AS node, 0 AS hops)"""
+    steps = []
+    for i in range(1, max_hops + 1):
+        steps.append(f""", v{i} AS MATERIALIZED (
+    SELECT node, min(hops) AS hops FROM (
+        SELECT node, hops FROM v{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, v.hops + 1 AS hops
+        FROM edges e JOIN v{i - 1} v ON e.src = v.node
+    ) GROUP BY node
+)""")
+    tail = f"""
+SELECT node AS vec_id, CAST(hops AS BIGINT) AS hops
+FROM v{max_hops} ORDER BY vec_id
+"""
+    return head + "".join(steps) + tail
+
+
+BFS_SQL = _bfs_sql()
+
+
 def events_skew_report(sf_dir: str) -> pd.DataFrame:
     """Shuffle-key skew diagnostic (``relational.skew_report``): bucket
     events by ``user_id % 64``, report row count / occupied buckets /
@@ -6719,6 +6775,7 @@ QUERIES = {
     "embeddings_communities": embeddings_communities,
     "events_skew_report": events_skew_report,
     "embeddings_pagerank_weighted": embeddings_pagerank_weighted,
+    "embeddings_knn_reach": embeddings_knn_reach,
     # --- 6. rows-only (non-SQL-expressible by nature; invariants pinned
     #     in tests) ---
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
@@ -6883,4 +6940,5 @@ ORACLE_SQL = {
     "embeddings_communities": LPA_SQL,
     "events_skew_report": SKEW_REPORT_SQL,
     "embeddings_pagerank_weighted": PAGERANK_W_SQL,
+    "embeddings_knn_reach": BFS_SQL,
 }

@@ -2639,3 +2639,42 @@ class TestGraphReviewRegressions:
         with pytest.raises(Exception, match="weights must be > 0"):
             graph.pagerank(ds_from(df), iters=2, weight="w",
                            small_edge_limit=0).to_pandas()
+
+
+class TestBfsHops:
+    """graph.bfs_hops vs a Python BFS reference: hop cap, unreachable
+    exclusion, path parity, missing-source degenerate."""
+
+    def test_matches_reference_and_paths_agree(self, ray_session):
+        from collections import deque
+
+        from gene_etl_ray.ops import graph
+
+        rng = np.random.RandomState(41)
+        E = sorted(set((int(a), int(b))
+                       for a, b in rng.randint(0, 40, (150, 2)) if a != b))
+        df = pd.DataFrame(E, columns=["src", "dst"])
+        adj: dict = {}
+        for a, b in E:
+            adj.setdefault(a, []).append(b)
+        want, q = {0: 0}, deque([(0, 0)])
+        while q:
+            n_, h = q.popleft()
+            if h >= 3:
+                continue
+            for m_ in adj.get(n_, []):
+                if m_ not in want:
+                    want[m_] = h + 1
+                    q.append((m_, h + 1))
+        fast = graph.bfs_hops(ds_from(df), source=0, max_hops=3)
+        dist = graph.bfs_hops(ds_from(df), source=0, max_hops=3,
+                              small_edge_limit=0)
+        assert dict(zip(fast["node"], fast["hops"])) == want
+        pd.testing.assert_frame_equal(fast, dist)
+
+    def test_source_not_in_graph(self, ray_session):
+        from gene_etl_ray.ops import graph
+
+        df = pd.DataFrame({"src": [1, 2], "dst": [2, 1]})
+        out = graph.bfs_hops(ds_from(df), source=99, max_hops=3)
+        assert out.to_dict("records") == [{"node": 99, "hops": 0}]
