@@ -45,6 +45,26 @@ def _integer_ids(ds: ray.data.Dataset, cols: list) -> bool:
         return False
 
 
+def _check_id_domain(e: ray.data.Dataset, cols: list, op: str,
+                     bound: int = 1 << 53) -> ray.data.Dataset:
+    """LOUD id-domain guard: the Dataset-round paths move node ids
+    through bucket-union NULL-fills whose pandas blocks promote int64
+    to float64 — exact only below 2^53. Reject out-of-range ids on
+    EVERY path (fast ones too, so path parity includes the domain)."""
+
+    def check(t: pa.Table) -> pa.Table:
+        for c in cols:
+            v = t.column(c).to_numpy(zero_copy_only=False)
+            if len(v) and (v.min() < 0 or v.max() >= bound):
+                raise ValueError(
+                    f"{op}: node ids must be in [0, 2^{bound.bit_length() - 1}) "
+                    "— remap ids (e.g. dense-rank) first"
+                )
+        return t
+
+    return e.map_batches(check, batch_format="pyarrow")
+
+
 def _gather_edges(e: ray.data.Dataset) -> "ray.ObjectRef":
     """Block refs resolve inside the consuming TASK — the edge list
     never lands on the driver (the CC small-path convention)."""
@@ -150,6 +170,8 @@ def pagerank(
     # scale-adaptive: a bounded edge list runs the whole fixed-point in
     # ONE task (every per-round Dataset execution costs ~0.5 s of fixed
     # scheduling wall — 10 executions dwarf the math at small sizes)
+    if _integer_ids(e, [src, dst]):
+        e = _check_id_domain(e, [src, dst], "pagerank")
     if e.count() <= small_edge_limit and _integer_ids(e, [src, dst]):
         @ray.remote(num_cpus=1)
         def solve(*parts: pd.DataFrame) -> pd.DataFrame:
@@ -427,6 +449,8 @@ def hits(
     partials, and the fixed round count keeps the operator
     SQL-twinnable by CTE unrolling. Returns (node, hub, authority)."""
     e = edges.select_columns([src, dst])
+    if _integer_ids(e, [src, dst]):
+        e = _check_id_domain(e, [src, dst], "hits")
     if e.count() <= small_edge_limit and _integer_ids(e, [src, dst]):
         @ray.remote(num_cpus=1)
         def solve(*parts: pd.DataFrame) -> pd.DataFrame:
@@ -565,7 +589,13 @@ def label_propagation(
     only counts rounds. Returns (node, community) as a node-sized
     frame."""
     e = edges.select_columns([src, dst])
-    if e.count() <= small_edge_limit and _integer_ids(e, [src, dst]):
+    if not _integer_ids(e, [src, dst]):
+        raise ValueError(
+            "label_propagation requires integer node ids (community = "
+            "min int id) — remap ids (e.g. dense-rank) first"
+        )
+    e = _check_id_domain(e, [src, dst], "label_propagation")
+    if e.count() <= small_edge_limit:
         @ray.remote(num_cpus=1)
         def solve(*parts: pd.DataFrame) -> pd.DataFrame:
             df = pd.concat(parts, ignore_index=True)
@@ -663,13 +693,23 @@ def bfs_hops(
     hop bound is what makes it an unrolled-CTE twin.
 
     Scale shape: the visited set is a Dataset; each hop is one bucketed
-    join of the CURRENT FRONTIER onto the edges plus a bucketed
-    min-hops merge into the visited set — exchange volume tracks the
-    frontier, not the graph. Bounded edge lists run the whole BFS in
-    one task (``SMALL_EDGE_LIMIT`` convention). Returns (node, hops),
-    hops ∈ [0, max_hops]."""
+    join of the current frontier onto the edge table plus a bucketed
+    min-hops merge into the visited set. Honest cost note: in Ray Data
+    the edge side re-enters the bucket exchange every hop (partitioning
+    does not persist across materializations) — on a real cluster
+    you'd hash-partition the edges once and keep them resident, making
+    per-hop exchange frontier-proportional; the in-task fast path is
+    the bounded-graph analog of that resident form. Bounded edge lists
+    run the whole BFS in one task (``SMALL_EDGE_LIMIT`` convention).
+    Returns (node, hops), hops ∈ [0, max_hops]."""
     e = edges.select_columns([src, dst])
-    if e.count() <= small_edge_limit and _integer_ids(e, [src, dst]):
+    if not _integer_ids(e, [src, dst]):
+        raise ValueError(
+            "bfs_hops requires integer node ids — remap ids (e.g. "
+            "dense-rank) first"
+        )
+    e = _check_id_domain(e, [src, dst], "bfs_hops")
+    if e.count() <= small_edge_limit:
         @ray.remote(num_cpus=1)
         def solve(*parts: pd.DataFrame) -> pd.DataFrame:
             df = pd.concat(parts, ignore_index=True)

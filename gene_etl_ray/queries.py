@@ -5930,6 +5930,41 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def _knn_edges_df(sf_dir: str, k: int = 3,
+                  with_weight: bool = False) -> pd.DataFrame:
+    """The kNN edge list every graph query runs on — ONE builder so k,
+    the tie-break and the weight rounding cannot drift between the six
+    engine/oracle pairs."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    g = knn.knn_graph(ds, k=k).rename(
+        columns={"vec_id": "src", "nbr_id": "dst"})
+    if with_weight:
+        # 4dp (not the output's 6): a rounded value used as a
+        # fixed-point INPUT needs boundary margin against last-ulp
+        # cosine differences between engines
+        g["w"] = g["cosine"].round(4)
+    return g[["src", "dst"] + (["w"] if with_weight else [])]
+
+
+def _knn_edges_cte(k: int = 3, with_weight: bool = False) -> str:
+    """The matching SQL edge CTE (AS MATERIALIZED — every twin
+    references it repeatedly)."""
+    wcol = (",\n           round(list_cosine_similarity(q.emb, e.emb), 4)"
+            " AS w" if with_weight else "")
+    return f"""WITH ed AS MATERIALIZED (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+), edges AS MATERIALIZED (
+    SELECT q.vec_id AS src, e.vec_id AS dst{wcol}
+    FROM ed q CROSS JOIN ed e
+    WHERE q.vec_id <> e.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
+    ) <= {k}
+)"""
+
+
 def embeddings_pagerank(sf_dir: str) -> pd.DataFrame:
     """PageRank over the exact cosine kNN graph (``graph.pagerank``,
     k=3, d=0.85, 5 fixed power iterations): similarity-graph centrality
@@ -5941,10 +5976,7 @@ def embeddings_pagerank(sf_dir: str) -> pd.DataFrame:
     both sides."""
     from gene_etl_ray.ops import graph
 
-    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    edges_df = knn.knn_graph(ds, k=3)[["vec_id", "nbr_id"]].rename(
-        columns={"vec_id": "src", "nbr_id": "dst"}
-    )
+    edges_df = _knn_edges_df(sf_dir)
     edges = ray.data.from_pandas(edges_df)
     pr = graph.pagerank(edges, iters=5).to_pandas()
     n = len(pr)
@@ -5958,19 +5990,7 @@ def _pagerank_sql(iters: int = 5, k: int = 3, damping: float = 0.85) -> str:
     """Unrolled-iteration PageRank twin (same pattern as the EWMA
     oracle's unrolled recursion): r0 = uniform, each r_i one
     LEFT-JOINed grouped sum over the kNN edge CTE."""
-    head = f"""
-WITH ed AS MATERIALIZED (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-    FROM embeddings
-), edges AS MATERIALIZED (
-    SELECT q.vec_id AS src, e.vec_id AS dst
-    FROM ed q CROSS JOIN ed e
-    WHERE q.vec_id <> e.vec_id
-    QUALIFY row_number() OVER (
-        PARTITION BY q.vec_id
-        ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
-    ) <= {k}
-), deg AS MATERIALIZED (
+    head = "\n" + _knn_edges_cte(k) + """, deg AS MATERIALIZED (
     SELECT src, count(*) AS outdeg FROM edges GROUP BY src
 ), nn AS MATERIALIZED (SELECT count(*) AS c FROM ed),
 r0 AS MATERIALIZED (SELECT vec_id AS node, 1.0 / (SELECT c FROM nn) AS pr FROM ed)"""
@@ -6008,27 +6028,12 @@ def embeddings_knn_triangles(sf_dir: str) -> pd.DataFrame:
     twin recomputes the same wedge→closure chain as SQL self-joins."""
     from gene_etl_ray.ops import graph
 
-    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    edges_df = knn.knn_graph(ds, k=3)[["vec_id", "nbr_id"]].rename(
-        columns={"vec_id": "src", "nbr_id": "dst"}
-    )
+    edges_df = _knn_edges_df(sf_dir)
     out = graph.triangle_counts(ray.data.from_pandas(edges_df))
     return out.rename(columns={"node": "vec_id"}).reset_index(drop=True)
 
 
-KNN_TRIANGLES_SQL = """
-WITH ed AS (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-    FROM embeddings
-), edges AS (
-    SELECT q.vec_id AS src, e.vec_id AS dst
-    FROM ed q CROSS JOIN ed e
-    WHERE q.vec_id <> e.vec_id
-    QUALIFY row_number() OVER (
-        PARTITION BY q.vec_id
-        ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
-    ) <= 3
-), und AS MATERIALIZED (
+KNN_TRIANGLES_SQL = "\n" + _knn_edges_cte(3) + """, und AS MATERIALIZED (
     SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
     FROM edges
 ), tri AS MATERIALIZED (
@@ -6102,10 +6107,7 @@ def embeddings_hits(sf_dir: str) -> pd.DataFrame:
     ``embeddings_pagerank``; the twin unrolls the mutual recursion."""
     from gene_etl_ray.ops import graph
 
-    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    edges_df = knn.knn_graph(ds, k=3)[["vec_id", "nbr_id"]].rename(
-        columns={"vec_id": "src", "nbr_id": "dst"}
-    )
+    edges_df = _knn_edges_df(sf_dir)
     out = graph.hits(ray.data.from_pandas(edges_df), iters=3).to_pandas()
     out["hub"] = out["hub"].round(6)
     out["authority"] = out["authority"].round(6)
@@ -6123,19 +6125,7 @@ def _hits_sql(iters: int = 3, k: int = 3) -> str:
     # than once (value + L1 normalizer), and without materialization
     # DuckDB re-inlines the whole upstream chain per reference — the
     # edge cross-join would be recomputed O(4^iters) times and spill
-    head = f"""
-WITH ed AS MATERIALIZED (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-    FROM embeddings
-), edges AS MATERIALIZED (
-    SELECT q.vec_id AS src, e.vec_id AS dst
-    FROM ed q CROSS JOIN ed e
-    WHERE q.vec_id <> e.vec_id
-    QUALIFY row_number() OVER (
-        PARTITION BY q.vec_id
-        ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
-    ) <= {k}
-), nodes AS MATERIALIZED (
+    head = "\n" + _knn_edges_cte(k) + """, nodes AS MATERIALIZED (
     SELECT DISTINCT src AS node FROM edges
     UNION SELECT DISTINCT dst FROM edges
 ),
@@ -6178,28 +6168,13 @@ def embeddings_clustering_coeff(sf_dir: str) -> pd.DataFrame:
     chain plus a degree CTE."""
     from gene_etl_ray.ops import graph
 
-    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    edges_df = knn.knn_graph(ds, k=3)[["vec_id", "nbr_id"]].rename(
-        columns={"vec_id": "src", "nbr_id": "dst"}
-    )
+    edges_df = _knn_edges_df(sf_dir)
     out = graph.clustering_coefficients(ray.data.from_pandas(edges_df))
     out["clustering"] = out["clustering"].round(6)
     return out.rename(columns={"node": "vec_id"}).reset_index(drop=True)
 
 
-CLUSTERING_SQL = """
-WITH ed AS MATERIALIZED (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-    FROM embeddings
-), edges AS MATERIALIZED (
-    SELECT q.vec_id AS src, e.vec_id AS dst
-    FROM ed q CROSS JOIN ed e
-    WHERE q.vec_id <> e.vec_id
-    QUALIFY row_number() OVER (
-        PARTITION BY q.vec_id
-        ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
-    ) <= 3
-), und AS MATERIALIZED (
+CLUSTERING_SQL = "\n" + _knn_edges_cte(3) + """, und AS MATERIALIZED (
     SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
     FROM edges
 ), tri AS MATERIALIZED (
@@ -6237,10 +6212,7 @@ def embeddings_communities(sf_dir: str) -> pd.DataFrame:
     oracle-able)."""
     from gene_etl_ray.ops import graph
 
-    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    edges_df = knn.knn_graph(ds, k=3)[["vec_id", "nbr_id"]].rename(
-        columns={"vec_id": "src", "nbr_id": "dst"}
-    )
+    edges_df = _knn_edges_df(sf_dir)
     out = graph.label_propagation(ray.data.from_pandas(edges_df), iters=4)
     return out.rename(columns={"node": "vec_id"}).reset_index(drop=True)
 
@@ -6248,19 +6220,7 @@ def embeddings_communities(sf_dir: str) -> pd.DataFrame:
 def _lpa_sql(iters: int = 4, k: int = 3) -> str:
     """Unrolled label-propagation twin: per round one grouped count of
     neighbor labels with a (count DESC, label ASC) row_number argmax."""
-    head = f"""
-WITH ed AS MATERIALIZED (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-    FROM embeddings
-), edges AS MATERIALIZED (
-    SELECT q.vec_id AS src, e.vec_id AS dst
-    FROM ed q CROSS JOIN ed e
-    WHERE q.vec_id <> e.vec_id
-    QUALIFY row_number() OVER (
-        PARTITION BY q.vec_id
-        ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
-    ) <= {k}
-), und AS MATERIALIZED (
+    head = "\n" + _knn_edges_cte(k) + """, und AS MATERIALIZED (
     SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
     FROM edges
 ), sym AS MATERIALIZED (
@@ -6303,13 +6263,7 @@ def embeddings_pagerank_weighted(sf_dir: str) -> pd.DataFrame:
     weighted fixed-point with unrolled CTEs."""
     from gene_etl_ray.ops import graph
 
-    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    g = knn.knn_graph(ds, k=3)
-    g["w"] = g["cosine"].round(4)
-    edges = ray.data.from_pandas(
-        g.rename(columns={"vec_id": "src", "nbr_id": "dst"})[
-            ["src", "dst", "w"]]
-    )
+    edges = ray.data.from_pandas(_knn_edges_df(sf_dir, with_weight=True))
     pr = graph.pagerank(edges, iters=5, weight="w").to_pandas()
     n = len(pr)
     pr["pr_ratio"] = (pr["pr"] * n).round(6)
@@ -6322,20 +6276,7 @@ def _pagerank_weighted_sql(iters: int = 5, k: int = 3,
                            damping: float = 0.85) -> str:
     """Weighted-PageRank twin: identical to ``_pagerank_sql`` with
     6dp-rounded cosine edge weights and Σw normalization."""
-    head = f"""
-WITH ed AS MATERIALIZED (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-    FROM embeddings
-), edges AS MATERIALIZED (
-    SELECT q.vec_id AS src, e.vec_id AS dst,
-           round(list_cosine_similarity(q.emb, e.emb), 4) AS w
-    FROM ed q CROSS JOIN ed e
-    WHERE q.vec_id <> e.vec_id
-    QUALIFY row_number() OVER (
-        PARTITION BY q.vec_id
-        ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
-    ) <= {k}
-), deg AS MATERIALIZED (
+    head = "\n" + _knn_edges_cte(k, with_weight=True) + """, deg AS MATERIALIZED (
     SELECT src, sum(w) AS wout FROM edges GROUP BY src
 ), nn AS MATERIALIZED (SELECT count(*) AS c FROM ed),
 r0 AS MATERIALIZED (
@@ -6374,10 +6315,7 @@ def embeddings_knn_reach(sf_dir: str) -> pd.DataFrame:
     CTE twin."""
     from gene_etl_ray.ops import graph
 
-    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    edges_df = knn.knn_graph(ds, k=3)[["vec_id", "nbr_id"]].rename(
-        columns={"vec_id": "src", "nbr_id": "dst"}
-    )
+    edges_df = _knn_edges_df(sf_dir)
     out = graph.bfs_hops(ray.data.from_pandas(edges_df), source=0,
                          max_hops=4)
     return out.rename(columns={"node": "vec_id"}).reset_index(drop=True)
@@ -6387,19 +6325,7 @@ def _bfs_sql(max_hops: int = 4, k: int = 3) -> str:
     """Unrolled BFS twin: each round unions frontier expansions into a
     min-hops visited set (AS MATERIALIZED throughout — multiply
     referenced)."""
-    head = f"""
-WITH ed AS MATERIALIZED (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-    FROM embeddings
-), edges AS MATERIALIZED (
-    SELECT q.vec_id AS src, e.vec_id AS dst
-    FROM ed q CROSS JOIN ed e
-    WHERE q.vec_id <> e.vec_id
-    QUALIFY row_number() OVER (
-        PARTITION BY q.vec_id
-        ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id
-    ) <= {k}
-),
+    head = "\n" + _knn_edges_cte(k) + """,
 v0 AS MATERIALIZED (SELECT 0 AS node, 0 AS hops)"""
     steps = []
     for i in range(1, max_hops + 1):
