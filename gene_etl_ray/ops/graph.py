@@ -732,8 +732,13 @@ def bfs_hops(
                 e, _rename(frontier, {"node": "__fnode", "hops": "__fh"}),
                 src, "__fnode",
             ).map_batches(
+                # int64 cast is load-bearing: join output may carry float64
+                # keys, and bucketed_group_apply hashes 5 and 5.0 to
+                # DIFFERENT buckets (pd.util.hash_array is dtype-sensitive),
+                # which would split a node across buckets in the min-merge
                 lambda b, _h=hop: pd.DataFrame(
-                    {"node": b[dst], "hops": np.full(len(b), _h)}),
+                    {"node": b[dst].astype("int64"),
+                     "hops": np.full(len(b), _h, dtype="int64")}),
                 batch_format="pandas",
             )
             # min-hops merge: previously-visited nodes keep their level
@@ -741,6 +746,9 @@ def bfs_hops(
                 visited.union(reached), ["node"],
                 lambda g: g.groupby("node", as_index=False, sort=False)[
                     "hops"].min(),
+            ).map_batches(
+                lambda b: b.astype({"node": "int64", "hops": "int64"}),
+                batch_format="pandas",
             ).materialize()
             frontier = visited.map_batches(
                 lambda b, _h=hop: b[b["hops"] == _h],

@@ -6252,7 +6252,7 @@ LPA_SQL = _lpa_sql()
 
 def embeddings_pagerank_weighted(sf_dir: str) -> pd.DataFrame:
     """Cosine-WEIGHTED PageRank over the kNN graph: each vector
-    distributes rank proportionally to the (6dp-rounded) cosine of each
+    distributes rank proportionally to the (4dp-rounded) cosine of each
     neighbor edge instead of uniformly — the centrality a curation
     pipeline actually wants (strong similarities count more). Weights
     are rounded to 4dp BEFORE propagation so engine and twin start from
@@ -6275,7 +6275,7 @@ def embeddings_pagerank_weighted(sf_dir: str) -> pd.DataFrame:
 def _pagerank_weighted_sql(iters: int = 5, k: int = 3,
                            damping: float = 0.85) -> str:
     """Weighted-PageRank twin: identical to ``_pagerank_sql`` with
-    6dp-rounded cosine edge weights and Σw normalization."""
+    4dp-rounded cosine edge weights and Σw normalization."""
     head = "\n" + _knn_edges_cte(k, with_weight=True) + """, deg AS MATERIALIZED (
     SELECT src, sum(w) AS wout FROM edges GROUP BY src
 ), nn AS MATERIALIZED (SELECT count(*) AS c FROM ed),
@@ -6508,7 +6508,7 @@ def events_csv_type_stats(sf_dir: str) -> pd.DataFrame:
 def csv_events_oracle_sql(sf_dir: str) -> str:
     d = ensure_events_textfiles(sf_dir)
     return f"""
-SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+SELECT event_type, CAST(count(value) AS BIGINT) AS n,
        round(avg(value), 6) AS mean_value,
        round(min(value), 6) AS min_value,
        round(max(value), 6) AS max_value

@@ -2678,3 +2678,22 @@ class TestBfsHops:
         df = pd.DataFrame({"src": [1, 2], "dst": [2, 1]})
         out = graph.bfs_hops(ds_from(df), source=99, max_hops=3)
         assert out.to_dict("records") == [{"node": 99, "hops": 0}]
+
+    def test_distributed_nonzero_source_no_dtype_split(self, ray_session):
+        """Regression (r3 ADVICE): the distributed path unions the
+        int64 driver-seeded visited frame with join-output reached
+        blocks; if those arrive as float64, bucketed_group_apply hashes
+        5 and 5.0 to different buckets and the min-merge emits duplicate
+        node rows (wrong hops). Pin: nonzero source, distributed rounds,
+        exactly one row per node and fast==distributed parity."""
+        from gene_etl_ray.ops import graph
+
+        rng = np.random.RandomState(7)
+        E = sorted(set((int(a), int(b))
+                       for a, b in rng.randint(0, 30, (120, 2)) if a != b))
+        df = pd.DataFrame(E, columns=["src", "dst"])
+        fast = graph.bfs_hops(ds_from(df), source=5, max_hops=4)
+        dist = graph.bfs_hops(ds_from(df), source=5, max_hops=4,
+                              small_edge_limit=0)
+        assert dist["node"].is_unique
+        pd.testing.assert_frame_equal(fast, dist)
