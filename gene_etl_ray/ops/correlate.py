@@ -289,7 +289,13 @@ def pairwise_corr_matrix(
             index=sample_col,
             columns=var_col,
             values=value_col,
-            aggfunc="first",
+            # "min", not "first": when the input carries duplicate
+            # (sample, var) observations the winning cell must not
+            # depend on shuffle arrival order ("first" does — it made
+            # lineitem_corr_fdr_pipeline nondeterministic before it was
+            # value-gated). Where (sample, var) is unique — every other
+            # caller — min == first.
+            aggfunc="min",
             fill_value=fill,
         ).sort_index(axis=1)
         names = list(mat.columns)

@@ -3377,11 +3377,14 @@ def lineitem_corr_fdr_pipeline(sf_dir: str) -> pd.DataFrame:
     """The reference's END-TO-END statistical pipeline
     (``correlate.py:249-295``) on engine data: per-returnflag all-pairs
     Spearman over the orderkey × linenumber quantity matrix → t-test
-    p-value → per-cohort BH-FDR → significance flag. Rows-only (the
-    t-distribution survival function has no SQL form); its invariants —
-    rho ∈ [-1,1], p/q ∈ [0,1], q ≥ p, C(n,2) pairs per cohort — are
-    pinned in tests/test_correlate.py exactly the way the reference
-    pins its own p-values."""
+    p-value → per-cohort BH-FDR → significance flag. Fully oracled
+    (CORR_FDR_PIPE_SQL): the t survival function has a closed FINITE
+    series for every integer df (A&S 26.7.3/26.7.4) that DuckDB
+    evaluates via a generate_series join, so the general-df path lands
+    under the value-hash gate; invariants (rho ∈ [-1,1], p/q ∈ [0,1],
+    q ≥ p, C(n,2) pairs per cohort) stay pinned in
+    tests/test_correlate.py exactly the way the reference pins its own
+    p-values."""
     from gene_etl_ray.ops import correlate
 
     ds = read(
@@ -3473,6 +3476,104 @@ r AS (
 q AS (
   SELECT g, va, vb, rho, n, p,
          least(min(bh) OVER (PARTITION BY g ORDER BY rk
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0) AS qv
+  FROM r)
+SELECT g AS l_returnflag, va AS var_a, vb AS var_b,
+       round(rho, 6) AS rho, round(p, 6) AS p_value,
+       round(qv, 6) AS q_value, n, qv < 0.05 AS significant
+FROM q ORDER BY 1, 2, 3
+"""
+
+
+# Twin for the GENERAL-df pipeline (lineitem_corr_fdr_pipeline). The
+# Student-t two-sided survival function has a closed FINITE form for
+# every integer df (Abramowitz & Stegun 26.7.3/26.7.4):
+#   θ = atan(t/√df)
+#   df odd:  A = (2/π)·(θ + sinθ·cosθ·Σ_{k=0}^{(df-3)/2} o_k cos^{2k}θ),
+#            o_0 = 1, o_k = o_{k-1}·2k/(2k+1)
+#   df even: A = sinθ·Σ_{k=0}^{(df-2)/2} e_k cos^{2k}θ,
+#            e_0 = 1, e_k = e_{k-1}·(2k-1)/(2k)
+#   p = 1 − A(|t| | df)
+# The coefficient prefix-products are exp(Σ ln) window sums over ONE
+# generate_series shared by all pairs (k capped per pair by its df), so
+# the whole series is a plain join + groupby — no recursion. The engine
+# side still evaluates the regularized-incomplete-beta continued
+# fraction (correlate.py t_sf_two_sided); the two are the same function
+# to ~1e-12, far inside the 6dp gate. Spearman = corr over average
+# ranks (rank() + (ties−1)/2), the _rank_average convention.
+CORR_FDR_PIPE_SQL = """
+WITH c AS (
+  SELECT l_returnflag g, l_orderkey s, l_linenumber var,
+         CAST(min(l_quantity) AS DOUBLE) v
+  FROM lineitem GROUP BY 1, 2, 3),
+grid AS (
+  SELECT gs.g, gs.s, gv.var
+  FROM (SELECT DISTINCT g, s FROM c) gs
+  JOIN (SELECT DISTINCT g, var FROM c) gv ON gs.g = gv.g),
+m AS (
+  SELECT grid.g, grid.s, grid.var, COALESCE(c.v, 0.0) v
+  FROM grid LEFT JOIN c ON grid.g = c.g AND grid.s = c.s
+                        AND grid.var = c.var),
+rk AS (
+  SELECT g, s, var,
+         CAST(rank() OVER (PARTITION BY g, var ORDER BY v) AS DOUBLE)
+         + (CAST(count(*) OVER (PARTITION BY g, var, v) AS DOUBLE)
+            - 1.0) / 2.0 AS r
+  FROM m),
+pairs AS (
+  SELECT a.g, a.var va, b.var vb, corr(a.r, b.r) rho,
+         CAST(count(*) AS BIGINT) n
+  FROM rk a JOIN rk b ON a.g = b.g AND a.s = b.s AND a.var < b.var
+  GROUP BY 1, 2, 3),
+ang AS (
+  SELECT g, va, vb, rho, n, n - 2 AS df,
+         atan(abs(rho) * sqrt((n - 2.0)
+              / greatest(1.0 - rho * rho, 1e-300))
+              / sqrt(n - 2.0)) AS theta
+  FROM pairs),
+ks AS (
+  SELECT unnest(generate_series(0,
+      greatest((SELECT CAST(max(n) AS BIGINT) FROM pairs), 1))) AS k),
+coef AS (
+  SELECT k,
+         exp(sum(CASE WHEN k = 0 THEN 0.0
+                      ELSE ln(2.0 * k / (2.0 * k + 1.0)) END)
+             OVER (ORDER BY k)) AS ocoef,
+         exp(sum(CASE WHEN k = 0 THEN 0.0
+                      ELSE ln((2.0 * k - 1.0) / (2.0 * k)) END)
+             OVER (ORDER BY k)) AS ecoef
+  FROM ks),
+ser AS (
+  SELECT a.g, a.va, a.vb,
+         sum(CASE WHEN a.df % 2 = 1 THEN coef.ocoef
+                  ELSE coef.ecoef END
+             * pow(cos(a.theta) * cos(a.theta), coef.k)) AS ssum
+  FROM ang a JOIN coef
+    ON coef.k <= CASE WHEN a.df % 2 = 1 THEN (a.df - 3) // 2
+                      ELSE (a.df - 2) // 2 END
+  GROUP BY 1, 2, 3),
+pv AS (
+  SELECT a.g, a.va, a.vb, a.rho, a.n,
+         CASE WHEN a.rho IS NULL OR a.n <= 2 THEN 1.0
+              WHEN abs(a.rho) >= 1.0 THEN 0.0
+              ELSE least(greatest(1.0 - CASE WHEN a.df % 2 = 1
+                  THEN (2.0 / pi()) * (a.theta
+                       + sin(a.theta) * cos(a.theta)
+                         * COALESCE(ser.ssum, 0.0))
+                  ELSE sin(a.theta) * COALESCE(ser.ssum, 0.0)
+              END, 0.0), 1.0)
+         END AS p
+  FROM ang a LEFT JOIN ser ON a.g = ser.g AND a.va = ser.va
+                           AND a.vb = ser.vb),
+pv2 AS (
+  SELECT *, count(*) OVER (PARTITION BY g) AS npairs FROM pv),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY g ORDER BY p) AS rnk,
+         p * npairs / row_number() OVER (PARTITION BY g ORDER BY p) AS bh
+  FROM pv2),
+q AS (
+  SELECT g, va, vb, rho, n, p,
+         least(min(bh) OVER (PARTITION BY g ORDER BY rnk
              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0) AS qv
   FROM r)
 SELECT g AS l_returnflag, va AS var_a, vb AS var_b,
@@ -6808,6 +6909,7 @@ ORACLE_SQL = {
     "events_fdr_bh": FDR_BH_SQL,
     "events_type_corr_matrix": CORR_MATRIX_SQL,
     "corr_fdr_significant": CORR_FDR_SQL,
+    "lineitem_corr_fdr_pipeline": CORR_FDR_PIPE_SQL,
     "docs_token_budget": TOKEN_BUDGET_SQL,
     "docs_source_cap": SOURCE_CAP_SQL,
     "docs_mixture_sample": MIXTURE_SAMPLE_SQL,
