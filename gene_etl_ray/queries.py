@@ -6031,20 +6031,28 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
-def _knn_edges_df(sf_dir: str, k: int = 3,
-                  with_weight: bool = False) -> pd.DataFrame:
+def _knn_edges_ds(sf_dir: str, k: int = 3,
+                  with_weight: bool = False) -> ray.data.Dataset:
     """The kNN edge list every graph query runs on — ONE builder so k,
-    the tie-break and the weight rounding cannot drift between the six
-    engine/oracle pairs."""
+    the tie-break and the weight rounding cannot drift between the
+    engine/oracle pairs. Returns a DATASET straight from the
+    distributed sharded builder (``knn.knn_graph_edges``): the edges
+    feed the graph ops without ever collecting on the driver (r3
+    verdict's last whole-corpus gather, closed)."""
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    g = knn.knn_graph(ds, k=k).rename(
-        columns={"vec_id": "src", "nbr_id": "dst"})
-    if with_weight:
-        # 4dp (not the output's 6): a rounded value used as a
-        # fixed-point INPUT needs boundary margin against last-ulp
-        # cosine differences between engines
-        g["w"] = g["cosine"].round(4)
-    return g[["src", "dst"] + (["w"] if with_weight else [])]
+    edges = knn.knn_graph_edges(ds, k=k)
+
+    def conv(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"src": b["vec_id"].astype("int64"),
+                            "dst": b["nbr_id"].astype("int64")})
+        if with_weight:
+            # 4dp (not the output's 6): a rounded value used as a
+            # fixed-point INPUT needs boundary margin against last-ulp
+            # cosine differences between engines
+            out["w"] = b["cosine"].round(4)
+        return out
+
+    return edges.map_batches(conv, batch_format="pandas")
 
 
 def _knn_edges_cte(k: int = 3, with_weight: bool = False) -> str:
@@ -6077,9 +6085,7 @@ def embeddings_pagerank(sf_dir: str) -> pd.DataFrame:
     both sides."""
     from gene_etl_ray.ops import graph
 
-    edges_df = _knn_edges_df(sf_dir)
-    edges = ray.data.from_pandas(edges_df)
-    pr = graph.pagerank(edges, iters=5).to_pandas()
+    pr = graph.pagerank(_knn_edges_ds(sf_dir), iters=5).to_pandas()
     n = len(pr)
     pr["pr_ratio"] = (pr["pr"] * n).round(6)
     pr = pr.rename(columns={"node": "vec_id"})
@@ -6129,8 +6135,7 @@ def embeddings_knn_triangles(sf_dir: str) -> pd.DataFrame:
     twin recomputes the same wedge→closure chain as SQL self-joins."""
     from gene_etl_ray.ops import graph
 
-    edges_df = _knn_edges_df(sf_dir)
-    out = graph.triangle_counts(ray.data.from_pandas(edges_df))
+    out = graph.triangle_counts(_knn_edges_ds(sf_dir))
     return out.rename(columns={"node": "vec_id"}).reset_index(drop=True)
 
 
@@ -6208,8 +6213,7 @@ def embeddings_hits(sf_dir: str) -> pd.DataFrame:
     ``embeddings_pagerank``; the twin unrolls the mutual recursion."""
     from gene_etl_ray.ops import graph
 
-    edges_df = _knn_edges_df(sf_dir)
-    out = graph.hits(ray.data.from_pandas(edges_df), iters=3).to_pandas()
+    out = graph.hits(_knn_edges_ds(sf_dir), iters=3).to_pandas()
     out["hub"] = out["hub"].round(6)
     out["authority"] = out["authority"].round(6)
     out = out.rename(columns={"node": "vec_id"})
@@ -6269,8 +6273,7 @@ def embeddings_clustering_coeff(sf_dir: str) -> pd.DataFrame:
     chain plus a degree CTE."""
     from gene_etl_ray.ops import graph
 
-    edges_df = _knn_edges_df(sf_dir)
-    out = graph.clustering_coefficients(ray.data.from_pandas(edges_df))
+    out = graph.clustering_coefficients(_knn_edges_ds(sf_dir))
     out["clustering"] = out["clustering"].round(6)
     return out.rename(columns={"node": "vec_id"}).reset_index(drop=True)
 
@@ -6313,8 +6316,7 @@ def embeddings_communities(sf_dir: str) -> pd.DataFrame:
     oracle-able)."""
     from gene_etl_ray.ops import graph
 
-    edges_df = _knn_edges_df(sf_dir)
-    out = graph.label_propagation(ray.data.from_pandas(edges_df), iters=4)
+    out = graph.label_propagation(_knn_edges_ds(sf_dir), iters=4)
     return out.rename(columns={"node": "vec_id"}).reset_index(drop=True)
 
 
@@ -6364,8 +6366,8 @@ def embeddings_pagerank_weighted(sf_dir: str) -> pd.DataFrame:
     weighted fixed-point with unrolled CTEs."""
     from gene_etl_ray.ops import graph
 
-    edges = ray.data.from_pandas(_knn_edges_df(sf_dir, with_weight=True))
-    pr = graph.pagerank(edges, iters=5, weight="w").to_pandas()
+    pr = graph.pagerank(_knn_edges_ds(sf_dir, with_weight=True),
+                        iters=5, weight="w").to_pandas()
     n = len(pr)
     pr["pr_ratio"] = (pr["pr"] * n).round(6)
     pr = pr.rename(columns={"node": "vec_id"})
@@ -6416,8 +6418,7 @@ def embeddings_knn_reach(sf_dir: str) -> pd.DataFrame:
     CTE twin."""
     from gene_etl_ray.ops import graph
 
-    edges_df = _knn_edges_df(sf_dir)
-    out = graph.bfs_hops(ray.data.from_pandas(edges_df), source=0,
+    out = graph.bfs_hops(_knn_edges_ds(sf_dir), source=0,
                          max_hops=4)
     return out.rename(columns={"node": "vec_id"}).reset_index(drop=True)
 

@@ -1938,6 +1938,49 @@ class TestKnnGraph:
             top7 = got[got["vec_id"] == 7].iloc[0]
             assert top7["nbr_id"] == 3 and abs(top7["cosine"] - 1) < 1e-9
 
+    def test_sharded_builder_parity(self, ray_session):
+        """The distributed builder (r4): forcing many corpus shards
+        (shard_rows=7 → 6 shards of ~7 vectors) must produce the exact
+        same edge set, order and cosines as the single-shard run — the
+        k-prefix merge argument. Also pins k > n-1 (merge caps at n-1)
+        on the multi-shard path."""
+        import ray.data as rd
+
+        from gene_etl_ray.ops import knn as K
+
+        rng = np.random.RandomState(13)
+        n, d = 40, 8
+        M = rng.randn(n, d)
+        M[11] = M[2]
+        df = pd.DataFrame({
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(M.astype(np.float32)),
+        })
+        src = rd.from_pandas(df, override_num_blocks=4)
+        one = K.knn_graph(src, k=3, shard_rows=n + 1)
+        many = K.knn_graph(src, k=3, shard_rows=7)
+        pd.testing.assert_frame_equal(one, many)
+        # k larger than the corpus: every vector gets all n-1 neighbors
+        allof = K.knn_graph(src, k=n + 5, shard_rows=7)
+        assert (allof.groupby("vec_id").size() == n - 1).all()
+
+    def test_hard_negatives_sharded_parity(self, ray_session):
+        import ray.data as rd
+
+        from gene_etl_ray.ops import knn as K
+
+        rng = np.random.RandomState(21)
+        n, d = 30, 6
+        df = pd.DataFrame({
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(rng.randn(n, d).astype(np.float32)),
+            "label": (np.arange(n) % 3).astype(np.int32),
+        })
+        src = rd.from_pandas(df, override_num_blocks=3)
+        one = K.hard_negatives(src, k=2, shard_rows=n + 1)
+        many = K.hard_negatives(src, k=2, shard_rows=5)
+        pd.testing.assert_frame_equal(one, many)
+
 
 class TestReviewRegressions:
     """Pins for the session-3 review findings (boundary float-rounding,
