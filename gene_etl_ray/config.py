@@ -68,6 +68,15 @@ class EngineConfig:
     # LWW associativity makes this semantically identical to extracting
     # everything, at ~1/U the extraction + shuffle cost for U updates/url
     late_extract: bool = False
+    # late-extract winner-set bound: when the delta's per-url winner
+    # count exceeds this, the winner seqs are NOT gathered/broadcast as
+    # a driver array (O(delta urls) driver memory — tens of GB at
+    # 10^10-event commit groups); the filter becomes a distributed
+    # Bloom prefilter (bitmap built distributed, OR-merged, ray.put
+    # once) followed by an exact partitioned semi join on seq. Below
+    # the bound the sorted-array searchsorted filter is cheaper (no
+    # extra exchange).
+    late_winner_gather_limit: int = 4_000_000
     # sink strategy: "cow" (copy-on-write — each commit rewrites touched
     # partitions; reads are plain scans) or "mor" (merge-on-read — each
     # commit APPENDS a per-partition LWW-deduped delta file; reads resolve

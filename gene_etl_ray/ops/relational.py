@@ -178,16 +178,41 @@ def partitioned_join(
         lcols = [c for c in lcols if c != "__salt"]
         rcols = [c for c in rcols if c != "__salt"]
 
+    if how in ("semi", "anti") and bucket_post is None:
+        # big⋈big SEMI / ANTI, ARROW-NATIVE: membership against the
+        # co-located right key set — per-bucket decisions are globally
+        # exact because a key's rows land in exactly one bucket (and
+        # under salting, every hot right row is replicated into each of
+        # the hot key's sub-buckets, so membership stays complete there
+        # too). Left columns only; right rows never multiply output.
+        # Staying pyarrow end-to-end matters here: semi/anti joins pass
+        # PAYLOAD columns through untouched, and a pandas round-trip
+        # mangles all-null string / binary columns (the late-extract
+        # winner path ships html through this join).
+        def join_bucket_pa(g: pa.Table) -> pa.Table:
+            lmask = pc.equal(g.column("__side"), "l")
+            lg = g.filter(lmask)
+            rkeys = g.filter(pc.invert(lmask)).column(right_on)
+            m = pc.is_in(
+                lg.column(left_on),
+                value_set=rkeys.combine_chunks().unique(),
+            )
+            # SQL IN semantics: a NULL key matches nothing (semi drops
+            # it; anti keeps it as "not in the set")
+            if how == "semi":
+                m = pc.fill_null(m, False)
+            else:
+                m = pc.invert(pc.fill_null(m, False))
+            return lg.filter(m).select(
+                [c for c in lcols if c not in ("__side",)])
+
+        return both.groupby("__bucket").map_groups(
+            join_bucket_pa, batch_format="pyarrow")
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g.loc[g["__side"] == "l", lcols]
         rg = g.loc[g["__side"] == "r", rcols]
         if how in ("semi", "anti"):
-            # big⋈big SEMI / ANTI: membership against the co-located
-            # right key set — per-bucket decisions are globally exact
-            # because a key's rows land in exactly one bucket (and under
-            # salting, every hot right row is replicated into each of the
-            # hot key's sub-buckets, so membership stays complete there
-            # too). Left columns only; right rows never multiply output.
             m = lg[left_on].isin(set(rg[right_on]))
             out = lg[m] if how == "semi" else lg[~m]
         else:

@@ -237,6 +237,27 @@ def test_late_extract_matches_oracle(tmp_events, tmp_lake, tmp_path):
     assert_matches_oracle(tmp_lake, tmp_events)
 
 
+def test_late_extract_bounded_winner_path_matches_oracle(
+    tmp_events, tmp_lake, tmp_path
+):
+    """The adaptive-path pin (the _collapse_exact convention): forcing
+    late_winner_gather_limit=0 routes EVERY winner through the
+    distributed Bloom-prefilter + partitioned-semi-join path instead of
+    the driver searchsorted array — the lake must converge to the
+    identical oracle state, ties/out-of-order/deletes/schema-add
+    included."""
+    generate_events(
+        tmp_events, n_urls=300, n_events=1500, n_epochs=6,
+        tie_frac=0.15, out_of_order_frac=0.2, schema_add_epoch=3,
+    )
+    cfg = EngineConfig(
+        lake_dir=tmp_lake, num_partitions=8, epochs_per_commit=2,
+        late_extract=True, late_winner_gather_limit=0,
+    )
+    run_ingest(cfg, tmp_events)
+    assert_matches_oracle(tmp_lake, tmp_events)
+
+
 def test_mor_mode_matches_oracle_and_compacts(tmp_events, tmp_lake, tmp_path):
     """Merge-on-read: delta appends + read-side LWW resolution produce the
     same live state as copy-on-write and the oracle; compaction folds the
