@@ -1,14 +1,17 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata, decoded by an actor-pool ``map_batches`` stage.
 
-The image and audio decode kernels are REAL here, within stdlib limits:
+The image and audio decode kernels are REAL here, no external libs:
+- ``image/jpeg`` — pure-python baseline sequential JPEG
+  (``ops/jpeg.py``: Huffman + dequant + IDCT per ITU-T T.81), decode
+  AND encode — the dominant web image format;
 - ``image/png`` — an actual PNG decoder (chunk parse → IHDR validate →
   zlib-inflate IDAT → scanline unfilter (types 0-2) → numpy array), and
   the matching minimal encoder used by ``synthesize_media``;
 - ``audio/wav`` — stdlib ``wave`` PCM decode → int16 numpy samples.
 
-Richer codecs (JPEG, MP3, H.264) genuinely require external libraries
-that are absent from this container — those mimes raise
+Richer codecs (progressive JPEG, MP3, H.264) genuinely require external
+libraries that are absent from this container — those mimes raise
 NotImplementedError at the exact call site where PIL/ffmpeg would slot
 in; nothing else in the stage would change.
 
@@ -29,6 +32,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+
+from gene_etl_ray.ops.jpeg import jpeg_decode_gray, jpeg_encode_gray
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -273,13 +278,15 @@ def synthesize_media(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.D
             rng = np.random.RandomState(int(i) % (2**31))
             if i % 3:
                 side = 8 + int(i) % 24
-                payloads.append(
-                    png_encode_gray(
-                        rng.randint(0, 256, size=(side, side)).astype(np.uint8)
-                    )
-                )
+                img = rng.randint(0, 256, size=(side, side)).astype(np.uint8)
+                if i % 3 == 1:
+                    # the dominant web image format, real baseline bytes
+                    payloads.append(jpeg_encode_gray(img, quality=90))
+                    mimes.append("image/jpeg")
+                else:
+                    payloads.append(png_encode_gray(img))
+                    mimes.append("image/png")
                 mtypes.append("image")
-                mimes.append("image/png")
             else:
                 n = 256 + int(i) % 1024
                 payloads.append(
@@ -303,10 +310,10 @@ def synthesize_media(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.D
 
 
 class MediaDecoder:
-    """Actor-pool decode/feature stage. PNG and WAV are decoded FOR REAL
-    (stdlib codecs above); other mimes (JPEG/MP3/video) raise
-    NotImplementedError at the exact call site a PIL/ffmpeg decoder slots
-    into. ``feature_dim`` fixes the output vector width so downstream
+    """Actor-pool decode/feature stage. Baseline JPEG, PNG and WAV are
+    decoded FOR REAL (native codecs above); other mimes (MP3/video/
+    progressive JPEG) raise NotImplementedError at the exact call site
+    a PIL/ffmpeg decoder slots into. ``feature_dim`` fixes the output vector width so downstream
     schema is stable across media types.
 
     Batch sizing: media rows are fat — callers must size map_batches by
@@ -317,8 +324,12 @@ class MediaDecoder:
         self.dim = feature_dim
 
     def _features(self, payload: bytes, mime: str) -> np.ndarray:
-        if mime == "image/png":
-            img = png_decode_gray(payload).astype(np.float32)
+        if mime in ("image/png", "image/jpeg"):
+            img = (
+                png_decode_gray(payload)
+                if mime == "image/png"
+                else jpeg_decode_gray(payload)
+            ).astype(np.float32)
             h, w = img.shape
             edge = float(np.abs(np.diff(img, axis=1)).mean()) if w > 1 else 0.0
             f = [
@@ -348,7 +359,9 @@ class MediaDecoder:
         else:
             raise NotImplementedError(
                 f"decoding {mime} requires an external media library not "
-                "present in this environment; plug PIL/ffmpeg here"
+                "present in this environment (baseline JPEG/PNG/WAV are "
+                "decoded natively); plug PIL/ffmpeg here for MP3/video/"
+                "progressive JPEG"
             )
         v = np.asarray(f, dtype=np.float32)
         if len(v) < self.dim:
@@ -388,7 +401,10 @@ class MediaResizer:
     - ``audio/wav``: FRAME-SAMPLE — keep every ``stride``-th PCM frame
       and divide the sample rate by ``stride``, preserving duration
       (the audio analog of video frame sampling).
-    - anything else (JPEG / MP3 / video/*): NotImplementedError.
+    - ``image/jpeg``: decode (baseline codec) → same nearest-neighbor
+      resample → re-encode baseline JPEG.
+    - anything else (MP3 / video/* / progressive JPEG):
+      NotImplementedError.
 
     Output rows keep metadata, replace ``payload`` with the resampled
     bytes, and add ``out_h/out_w`` (images; -1 for audio) and
@@ -402,13 +418,22 @@ class MediaResizer:
         self.stride = stride
 
     def _one(self, payload: bytes, mime: str) -> tuple[bytes, int, int, int]:
-        if mime == "image/png":
-            img = png_decode_gray(payload)
+        if mime in ("image/png", "image/jpeg"):
+            img = (
+                png_decode_gray(payload)
+                if mime == "image/png"
+                else jpeg_decode_gray(payload)
+            )
             h, w = img.shape
             rr = (np.arange(self.size) * h) // self.size
             cc = (np.arange(self.size) * w) // self.size
             out = img[rr][:, cc]
-            return png_encode_gray(out), self.size, self.size, -1
+            enc = (
+                png_encode_gray(out)
+                if mime == "image/png"
+                else jpeg_encode_gray(out, quality=90)
+            )
+            return enc, self.size, self.size, -1
         if mime == "audio/wav":
             samples, rate = wav_decode_pcm16(payload)
             dec = samples[:: self.stride]

@@ -3100,7 +3100,8 @@ def cdc_domain_stats_oracle_sql(sf_dir: str) -> str:
 
 
 def media_features(sf_dir: str) -> pd.DataFrame:
-    """Multimodal decode: synthesize REAL binary payloads (PNG/WAV) →
+    """Multimodal decode: synthesize REAL binary payloads (JPEG/PNG/WAV,
+    all native codecs — baseline JPEG included since r4) →
     actor-pool decode → feature rows. Oracled as a FIXTURE-PARAMETER
     TWIN: the synthesis parameters are pure formulas of doc_id (image
     side = 8 + id%24, audio samples = 256 + id%1024, rate 8000), and the
@@ -3128,7 +3129,9 @@ def media_features(sf_dir: str) -> pd.DataFrame:
 MEDIA_FEATURES_SQL = """
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS media_type,
-       CASE WHEN doc_id % 3 = 0 THEN 'audio/wav' ELSE 'image/png' END AS mime,
+       CASE WHEN doc_id % 3 = 0 THEN 'audio/wav'
+            WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+            ELSE 'image/png' END AS mime,
        CAST(8 AS BIGINT) AS feature_dim,
        CAST(CASE WHEN doc_id % 3 = 0 THEN 256 + doc_id % 1024
                  ELSE 8 + doc_id % 24 END AS BIGINT) AS decoded_size
@@ -3138,8 +3141,9 @@ FROM documents ORDER BY media_id
 
 def media_resized(sf_dir: str) -> pd.DataFrame:
     """Multimodal resize / frame-sample: synthesize → actor-pool resample
-    (REAL nearest-neighbor PNG resize to 12×12 + PCM frame-decimation by
-    stride 4; JPEG/video raise at the PIL/ffmpeg slot) → RE-DECODE the
+    (REAL nearest-neighbor JPEG/PNG resize to 12×12 + PCM
+    frame-decimation by stride 4; MP3/video raise at the PIL/ffmpeg
+    slot) → RE-DECODE the
     resized payloads to prove the output bytes are themselves valid
     media. Fixture-parameter twin: out_h/out_w = 12 for images, -1 for
     audio; out_frames = ceil((256 + id%1024) / 4) for audio, -1 for
@@ -3160,7 +3164,9 @@ def media_resized(sf_dir: str) -> pd.DataFrame:
 MEDIA_RESIZED_SQL = """
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS media_type,
-       CASE WHEN doc_id % 3 = 0 THEN 'audio/wav' ELSE 'image/png' END AS mime,
+       CASE WHEN doc_id % 3 = 0 THEN 'audio/wav'
+            WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+            ELSE 'image/png' END AS mime,
        CAST(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 12 END AS BIGINT) AS out_h,
        CAST(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 12 END AS BIGINT) AS out_w,
        CAST(CASE WHEN doc_id % 3 = 0

@@ -389,6 +389,54 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             dec._features(b"\x00" * 64, "video/mp4")
 
+    def test_jpeg_codec_baseline(self):
+        """The r4 pure-python baseline JPEG codec (ops/jpeg.py): exact
+        dims + DC-exact uniform blocks, bounded quantization error on
+        noise, odd sizes via edge padding, and the narrowed
+        NotImplementedError on a progressive (SOF2) stream."""
+        from gene_etl_ray.ops import jpeg as J
+
+        # uniform image: every block is DC-only → decodes exactly
+        for v in (0, 37, 128, 255):
+            img = np.full((16, 24), v, np.uint8)
+            back = J.jpeg_decode_gray(J.jpeg_encode_gray(img, quality=90))
+            assert back.shape == (16, 24)
+            assert (back == v).all()
+        # noise: lossy but bounded at q=90
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 256, size=(33, 41)).astype(np.uint8)
+        data = J.jpeg_encode_gray(img, quality=90)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        back = J.jpeg_decode_gray(data)
+        assert back.shape == img.shape
+        assert np.abs(back.astype(int) - img.astype(int)).mean() < 8
+        # odd / tiny sizes round-trip the exact dimensions
+        for shape in [(1, 1), (8, 8), (9, 7)]:
+            im2 = rng.randint(0, 256, size=shape).astype(np.uint8)
+            assert J.jpeg_decode_gray(J.jpeg_encode_gray(im2)).shape == shape
+        # progressive marker → the declared external-library slot
+        bad = bytearray(J.jpeg_encode_gray(np.zeros((8, 8), np.uint8)))
+        i = bad.find(b"\xff\xc0")
+        bad[i + 1] = 0xC2
+        with pytest.raises(NotImplementedError):
+            J.jpeg_decode_gray(bytes(bad))
+
+    def test_jpeg_media_stages_end_to_end(self):
+        """image/jpeg flows through MediaDecoder features and
+        MediaResizer (decode → resample → re-encode → re-decode)."""
+        from gene_etl_ray.ops import jpeg as J
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, size=(20, 20)).astype(np.uint8)
+        payload = J.jpeg_encode_gray(img, quality=90)
+        dec = multimodal.MediaDecoder()
+        f = dec._features(payload, "image/jpeg")
+        assert len(f) == 8 and abs(f[6] * 4096 - 20) < 0.5
+        rz = multimodal.MediaResizer(size=12)
+        out_payload, oh, ow, _ = rz._one(payload, "image/jpeg")
+        assert (oh, ow) == (12, 12)
+        assert J.jpeg_decode_gray(out_payload).shape == (12, 12)
+
     def test_rawvideo_codec_roundtrip(self):
         rng = np.random.RandomState(4)
         frames = rng.randint(0, 256, size=(7, 9, 11)).astype(np.uint8)
