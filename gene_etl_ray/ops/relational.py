@@ -566,14 +566,24 @@ def latest_per_key(
 ) -> ray.data.Dataset:
     """Last-writer-wins per key: the row with max ``order`` tuple wins —
     the CDC merge kernel as a standalone relational operator (D2,
-    ``persist.py:152-185``). Hash-shuffle on key, per-group vectorized
-    keep-last."""
+    ``persist.py:152-185``). LWW is associative, so a per-batch
+    pre-combiner (keep-last per key INSIDE each batch) runs before the
+    hash shuffle — the exchange then carries ≤ one row per (batch, key)
+    instead of every event, the same partial-aggregation shape the
+    grouped aggregates use."""
+
+    def partial_last(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        b = b.sort_values(order, kind="mergesort")
+        return b.drop_duplicates(key, keep="last")
 
     def keep_last(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order, kind="mergesort")
         return g.tail(1)
 
-    return ds.groupby(key).map_groups(keep_last, batch_format="pandas")
+    pre = ds.map_batches(partial_last, batch_format="pandas")
+    return pre.groupby(key).map_groups(keep_last, batch_format="pandas")
 
 
 def top_k(ds: ray.data.Dataset, column: str, k: int, extra_sort: list[str] | None = None):
