@@ -1,0 +1,67 @@
+"""Skew-path burn-in at a larger synthetic scale (r3 verdict item #9):
+one ingest an order of magnitude above the other e2e tests, with a much
+hotter Zipf domain skew, driving BOTH adaptive paths added for scale —
+hot-partition salting on the merge shuffle and the bounded late-extract
+winner set (Bloom prefilter + partitioned semi join) — and asserting
+the lake still converges byte-identically to the single-process replay
+oracle."""
+
+from gene_etl_ray.config import EngineConfig
+from gene_etl_ray.fixtures import generate_events
+from gene_etl_ray.pipelines.ingest import run_ingest
+
+from test_ingest_e2e import assert_matches_oracle
+
+
+def test_hot_skew_salted_late_extract_burnin(tmp_path, ray_session):
+    events = str(tmp_path / "events")
+    lake = str(tmp_path / "lake")
+    meta = generate_events(
+        events,
+        n_urls=40_000,
+        n_events=400_000,
+        n_epochs=4,
+        hot_domain_weight=300.0,  # much hotter than the default 50×
+        tie_frac=0.1,
+        out_of_order_frac=0.15,
+        html_size_hint=60,
+    )
+    assert meta["n_events"] == 400_000
+    cfg = EngineConfig(
+        lake_dir=lake,
+        num_partitions=16,
+        epochs_per_commit=2,
+        # low threshold: the hot domains MUST trip the salted merge path
+        hot_partition_threshold=5_000,
+        late_extract=True,
+        # far below the winner count: every commit group routes through
+        # the distributed Bloom + semi-join winner filter
+        late_winner_gather_limit=1_000,
+    )
+    rep = run_ingest(cfg, events)
+    assert rep["events_applied"] > 0
+    assert_matches_oracle(lake, events)
+
+
+def test_hot_skew_partition_counts_are_skewed(tmp_path, ray_session):
+    """Sanity on the fixture itself: the hotter Zipf weight really does
+    concentrate url mass (otherwise the burn-in above proves nothing)."""
+    events = str(tmp_path / "ev2")
+    generate_events(
+        events, n_urls=8_000, n_events=40_000, n_epochs=2,
+        hot_domain_weight=300.0,
+    )
+    import pyarrow.parquet as pq
+    import glob
+    import os
+
+    urls = []
+    for f in sorted(glob.glob(os.path.join(events, "*.parquet"))):
+        urls.append(pq.read_table(f, columns=["url"]).column("url"))
+    import pyarrow as pa
+
+    u = pa.concat_arrays([c.combine_chunks() for c in urls]).to_pandas()
+    dom = u.str.extract(r"https?://([^/]+)/")[0]
+    counts = dom.value_counts()
+    # top domain carries far more than a uniform share
+    assert counts.iloc[0] > 20 * counts.mean()
