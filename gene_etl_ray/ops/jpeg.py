@@ -275,6 +275,8 @@ def jpeg_decode_gray(data: bytes) -> np.ndarray:
     tq = 0
     restart_interval = 0
     while pos < len(data):
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG (marker cut off)")
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
         marker = data[pos + 1]

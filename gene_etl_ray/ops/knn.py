@@ -668,6 +668,12 @@ def semdedup_auto(
 
 
 KNN_SHARD_ROWS = 65536
+#: bounded-corpus fast path for the exact top-k builders: at or below
+#: this many vectors the all-pairs kernel runs in ONE worker task
+#: (block refs resolve in the task, never on the driver) — the same
+#: SMALL_EDGE_LIMIT convention the graph ops use. 200k×256 float64
+#: ≈ 410 MB resident in that task; above it, the sharded path.
+KNN_INTASK_ROWS = 200_000
 
 
 class _ShardScan:
@@ -764,6 +770,50 @@ def _sharded_topk_edges(
          "cosine": pd.Series([], dtype="float64")})
     if n == 0:
         return ray.data.from_pandas(empty)
+    if n <= min(shard_rows, KNN_INTASK_ROWS):
+        # bounded-corpus fast path (the graph family's SMALL_EDGE_LIMIT
+        # convention): ONE worker task resolves the block refs, builds
+        # the matrix and emits every row's top-k in a single stable
+        # argsort kernel — no scratch write, no actor-pool ramp, no
+        # merge exchange, and STILL nothing on the driver (refs resolve
+        # inside the task). Output pinned equal to the sharded path by
+        # tests/test_ops.py parity tests.
+        import ray as _ray
+
+        @_ray.remote(num_cpus=1)
+        def solve(*parts: pd.DataFrame) -> pd.DataFrame:
+            df = pd.concat(parts, ignore_index=True)
+            if not len(df):
+                return empty
+            df = df.sort_values(id_col).reset_index(drop=True)
+            ids = df[id_col].to_numpy(np.int64)
+            M = _to_matrix(df[vec_col]).astype(np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+            sims = M @ M.T
+            if label_col is None:
+                sims[ids[:, None] == ids[None, :]] = -np.inf
+            else:
+                lab = df[label_col].to_numpy()
+                sims[lab[:, None] == lab[None, :]] = -np.inf
+            # masked (self / same-label) entries are -inf and sort LAST,
+            # so the first min(k, finite_count) sorted columns are
+            # exactly the global top-k — no buffer column needed
+            kk = min(k, sims.shape[1])
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            cos = np.take_along_axis(sims, order, axis=1)
+            keep = np.isfinite(cos)
+            rows = np.repeat(ids, kk).reshape(-1, kk)
+            return pd.DataFrame(
+                {id_col: rows[keep].ravel(),
+                 nbr_name: ids[order][keep].ravel(),
+                 "cosine": cos[keep].ravel()})
+
+        ref = solve.remote(
+            *ds.select_columns(
+                [id_col, vec_col] + ([label_col] if label_col else [])
+            ).to_pandas_refs()
+        )
+        return ray.data.from_pandas_refs([ref])
     num_shards = max(1, math.ceil(n / shard_rows))
     tmp = tempfile.mkdtemp(prefix="knn_shards_")
     try:

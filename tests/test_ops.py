@@ -1282,9 +1282,14 @@ class TestMediaResize:
         assert rate == 2000  # duration preserved: 800/8000 == 200/2000
 
     def test_unsupported_mime_raises_at_the_library_slot(self):
+        # image/jpeg is decoded natively since r4 — the external-library
+        # slot narrowed to MP3/video (and truncated JPEG is a loud
+        # ValueError, not a silent pass-through)
         from gene_etl_ray.ops.multimodal import MediaResizer
 
         with pytest.raises(NotImplementedError):
+            MediaResizer()._one(b"\x00" * 16, "audio/mpeg")
+        with pytest.raises(ValueError):
             MediaResizer()._one(b"\xff\xd8\xff", "image/jpeg")
 
     def test_pipeline_resized_payloads_are_valid_media(self, ray_session):
