@@ -544,6 +544,116 @@ def pq_adc_topk(
     )
 
 
+def sq_stats(
+    ds: ray.data.Dataset, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension global (min, max) for scalar quantization —
+    distributed mergeable partials: each batch emits ONE long-form
+    (dim, mn, mx) frame (dim-sized, never vector-count-sized), the
+    driver folds O(batches·dim) scalar rows. The train step of the
+    FAISS-style SQ8 path below."""
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"dim": pd.Series([], dtype="int64"),
+                                 "mn": pd.Series([], dtype="float64"),
+                                 "mx": pd.Series([], dtype="float64")})
+        x = _to_matrix(b[vec_col]).astype(np.float64)
+        return pd.DataFrame({
+            "dim": np.arange(x.shape[1], dtype=np.int64),
+            "mn": x.min(axis=0),
+            "mx": x.max(axis=0),
+        })
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    g = parts.groupby("dim", sort=True).agg(mn=("mn", "min"), mx=("mx", "max"))
+    return g["mn"].to_numpy(), g["mx"].to_numpy()
+
+
+def _sq_codes(x: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+    """uint8 codes, float64 math, association pinned to the SQL twin:
+    floor((x - mn) / (mx - mn) * 255 + 0.5); degenerate dims → 0."""
+    rng = mx - mn
+    safe = np.where(rng > 0, rng, 1.0)
+    codes = np.floor((x - mn) / safe * 255.0 + 0.5)
+    codes = np.where(rng > 0, codes, 0.0)
+    return np.clip(codes, 0, 255).astype(np.int64)
+
+
+def sq_encode_summary(
+    ds: ray.data.Dataset,
+    mn: np.ndarray,
+    mx: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """INT8 scalar-quantization encode (SQ8): every float32 vector
+    becomes dim uint8 codes — 4× smaller than raw float32, the simplest
+    memory-scale ANN representation next to PQ. Emits the gate-friendly
+    per-vector summary (first/last code + code sum) rather than dim
+    wide columns; the codes themselves are recomputed per batch by
+    :func:`sq_topk` when searching. (mn, mx) broadcast once (O(dim))."""
+
+    def enc(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "code_first": pd.Series([], dtype="int64"),
+                                 "code_last": pd.Series([], dtype="int64"),
+                                 "code_sum": pd.Series([], dtype="int64")})
+        x = _to_matrix(b[vec_col]).astype(np.float64)
+        codes = _sq_codes(x, mn, mx)
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(np.int64),
+            "code_first": codes[:, 0],
+            "code_last": codes[:, -1],
+            "code_sum": codes.sum(axis=1),
+        })
+
+    out = ds.map_batches(enc, batch_format="pandas").to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
+def sq_topk(
+    ds: ray.data.Dataset,
+    mn: np.ndarray,
+    mx: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Asymmetric SQ search: per batch, encode → decode (mn + code·
+    (mx−mn)/255) → cosine against the RAW float query — quantization
+    error only on the corpus side, the standard asymmetric trade. Tie-
+    widened per-batch partial top-k then a ≤ blocks·k driver merge
+    ((cosine desc, id asc)) — no global sort, codes never shuffle."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-30)
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "sq_cosine": pd.Series([], dtype="float64")})
+        x = _to_matrix(b[vec_col]).astype(np.float64)
+        dec = mn + _sq_codes(x, mn, mx) * (mx - mn) / 255.0
+        norms = np.maximum(np.linalg.norm(dec, axis=1), 1e-30)
+        cos = (dec @ qn) / norms
+        out = pd.DataFrame({id_col: b[id_col].to_numpy(np.int64),
+                            "sq_cosine": cos})
+        if len(out) <= k:
+            return out
+        kth = out["sq_cosine"].nlargest(k).iloc[-1]
+        return out[out["sq_cosine"] >= kth]
+
+    tops = ds.map_batches(part, batch_format="pandas").to_pandas()
+    return (
+        tops.sort_values([ "sq_cosine", id_col], ascending=[False, True],
+                         kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def semdedup(
     ds: ray.data.Dataset,
     centroids: np.ndarray,

@@ -6633,6 +6633,84 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def embeddings_sq_codes(sf_dir: str) -> pd.DataFrame:
+    """INT8 scalar quantization (the FAISS-SQ8 memory-scale path next
+    to PQ): per-dimension global (min, max) trained distributed
+    (``knn.sq_stats`` — dim-sized partials), then every float32 vector
+    becomes dim uint8 codes via floor((x−mn)/(mx−mn)·255 + 0.5) — 4×
+    smaller than raw float32 at 10^10-vector scale. Gate output is the
+    per-vector code summary (first/last code + code sum); the SQL twin
+    recomputes the identical double-precision quantization with a
+    generate_subscripts unnest."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mn, mx = knn.sq_stats(ds)
+    out = knn.sq_encode_summary(ds, mn, mx)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQ_CODES_SQL = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings),
+st AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM x GROUP BY dim),
+nd AS (SELECT max(dim) AS d FROM x),
+cd AS (
+  SELECT x.vec_id, x.dim,
+         CASE WHEN st.mx = st.mn THEN 0
+              ELSE least(greatest(CAST(floor(
+                   (x.val - st.mn) / (st.mx - st.mn) * 255.0 + 0.5)
+                   AS BIGINT), 0), 255) END AS code
+  FROM x JOIN st USING (dim))
+SELECT vec_id,
+       CAST(max(CASE WHEN dim = 1 THEN code END) AS BIGINT) AS code_first,
+       CAST(max(CASE WHEN dim = (SELECT d FROM nd) THEN code END)
+            AS BIGINT) AS code_last,
+       CAST(sum(code) AS BIGINT) AS code_sum
+FROM cd GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+def embeddings_sq_topk(sf_dir: str) -> pd.DataFrame:
+    """Asymmetric SQ8 search (``knn.sq_topk``): corpus vectors decode
+    from their int8 codes (mn + code·(mx−mn)/255), the query stays
+    full-precision — cosine top-10 for query vector 0, tie-broken
+    (cosine desc, id asc). Per-batch encode+decode+matvec, tie-widened
+    partial top-k, ≤ blocks·k driver merge; codes never shuffle."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mn, mx = knn.sq_stats(ds)
+    qv, _ = _query_vectors(sf_dir, 1)
+    out = knn.sq_topk(ds, mn, mx, qv[0], k=10)
+    out["sq_cosine"] = out["sq_cosine"].round(6)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
+SQ_TOPK_SQL = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings),
+st AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM x GROUP BY dim),
+cd AS (
+  SELECT x.vec_id, x.dim,
+         CASE WHEN st.mx = st.mn THEN st.mn
+              ELSE st.mn + least(greatest(floor(
+                   (x.val - st.mn) / (st.mx - st.mn) * 255.0 + 0.5),
+                   0), 255) * (st.mx - st.mn) / 255.0 END AS dv
+  FROM x JOIN st USING (dim)),
+dl AS (SELECT vec_id, list(dv ORDER BY dim) AS v FROM cd GROUP BY vec_id),
+q AS (SELECT list_transform(embedding, y -> CAST(y AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0)
+SELECT d.vec_id, round(list_cosine_similarity(d.v, q.qv), 6) AS sq_cosine
+FROM dl d, q
+ORDER BY list_cosine_similarity(d.v, q.qv) DESC, d.vec_id
+LIMIT 10
+"""
+
+
 # Registry order IS the driver's gate order: the driver runs a 50-entry
 # PREFIX against DuckDB at sf0.01 (verified in round 2: CORRECTNESS_r02
 # keys == registry positions 0-49). Ordering policy:
@@ -6820,6 +6898,9 @@ QUERIES = {
     "docs_snippets": docs_snippets,
     "events_skew_report": events_skew_report,
     "corr_fdr_significant": corr_fdr_significant,
+    # --- round-4 additions (past the gate prefix; local sweep covers) ---
+    "embeddings_sq_codes": embeddings_sq_codes,
+    "embeddings_sq_topk": embeddings_sq_topk,
 }
 
 ORACLE_SQL = {
@@ -6923,6 +7004,8 @@ ORACLE_SQL = {
     "events_type_corr_matrix": CORR_MATRIX_SQL,
     "corr_fdr_significant": CORR_FDR_SQL,
     "lineitem_corr_fdr_pipeline": CORR_FDR_PIPE_SQL,
+    "embeddings_sq_codes": SQ_CODES_SQL,
+    "embeddings_sq_topk": SQ_TOPK_SQL,
     "docs_token_budget": TOKEN_BUDGET_SQL,
     "docs_source_cap": SOURCE_CAP_SQL,
     "docs_mixture_sample": MIXTURE_SAMPLE_SQL,

@@ -2107,6 +2107,51 @@ class TestHardNegatives:
             assert labels[int(r["neg_id"])] != labels[i]
 
 
+class TestScalarQuantization:
+    """knn.sq_stats / sq_encode_summary / sq_topk: codes in [0,255],
+    min→0 / max→255 per dim, decode error bounded by half a step, and
+    the asymmetric top-k agrees with exact cosine on well-separated
+    data; degenerate (constant) dims code to 0."""
+
+    def test_codes_and_topk(self, ray_session):
+        import ray.data as rd
+
+        from gene_etl_ray.ops import knn as K
+
+        rng = np.random.RandomState(3)
+        n, d = 60, 16
+        M = rng.randn(n, d).astype(np.float32)
+        M[:, 5] = 1.25  # constant dim
+        df = pd.DataFrame({
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(M),
+        })
+        src = rd.from_pandas(df, override_num_blocks=3)
+        mn, mx = K.sq_stats(src)
+        assert mn.shape == (d,) and np.all(mx >= mn)
+        X = M.astype(np.float64)
+        codes = K._sq_codes(X, mn, mx)
+        assert codes.min() >= 0 and codes.max() <= 255
+        assert (codes[:, 5] == 0).all()  # degenerate dim
+        for j in (0, 1, 15):
+            assert codes[np.argmin(X[:, j]), j] == 0
+            assert codes[np.argmax(X[:, j]), j] == 255
+        # decode error ≤ half a quantization step per dim
+        rngd = mx - mn
+        dec = mn + codes * np.where(rngd > 0, rngd, 1.0) / 255.0
+        ok = rngd > 0
+        assert np.all(np.abs(dec[:, ok] - X[:, ok])
+                      <= rngd[ok] / 255.0 / 2 + 1e-12)
+        summary = K.sq_encode_summary(src, mn, mx)
+        assert (summary["code_sum"].to_numpy()
+                == codes.sum(axis=1)).all()
+        # asymmetric top-k ≈ exact cosine ranking on separated data
+        top = K.sq_topk(src, mn, mx, X[0], k=5)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        exact = np.argsort(-(Xn @ Xn[0]), kind="stable")[:5]
+        assert int(top["vec_id"].iloc[0]) == int(exact[0]) == 0
+
+
 class TestBM25:
     """text.bm25_topk vs a hand-computed Okapi score on a tiny corpus,
     blocking-invariant; docs with no query term never appear."""
