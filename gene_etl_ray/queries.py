@@ -2259,6 +2259,26 @@ def embeddings_knn_graph(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def embeddings_knn_graph_ivf(sf_dir: str) -> pd.DataFrame:
+    """The IVF (sub-quadratic) kNN-graph builder in its EXACT REGIME
+    (``knn.knn_graph_edges_ivf``, nprobe == nlist): coarse-quantizer
+    train → (1+nprobe)× fan-out → per-list brute force → per-id re-cap.
+    Probing every list makes each (query, member) pair co-occur, so the
+    output equals the exact graph and the SAME cross-join twin gates
+    the whole IVF machinery (assignment, bucketed list exchange,
+    candidate merge) under the value hash; recall at low nprobe is
+    pinned separately on clustered fixtures (tests/test_ops.py)."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn.knn_graph_edges_ivf(ds, k=3, nlist=4, nprobe=4).to_pandas()
+    out = out.sort_values(
+        ["vec_id", "cosine", "nbr_id"], ascending=[True, False, True],
+        kind="mergesort").reset_index(drop=True)
+    out["cosine"] = out["cosine"].round(6)
+    for c in ("vec_id", "nbr_id"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 KNN_GRAPH_SQL = """
 WITH ed AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -6901,6 +6921,7 @@ QUERIES = {
     # --- round-4 additions (past the gate prefix; local sweep covers) ---
     "embeddings_sq_codes": embeddings_sq_codes,
     "embeddings_sq_topk": embeddings_sq_topk,
+    "embeddings_knn_graph_ivf": embeddings_knn_graph_ivf,
 }
 
 ORACLE_SQL = {
@@ -7006,6 +7027,7 @@ ORACLE_SQL = {
     "lineitem_corr_fdr_pipeline": CORR_FDR_PIPE_SQL,
     "embeddings_sq_codes": SQ_CODES_SQL,
     "embeddings_sq_topk": SQ_TOPK_SQL,
+    "embeddings_knn_graph_ivf": KNN_GRAPH_SQL,
     "docs_token_budget": TOKEN_BUDGET_SQL,
     "docs_source_cap": SOURCE_CAP_SQL,
     "docs_mixture_sample": MIXTURE_SAMPLE_SQL,

@@ -2017,6 +2017,41 @@ class TestKnnGraph:
         allof = K.knn_graph(src, k=n + 5, shard_rows=7)
         assert (allof.groupby("vec_id").size() == n - 1).all()
 
+    def test_ivf_builder_exact_at_full_probe_and_recall(self, ray_session):
+        """knn_graph_edges_ivf: nprobe == nlist makes every (q, m) pair
+        co-occur in m's list, so the output must equal the exact
+        builder's frame; at low nprobe on CLUSTERED data recall@k stays
+        high (the IVF contract)."""
+        import ray.data as rd
+
+        from gene_etl_ray.ops import knn as K
+
+        rng = np.random.RandomState(31)
+        # 4 well-separated clusters of 25 vectors each
+        centers = rng.randn(4, 12) * 8
+        M = np.vstack([c + rng.randn(25, 12) for c in centers])
+        df = pd.DataFrame({
+            "vec_id": np.arange(len(M), dtype=np.int64),
+            "embedding": list(M.astype(np.float32)),
+        })
+        src = rd.from_pandas(df, override_num_blocks=3)
+        exact = K.knn_graph(src, k=3)
+        full = K.knn_graph_edges_ivf(
+            src, k=3, nlist=4, nprobe=4).to_pandas()
+        full = full.sort_values(
+            ["vec_id", "cosine", "nbr_id"], ascending=[True, False, True],
+            kind="mergesort").reset_index(drop=True)
+        for c in ("vec_id", "nbr_id"):
+            full[c] = full[c].astype("int64")
+        pd.testing.assert_frame_equal(exact, full)
+        # low probe on clustered data: most true neighbors are in the
+        # query's own cluster list
+        lo = K.knn_graph_edges_ivf(src, k=3, nlist=4, nprobe=1).to_pandas()
+        want = set(map(tuple, exact[["vec_id", "nbr_id"]].to_numpy()))
+        got = set(map(tuple, lo[["vec_id", "nbr_id"]].to_numpy()))
+        recall = len(want & got) / len(want)
+        assert recall >= 0.9, recall
+
     def test_hard_negatives_sharded_parity(self, ray_session):
         import ray.data as rd
 
