@@ -137,6 +137,11 @@ def run_queries() -> dict[str, float]:
         # global training-order shuffle
         "embeddings_semdedup",
         "docs_shuffle_order",
+        # round-4 additions: the driver-free exact graph builder, its
+        # sub-quadratic IVF sibling, and int8 scalar-quantized search
+        "embeddings_knn_graph",
+        "embeddings_knn_graph_ivf",
+        "embeddings_sq_topk",
     ]
     out = {}
     for name in names:
