@@ -696,3 +696,65 @@ def test_interval_overlap_join_equals_bruteforce_property(li, ri, width):
         else sorted(zip(got["lid"].astype(int), got["rid"].astype(int)))
     )
     assert pairs == want
+
+
+# -- round-4 pure kernels: JPEG codec and scalar quantization ------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    q=st.integers(min_value=35, max_value=95),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_roundtrip_dims_and_bounded_error(h, w, q, seed):
+    """∀ shapes/qualities: decode(encode(img)) preserves dimensions
+    exactly and stays within a quality-dependent error envelope (lossy,
+    but bounded — baseline JPEG over the full quant range)."""
+    from gene_etl_ray.ops.jpeg import jpeg_decode_gray, jpeg_encode_gray
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    back = jpeg_decode_gray(jpeg_encode_gray(img, quality=q))
+    assert back.shape == img.shape
+    err = np.abs(back.astype(int) - img.astype(int))
+    # worst-case envelope: dominated by the largest quant step at the
+    # chosen quality (Annex K max entry 121, libjpeg scaling), split
+    # across the 64-coefficient IDCT — empirically < half the max step
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    step = min(255, max(1, (121 * scale + 50) // 100))
+    assert err.mean() <= step, (q, err.mean(), step)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=50),
+    d=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    scale=st.floats(min_value=1e-3, max_value=1e3),
+)
+def test_sq_codes_bounds_and_halfstep_error(n, d, seed, scale):
+    """∀ matrices: SQ8 codes ∈ [0,255], per-dim min→0 / max→255 (when
+    the dim varies), constant dims →0, and decode error ≤ half a step."""
+    from gene_etl_ray.ops.knn import _sq_codes
+
+    rng = np.random.RandomState(seed)
+    x = (rng.randn(n, d) * scale).astype(np.float64)
+    if d > 1:
+        x[:, 0] = 7.5  # always one constant dim
+    mn, mx = x.min(axis=0), x.max(axis=0)
+    codes = _sq_codes(x, mn, mx)
+    assert codes.min() >= 0 and codes.max() <= 255
+    rngd = mx - mn
+    varying = rngd > 0
+    if varying.any():
+        sub = codes[:, varying]
+        xs = x[:, varying]
+        assert (sub[xs.argmin(axis=0), np.arange(sub.shape[1])] == 0).all()
+        assert (
+            sub[xs.argmax(axis=0), np.arange(sub.shape[1])] == 255
+        ).all()
+        dec = mn[varying] + sub * rngd[varying] / 255.0
+        assert np.all(np.abs(dec - xs) <= rngd[varying] / 255.0 / 2 + 1e-9)
+    assert (codes[:, ~varying] == 0).all()
