@@ -468,17 +468,28 @@ def grouped_aggregate_partial(
     output_name → input_column; ``counts`` names an output count column.
     """
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(keys, as_index=False, sort=False, dropna=False)
-        if sums:
-            out = g.agg(**{o: (c, "sum") for o, c in sums.items()})
-            if counts:
-                out[counts] = g.size()["size"].to_numpy()
-        else:
-            out = g.size().rename(columns={"size": counts})
-        return out
+    def partial(batch: pa.Table) -> pa.Table:
+        # pyarrow-native pre-combination (no pandas boxing of key
+        # strings in the hot per-batch stage); null keys form their own
+        # group exactly like the old pandas dropna=False
+        if counts:
+            batch = batch.append_column(
+                "__one", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+        in_cols = sorted({c for c in sums.values()})
+        aggs = [(c, "sum") for c in in_cols]
+        if counts:
+            aggs.append(("__one", "sum"))
+        g = batch.group_by(keys, use_threads=False).aggregate(aggs)
+        out_cols: dict[str, pa.ChunkedArray | pa.Array] = {
+            k: g.column(k) for k in keys
+        }
+        for o, c in sums.items():
+            out_cols[o] = g.column(f"{c}_sum")
+        if counts:
+            out_cols[counts] = g.column("__one_sum")
+        return pa.table(out_cols)
 
-    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     g = partials.groupby(keys, as_index=False, sort=False, dropna=False)
     agg = {o: (o, "sum") for o in sums}
     if counts:
