@@ -687,3 +687,124 @@ def grouped_block_jackknife(
     return out[[group_col, "mean", "jk_se", "n_blocks_used"]].sort_values(
         group_col
     ).reset_index(drop=True)
+
+
+def quantile_normalize(
+    ds: ray.data.Dataset,
+    var_col: str,
+    sample_col: str,
+    value_col: str,
+    n_vars: int | None = None,
+    fill: float = 0.0,
+) -> ray.data.Dataset:
+    """Quantile normalization (Bolstad et al. 2003) — THE cross-sample
+    matrix normalizer of the reference's gene-expression domain
+    (``/root/reference/etl/correlate.py`` consumes expression matrices;
+    normalization is the step upstream of its correlation flagship),
+    re-expressed Ray-Data-first over a long (sample_id=``sample_col``
+    row entity, ``var_col`` column entity, value) table:
+
+      1. densify: every (row, column) cell exists (missing → ``fill``),
+         built as a Dataset cross of the distinct row ids × columns —
+         nothing corpus-sized on the driver;
+      2. per COLUMN, rank cells by (value, row-id) — row_number
+         semantics with a pinned deterministic tie-break, so the whole
+         op is SQL-twin-able (classic average-tie qnorm is not);
+      3. the reference distribution = mean across columns of the
+         r-th smallest values — ONE grouped aggregate on rank;
+      4. every cell takes ref[its rank] — one partitioned int join.
+
+    Partitioning assumption (custom-operator rule): one COLUMN's cells
+    fit a worker (n_rows doubles — the per-sample barrier every qnorm
+    implementation has); columns are the parallel unit, exactly the
+    many-genes × few-samples shape of expression data. Returns a
+    Dataset of (sample_col=row id, var_col, ``qnorm_value``)."""
+    from gene_etl_ray.ops.relational import partitioned_join
+
+    # distinct columns (tiny) — needed to densify; ranks are per column
+    if n_vars is None:
+        vcols = sorted(int(v) for v in ds.unique(var_col))
+    else:
+        vcols = list(range(1, n_vars + 1))
+
+    # one value per (row, col): deterministic "min" collapse (duplicate
+    # observations must not depend on arrival order — pivot parity)
+    def cell_partial(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby([sample_col, var_col], as_index=False, sort=False)[
+            value_col].min()
+
+    from gene_etl_ray.ops.dedup import bucketed_group_apply
+
+    cells = bucketed_group_apply(
+        ds.select_columns([sample_col, var_col, value_col]),
+        [sample_col], cell_partial,
+    )
+
+    # densify: rows × columns grid as a Dataset fan-out of distinct rows
+    rows = bucketed_group_apply(
+        ds.select_columns([sample_col]),
+        [sample_col],
+        lambda g: g.drop_duplicates(sample_col),
+    )
+
+    def fan(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[sample_col].to_numpy(np.int64)
+        return pd.DataFrame({
+            sample_col: np.repeat(ids, len(vcols)),
+            var_col: np.tile(np.asarray(vcols, dtype=np.int64), len(ids)),
+        })
+
+    grid = rows.map_batches(fan, batch_format="pandas")
+    # composite (row, col) key folded to one int for the single-key join
+    K = np.int64(1_000_003)
+
+    def gkey(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__k"] = b[sample_col].to_numpy(np.int64) * K + b[
+            var_col].to_numpy(np.int64)
+        return b
+
+    grid_k = grid.map_batches(gkey, batch_format="pandas")
+    cells_k = cells.map_batches(gkey, batch_format="pandas").map_batches(
+        lambda b: b[["__k", value_col]].rename(
+            columns={"__k": "__ck", value_col: "__v"}),
+        batch_format="pandas",
+    )
+    dense = partitioned_join(grid_k, cells_k, "__k", "__ck", how="left")
+
+    def ranked(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["__v"].to_numpy(np.float64)
+        v = np.where(np.isnan(v), fill, v)
+        ids = g[sample_col].to_numpy(np.int64)
+        order = np.lexsort((ids, v))
+        r = np.empty(len(g), dtype=np.int64)
+        r[order] = np.arange(1, len(g) + 1)
+        return pd.DataFrame({
+            sample_col: ids,
+            var_col: g[var_col].to_numpy(np.int64),
+            "__r": r,
+            "__v": v,
+        })
+
+    ranked_ds = dense.groupby(var_col).map_groups(
+        ranked, batch_format="pandas")
+
+    # reference distribution: mean of the r-th smallest across columns —
+    # rank-keyed grouped aggregate, O(n_rows) rows, stays a Dataset
+    ref = bucketed_group_apply(
+        ranked_ds.select_columns(["__r", "__v"]),
+        ["__r"],
+        lambda g: g.groupby("__r", as_index=False, sort=False)["__v"].mean(),
+    ).map_batches(
+        lambda b: b.rename(columns={"__r": "__rr", "__v": "qnorm_value"}),
+        batch_format="pandas",
+    )
+
+    out = partitioned_join(
+        ranked_ds.select_columns([sample_col, var_col, "__r"]),
+        ref, "__r", "__rr", how="inner",
+    )
+    return out.map_batches(
+        lambda b: b[[sample_col, var_col, "qnorm_value"]],
+        batch_format="pandas",
+    )

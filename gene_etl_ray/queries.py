@@ -6653,6 +6653,48 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def lineitem_quantile_normalize(sf_dir: str) -> pd.DataFrame:
+    """Quantile normalization (Bolstad et al. 2003) of the orderkey ×
+    linenumber quantity matrix — the cross-sample matrix normalizer of
+    the reference's expression-analysis domain, upstream of its
+    correlation flagship (``correlate.quantile_normalize``: densify →
+    per-column (value, row-id) rank → rank-mean reference distribution
+    → int join back; every step a Dataset). After normalization every
+    column has the IDENTICAL value distribution; the twin recomputes
+    the same pinned row_number tie-break in SQL."""
+    from gene_etl_ray.ops import correlate
+
+    ds = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_linenumber", "l_quantity"])
+    out = correlate.quantile_normalize(
+        ds, "l_linenumber", "l_orderkey", "l_quantity"
+    ).to_pandas()
+    out["qnorm_value"] = out["qnorm_value"].round(6)
+    for c in ("l_orderkey", "l_linenumber"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(
+        ["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+QNORM_SQL = """
+WITH c AS (
+  SELECT l_orderkey s, l_linenumber var, CAST(min(l_quantity) AS DOUBLE) v
+  FROM lineitem GROUP BY 1, 2),
+rows_ AS (SELECT DISTINCT s FROM c),
+vars_ AS (SELECT DISTINCT var FROM c),
+m AS (
+  SELECT r.s, vv.var, COALESCE(c.v, 0.0) v
+  FROM rows_ r CROSS JOIN vars_ vv
+  LEFT JOIN c ON c.s = r.s AND c.var = vv.var),
+rk AS (SELECT s, var, v,
+       row_number() OVER (PARTITION BY var ORDER BY v, s) AS r FROM m),
+ref AS (SELECT r, avg(v) AS mv FROM rk GROUP BY r)
+SELECT rk.s AS l_orderkey, rk.var AS l_linenumber,
+       round(ref.mv, 6) AS qnorm_value
+FROM rk JOIN ref USING (r) ORDER BY 1, 2
+"""
+
+
 def embeddings_sq_codes(sf_dir: str) -> pd.DataFrame:
     """INT8 scalar quantization (the FAISS-SQ8 memory-scale path next
     to PQ): per-dimension global (min, max) trained distributed
@@ -6922,6 +6964,7 @@ QUERIES = {
     "embeddings_sq_codes": embeddings_sq_codes,
     "embeddings_sq_topk": embeddings_sq_topk,
     "embeddings_knn_graph_ivf": embeddings_knn_graph_ivf,
+    "lineitem_quantile_normalize": lineitem_quantile_normalize,
 }
 
 ORACLE_SQL = {
@@ -7028,6 +7071,7 @@ ORACLE_SQL = {
     "embeddings_sq_codes": SQ_CODES_SQL,
     "embeddings_sq_topk": SQ_TOPK_SQL,
     "embeddings_knn_graph_ivf": KNN_GRAPH_SQL,
+    "lineitem_quantile_normalize": QNORM_SQL,
     "docs_token_budget": TOKEN_BUDGET_SQL,
     "docs_source_cap": SOURCE_CAP_SQL,
     "docs_mixture_sample": MIXTURE_SAMPLE_SQL,

@@ -351,3 +351,40 @@ def test_grouped_ols_matches_polyfit_and_edge_cases():
             assert abs(row["r2"] - r * r) < 1e-9
         assert np.isnan(out[out["g"] == "flat"]["slope"].iloc[0])
         assert np.isnan(out[out["g"] == "tiny"]["slope"].iloc[0])
+
+
+def test_quantile_normalize_equalizes_distributions(ray_session):
+    """After quantile normalization every column holds the IDENTICAL
+    sorted value multiset (the defining property, Bolstad et al. 2003),
+    and that multiset is the rank-wise mean of the columns' sorted
+    values."""
+    import ray.data as rd
+
+    from gene_etl_ray.ops.correlate import quantile_normalize
+
+    rng = np.random.RandomState(8)
+    n, k = 40, 4
+    rows = []
+    for var in range(1, k + 1):
+        for s in range(n):
+            if (s + var) % 7 == 0:
+                continue  # holes: densify must fill them
+            rows.append((s, var, float(rng.gamma(2.0, 10.0 * var))))
+    df = pd.DataFrame(rows, columns=["s", "var", "v"])
+    out = quantile_normalize(
+        rd.from_pandas(df, override_num_blocks=3), "var", "s", "v"
+    ).to_pandas()
+    assert len(out) == n * k
+    cols = {
+        var: np.sort(g["qnorm_value"].to_numpy())
+        for var, g in out.groupby("var")
+    }
+    base = cols[1]
+    for var in range(2, k + 1):
+        np.testing.assert_allclose(cols[var], base, rtol=0, atol=1e-12)
+    # the shared distribution is the mean of per-column sorted values
+    dense = df.pivot_table(index="s", columns="var", values="v",
+                           aggfunc="min", fill_value=0.0)
+    dense = dense.reindex(index=range(n), fill_value=0.0).fillna(0.0)
+    want = np.sort(dense.to_numpy(), axis=0).mean(axis=1)
+    np.testing.assert_allclose(base, np.sort(want), atol=1e-12)
