@@ -808,3 +808,78 @@ def quantile_normalize(
         lambda b: b[[sample_col, var_col, "qnorm_value"]],
         batch_format="pandas",
     )
+
+
+# Acklam's inverse-normal-CDF rational approximation (public-domain
+# numerics, abs err ~1.15e-9): three Horner branches. The SQL twin
+# evaluates the SAME polynomials with the same association, so engine
+# and oracle agree to double rounding, not approximation error.
+_PPF_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+          -2.759285104469687e+02, 1.383577518672690e+02,
+          -3.066479806614716e+01, 2.506628277459239e+00)
+_PPF_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+          -1.556989798598866e+02, 6.680131188771972e+01,
+          -1.328068155288572e+01)
+_PPF_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+          -2.400758277161838e+00, -2.549732539343734e+00,
+          4.374664141464968e+00, 2.938163982698783e+00)
+_PPF_D = (7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00)
+_PPF_PLOW = 0.02425
+
+
+def norm_ppf(p: np.ndarray) -> np.ndarray:
+    """Vectorized Φ⁻¹ (Acklam). Valid on (0, 1)."""
+    p = np.asarray(p, dtype=np.float64)
+    a, b, c, d = _PPF_A, _PPF_B, _PPF_C, _PPF_D
+    out = np.empty_like(p)
+    low = p < _PPF_PLOW
+    high = p > 1.0 - _PPF_PLOW
+    mid = ~(low | high)
+    if mid.any():
+        q = p[mid] - 0.5
+        r = q * q
+        out[mid] = (
+            (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r
+             + a[5]) * q
+            / (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r
+               + 1.0)
+        )
+    if low.any():
+        q = np.sqrt(-2.0 * np.log(p[low]))
+        out[low] = (
+            ((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q
+            + c[5]
+        ) / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1.0)
+    if high.any():
+        q = np.sqrt(-2.0 * np.log(1.0 - p[high]))
+        out[high] = -(
+            ((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q
+            + c[5]
+        ) / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1.0)
+    return out
+
+
+def grouped_rint(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    out_col: str = "rint",
+    offset: float = 0.375,
+) -> ray.data.Dataset:
+    """Per-cohort rank-based inverse normal transform — the second
+    classic normalizer of the reference's statistical domain (Blom
+    offset): z = Φ⁻¹((r − 0.375) / (n + 0.25)) with AVERAGE ranks, so
+    tied values transform identically and the result is permutation-
+    invariant. One hash shuffle on the cohort key + a vectorized
+    in-group kernel (the A7 barrier shape, like grouped_corr); rows
+    pass through with ``out_col`` appended."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        v = g[value_col].to_numpy(np.float64)
+        r = _rank_average(v)
+        g[out_col] = norm_ppf((r - offset) / (len(g) + 1.0 - 2.0 * offset))
+        return g
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")

@@ -6695,6 +6695,82 @@ FROM rk JOIN ref USING (r) ORDER BY 1, 2
 """
 
 
+def lineitem_rint_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Per-cohort rank-based INVERSE NORMAL TRANSFORM of extendedprice
+    (``correlate.grouped_rint``, Blom offset, average-rank ties) — the
+    second classic normalizer of the reference's statistical domain
+    beside quantile normalization. Φ⁻¹ is Acklam's rational
+    approximation; the twin evaluates the IDENTICAL Horner polynomials
+    in SQL, so engine and oracle agree to double rounding (both tail
+    branches exercised: min p ≈ 3e-5 at sf0.01)."""
+    from gene_etl_ray.ops import correlate
+
+    ds = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_orderkey", "l_linenumber",
+               "l_extendedprice"])
+    out = correlate.grouped_rint(
+        ds, "l_returnflag", "l_extendedprice").to_pandas()
+    out = out[["l_returnflag", "l_orderkey", "l_linenumber", "rint"]]
+    out["rint"] = out["rint"].round(6)
+    for c in ("l_orderkey", "l_linenumber"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(
+        ["l_returnflag", "l_orderkey", "l_linenumber", "rint"]
+    ).reset_index(drop=True)
+
+
+RINT_SQL = """
+WITH base AS (
+  SELECT l_returnflag g, l_orderkey, l_linenumber,
+         CAST(l_extendedprice AS DOUBLE) v
+  FROM lineitem),
+rk AS (
+  SELECT g, l_orderkey, l_linenumber,
+         CAST(rank() OVER (PARTITION BY g ORDER BY v) AS DOUBLE)
+         + (CAST(count(*) OVER (PARTITION BY g, v) AS DOUBLE) - 1.0) / 2.0
+           AS r,
+         CAST(count(*) OVER (PARTITION BY g) AS DOUBLE) AS n
+  FROM base),
+pp AS (SELECT g, l_orderkey, l_linenumber,
+              (r - 0.375) / (n + 0.25) AS p FROM rk),
+h AS (
+  SELECT g, l_orderkey, l_linenumber, p,
+         p - 0.5 AS qc, (p - 0.5) * (p - 0.5) AS rc,
+         sqrt(-2.0 * ln(p)) AS ql,
+         sqrt(-2.0 * ln(1.0 - p)) AS qh
+  FROM pp),
+z AS (
+  SELECT g, l_orderkey, l_linenumber,
+    CASE
+      WHEN p < 0.02425 THEN
+        (((((-7.784894002430293e-03 * ql + -3.223964580411365e-01) * ql
+            + -2.400758277161838e+00) * ql + -2.549732539343734e+00) * ql
+            + 4.374664141464968e+00) * ql + 2.938163982698783e+00)
+        / ((((7.784695709041462e-03 * ql + 3.224671290700398e-01) * ql
+            + 2.445134137142996e+00) * ql + 3.754408661907416e+00) * ql
+            + 1.0)
+      WHEN p > 1.0 - 0.02425 THEN
+        -((((((-7.784894002430293e-03) * qh + -3.223964580411365e-01) * qh
+            + -2.400758277161838e+00) * qh + -2.549732539343734e+00) * qh
+            + 4.374664141464968e+00) * qh + 2.938163982698783e+00)
+        / ((((7.784695709041462e-03 * qh + 3.224671290700398e-01) * qh
+            + 2.445134137142996e+00) * qh + 3.754408661907416e+00) * qh
+            + 1.0)
+      ELSE
+        ((((((-3.969683028665376e+01) * rc + 2.209460984245205e+02) * rc
+            + -2.759285104469687e+02) * rc + 1.383577518672690e+02) * rc
+            + -3.066479806614716e+01) * rc + 2.506628277459239e+00) * qc
+        / ((((((-5.447609879822406e+01) * rc + 1.615858368580409e+02) * rc
+            + -1.556989798598866e+02) * rc + 6.680131188771972e+01) * rc
+            + -1.328068155288572e+01) * rc + 1.0)
+    END AS zval
+  FROM h)
+SELECT g AS l_returnflag, l_orderkey, l_linenumber,
+       round(zval, 6) AS rint
+FROM z ORDER BY 1, 2, 3, 4
+"""
+
+
 def embeddings_sq_codes(sf_dir: str) -> pd.DataFrame:
     """INT8 scalar quantization (the FAISS-SQ8 memory-scale path next
     to PQ): per-dimension global (min, max) trained distributed
@@ -6965,6 +7041,7 @@ QUERIES = {
     "embeddings_sq_topk": embeddings_sq_topk,
     "embeddings_knn_graph_ivf": embeddings_knn_graph_ivf,
     "lineitem_quantile_normalize": lineitem_quantile_normalize,
+    "lineitem_rint_by_flag": lineitem_rint_by_flag,
 }
 
 ORACLE_SQL = {
@@ -7072,6 +7149,7 @@ ORACLE_SQL = {
     "embeddings_sq_topk": SQ_TOPK_SQL,
     "embeddings_knn_graph_ivf": KNN_GRAPH_SQL,
     "lineitem_quantile_normalize": QNORM_SQL,
+    "lineitem_rint_by_flag": RINT_SQL,
     "docs_token_budget": TOKEN_BUDGET_SQL,
     "docs_source_cap": SOURCE_CAP_SQL,
     "docs_mixture_sample": MIXTURE_SAMPLE_SQL,

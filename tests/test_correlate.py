@@ -388,3 +388,26 @@ def test_quantile_normalize_equalizes_distributions(ray_session):
     dense = dense.reindex(index=range(n), fill_value=0.0).fillna(0.0)
     want = np.sort(dense.to_numpy(), axis=0).mean(axis=1)
     np.testing.assert_allclose(base, np.sort(want), atol=1e-12)
+
+
+def test_grouped_rint_properties(ray_session):
+    """RINT invariants: monotone in the input within a cohort, ties map
+    to the same z, symmetric distribution (mean ~ 0), and the z of the
+    median rank is ~0."""
+    import ray.data as rd
+
+    from gene_etl_ray.ops.correlate import grouped_rint
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 101),
+        "v": np.concatenate([rng.gamma(2, 5, 101),
+                             np.round(rng.gamma(2, 5, 101))]),  # ties in b
+    })
+    out = grouped_rint(rd.from_pandas(df), "g", "v").to_pandas()
+    for g, sub in out.groupby("g"):
+        sub = sub.sort_values("v")
+        assert (np.diff(sub["rint"].to_numpy()) >= -1e-12).all()
+        assert abs(sub["rint"].mean()) < 0.05
+        same_v = sub.groupby("v")["rint"].nunique()
+        assert (same_v == 1).all()  # ties share a z
