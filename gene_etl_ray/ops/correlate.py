@@ -883,3 +883,38 @@ def grouped_rint(
         return g
 
     return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+def mutual_information(
+    ds: ray.data.Dataset, a: str, b: str
+) -> pd.DataFrame:
+    """Plug-in mutual information I(A;B) = Σ p(a,b)·ln(p(a,b)/(p(a)p(b)))
+    between two discrete columns (nats) — the dependence measure beside
+    the χ² test (same distributed shape: one (a, b) count combiner per
+    batch, O(cells) driver merge, closed-form statistic). Also returns
+    the marginal entropies and the normalized MI
+    I/√(H(A)·H(B)) ∈ [0, 1]. SQL-twin-able end to end."""
+    from gene_etl_ray.ops.relational import grouped_aggregate_partial
+
+    counts = grouped_aggregate_partial(ds, [a, b], sums={}, counts="n")
+    n = counts["n"].to_numpy(np.float64)
+    total = n.sum()
+    pab = n / total
+    pa = counts.groupby(a, sort=False)["n"].transform("sum").to_numpy(
+        np.float64) / total
+    pb = counts.groupby(b, sort=False)["n"].transform("sum").to_numpy(
+        np.float64) / total
+    mi = float((pab * np.log(pab / (pa * pb))).sum())
+
+    def ent(key: str) -> float:
+        m = counts.groupby(key, sort=False)["n"].sum().to_numpy(np.float64)
+        p = m / total
+        return float(-(p * np.log(p)).sum())
+
+    ha, hb = ent(a), ent(b)
+    denom = np.sqrt(ha * hb)
+    return pd.DataFrame({
+        "mi": [mi], "h_a": [ha], "h_b": [hb],
+        "nmi": [mi / denom if denom > 0 else 0.0],
+        "n": [np.int64(total)],
+    })

@@ -6771,6 +6771,56 @@ FROM z ORDER BY 1, 2, 3, 4
 """
 
 
+def events_type_dow_mi(sf_dir: str) -> pd.DataFrame:
+    """Mutual information between event type and day-of-week
+    (``correlate.mutual_information``): the dependence measure beside
+    the χ² gate — one (a, b) count combiner per batch, O(cells) driver
+    merge, plug-in estimate in nats plus marginal entropies and
+    normalized MI. (MI is invariant under category relabeling, so each
+    engine may use its own dow numbering.)"""
+    from gene_etl_ray.ops import correlate
+
+    ds = read(sf_dir, "events", ["event_type", "ts"])
+
+    def add_dow(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "dow": b["ts"].astype("datetime64[us]").dt.dayofweek
+            .to_numpy(np.int64),
+        })
+
+    out = correlate.mutual_information(
+        ds.map_batches(add_dow, batch_format="pandas"), "event_type", "dow")
+    for c in ("mi", "h_a", "h_b", "nmi"):
+        out[c] = out[c].round(6)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+MI_SQL = """
+WITH o AS (
+  SELECT event_type AS a, dayofweek(ts) AS b, CAST(count(*) AS DOUBLE) n
+  FROM events GROUP BY 1, 2),
+t AS (SELECT sum(n) AS total FROM o),
+pa AS (SELECT a, sum(n) AS na FROM o GROUP BY a),
+pb AS (SELECT b, sum(n) AS nb FROM o GROUP BY b),
+mi AS (
+  SELECT sum((o.n / t.total)
+             * ln((o.n / t.total)
+                  / ((pa.na / t.total) * (pb.nb / t.total)))) AS mi
+  FROM o JOIN pa USING (a) JOIN pb USING (b) CROSS JOIN t),
+ents AS (
+  SELECT (SELECT -sum((na / total) * ln(na / total)) FROM pa, t) AS h_a,
+         (SELECT -sum((nb / total) * ln(nb / total)) FROM pb, t) AS h_b,
+         (SELECT CAST(total AS BIGINT) FROM t) AS n)
+SELECT round(mi.mi, 6) AS mi, round(ents.h_a, 6) AS h_a,
+       round(ents.h_b, 6) AS h_b,
+       round(mi.mi / sqrt(ents.h_a * ents.h_b), 6) AS nmi,
+       ents.n AS n
+FROM mi, ents
+"""
+
+
 def embeddings_sq_codes(sf_dir: str) -> pd.DataFrame:
     """INT8 scalar quantization (the FAISS-SQ8 memory-scale path next
     to PQ): per-dimension global (min, max) trained distributed
@@ -7042,6 +7092,7 @@ QUERIES = {
     "embeddings_knn_graph_ivf": embeddings_knn_graph_ivf,
     "lineitem_quantile_normalize": lineitem_quantile_normalize,
     "lineitem_rint_by_flag": lineitem_rint_by_flag,
+    "events_type_dow_mi": events_type_dow_mi,
 }
 
 ORACLE_SQL = {
@@ -7150,6 +7201,7 @@ ORACLE_SQL = {
     "embeddings_knn_graph_ivf": KNN_GRAPH_SQL,
     "lineitem_quantile_normalize": QNORM_SQL,
     "lineitem_rint_by_flag": RINT_SQL,
+    "events_type_dow_mi": MI_SQL,
     "docs_token_budget": TOKEN_BUDGET_SQL,
     "docs_source_cap": SOURCE_CAP_SQL,
     "docs_mixture_sample": MIXTURE_SAMPLE_SQL,
