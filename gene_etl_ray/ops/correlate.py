@@ -918,3 +918,49 @@ def mutual_information(
         "nmi": [mi / denom if denom > 0 else 0.0],
         "n": [np.int64(total)],
     })
+
+
+def fisher_exact_2x2(
+    ds: ray.data.Dataset, x: str, y: str
+) -> pd.DataFrame:
+    """Fisher's exact test on the 2×2 table of two boolean columns —
+    the enrichment-test staple of the reference's domain (gene-set
+    enrichment is a hypergeometric tail). Counts come from ONE
+    distributed (x, y) combiner; the statistic is closed-form on the
+    O(1) table: two-sided p = Σ pmf(k) over all tables (margins fixed)
+    whose pmf ≤ pmf(observed)·(1+1e-7) — R's fisher.test convention,
+    with the relative tolerance absorbing last-ulp lgamma differences
+    between engines. log-pmf via lgamma:
+      ln pmf(k) = lnC(r1, k) + lnC(r2, c1−k) − lnC(n, c1).
+    Returns (a, b, c, d, odds_ratio, p_value)."""
+    from math import lgamma
+
+    from gene_etl_ray.ops.relational import grouped_aggregate_partial
+
+    counts = grouped_aggregate_partial(ds, [x, y], sums={}, counts="n")
+    tab = {(bool(r[x]), bool(r[y])): int(r["n"])
+           for r in counts.to_dict("records")}
+    a = tab.get((True, True), 0)
+    b = tab.get((True, False), 0)
+    c = tab.get((False, True), 0)
+    d = tab.get((False, False), 0)
+    r1, r2, c1, n = a + b, c + d, a + c, a + b + c + d
+
+    def lnC(nn: int, kk: int) -> float:
+        return lgamma(nn + 1) - lgamma(kk + 1) - lgamma(nn - kk + 1)
+
+    def lnpmf(k: int) -> float:
+        return lnC(r1, k) + lnC(r2, c1 - k) - lnC(n, c1)
+
+    lo, hi = max(0, c1 - r2), min(r1, c1)
+    ks = np.arange(lo, hi + 1)
+    lp = np.array([lnpmf(int(k)) for k in ks])
+    p_obs = np.exp(lnpmf(a))
+    p = float(np.exp(lp)[np.exp(lp) <= p_obs * (1.0 + 1e-7)].sum())
+    odds = (a * d) / (b * c) if b * c > 0 else np.inf
+    return pd.DataFrame({
+        "a": [np.int64(a)], "b": [np.int64(b)],
+        "c": [np.int64(c)], "d": [np.int64(d)],
+        "odds_ratio": [float(odds)],
+        "p_value": [min(p, 1.0)],
+    })

@@ -6821,6 +6821,78 @@ FROM mi, ents
 """
 
 
+def events_fisher_click_weekend(sf_dir: str) -> pd.DataFrame:
+    """Fisher's exact 2×2 (``correlate.fisher_exact_2x2``): is the
+    'click' event type associated with weekends? Counts from one
+    distributed combiner; the exact hypergeometric two-sided p (R
+    fisher.test convention, 1e-7 relative tolerance) is recomputed by
+    the twin with lgamma log-binomials over a generate_series of all
+    tables with the observed margins."""
+    from gene_etl_ray.ops import correlate
+
+    ds = read(sf_dir, "events", ["event_type", "ts"])
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        dow = b["ts"].astype("datetime64[us]").dt.dayofweek.to_numpy()
+        return pd.DataFrame({
+            "is_click": b["event_type"].to_numpy() == "click",
+            "is_weekend": dow >= 5,
+        })
+
+    out = correlate.fisher_exact_2x2(
+        ds.map_batches(flags, batch_format="pandas"),
+        "is_click", "is_weekend")
+    out["odds_ratio"] = out["odds_ratio"].round(6)
+    out["p_value"] = out["p_value"].round(6)
+    for c in ("a", "b", "c", "d"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# python dayofweek: Mon=0..Sun=6 → weekend = dow>=5; DuckDB dayofweek:
+# Sun=0..Sat=6 → weekend = dow IN (0, 6). Cell COUNTS are identical.
+FISHER_SQL = """
+WITH f AS (
+  SELECT (event_type = 'click') AS x,
+         (dayofweek(ts) IN (0, 6)) AS y
+  FROM events),
+tab AS (
+  SELECT CAST(sum(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT) a,
+         CAST(sum(CASE WHEN x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) b,
+         CAST(sum(CASE WHEN NOT x AND y THEN 1 ELSE 0 END) AS BIGINT) c,
+         CAST(sum(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) d
+  FROM f),
+m AS (SELECT a, b, c, d, a + b AS r1, c + d AS r2, a + c AS c1,
+             a + b + c + d AS n FROM tab),
+ks AS (
+  SELECT m.*, unnest(generate_series(greatest(0, m.c1 - m.r2),
+                                     least(m.r1, m.c1))) AS k
+  FROM m),
+pmf AS (
+  SELECT *,
+         exp((lgamma(r1 + 1) - lgamma(k + 1) - lgamma(r1 - k + 1))
+             + (lgamma(r2 + 1) - lgamma(c1 - k + 1)
+                - lgamma(r2 - c1 + k + 1))
+             - (lgamma(n + 1) - lgamma(c1 + 1) - lgamma(n - c1 + 1)))
+           AS p_k,
+         exp((lgamma(r1 + 1) - lgamma(a + 1) - lgamma(r1 - a + 1))
+             + (lgamma(r2 + 1) - lgamma(c1 - a + 1)
+                - lgamma(r2 - c1 + a + 1))
+             - (lgamma(n + 1) - lgamma(c1 + 1) - lgamma(n - c1 + 1)))
+           AS p_obs
+  FROM ks)
+SELECT any_value(a) AS a, any_value(b) AS b, any_value(c) AS c,
+       any_value(d) AS d,
+       round(CASE WHEN any_value(b) * any_value(c) > 0
+             THEN CAST(any_value(a) * any_value(d) AS DOUBLE)
+                  / (any_value(b) * any_value(c))
+             ELSE 'inf'::DOUBLE END, 6) AS odds_ratio,
+       round(least(sum(CASE WHEN p_k <= p_obs * (1.0 + 1e-7)
+                            THEN p_k ELSE 0 END), 1.0), 6) AS p_value
+FROM pmf
+"""
+
+
 def embeddings_sq_codes(sf_dir: str) -> pd.DataFrame:
     """INT8 scalar quantization (the FAISS-SQ8 memory-scale path next
     to PQ): per-dimension global (min, max) trained distributed
@@ -7093,6 +7165,7 @@ QUERIES = {
     "lineitem_quantile_normalize": lineitem_quantile_normalize,
     "lineitem_rint_by_flag": lineitem_rint_by_flag,
     "events_type_dow_mi": events_type_dow_mi,
+    "events_fisher_click_weekend": events_fisher_click_weekend,
 }
 
 ORACLE_SQL = {
@@ -7202,6 +7275,7 @@ ORACLE_SQL = {
     "lineitem_quantile_normalize": QNORM_SQL,
     "lineitem_rint_by_flag": RINT_SQL,
     "events_type_dow_mi": MI_SQL,
+    "events_fisher_click_weekend": FISHER_SQL,
     "docs_token_budget": TOKEN_BUDGET_SQL,
     "docs_source_cap": SOURCE_CAP_SQL,
     "docs_mixture_sample": MIXTURE_SAMPLE_SQL,

@@ -411,3 +411,23 @@ def test_grouped_rint_properties(ray_session):
         assert abs(sub["rint"].mean()) < 0.05
         same_v = sub.groupby("v")["rint"].nunique()
         assert (same_v == 1).all()  # ties share a z
+
+
+def test_fisher_exact_known_values(ray_session):
+    """Fisher 2×2 vs published values: the tea-tasting [[3,1],[1,3]]
+    two-sided p = 0.485714…, a perfectly-associated [[8,0],[0,8]] table
+    p = 2/C(16,8) = 0.000155…, and independence → p = 1."""
+    import ray.data as rd
+
+    from gene_etl_ray.ops.correlate import fisher_exact_2x2
+
+    def run(a, b, c, d):
+        rows = ([(True, True)] * a + [(True, False)] * b
+                + [(False, True)] * c + [(False, False)] * d)
+        df = pd.DataFrame(rows, columns=["x", "y"])
+        return float(fisher_exact_2x2(
+            rd.from_pandas(df), "x", "y")["p_value"][0])
+
+    assert abs(run(3, 1, 1, 3) - 0.4857142857) < 1e-9
+    assert abs(run(8, 0, 0, 8) - 2.0 / 12870.0) < 1e-9
+    assert abs(run(5, 5, 5, 5) - 1.0) < 1e-9
