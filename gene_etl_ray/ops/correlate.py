@@ -760,8 +760,22 @@ def quantile_normalize(
 
     def gkey(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["__k"] = b[sample_col].to_numpy(np.int64) * K + b[
-            var_col].to_numpy(np.int64)
+        s = b[sample_col].to_numpy(np.int64)
+        v = b[var_col].to_numpy(np.int64)
+        # id-domain guard (graph-op convention): the composite key is
+        # collision-free only for 0 ≤ var < K and 0 ≤ sample < 2^53/K —
+        # out-of-domain ids fail LOUDLY instead of silently colliding
+        if len(v) and (
+            v.min() < 0 or v.max() >= K
+            or s.min() < 0 or s.max() >= (1 << 53) // K
+        ):
+            raise ValueError(
+                "quantile_normalize composite key out of domain: "
+                f"requires 0 <= {var_col} < {int(K)} and "
+                f"0 <= {sample_col} < 2^53/{int(K)} — remap ids "
+                "(dense-rank) first"
+            )
+        b["__k"] = s * K + v
         return b
 
     grid_k = grid.map_batches(gkey, batch_format="pandas")

@@ -280,6 +280,9 @@ def jpeg_decode_gray(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
         marker = data[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional 0xFF fill bytes
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue

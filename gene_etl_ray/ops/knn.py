@@ -781,9 +781,14 @@ KNN_SHARD_ROWS = 65536
 #: bounded-corpus fast path for the exact top-k builders: at or below
 #: this many vectors the all-pairs kernel runs in ONE worker task
 #: (block refs resolve in the task, never on the driver) — the same
-#: SMALL_EDGE_LIMIT convention the graph ops use. 200k×256 float64
-#: ≈ 410 MB resident in that task; above it, the sharded path.
+#: SMALL_EDGE_LIMIT convention the graph ops use. The input matrix
+#: (200k×256 float64 ≈ 410 MB) is resident; the similarity matrix is
+#: NEVER materialized n×n — the kernel tiles query rows to
+#: KNN_FASTPATH_BLOCK_BYTES of sims per tile.
 KNN_INTASK_ROWS = 200_000
+#: per-tile float64 similarity bytes in the in-task kernel (peak
+#: transient ≈ 2-3× this for the argsort temps)
+KNN_FASTPATH_BLOCK_BYTES = 32 << 20
 
 
 class _ShardScan:
@@ -851,6 +856,7 @@ def _sharded_topk_edges(
     nbr_name: str,
     label_col: str | None = None,
     shard_rows: int = KNN_SHARD_ROWS,
+    fastpath_block_bytes: int = KNN_FASTPATH_BLOCK_BYTES,
 ) -> ray.data.Dataset:
     """Distributed exact all-to-all top-k (the r3 verdict's last
     whole-corpus gather, removed): shard the corpus by id hash to
@@ -883,10 +889,13 @@ def _sharded_topk_edges(
     if n <= min(shard_rows, KNN_INTASK_ROWS):
         # bounded-corpus fast path (the graph family's SMALL_EDGE_LIMIT
         # convention): ONE worker task resolves the block refs, builds
-        # the matrix and emits every row's top-k in a single stable
-        # argsort kernel — no scratch write, no actor-pool ramp, no
-        # merge exchange, and STILL nothing on the driver (refs resolve
-        # inside the task). Output pinned equal to the sharded path by
+        # the matrix and emits every row's top-k — no scratch write, no
+        # actor-pool ramp, no merge exchange, and STILL nothing on the
+        # driver (refs resolve inside the task). The similarity matrix
+        # is computed in QUERY-ROW BLOCKS sized to a fixed byte budget
+        # (never the full n×n — a review-found OOM at n≈65k), so peak
+        # transient memory is O(block·n), the same as the per-batch
+        # sharded kernel. Output pinned equal to the sharded path by
         # tests/test_ops.py parity tests.
         import ray as _ray
 
@@ -899,24 +908,31 @@ def _sharded_topk_edges(
             ids = df[id_col].to_numpy(np.int64)
             M = _to_matrix(df[vec_col]).astype(np.float64)
             M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
-            sims = M @ M.T
-            if label_col is None:
-                sims[ids[:, None] == ids[None, :]] = -np.inf
-            else:
-                lab = df[label_col].to_numpy()
-                sims[lab[:, None] == lab[None, :]] = -np.inf
-            # masked (self / same-label) entries are -inf and sort LAST,
-            # so the first min(k, finite_count) sorted columns are
-            # exactly the global top-k — no buffer column needed
-            kk = min(k, sims.shape[1])
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-            cos = np.take_along_axis(sims, order, axis=1)
-            keep = np.isfinite(cos)
-            rows = np.repeat(ids, kk).reshape(-1, kk)
-            return pd.DataFrame(
-                {id_col: rows[keep].ravel(),
-                 nbr_name: ids[order][keep].ravel(),
-                 "cosine": cos[keep].ravel()})
+            lab = df[label_col].to_numpy() if label_col else None
+            nn = len(ids)
+            kk = min(k, nn)
+            # bounded sims tile regardless of corpus size (argsort temp
+            # is the same order)
+            block = max(8, fastpath_block_bytes // (8 * max(nn, 1)))
+            outs = []
+            for q0 in range(0, nn, block):
+                q1 = min(q0 + block, nn)
+                sims = M[q0:q1] @ M.T
+                if lab is None:
+                    sims[ids[q0:q1, None] == ids[None, :]] = -np.inf
+                else:
+                    sims[lab[q0:q1, None] == lab[None, :]] = -np.inf
+                # masked entries are -inf and sort LAST, so the first
+                # min(k, finite_count) sorted columns are the top-k
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+                cos = np.take_along_axis(sims, order, axis=1)
+                keep = np.isfinite(cos)
+                rows = np.repeat(ids[q0:q1], kk).reshape(-1, kk)
+                outs.append(pd.DataFrame(
+                    {id_col: rows[keep].ravel(),
+                     nbr_name: ids[order][keep].ravel(),
+                     "cosine": cos[keep].ravel()}))
+            return pd.concat(outs, ignore_index=True)
 
         ref = solve.remote(
             *ds.select_columns(
@@ -942,9 +958,15 @@ def _sharded_topk_edges(
         ds.map_batches(tag, batch_format="pyarrow").write_parquet(
             "local://" + tmp, partition_cols=["__shard"])
 
+        import os as _os
+
         branches = []
         for j in range(num_shards):
             shard_path = f"{tmp}/__shard={j}"
+            if not _os.path.isdir(shard_path):
+                # a hash partition that received zero rows writes no
+                # directory — an empty shard contributes no candidates
+                continue
             branches.append(ds.map_batches(
                 _ShardScan,
                 fn_constructor_args=(
@@ -952,6 +974,8 @@ def _sharded_topk_edges(
                 batch_format="pandas",
                 concurrency=(1, 4),
             ))
+        if not branches:
+            return ray.data.from_pandas(empty)
         cand = branches[0]
         if len(branches) > 1:
             cand = cand.union(*branches[1:])
@@ -975,13 +999,15 @@ def knn_graph_edges(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     shard_rows: int = KNN_SHARD_ROWS,
+    fastpath_block_bytes: int = KNN_FASTPATH_BLOCK_BYTES,
 ) -> ray.data.Dataset:
     """Exact cosine kNN GRAPH as a Dataset (self excluded) — the
     distributed builder every graph query feeds from. See
     ``_sharded_topk_edges`` for the scale shape; this is the
     fixed-width edge list, never the embedding matrix, end to end."""
     return _sharded_topk_edges(
-        ds, k, id_col, vec_col, "nbr_id", shard_rows=shard_rows)
+        ds, k, id_col, vec_col, "nbr_id", shard_rows=shard_rows,
+        fastpath_block_bytes=fastpath_block_bytes)
 
 
 def knn_graph_edges_ivf(

@@ -22,18 +22,27 @@ import pyarrow.compute as pc
 import ray.data
 
 
-def read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+def read(
+    sf_dir: str,
+    table: str,
+    columns: list[str] | None = None,
+    row_filter=None,
+) -> ray.data.Dataset:
     """Column-pruned read of one testdata table. Pandas-written parquet
     carries an unhashable ``b'pandas'`` schema-metadata dict that defeats
     Ray's shuffle schema dedup — pass the stripped schema into the read so
-    even the read operator's own blocks are metadata-free."""
+    even the read operator's own blocks are metadata-free.
+    ``row_filter`` is a ``pyarrow.dataset`` expression pushed into the
+    scan (row-group/row pruning at the source — only matching rows leave
+    storage)."""
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/{table}.parquet"
     schema = pq.read_schema(path).remove_metadata()
     if columns:
         schema = pa.schema([schema.field(c) for c in columns])
-    return ray.data.read_parquet(path, columns=columns, schema=schema)
+    return ray.data.read_parquet(
+        path, columns=columns, schema=schema, filter=row_filter)
 
 
 def _adaptive_buckets(*datasets: ray.data.Dataset, floor: int = 32) -> int:
@@ -193,12 +202,16 @@ def partitioned_join(
             lmask = pc.equal(g.column("__side"), "l")
             lg = g.filter(lmask)
             rkeys = g.filter(pc.invert(lmask)).column(right_on)
+            # skip_nulls=True is load-bearing: the default is_in treats
+            # a NULL in the value_set as matching NULL keys (review
+            # finding) — join semantics want a NULL key to match
+            # NOTHING (semi drops it; anti keeps it, like the pandas
+            # isin path: NaN ∉ set)
             m = pc.is_in(
                 lg.column(left_on),
                 value_set=rkeys.combine_chunks().unique(),
+                skip_nulls=True,
             )
-            # SQL IN semantics: a NULL key matches nothing (semi drops
-            # it; anti keeps it as "not in the set")
             if how == "semi":
                 m = pc.fill_null(m, False)
             else:
@@ -653,7 +666,29 @@ class BloomFilter:
         self.bits = np.zeros(num_bits // 8 + 1, dtype=np.uint8)
 
     def _positions(self, values) -> np.ndarray:
-        h1 = pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
+        # vectorized path for integer keys (the winner-seq filter):
+        # hash the int64 ndarray directly — object boxing here made the
+        # hot Bloom prefilter per-element Python (review finding).
+        # Object-boxed INTEGER arrays normalize to the same int64 hash,
+        # so membership is representation-independent; strings keep the
+        # original object hashing (persisted url sidecars stay valid).
+        v = np.asarray(values)
+        if v.dtype.kind in "iu":
+            h1 = pd.util.hash_array(v.astype(np.int64, copy=False))
+        else:
+            vi = None
+            if v.dtype == object and len(v):
+                try:
+                    cand = v.astype(np.int64)
+                    if (cand == v).all():
+                        vi = cand
+                except (TypeError, ValueError, OverflowError):
+                    vi = None
+            if vi is not None:
+                h1 = pd.util.hash_array(vi)
+            else:
+                h1 = pd.util.hash_array(
+                    np.asarray(values, dtype=object), categorize=False)
         h2 = (h1 >> np.uint64(32)) | np.uint64(1)
         idx = (
             h1[:, None] + np.arange(self.k, dtype=np.uint64)[None, :] * h2[:, None]
@@ -685,7 +720,9 @@ def bloom_semi_filter(
     bf = bloom
 
     def fn(b: pd.DataFrame) -> pd.DataFrame:
-        return b[bf.contains(b[column].to_numpy(dtype=object))]
+        # natural dtype (NOT forced object): int columns must take the
+        # same vectorized int hash path as the build side
+        return b[bf.contains(b[column].to_numpy())]
 
     return ds.map_batches(fn, batch_format="pandas")
 

@@ -420,6 +420,11 @@ class TestMultimodal:
         bad[i + 1] = 0xC2
         with pytest.raises(NotImplementedError):
             J.jpeg_decode_gray(bytes(bad))
+        # T.81 B.1.1.2 fill bytes before a marker decode transparently
+        enc = bytearray(J.jpeg_encode_gray(np.full((8, 8), 77, np.uint8)))
+        j = enc.find(b"\xff\xdb")
+        filled = bytes(enc[:j]) + b"\xff" + bytes(enc[j:])
+        assert (J.jpeg_decode_gray(filled) == 77).all()
 
     def test_jpeg_media_stages_end_to_end(self):
         """image/jpeg flows through MediaDecoder features and
@@ -2016,6 +2021,16 @@ class TestKnnGraph:
         # k larger than the corpus: every vector gets all n-1 neighbors
         allof = K.knn_graph(src, k=n + 5, shard_rows=7)
         assert (allof.groupby("vec_id").size() == n - 1).all()
+        # review fix: the in-task kernel tiles query rows (never an
+        # n x n sims matrix) — force multi-tile and pin equality
+        tiled = K.knn_graph_edges(
+            src, k=3, shard_rows=n + 1, fastpath_block_bytes=8 * n * 8
+        ).to_pandas().sort_values(
+            ["vec_id", "cosine", "nbr_id"], ascending=[True, False, True],
+            kind="mergesort").reset_index(drop=True)
+        for c in ("vec_id", "nbr_id"):
+            tiled[c] = tiled[c].astype("int64")
+        pd.testing.assert_frame_equal(one, tiled)
 
     def test_ivf_builder_exact_at_full_probe_and_recall(self, ray_session):
         """knn_graph_edges_ivf: nprobe == nlist makes every (q, m) pair
