@@ -402,6 +402,26 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """REST serving layer (``serve.make_server`` — stdlib http.server):
+    full-surface parity with the reference's Flask app
+    (``app.py:58-428``): health, config inspect/validate, async ingest
+    jobs, query results, statistics, validation."""
+    from gene_etl_ray.serve import make_server
+
+    cfg = load_config(args.config) if args.config else None
+    srv = make_server(
+        host=args.host, port=args.port, cfg=cfg, sf_dir=args.sf_dir)
+    print(json.dumps({"serving": list(srv.server_address)}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="gene_etl_ray", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -568,6 +588,17 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--limit", type=int, default=20,
                     help="rows printed to stdout (default 20)")
     pq.set_defaults(fn=cmd_query)
+
+    psv = sub.add_parser(
+        "serve", help="REST serving layer (health/config/jobs/results)"
+    )
+    psv.add_argument("--host", default="127.0.0.1")
+    psv.add_argument("--port", type=int, default=8642)
+    psv.add_argument("--config", default=None,
+                     help="EngineConfig json for stats/jobs endpoints")
+    psv.add_argument("--sf-dir", default=None,
+                     help="default table dir for /api/v1/results")
+    psv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)
