@@ -978,3 +978,51 @@ def fisher_exact_2x2(
         "odds_ratio": [float(odds)],
         "p_value": [min(p, 1.0)],
     })
+
+
+def oneway_anova_f(
+    ds: ray.data.Dataset, group_col: str, value_col: str
+) -> pd.DataFrame:
+    """One-way ANOVA F statistic across cohorts — the omnibus test
+    beside the pairwise Welch gate, fully distributed via MERGEABLE
+    moments: each batch emits (group, n, Σx, Σx²); the driver merge is
+    O(groups) and computes
+
+      SSB = Σ_g n_g (m_g − m)²,  SSW = Σ_g (q_g − n_g m_g²)
+      F = (SSB / (k−1)) / (SSW / (n−k))
+
+    Closed-form arithmetic end to end, so the WHOLE output lands under
+    a SQL twin (no distribution tail needed). Returns one row
+    (f_stat, df1, df2, ss_between, ss_within)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {group_col: pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64),
+                 "s": pd.Series([], dtype=np.float64),
+                 "q": pd.Series([], dtype=np.float64)})
+        v = b[value_col].to_numpy(np.float64)
+        g = b.assign(__v=v, __v2=v * v).groupby(
+            group_col, sort=False, as_index=False
+        ).agg(n=("__v", "size"), s=("__v", "sum"), q=("__v2", "sum"))
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    m = parts.groupby(group_col, as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"), q=("q", "sum"))
+    n_g = m["n"].to_numpy(np.float64)
+    s_g = m["s"].to_numpy(np.float64)
+    q_g = m["q"].to_numpy(np.float64)
+    n = n_g.sum()
+    k = len(m)
+    mean = s_g.sum() / n
+    mg = s_g / n_g
+    ssb = float((n_g * (mg - mean) ** 2).sum())
+    ssw = float((q_g - n_g * mg * mg).sum())
+    df1, df2 = k - 1, int(n) - k
+    f = (ssb / df1) / (ssw / df2) if df1 > 0 and df2 > 0 and ssw > 0 else np.nan
+    return pd.DataFrame({
+        "f_stat": [f], "df1": [np.int64(df1)], "df2": [np.int64(df2)],
+        "ss_between": [ssb], "ss_within": [ssw],
+    })

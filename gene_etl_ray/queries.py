@@ -6891,6 +6891,48 @@ FROM pmf
 """
 
 
+def lineitem_anova_by_flag(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA F for extendedprice across returnflag cohorts
+    (``correlate.oneway_anova_f``): the omnibus test beside the
+    pairwise Welch gate — mergeable (n, Σx, Σx²) partials, O(groups)
+    driver merge, closed-form statistic fully under the SQL twin."""
+    from gene_etl_ray.ops import correlate
+
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    out = correlate.oneway_anova_f(ds, "l_returnflag", "l_extendedprice")
+    # raw sums of squares are ~1e13 at sf0.1 — summation-order noise
+    # breaks fixed-decimal rounding under the value hash, so the gated
+    # surface is the SCALE-FREE pair (F, eta²); both are O(1)
+    out["eta_sq"] = (out["ss_between"]
+                     / (out["ss_between"] + out["ss_within"])).round(6)
+    out["f_stat"] = out["f_stat"].round(6)
+    for c in ("df1", "df2"):
+        out[c] = out[c].astype("int64")
+    return out[["f_stat", "df1", "df2", "eta_sq"]]
+
+
+ANOVA_SQL = """
+WITH g AS (
+  SELECT l_returnflag, CAST(count(*) AS DOUBLE) n,
+         sum(CAST(l_extendedprice AS DOUBLE)) s,
+         sum(CAST(l_extendedprice AS DOUBLE)
+             * CAST(l_extendedprice AS DOUBLE)) q
+  FROM lineitem GROUP BY 1),
+t AS (SELECT sum(n) AS n, sum(s) AS s, count(*) AS k FROM g),
+parts AS (
+  SELECT sum(g.n * (g.s / g.n - t.s / t.n) * (g.s / g.n - t.s / t.n))
+           AS ssb,
+         sum(g.q - g.n * (g.s / g.n) * (g.s / g.n)) AS ssw,
+         any_value(t.k) AS k, any_value(t.n) AS n
+  FROM g CROSS JOIN t)
+SELECT round((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat,
+       CAST(k - 1 AS BIGINT) AS df1,
+       CAST(n - k AS BIGINT) AS df2,
+       round(ssb / (ssb + ssw), 6) AS eta_sq
+FROM parts
+"""
+
+
 def embeddings_sq_codes(sf_dir: str) -> pd.DataFrame:
     """INT8 scalar quantization (the FAISS-SQ8 memory-scale path next
     to PQ): per-dimension global (min, max) trained distributed
@@ -7164,6 +7206,7 @@ QUERIES = {
     "lineitem_rint_by_flag": lineitem_rint_by_flag,
     "events_type_dow_mi": events_type_dow_mi,
     "events_fisher_click_weekend": events_fisher_click_weekend,
+    "lineitem_anova_by_flag": lineitem_anova_by_flag,
 }
 
 ORACLE_SQL = {
@@ -7274,6 +7317,7 @@ ORACLE_SQL = {
     "lineitem_rint_by_flag": RINT_SQL,
     "events_type_dow_mi": MI_SQL,
     "events_fisher_click_weekend": FISHER_SQL,
+    "lineitem_anova_by_flag": ANOVA_SQL,
     "docs_token_budget": TOKEN_BUDGET_SQL,
     "docs_source_cap": SOURCE_CAP_SQL,
     "docs_mixture_sample": MIXTURE_SAMPLE_SQL,
