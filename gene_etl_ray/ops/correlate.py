@@ -184,16 +184,22 @@ def corr_p_value(rho: np.ndarray, n: np.ndarray) -> np.ndarray:
     return np.clip(out, 0.0, 1.0)
 
 
-def bh_fdr(p: np.ndarray) -> np.ndarray:
+def bh_fdr(p: np.ndarray, dependence: bool = False) -> np.ndarray:
     """Benjamini-Hochberg adjusted q-values (``fdr_bh`` semantics):
     sort p, q_(i) = min_{j>=i} p_(j)·n/j clipped to 1, unsort. Tie-order
-    invariant. Vectorized (one sort + one reverse cummin)."""
+    invariant. Vectorized (one sort + one reverse cummin).
+    ``dependence=True`` applies the Benjamini-Yekutieli correction
+    (``fdr_by``): the n/j factor multiplies by the harmonic number
+    c(n) = Σ 1/i — valid under ARBITRARY test dependence, the
+    conservative variant genomics pipelines reach for when tests
+    correlate (linked genes)."""
     p = np.asarray(p, dtype=np.float64)
     n = len(p)
     if n == 0:
         return p.copy()
     order = np.argsort(p, kind="mergesort")
-    ranked = p[order] * n / np.arange(1, n + 1)
+    cm = float((1.0 / np.arange(1, n + 1)).sum()) if dependence else 1.0
+    ranked = p[order] * (n * cm) / np.arange(1, n + 1)
     q_sorted = np.minimum.accumulate(ranked[::-1])[::-1]
     q_sorted = np.clip(q_sorted, 0.0, 1.0)
     out = np.empty(n, dtype=np.float64)
@@ -244,6 +250,7 @@ def grouped_bh_fdr(
     key: str,
     p_col: str,
     q_name: str = "q_value",
+    dependence: bool = False,
 ) -> ray.data.Dataset:
     """Per-cohort BH-FDR (``correlate.py:149-189``): the A7 full-group
     barrier — every p of a cohort must be ranked together, so the cohort
@@ -252,7 +259,8 @@ def grouped_bh_fdr(
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
-        g[q_name] = bh_fdr(g[p_col].to_numpy(dtype=np.float64))
+        g[q_name] = bh_fdr(
+            g[p_col].to_numpy(dtype=np.float64), dependence=dependence)
         return g
 
     return ds.groupby(key).map_groups(per_group, batch_format="pandas")

@@ -3359,6 +3359,58 @@ FROM r ORDER BY event_id
 """
 
 
+def events_fdr_by(sf_dir: str) -> pd.DataFrame:
+    """Per-cohort Benjamini-YEKUTIELI FDR (``bh_fdr(dependence=True)``):
+    BH with the harmonic-number c(n) = Σ 1/i factor — valid under
+    arbitrary dependence, the conservative correction genomics
+    pipelines use when tests correlate. Same pseudo-p construction and
+    barrier shape as events_fdr_bh; the twin computes c(n) with a
+    generate_series sum."""
+    from gene_etl_ray.ops import correlate
+
+    ds = read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def add_p(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        r = g["value"].rank(method="min").to_numpy()
+        g = g.copy()
+        g["p"] = (r - 1) / max(n - 1, 1)
+        return g
+
+    pds = ds.groupby("event_type").map_groups(add_p, batch_format="pandas")
+    out = correlate.grouped_bh_fdr(
+        pds, "event_type", "p", dependence=True).to_pandas()
+    out = out[["event_id", "event_type", "p", "q_value"]]
+    out["p"] = out["p"].round(6)
+    out["q_value"] = out["q_value"].round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+FDR_BY_SQL = """
+WITH p AS (
+  SELECT event_id, event_type,
+         percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS p,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+hn AS (
+  SELECT nn, sum(1.0 / k) AS cm
+  FROM (SELECT DISTINCT n AS nn FROM p) d,
+       LATERAL (SELECT unnest(generate_series(1, d.nn)) AS k)
+  GROUP BY nn),
+r AS (
+  SELECT event_id, event_type, p.p,
+         p.p * p.n * hn.cm
+           / (row_number() OVER (PARTITION BY event_type ORDER BY p.p)) AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY p.p) AS rk
+  FROM p JOIN hn ON hn.nn = p.n)
+SELECT event_id, event_type, round(p, 6) AS p,
+       round(least(min(v) OVER (PARTITION BY event_type ORDER BY rk
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0), 6)
+         AS q_value
+FROM r ORDER BY event_id
+"""
+
+
 def events_type_corr_matrix(sf_dir: str) -> pd.DataFrame:
     """Blocked ALL-PAIRS correlation matrix (the reference's flagship
     compute shape, ``correlate.py:34-113``): pivot per-user event-type
@@ -7207,6 +7259,7 @@ QUERIES = {
     "events_type_dow_mi": events_type_dow_mi,
     "events_fisher_click_weekend": events_fisher_click_weekend,
     "lineitem_anova_by_flag": lineitem_anova_by_flag,
+    "events_fdr_by": events_fdr_by,
 }
 
 ORACLE_SQL = {
@@ -7318,6 +7371,7 @@ ORACLE_SQL = {
     "events_type_dow_mi": MI_SQL,
     "events_fisher_click_weekend": FISHER_SQL,
     "lineitem_anova_by_flag": ANOVA_SQL,
+    "events_fdr_by": FDR_BY_SQL,
     "docs_token_budget": TOKEN_BUDGET_SQL,
     "docs_source_cap": SOURCE_CAP_SQL,
     "docs_mixture_sample": MIXTURE_SAMPLE_SQL,
