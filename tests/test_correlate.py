@@ -431,3 +431,17 @@ def test_fisher_exact_known_values(ray_session):
     assert abs(run(3, 1, 1, 3) - 0.4857142857) < 1e-9
     assert abs(run(8, 0, 0, 8) - 2.0 / 12870.0) < 1e-9
     assert abs(run(5, 5, 5, 5) - 1.0) < 1e-9
+
+
+def test_by_fdr_is_harmonic_scaled_bh():
+    """BY == BH with every pre-clip value scaled by c(n) = Σ 1/i, and
+    q_BY >= q_BH elementwise (the conservativeness guarantee)."""
+    from gene_etl_ray.ops.correlate import bh_fdr
+
+    rng = np.random.RandomState(2)
+    p = rng.uniform(size=37)
+    bh = bh_fdr(p)
+    by = bh_fdr(p, dependence=True)
+    cm = (1.0 / np.arange(1, len(p) + 1)).sum()
+    np.testing.assert_allclose(by, np.minimum(bh * cm, 1.0), atol=1e-12)
+    assert (by >= bh - 1e-12).all()
