@@ -784,6 +784,65 @@ GROUP BY term ORDER BY df DESC, term LIMIT 200
 """
 
 
+def docs_zipf_slope(sf_dir: str) -> pd.DataFrame:
+    """Zipf's-law corpus statistic: OLS slope of ln(term frequency) on
+    ln(rank) over the top-100 terms by TOTAL count — the classic
+    power-law fingerprint a corpus-analysis pass reports (natural text
+    ≈ −1; boilerplate floods flatten it). Distributed term counts via
+    the vocab-sized per-batch combiner (a batch emits ≤ its vocabulary,
+    never its token stream) + one grouped sum; rank ties pinned by
+    (count desc, term asc) row_number so both engines fit the same 100
+    points. Twin: string_split + regr_slope/regr_intercept."""
+    from gene_etl_ray.ops.relational import grouped_sum_topk
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    K = 100
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lists = b["text"].fillna("").str.split().tolist()
+        toks = [t for sub in lists for t in sub]
+        if not toks:
+            return pd.DataFrame({"term": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        s = pd.Series(toks, dtype=object).value_counts()
+        return pd.DataFrame({"term": s.index.to_numpy(object),
+                             "n": s.to_numpy(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    top = grouped_sum_topk(parts, "term", "n", K)
+    top = top.sort_values(["n", "term"], ascending=[False, True],
+                          kind="mergesort").head(K).reset_index(drop=True)
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    y = np.log(top["n"].to_numpy(np.float64))
+    xm, ym = x.mean(), y.mean()
+    slope = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
+    intercept = float(ym - slope * xm)
+    return pd.DataFrame({
+        "zipf_slope": [round(slope, 6)],
+        "zipf_intercept": [round(intercept, 6)],
+        "n_terms": [np.int64(len(top))],
+    })
+
+
+ZIPF_SQL = r"""
+WITH tf AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS n
+  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents)
+  WHERE term <> ''
+  GROUP BY term ORDER BY n DESC, term LIMIT 100),
+rk AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, term) AS DOUBLE))
+           AS x,
+         ln(n) AS y
+  FROM tf)
+SELECT round(regr_slope(y, x), 6) AS zipf_slope,
+       round(regr_intercept(y, x), 6) AS zipf_intercept,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM rk
+"""
+
+
 def docs_inverted_index(sf_dir: str) -> pd.DataFrame:
     """Distributed inverted-index build (``text.inverted_index``):
     term → (df, sorted posting list) via the distinct-pair combiner +
@@ -7260,6 +7319,7 @@ QUERIES = {
     "events_fisher_click_weekend": events_fisher_click_weekend,
     "lineitem_anova_by_flag": lineitem_anova_by_flag,
     "events_fdr_by": events_fdr_by,
+    "docs_zipf_slope": docs_zipf_slope,
 }
 
 ORACLE_SQL = {
@@ -7372,6 +7432,7 @@ ORACLE_SQL = {
     "events_fisher_click_weekend": FISHER_SQL,
     "lineitem_anova_by_flag": ANOVA_SQL,
     "events_fdr_by": FDR_BY_SQL,
+    "docs_zipf_slope": ZIPF_SQL,
     "docs_token_budget": TOKEN_BUDGET_SQL,
     "docs_source_cap": SOURCE_CAP_SQL,
     "docs_mixture_sample": MIXTURE_SAMPLE_SQL,
