@@ -979,7 +979,14 @@ def fisher_exact_2x2(
     lp = np.array([lnpmf(int(k)) for k in ks])
     p_obs = np.exp(lnpmf(a))
     p = float(np.exp(lp)[np.exp(lp) <= p_obs * (1.0 + 1e-7)].sum())
-    odds = (a * d) / (b * c) if b * c > 0 else np.inf
+    # conditional: 0/0 (both diagonals zero) is undefined → NaN, as
+    # R/scipy report; inf only when the numerator diagonal is non-zero
+    if b * c > 0:
+        odds = (a * d) / (b * c)
+    elif a * d > 0:
+        odds = np.inf
+    else:
+        odds = np.nan
     return pd.DataFrame({
         "a": [np.int64(a)], "b": [np.int64(b)],
         "c": [np.int64(c)], "d": [np.int64(d)],
@@ -1029,7 +1036,14 @@ def oneway_anova_f(
     ssb = float((n_g * (mg - mean) ** 2).sum())
     ssw = float((q_g - n_g * mg * mg).sum())
     df1, df2 = k - 1, int(n) - k
-    f = (ssb / df1) / (ssw / df2) if df1 > 0 and df2 > 0 and ssw > 0 else np.nan
+    if df1 > 0 and df2 > 0 and ssw > 0:
+        f = (ssb / df1) / (ssw / df2)
+    elif df1 > 0 and df2 > 0 and ssw == 0 and ssb > 0:
+        # perfect within-group homogeneity with distinct means:
+        # conventionally F → +inf (p → 0), not "undefined"
+        f = np.inf
+    else:
+        f = np.nan
     return pd.DataFrame({
         "f_stat": [f], "df1": [np.int64(df1)], "df2": [np.int64(df2)],
         "ss_between": [ssb], "ss_within": [ssw],

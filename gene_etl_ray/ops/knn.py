@@ -960,13 +960,40 @@ def _sharded_topk_edges(
 
         import os as _os
 
-        branches = []
+        import pyarrow.parquet as _pq
+
+        # Scratch-path visibility guard (r4 ADVICE): the ``local://``
+        # scratch dir assumes write tasks and _ShardScan actors share a
+        # filesystem (single node, or a shared mount). A shard whose
+        # directory the driver cannot see would otherwise be SILENTLY
+        # skipped as "legitimately empty", dropping its candidates from
+        # the "exact" graph. Verify total parquet rows across the
+        # visible shard dirs equals ds.count() and fail loudly instead.
+        shard_dirs = []
+        visible_rows = 0
         for j in range(num_shards):
             shard_path = f"{tmp}/__shard={j}"
             if not _os.path.isdir(shard_path):
                 # a hash partition that received zero rows writes no
-                # directory — an empty shard contributes no candidates
+                # directory — legitimately empty IFF the total-row
+                # check below still balances
                 continue
+            for f in _os.listdir(shard_path):
+                if f.endswith(".parquet"):
+                    visible_rows += _pq.ParquetFile(
+                        _os.path.join(shard_path, f)).metadata.num_rows
+            shard_dirs.append((j, shard_path))
+        if visible_rows != n:
+            raise RuntimeError(
+                f"_sharded_topk_edges scratch shards hold {visible_rows} "
+                f"rows but the corpus has {n}: shard files written by "
+                "remote tasks are not visible from this process. The "
+                "'local://' scratch path requires a single node or a "
+                "shared filesystem; point tempfile.tempdir at a shared "
+                "mount (e.g. NFS) on multi-node clusters.")
+
+        branches = []
+        for j, shard_path in shard_dirs:
             branches.append(ds.map_batches(
                 _ShardScan,
                 fn_constructor_args=(

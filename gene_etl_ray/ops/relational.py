@@ -675,6 +675,29 @@ class BloomFilter:
         v = np.asarray(values)
         if v.dtype.kind in "iu":
             h1 = pd.util.hash_array(v.astype(np.int64, copy=False))
+        elif v.dtype.kind == "f":
+            # Null-upcast int key blocks arrive as float64 (pandas
+            # upcasts int columns with NaN). Hashing them as float
+            # OBJECTS would disagree with the int64 build-side hash —
+            # a Bloom FALSE NEGATIVE, i.e. silent data loss in the
+            # prefilter (r4 ADVICE). Cast losslessly-integral floats
+            # to int64 so both sides hash identically (mirrors the
+            # float64 canonicalization in _bucket_union); non-integral
+            # or NaN values keep a float-object hash (they can never
+            # equal an int key, so membership stays correct).
+            with np.errstate(invalid="ignore"):
+                integral = (np.isfinite(v) & (np.floor(v) == v)
+                            & (np.abs(v) < 2.0 ** 63))
+            if integral.all() and len(v):
+                h1 = pd.util.hash_array(v.astype(np.int64))
+            else:
+                h1 = np.empty(len(v), dtype=np.uint64)
+                if integral.any():
+                    h1[integral] = pd.util.hash_array(
+                        v[integral].astype(np.int64))
+                if (~integral).any():
+                    h1[~integral] = pd.util.hash_array(
+                        v[~integral].astype(object), categorize=False)
         else:
             vi = None
             if v.dtype == object and len(v):

@@ -6995,7 +6995,9 @@ SELECT any_value(a) AS a, any_value(b) AS b, any_value(c) AS c,
        round(CASE WHEN any_value(b) * any_value(c) > 0
              THEN CAST(any_value(a) * any_value(d) AS DOUBLE)
                   / (any_value(b) * any_value(c))
-             ELSE 'inf'::DOUBLE END, 6) AS odds_ratio,
+             WHEN any_value(a) * any_value(d) > 0
+             THEN 'inf'::DOUBLE
+             ELSE 'nan'::DOUBLE END, 6) AS odds_ratio,
        round(least(sum(CASE WHEN p_k <= p_obs * (1.0 + 1e-7)
                             THEN p_k ELSE 0 END), 1.0), 6) AS p_value
 FROM pmf
@@ -7133,11 +7135,66 @@ LIMIT 10
 #   5. rows-only entries last.
 QUERIES = {
     # Registry order IS the driver's gate order (50-entry prefix).
-    # Round-4 rotation: position 0 keeps the flagship continuously
-    # gated; positions 1-49 are entries that have NEVER had a driver
-    # CORRECTNESS row (r1-r3 greens stay on record in CORRECTNESS_r0*).
+    # Round-5 rotation (COVERAGE.md plan): position 0 keeps the
+    # flagship continuously gated; positions 1-39 are the 39 entries
+    # that have NEVER had a driver CORRECTNESS row across r01-r04;
+    # positions 40-49 are CDC-family re-gates (round-5 additions are
+    # inserted here as they land, displacing re-gates). With this
+    # rotation every registry entry has a driver row across r01-r05.
     "cdc_ingest_lake": cdc_ingest_lake,
-    # --- first-time-gated: corpus curation / span+incremental dedup ---
+    # --- positions 1-39: first-time-gated this round ---
+    "events_cohort_retention": events_cohort_retention,
+    "events_weekly_active_users": events_weekly_active_users,
+    "docs_top_bigrams": docs_top_bigrams,
+    "docs_repetition_stats": docs_repetition_stats,
+    "media_frame_sample": media_frame_sample,
+    "orders_anti_join_bulk": orders_anti_join_bulk,
+    "embeddings_gram_matrix": embeddings_gram_matrix,
+    "embeddings_pca_axis": embeddings_pca_axis,
+    "events_asof_views_forward": events_asof_views_forward,
+    "events_asof_views_nearest": events_asof_views_nearest,
+    "docs_top_quarter": docs_top_quarter,
+    "docs_length_terciles": docs_length_terciles,
+    "embeddings_logreg_step": embeddings_logreg_step,
+    "embeddings_label_centroid": embeddings_label_centroid,
+    "orders_priority_overlaps": orders_priority_overlaps,
+    "docs_search_and": docs_search_and,
+    "supplier_fuzzy_pairs": supplier_fuzzy_pairs,
+    "docs_profile": docs_profile,
+    "events_type_cooccurrence": events_type_cooccurrence,
+    "lineitem_geomean_by_flag": lineitem_geomean_by_flag,
+    "events_type_lift": events_type_lift,
+    "docs_phrase_search": docs_phrase_search,
+    "events_debounced": events_debounced,
+    "lineitem_trimmed_mean_by_flag": lineitem_trimmed_mean_by_flag,
+    "events_daily_trending": events_daily_trending,
+    "embeddings_hard_negatives": embeddings_hard_negatives,
+    "docs_snippets": docs_snippets,
+    "events_skew_report": events_skew_report,
+    "corr_fdr_significant": corr_fdr_significant,
+    "embeddings_sq_codes": embeddings_sq_codes,
+    "embeddings_sq_topk": embeddings_sq_topk,
+    "embeddings_knn_graph_ivf": embeddings_knn_graph_ivf,
+    "lineitem_quantile_normalize": lineitem_quantile_normalize,
+    "lineitem_rint_by_flag": lineitem_rint_by_flag,
+    "events_type_dow_mi": events_type_dow_mi,
+    "events_fisher_click_weekend": events_fisher_click_weekend,
+    "lineitem_anova_by_flag": lineitem_anova_by_flag,
+    "events_fdr_by": events_fdr_by,
+    "docs_zipf_slope": docs_zipf_slope,
+    # --- positions 40-49: round-5 additions + CDC re-gates ---
+    "cdc_scd2_history": cdc_scd2_history,
+    "cdc_mux_ingest": cdc_mux_ingest,
+    "cdc_snapshot_diff": cdc_snapshot_diff,
+    "cdc_changed_since": cdc_changed_since,
+    "cdc_lateness_lake": cdc_lateness_lake,
+    "cdc_late_dead_letters": cdc_late_dead_letters,
+    "cdc_domain_stats_view": cdc_domain_stats_view,
+    "cdc_expired_lake": cdc_expired_lake,
+    "cdc_repartitioned_lake": cdc_repartitioned_lake,
+    "docs_dedup_exact": docs_dedup_exact,
+    # --- positions 50+: driver-green in earlier rounds (r1-r4);
+    #     still covered by the local full-registry sweep ---
     "docs_span_dedup": docs_span_dedup,
     "docs_select_corpus": docs_select_corpus,
     "docs_dedup_incremental": docs_dedup_incremental,
@@ -7155,7 +7212,6 @@ QUERIES = {
     "embeddings_clustering_coeff": embeddings_clustering_coeff,
     "embeddings_communities": embeddings_communities,
     "embeddings_knn_reach": embeddings_knn_reach,
-    "cdc_scd2_history": cdc_scd2_history,
     "events_jsonl_hourly": events_jsonl_hourly,
     "events_csv_type_stats": events_csv_type_stats,
     "events_sliding_windows": events_sliding_windows,
@@ -7187,16 +7243,6 @@ QUERIES = {
     "events_type_transitions": events_type_transitions,
     "events_countmin_types": events_countmin_types,
     "lineitem_corr_fdr_pipeline": lineitem_corr_fdr_pipeline,
-    # --- positions 50+: driver-green in earlier rounds (r1-r3) or
-    #     still covered by the local full-registry sweep ---
-    "cdc_mux_ingest": cdc_mux_ingest,
-    "cdc_snapshot_diff": cdc_snapshot_diff,
-    "cdc_repartitioned_lake": cdc_repartitioned_lake,
-    "cdc_changed_since": cdc_changed_since,
-    "cdc_lateness_lake": cdc_lateness_lake,
-    "cdc_late_dead_letters": cdc_late_dead_letters,
-    "cdc_domain_stats_view": cdc_domain_stats_view,
-    "cdc_expired_lake": cdc_expired_lake,
     "docs_lang_id": docs_lang_id,
     "docs_fingerprints": docs_fingerprints,
     "docs_minhash_pairs": docs_minhash_pairs,
@@ -7238,16 +7284,9 @@ QUERIES = {
     "events_user_entropy": events_user_entropy,
     "docs_chunk_dedup": docs_chunk_dedup,
     "docs_tfidf_topk": docs_tfidf_topk,
-    "events_cohort_retention": events_cohort_retention,
-    "events_weekly_active_users": events_weekly_active_users,
-    "docs_top_bigrams": docs_top_bigrams,
-    "docs_repetition_stats": docs_repetition_stats,
-    "media_frame_sample": media_frame_sample,
-    "orders_anti_join_bulk": orders_anti_join_bulk,
     "q1_pricing_summary": q1_pricing_summary,
     "q5_nation_revenue": q5_nation_revenue,
     "events_lww_latest": events_lww_latest,
-    "docs_dedup_exact": docs_dedup_exact,
     "docs_curation_pipeline": docs_curation_pipeline,
     "events_asof_orders": events_asof_orders,
     "orders_lineitem_partitioned_join": orders_lineitem_partitioned_join,
@@ -7286,40 +7325,6 @@ QUERIES = {
     "events_top_users": events_top_users,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "embeddings_norm_by_label": embeddings_norm_by_label,
-    "embeddings_gram_matrix": embeddings_gram_matrix,
-    "embeddings_pca_axis": embeddings_pca_axis,
-    "events_asof_views_forward": events_asof_views_forward,
-    "events_asof_views_nearest": events_asof_views_nearest,
-    "docs_top_quarter": docs_top_quarter,
-    "docs_length_terciles": docs_length_terciles,
-    "embeddings_logreg_step": embeddings_logreg_step,
-    "embeddings_label_centroid": embeddings_label_centroid,
-    "orders_priority_overlaps": orders_priority_overlaps,
-    "docs_search_and": docs_search_and,
-    "supplier_fuzzy_pairs": supplier_fuzzy_pairs,
-    "docs_profile": docs_profile,
-    "events_type_cooccurrence": events_type_cooccurrence,
-    "lineitem_geomean_by_flag": lineitem_geomean_by_flag,
-    "events_type_lift": events_type_lift,
-    "docs_phrase_search": docs_phrase_search,
-    "events_debounced": events_debounced,
-    "lineitem_trimmed_mean_by_flag": lineitem_trimmed_mean_by_flag,
-    "events_daily_trending": events_daily_trending,
-    "embeddings_hard_negatives": embeddings_hard_negatives,
-    "docs_snippets": docs_snippets,
-    "events_skew_report": events_skew_report,
-    "corr_fdr_significant": corr_fdr_significant,
-    # --- round-4 additions (past the gate prefix; local sweep covers) ---
-    "embeddings_sq_codes": embeddings_sq_codes,
-    "embeddings_sq_topk": embeddings_sq_topk,
-    "embeddings_knn_graph_ivf": embeddings_knn_graph_ivf,
-    "lineitem_quantile_normalize": lineitem_quantile_normalize,
-    "lineitem_rint_by_flag": lineitem_rint_by_flag,
-    "events_type_dow_mi": events_type_dow_mi,
-    "events_fisher_click_weekend": events_fisher_click_weekend,
-    "lineitem_anova_by_flag": lineitem_anova_by_flag,
-    "events_fdr_by": events_fdr_by,
-    "docs_zipf_slope": docs_zipf_slope,
 }
 
 ORACLE_SQL = {

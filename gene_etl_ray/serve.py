@@ -16,6 +16,7 @@ Data auto-init covers the rest). Endpoints:
     POST /api/v1/etl/run                    {"events_dir": ...} → job id
     GET  /api/v1/etl/jobs                   job registry
     GET  /api/v1/etl/jobs/<id>
+    DELETE /api/v1/etl/jobs/<id>            drop job from the registry
     GET  /api/v1/results?query=<name>&limit=N   registry query rows
     GET  /api/v1/statistics                 lake summary
     GET  /api/v1/validation                 validate_lake checks
@@ -89,7 +90,11 @@ class _Jobs:
             try:
                 rep = run_ingest(cfg, events_dir)
                 with self.lock:
-                    self.jobs[job_id].update(
+                    # .get: the job may have been DELETEd mid-run — the
+                    # dropped record just isn't updated (the ingest
+                    # itself is idempotent, so letting it run to
+                    # convergence is safe)
+                    self.jobs.get(job_id, {}).update(
                         status="succeeded",
                         events_in=rep.get("events_in"),
                         events_applied=rep.get("events_applied"),
@@ -97,7 +102,7 @@ class _Jobs:
                     )
             except Exception as exc:  # surfaced via the job record
                 with self.lock:
-                    self.jobs[job_id].update(
+                    self.jobs.get(job_id, {}).update(
                         status="failed", error=f"{type(exc).__name__}: {exc}")
 
         threading.Thread(target=run, daemon=True).start()
@@ -111,6 +116,15 @@ class _Jobs:
     def list(self) -> list[dict]:
         with self.lock:
             return [dict(j) for j in self.jobs.values()]
+
+    def delete(self, job_id: str) -> dict | None:
+        """Remove a job from the registry (reference app.py:211
+        semantics: DELETE drops the tracker entry). Best-effort for a
+        running job — its daemonic worker thread keeps running to
+        convergence (safe: the two-phase commit is idempotent) but its
+        record is gone and late status updates are dropped."""
+        with self.lock:
+            return self.jobs.pop(job_id, None)
 
 
 def make_server(
@@ -222,6 +236,23 @@ def make_server(
                         return
                     self._send(202, {"job_id": jobs.submit(run_cfg, ev),
                                      "status": "running"})
+                else:
+                    self._send(404, {"error": "not found"})
+            except Exception:
+                self._send(500, {"error": traceback.format_exc(limit=3)})
+
+        def do_DELETE(self) -> None:  # noqa: N802
+            try:
+                u = urlparse(self.path)
+                if u.path.startswith("/api/v1/etl/jobs/"):
+                    job_id = u.path.rsplit("/", 1)[1]
+                    if jobs.delete(job_id) is None:
+                        self._send(404, {"error": "Job not found",
+                                         "job_id": job_id})
+                    else:
+                        self._send(200,
+                                   {"message": "Job deleted successfully",
+                                    "job_id": job_id})
                 else:
                     self._send(404, {"error": "not found"})
             except Exception:

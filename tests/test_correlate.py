@@ -433,6 +433,42 @@ def test_fisher_exact_known_values(ray_session):
     assert abs(run(5, 5, 5, 5) - 1.0) < 1e-9
 
 
+def test_fisher_degenerate_odds_ratio(ray_session):
+    """Odds-ratio conventions at the table edges (r4 ADVICE): both
+    diagonals zero → 0/0 → NaN (as R/scipy report); inf only when the
+    numerator diagonal is non-zero."""
+    import ray.data as rd
+
+    from gene_etl_ray.ops.correlate import fisher_exact_2x2
+
+    def odds(a, b, c, d):
+        rows = ([(True, True)] * a + [(True, False)] * b
+                + [(False, True)] * c + [(False, False)] * d)
+        df = pd.DataFrame(rows, columns=["x", "y"])
+        return float(fisher_exact_2x2(
+            rd.from_pandas(df), "x", "y")["odds_ratio"][0])
+
+    assert np.isnan(odds(5, 0, 0, 0))     # a*d == 0 and b*c == 0
+    assert np.isinf(odds(4, 0, 0, 4))     # a*d > 0, b*c == 0
+    assert odds(2, 1, 1, 2) == 4.0        # regular table
+
+
+def test_anova_zero_within_variance_is_inf(ray_session):
+    """Perfect within-group homogeneity with distinct means: F → +inf
+    (maximally significant), not NaN (r4 ADVICE)."""
+    import ray.data as rd
+
+    from gene_etl_ray.ops.correlate import oneway_anova_f
+
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 4,
+                       "v": [1.0] * 4 + [2.0] * 4})
+    out = oneway_anova_f(rd.from_pandas(df), "g", "v")
+    assert np.isinf(out["f_stat"][0]) and out["f_stat"][0] > 0
+    # all-identical values across groups stays NaN (ssb == 0 too)
+    df2 = pd.DataFrame({"g": ["a", "a", "b", "b"], "v": [1.0] * 4})
+    assert np.isnan(oneway_anova_f(rd.from_pandas(df2), "g", "v")["f_stat"][0])
+
+
 def test_by_fdr_is_harmonic_scaled_bh():
     """BY == BH with every pre-clip value scaled by c(n) = Σ 1/i, and
     q_BY >= q_BH elementwise (the conservativeness guarantee)."""

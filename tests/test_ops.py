@@ -724,6 +724,27 @@ class TestBloom:
         fp = bf.contains(others).mean()
         assert fp < 0.05, fp
 
+    def test_float_upcast_int_keys_hash_like_build_side(self):
+        """A null-upcast int key block arrives as float64; integral
+        floats must hash identically to the int64 build side — a
+        mismatch is a Bloom FALSE NEGATIVE (silent data loss in the
+        late-extract prefilter; r4 ADVICE)."""
+        from gene_etl_ray.ops.relational import BloomFilter
+
+        bf = BloomFilter(num_bits=1 << 16)
+        keys = np.arange(0, 3000, 3, dtype=np.int64)
+        bf.add(keys)
+        as_float = keys.astype(np.float64)
+        assert bf.contains(as_float).all()  # no false negatives
+        # mixed block: NaN + non-integral floats must not crash and
+        # must not report membership for keys that can't be ints
+        mixed = np.array([3.0, 4.5, np.nan, 6.0, 1e300])
+        hit = bf.contains(mixed)
+        assert hit[0] and hit[3]  # 3 and 6 are members
+        # object-boxed ints (a third representation) also agree
+        boxed = np.array([3, 6, 9], dtype=object)
+        assert bf.contains(boxed).all()
+
     def test_bloom_semi_filter_superset_of_exact(self):
         import pandas as pd
         import ray.data as rd

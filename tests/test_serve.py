@@ -40,6 +40,16 @@ def _get(port: int, path: str):
         return e.code, json.loads(e.read())
 
 
+def _delete(port: int, path: str):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", method="DELETE")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
 def _post(port: int, path: str, payload: dict):
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}{path}",
@@ -121,3 +131,10 @@ def test_ingest_job_lifecycle_and_statistics(server):
     code, jl = _get(port, "/api/v1/etl/jobs")
     assert code == 200 and any(j["job_id"] == job for j in jl["jobs"])
     assert _get(port, "/api/v1/etl/jobs/zzz")[0] == 404
+    # DELETE drops the record (reference app.py:211 parity)
+    assert _delete(port, "/api/v1/etl/jobs/zzz")[0] == 404
+    code, body = _delete(port, f"/api/v1/etl/jobs/{job}")
+    assert code == 200 and body["job_id"] == job
+    assert _get(port, f"/api/v1/etl/jobs/{job}")[0] == 404
+    code, jl = _get(port, "/api/v1/etl/jobs")
+    assert code == 200 and not any(j["job_id"] == job for j in jl["jobs"])
