@@ -468,6 +468,52 @@ def deterministic_sample(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+#: Cardinality guard for the driver-merged-partials pattern: the
+#: largest partial frame (rows ≈ distinct keys × batches) the driver
+#: will gather. Reporting aggregates over bounded keys (flags, types,
+#: hours) stay far under it; a high-cardinality key (per-url, per-user
+#: at 10^10 scale) trips it and the merge falls back LOUDLY to one
+#: bucketed hash exchange, so driver bytes drop to O(distinct keys).
+DRIVER_PARTIAL_ROW_LIMIT = 500_000
+
+
+def collect_partials(
+    partials: ray.data.Dataset,
+    keys: list[str],
+    fold,
+    limit: int | None = None,
+) -> pd.DataFrame:
+    """Bounded gather for per-batch-combiner aggregates (the shared
+    guard the r4 verdict ordered for every ``partial → to_pandas() →
+    driver merge`` call site). ``fold`` must be the same ASSOCIATIVE
+    merge the caller runs driver-side, applied to a frame holding all
+    partials for each key it sees (so fold∘fold == fold — callers
+    re-fold the returned frame unconditionally).
+
+    Within ``limit`` partial rows → one ``to_pandas`` (the fast path:
+    no exchange at all, the pattern's whole point for bounded keys).
+    Above it, the partials are folded per key with ONE bucketed int
+    exchange (``bucketed_group_apply``) and the driver receives one row
+    per distinct key instead of one per key per batch."""
+    import logging
+
+    p = partials.materialize()
+    n = p.count()
+    lim = DRIVER_PARTIAL_ROW_LIMIT if limit is None else limit
+    if n <= lim:
+        df = p.to_pandas()
+        # zero-block inputs can lose the schema through to_pandas
+        return df
+    logging.getLogger(__name__).warning(
+        "collect_partials: %d partial rows exceed the driver-merge bound"
+        " %d for keys %s — falling back to a bucketed per-key fold"
+        " (one hash exchange; driver receives one row per distinct key)",
+        n, lim, keys)
+    from gene_etl_ray.ops.dedup import bucketed_group_apply
+
+    return bucketed_group_apply(p, keys, fold).to_pandas()
+
+
 def grouped_aggregate_partial(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -502,12 +548,16 @@ def grouped_aggregate_partial(
             out_cols[counts] = g.column("__one_sum")
         return pa.table(out_cols)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    g = partials.groupby(keys, as_index=False, sort=False, dropna=False)
-    agg = {o: (o, "sum") for o in sums}
-    if counts:
-        agg[counts] = (counts, "sum")
-    return g.agg(**agg)
+    def merge(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby(keys, as_index=False, sort=False, dropna=False)
+        agg = {o: (o, "sum") for o in sums}
+        if counts:
+            agg[counts] = (counts, "sum")
+        return g.agg(**agg)
+
+    partials = collect_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), keys, merge)
+    return merge(partials)
 
 
 def grouped_sum_topk(
@@ -988,8 +1038,12 @@ def grouped_corr_stats(
             sxx=("__sxx", "sum"), syy=("__syy", "sum"), sxy=("__sxy", "sum"),
         )
 
-    p = ds.map_batches(moments, batch_format="pandas").to_pandas()
-    m = p.groupby(key, as_index=False, sort=False).sum()
+    def fold(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby(key, as_index=False, sort=False).sum()
+
+    p = collect_partials(
+        ds.map_batches(moments, batch_format="pandas"), [key], fold)
+    m = fold(p)
     n = m["n"].to_numpy(dtype=np.float64)
     # sample (n-1) central moments, the SQL corr/covar_samp definitions
     cov = (m["sxy"] - m["sx"] * m["sy"] / n) / (n - 1)
@@ -1060,9 +1114,9 @@ def grouped_higher_moments(
         )
         return out
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-
-    def combine(rows: pd.DataFrame) -> pd.Series:
+    def merge_rows(rows: pd.DataFrame) -> tuple:
+        # Pébay/Chan parallel update — associative, so the same loop is
+        # the per-bucket fold (cardinality fallback) AND the final merge
         nA = muA = m2A = m3A = m4A = 0.0
         for r in rows.itertuples(index=False):
             nB, muB, m2B, m3B, m4B = float(r.n), r.mean, r.M2, r.M3, r.M4
@@ -1082,6 +1136,22 @@ def grouped_higher_moments(
             m2 = m2A + m2B + d * d * nA * nB / n
             muA = muA + d * nB / n
             nA, m2A, m3A, m4A = n, m2, m3, m4
+        return nA, muA, m2A, m3A, m4A
+
+    def fold(p: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for kval, g in p.groupby(key, sort=False):
+            n, mu, m2, m3, m4 = merge_rows(
+                g[["n", "mean", "M2", "M3", "M4"]])
+            out.append((kval, n, mu, m2, m3, m4))
+        return pd.DataFrame(
+            out, columns=[key, "n", "mean", "M2", "M3", "M4"])
+
+    parts = collect_partials(
+        ds.map_batches(partial, batch_format="pandas"), [key], fold)
+
+    def combine(rows: pd.DataFrame) -> pd.Series:
+        nA, muA, m2A, m3A, m4A = merge_rows(rows)
         n = nA
         g1 = np.sqrt(n) * m3A / m2A**1.5 if m2A > 0 else np.nan
         G1 = g1 * np.sqrt(n * (n - 1)) / (n - 2) if n > 2 else np.nan
@@ -1116,8 +1186,13 @@ def grouped_mode(
             .rename(columns={"size": "n"})
         )
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    full = parts.groupby([key, value], as_index=False, sort=False).agg(n=("n", "sum"))
+    def fold(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby([key, value], as_index=False, sort=False).agg(
+            n=("n", "sum"))
+
+    parts = collect_partials(
+        ds.map_batches(partial, batch_format="pandas"), [key, value], fold)
+    full = fold(parts)
     full = full.sort_values(
         [key, "n", value], ascending=[True, False, True], kind="mergesort"
     )

@@ -516,6 +516,38 @@ class TestRelational:
         exp = df.groupby("g", as_index=False).agg(sx=("x", "sum"), n=("x", "size"))
         pd.testing.assert_frame_equal(out, exp, check_dtype=False, atol=1e-9)
 
+    def test_partial_merge_cardinality_guard_falls_back(self, monkeypatch, caplog):
+        """High-cardinality key trips DRIVER_PARTIAL_ROW_LIMIT: the
+        merge must LOUDLY fall back to the bucketed per-key fold and
+        produce the same result as the driver fast path (r4 verdict
+        item 2 — the driver-merged-partials pattern had no guard)."""
+        import logging
+
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame({"g": rng.randint(0, 400, 2000),
+                           "x": rng.standard_normal(2000)})
+        ds = rd.from_pandas(df, override_num_blocks=6)
+        fast = relational.grouped_aggregate_partial(
+            ds, ["g"], sums={"sx": "x"}, counts="n"
+        ).sort_values("g").reset_index(drop=True)
+        monkeypatch.setattr(relational, "DRIVER_PARTIAL_ROW_LIMIT", 50)
+        with caplog.at_level(logging.WARNING,
+                             logger="gene_etl_ray.ops.relational"):
+            slow = relational.grouped_aggregate_partial(
+                ds, ["g"], sums={"sx": "x"}, counts="n"
+            ).sort_values("g").reset_index(drop=True)
+        assert any("driver-merge bound" in r.message for r in caplog.records)
+        pd.testing.assert_frame_equal(
+            fast, slow, check_dtype=False, atol=1e-9)
+        # the moment-merge (non-sum fold) and mode sites share the guard
+        fast_sk = relational.grouped_higher_moments(
+            ds, "g", "x").sort_values("g").reset_index(drop=True)
+        monkeypatch.setattr(relational, "DRIVER_PARTIAL_ROW_LIMIT", 500_000)
+        base_sk = relational.grouped_higher_moments(
+            ds, "g", "x").sort_values("g").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            fast_sk, base_sk, check_dtype=False, atol=1e-9)
+
     def test_ntile_group_smaller_than_n(self):
         """SQL NTILE with fewer rows than tiles: tiles 1..count, one row
         each (never empty middle tiles or rows bunched in tile 1)."""
