@@ -165,19 +165,38 @@ def bucketed_group_apply(
         except Exception:
             pass
 
-    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        if not len(b):
-            b["__bucket"] = pd.Series([], dtype="int64")
-            return b
-        h = pd.util.hash_pandas_object(b[keys], index=False).to_numpy()
-        b["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
-        return b
+    def add_bucket(t: "pa.Table") -> "pa.Table":
+        # Arrow-native (r4 verdict item 3): only the KEY columns are
+        # hashed — fat payload columns (document text, binary) stay
+        # zero-copy Arrow instead of round-tripping the whole batch
+        # through pandas object boxing per batch.
+        if t.num_rows == 0:
+            return t.append_column(
+                "__bucket", pa.array([], type=pa.int64()))
+        h = None
+        for k in keys:
+            col = t.column(k)
+            if pa.types.is_integer(col.type) and col.null_count == 0:
+                hk = pd.util.hash_array(
+                    col.to_numpy(zero_copy_only=False).astype(
+                        np.int64, copy=False))
+            elif pa.types.is_floating(col.type) and col.null_count == 0:
+                hk = pd.util.hash_array(
+                    col.to_numpy(zero_copy_only=False).astype(np.float64))
+            else:
+                hk = pd.util.hash_array(
+                    np.asarray(col.to_pylist(), dtype=object),
+                    categorize=False)
+            h = hk if h is None else (
+                h * np.uint64(0x9E3779B97F4A7C15) + hk)
+        bucket = (h % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(bucket))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.drop(columns="__bucket"))
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )

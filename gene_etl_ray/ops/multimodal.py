@@ -33,7 +33,12 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from gene_etl_ray.ops.jpeg import jpeg_decode_gray, jpeg_encode_gray
+from gene_etl_ray.ops.jpeg import (
+    jpeg_decode,
+    jpeg_decode_gray,
+    jpeg_encode_color,
+    jpeg_encode_gray,
+)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -278,12 +283,23 @@ def synthesize_media(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.D
             rng = np.random.RandomState(int(i) % (2**31))
             if i % 3:
                 side = 8 + int(i) % 24
-                img = rng.randint(0, 256, size=(side, side)).astype(np.uint8)
                 if i % 3 == 1:
-                    # the dominant web image format, real baseline bytes
-                    payloads.append(jpeg_encode_gray(img, quality=90))
+                    # the dominant web image format, real baseline bytes;
+                    # half the JPEGs are 3-component 4:2:0 COLOR (the
+                    # actual web shape), half grayscale — same side
+                    # formula, so the fixture-parameter twins hold
+                    if i % 6 == 1:
+                        img3 = rng.randint(
+                            0, 256, size=(side, side, 3)).astype(np.uint8)
+                        payloads.append(jpeg_encode_color(img3, quality=90))
+                    else:
+                        img = rng.randint(
+                            0, 256, size=(side, side)).astype(np.uint8)
+                        payloads.append(jpeg_encode_gray(img, quality=90))
                     mimes.append("image/jpeg")
                 else:
+                    img = rng.randint(
+                        0, 256, size=(side, side)).astype(np.uint8)
                     payloads.append(png_encode_gray(img))
                     mimes.append("image/png")
                 mtypes.append("image")
@@ -418,19 +434,21 @@ class MediaResizer:
         self.stride = stride
 
     def _one(self, payload: bytes, mime: str) -> tuple[bytes, int, int, int]:
-        if mime in ("image/png", "image/jpeg"):
-            img = (
-                png_decode_gray(payload)
-                if mime == "image/png"
-                else jpeg_decode_gray(payload)
-            )
+        if mime == "image/png":
+            img = png_decode_gray(payload)
             h, w = img.shape
+            rr = (np.arange(self.size) * h) // self.size
+            cc = (np.arange(self.size) * w) // self.size
+            return png_encode_gray(img[rr][:, cc]), self.size, self.size, -1
+        if mime == "image/jpeg":
+            img = jpeg_decode(payload)  # (h, w) gray or (h, w, 3) color
+            h, w = img.shape[:2]
             rr = (np.arange(self.size) * h) // self.size
             cc = (np.arange(self.size) * w) // self.size
             out = img[rr][:, cc]
             enc = (
-                png_encode_gray(out)
-                if mime == "image/png"
+                jpeg_encode_color(out, quality=90)
+                if out.ndim == 3
                 else jpeg_encode_gray(out, quality=90)
             )
             return enc, self.size, self.size, -1

@@ -222,6 +222,32 @@ def partitioned_join(
         return both.groupby("__bucket").map_groups(
             join_bucket_pa, batch_format="pyarrow")
 
+    acero_how = {"inner": "inner", "left": "left outer",
+                 "right": "right outer", "outer": "full outer"}
+    if bucket_post is None and how in acero_how:
+        # ARROW-NATIVE merge stage (r4 verdict item 3): the per-bucket
+        # hash join runs in Acero instead of pd.merge, so payload
+        # columns never box to pandas objects. coalesce_keys=False
+        # keeps BOTH key columns when the names differ — the exact
+        # pd.merge column set (left_on == right_on collapses to one
+        # key column in pandas, so coalesce there). Null join keys
+        # follow SQL semantics (no null==null match) — stricter than
+        # pd.merge and what the DuckDB oracles verify. bucket_post
+        # callers keep the pandas stage (their lambdas take frames).
+        def join_bucket_merge_pa(g: pa.Table) -> pa.Table:
+            lmask = pc.equal(g.column("__side"), "l")
+            lg = g.filter(lmask).select(lcols)
+            rg = g.filter(pc.invert(lmask)).select(rcols)
+            return lg.join(
+                rg, keys=left_on, right_keys=right_on,
+                join_type=acero_how[how],
+                coalesce_keys=(left_on == right_on),
+                left_suffix="_x", right_suffix="_y",
+                use_threads=False)
+
+        return both.groupby("__bucket").map_groups(
+            join_bucket_merge_pa, batch_format="pyarrow")
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g.loc[g["__side"] == "l", lcols]
         rg = g.loc[g["__side"] == "r", rcols]

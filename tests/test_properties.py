@@ -727,6 +727,43 @@ def test_jpeg_roundtrip_dims_and_bounded_error(h, w, q, seed):
     assert err.mean() <= step, (q, err.mean(), step)
 
 
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    q=st.integers(min_value=50, max_value=95),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_color_roundtrip_dims_and_bounded_error(h, w, q, seed):
+    """∀ shapes/qualities: the 4:2:0 color codec preserves dimensions
+    exactly, returns (h, w, 3), and on a SMOOTH image (where chroma
+    subsampling loses little) stays inside a quality-dependent error
+    envelope. jpeg_decode_gray on color bytes returns the luma plane."""
+    from gene_etl_ray.ops.jpeg import (
+        jpeg_decode, jpeg_decode_gray, jpeg_encode_color)
+
+    rng = np.random.RandomState(seed)
+    # smooth: a random low-order 2-D ramp per channel (chroma survives)
+    base = rng.randint(0, 256, size=3)
+    gx, gy = rng.uniform(-2, 2, size=3), rng.uniform(-2, 2, size=3)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [np.clip(base[c] + gx[c] * xx + gy[c] * yy, 0, 255)
+         for c in range(3)], axis=-1).astype(np.uint8)
+    data = jpeg_encode_color(img, quality=q)
+    back = jpeg_decode(data)
+    assert back.shape == (h, w, 3) and back.dtype == np.uint8
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    step = min(255, max(1, (121 * scale + 50) // 100))
+    err = np.abs(back.astype(int) - img.astype(int))
+    assert err.mean() <= step + 4, (q, err.mean(), step)
+    lum = jpeg_decode_gray(data)
+    assert lum.shape == (h, w)
+    want_luma = np.clip(np.rint(
+        img.astype(float) @ np.array([0.299, 0.587, 0.114])), 0, 255)
+    assert np.abs(lum.astype(float) - want_luma).mean() <= step + 4
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     n=st.integers(min_value=1, max_value=50),
