@@ -267,11 +267,28 @@ def cosine_near_dup_pairs(
 def _kmeans_cosine(sample: np.ndarray, k: int, iters: int = 12, seed: int = 17) -> np.ndarray:
     """Deterministic spherical k-means on a driver-side SAMPLE (the
     standard IVF training recipe: train on a bounded sample, assign the
-    full table distributed). Returns unit-norm centroids (k, dim)."""
+    full table distributed). Coarse init is spherical k-means++
+    (Arthur & Vassilvitskii 2007, D² sampling with D² = 1 − max cosine):
+    seeded-deterministic, and on clustered data it spreads the initial
+    centroids across the true clusters instead of collapsing several
+    seeds into one hot cluster — the r4-verdict recall hardening for the
+    IVF graph builder. Returns unit-norm centroids (k, dim)."""
     x = sample.astype(np.float32)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
     rng = np.random.RandomState(seed)
-    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    kk = min(k, len(x))
+    cent = np.empty((kk, x.shape[1]), dtype=np.float32)
+    cent[0] = x[rng.randint(len(x))]
+    best = x @ cent[0]  # running max cosine to any chosen centroid
+    for j in range(1, kk):
+        d2 = np.maximum(1.0 - best, 0.0) ** 2
+        tot = float(d2.sum())
+        if tot <= 0:  # all points already coincide with a centroid
+            cent[j] = x[rng.randint(len(x))]
+        else:
+            cent[j] = x[np.searchsorted(
+                np.cumsum(d2), rng.uniform() * tot).clip(0, len(x) - 1)]
+        best = np.maximum(best, x @ cent[j])
     for _ in range(iters):
         assign = (x @ cent.T).argmax(axis=1)
         for c in range(len(cent)):
@@ -1047,6 +1064,7 @@ def knn_graph_edges_ivf(
     train_sample: int = 4096,
     seed: int = 17,
     max_list: int = 250_000,
+    assign_spill: int = 1,
 ) -> ray.data.Dataset:
     """SUB-QUADRATIC approximate kNN-graph builder — the IVF scale path
     beside the exact sharded builder (which is O(n²/shards) compute per
@@ -1072,7 +1090,16 @@ def knn_graph_edges_ivf(
     Partitioning assumption (documented per the custom-operator rule):
     one inverted list's members fit a worker (n/nlist·skew rows);
     lists beyond ``max_list`` log a loud warning — fix is more lists,
-    exactly the FAISS guidance."""
+    exactly the FAISS guidance.
+
+    Recall levers (r4-verdict hardening): the coarse quantizer trains
+    with spherical k-means++ init (clustered data gets one centroid per
+    true cluster instead of several in one), and ``assign_spill`` > 1
+    replicates each MEMBER into its top-``assign_spill`` lists
+    (FAISS-style multi-assignment) — a boundary vector becomes findable
+    from both adjacent lists at the cost of spill× member fan-out;
+    duplicate (query, member) pairs are deduped before the per-id
+    re-cap. Compute scales to n²·nprobe·spill/nlist."""
     import logging
 
     from gene_etl_ray.ops.dedup import bucketed_group_apply
@@ -1089,6 +1116,7 @@ def knn_graph_edges_ivf(
         _to_matrix(sample[vec_col]), nlist, seed=seed
     ).astype(np.float64)
     nprobe_eff = min(nprobe, cent.shape[0])
+    spill_eff = max(1, min(assign_spill, cent.shape[0]))
     cref = ray.put(cent)
 
     def fan(b: pd.DataFrame) -> pd.DataFrame:
@@ -1104,17 +1132,22 @@ def knn_graph_edges_ivf(
         x = _to_matrix(b[vec_col]).astype(np.float64)
         xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
         sims = xn @ c.T
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe_eff]
-        assign = order[:, 0]  # nearest centroid = member list
+        ncols = max(nprobe_eff, spill_eff)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :ncols]
+        assign = order[:, :spill_eff]  # member lists (multi-assignment)
+        probes = order[:, :nprobe_eff]
         ids = b[id_col].to_numpy(np.int64)
         n = len(ids)
         vecs = list(x)
         return pd.DataFrame({
-            "__list": np.concatenate([assign, order.ravel()]),
+            "__list": np.concatenate([assign.ravel(), probes.ravel()]),
             "__role": np.concatenate(
-                [np.zeros(n, np.int64), np.ones(n * nprobe_eff, np.int64)]),
-            id_col: np.concatenate([ids, np.repeat(ids, nprobe_eff)]),
-            vec_col: vecs + [v for v in vecs for _ in range(nprobe_eff)],
+                [np.zeros(n * spill_eff, np.int64),
+                 np.ones(n * nprobe_eff, np.int64)]),
+            id_col: np.concatenate(
+                [np.repeat(ids, spill_eff), np.repeat(ids, nprobe_eff)]),
+            vec_col: [v for v in vecs for _ in range(spill_eff)]
+            + [v for v in vecs for _ in range(nprobe_eff)],
         })
 
     def per_list(g: pd.DataFrame) -> pd.DataFrame:
@@ -1158,6 +1191,10 @@ def knn_graph_edges_ivf(
         g = g.sort_values(
             [id_col, "cosine", "nbr_id"],
             ascending=[True, False, True], kind="mergesort")
+        # under assign_spill > 1 a (query, member) pair can co-occur in
+        # several lists — identical exact cosine, but duplicates would
+        # eat top-k slots; dedup before the cap
+        g = g.drop_duplicates([id_col, "nbr_id"], keep="first")
         return g.groupby(id_col, sort=False).head(k)
 
     return bucketed_group_apply(cand, [id_col], recap)

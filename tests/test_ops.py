@@ -2120,6 +2120,51 @@ class TestKnnGraph:
         recall = len(want & got) / len(want)
         assert recall >= 0.9, recall
 
+    def test_ivf_kmeanspp_many_cluster_recall_and_spill(self, ray_session):
+        """r4-verdict IVF hardening pins: with MANY true clusters the
+        k-means++ coarse init must keep recall@k >= 0.9 at nprobe=2
+        (random-sample init collapses several seeds into one cluster
+        and loses whole lists), assign_spill=2 must not reduce recall,
+        and the exact regime (nprobe == nlist) must stay exact under
+        spill (duplicate pairs deduped before the re-cap)."""
+        import ray.data as rd
+
+        from gene_etl_ray.ops import knn as K
+
+        rng = np.random.RandomState(7)
+        ncl = 12
+        centers = rng.randn(ncl, 16) * 10
+        M = np.vstack([c + rng.randn(40, 16) for c in centers])
+        df = pd.DataFrame({
+            "vec_id": np.arange(len(M), dtype=np.int64),
+            "embedding": list(M.astype(np.float32)),
+        })
+        src = rd.from_pandas(df, override_num_blocks=4)
+        exact = K.knn_graph(src, k=5)
+        want = set(map(tuple, exact[["vec_id", "nbr_id"]].to_numpy()))
+
+        def recall(edges: pd.DataFrame) -> float:
+            got = set(map(tuple, edges[["vec_id", "nbr_id"]].to_numpy()))
+            return len(want & got) / len(want)
+
+        lo = K.knn_graph_edges_ivf(
+            src, k=5, nlist=ncl, nprobe=2, train_sample=len(M)).to_pandas()
+        r_lo = recall(lo)
+        assert r_lo >= 0.9, r_lo
+        sp = K.knn_graph_edges_ivf(
+            src, k=5, nlist=ncl, nprobe=2, train_sample=len(M),
+            assign_spill=2).to_pandas()
+        assert recall(sp) >= r_lo - 1e-9, (recall(sp), r_lo)
+        full_sp = K.knn_graph_edges_ivf(
+            src, k=5, nlist=ncl, nprobe=ncl, train_sample=len(M),
+            assign_spill=2).to_pandas()
+        full_sp = full_sp.sort_values(
+            ["vec_id", "cosine", "nbr_id"], ascending=[True, False, True],
+            kind="mergesort").reset_index(drop=True)
+        for c in ("vec_id", "nbr_id"):
+            full_sp[c] = full_sp[c].astype("int64")
+        pd.testing.assert_frame_equal(exact, full_sp)
+
     def test_hard_negatives_sharded_parity(self, ray_session):
         import ray.data as rd
 
