@@ -43,6 +43,7 @@ from __future__ import annotations
 import glob
 import hashlib
 import json
+import logging
 import os
 import threading
 import time
@@ -83,6 +84,8 @@ from gene_etl_ray.state.checkpoint import (
 )
 from gene_etl_ray.state.lineage import append_lineage
 from gene_etl_ray.state.manifest import commit_partition, current_files
+
+logger = logging.getLogger(__name__)
 
 MANIFEST_ROW_SCHEMA = pa.schema(
     [
@@ -977,6 +980,14 @@ def _run_ingest(
             for k, v in val.items():
                 report["validation"][k] = report["validation"].get(k, 0) + v
             hot = {k for k, c in counts.items() if c > cfg.hot_partition_threshold}
+            if hot:
+                logger.info(
+                    "salting armed: %d hot partition(s) %s exceed "
+                    "hot_partition_threshold=%d (max count %d) — each "
+                    "splits into %d url-deterministic sub-keys for the "
+                    "merge shuffle",
+                    len(hot), sorted(hot)[:8], cfg.hot_partition_threshold,
+                    max(counts.values()), cfg.salt_factor)
             affected = [k for k in counts if commit_epoch > wm_arr[k]]
             if not affected:
                 # resume may land here AFTER a crash that committed every
@@ -1070,6 +1081,15 @@ def _run_ingest(
                 hot = {
                     k for k, c in counts.items() if c > cfg.hot_partition_threshold
                 }
+                if hot:
+                    logger.info(
+                        "salting armed (late-extract): %d hot "
+                        "partition(s) %s exceed "
+                        "hot_partition_threshold=%d (max count %d) — "
+                        "each splits into %d url-deterministic sub-keys",
+                        len(hot), sorted(hot)[:8],
+                        cfg.hot_partition_threshold,
+                        max(counts.values()), cfg.salt_factor)
             n_winners = winners_ds.count()
             if n_winners <= cfg.late_winner_gather_limit:
                 winners = winners_ds.select_columns(["seq"]).to_pandas()[

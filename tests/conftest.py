@@ -1,4 +1,5 @@
 import logging
+import os
 import warnings
 
 import pytest
@@ -10,7 +11,7 @@ def ray_session():
     warnings.filterwarnings("ignore")
     ray.init(
         address="local",
-        num_cpus=4,
+        num_cpus=int(os.environ.get("RAY_GRAFT_TEST_CPUS", "4")),
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",

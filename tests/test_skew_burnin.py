@@ -6,6 +6,11 @@ winner set (Bloom prefilter + partitioned semi join) — and asserting
 the lake still converges byte-identically to the single-process replay
 oracle."""
 
+import logging
+import os
+
+import pytest
+
 from gene_etl_ray.config import EngineConfig
 from gene_etl_ray.fixtures import generate_events
 from gene_etl_ray.pipelines.ingest import run_ingest
@@ -13,7 +18,7 @@ from gene_etl_ray.pipelines.ingest import run_ingest
 from test_ingest_e2e import assert_matches_oracle
 
 
-def test_hot_skew_salted_late_extract_burnin(tmp_path, ray_session):
+def test_hot_skew_salted_late_extract_burnin(tmp_path, ray_session, caplog):
     events = str(tmp_path / "events")
     lake = str(tmp_path / "lake")
     meta = generate_events(
@@ -38,8 +43,49 @@ def test_hot_skew_salted_late_extract_burnin(tmp_path, ray_session):
         # the distributed Bloom + semi-join winner filter
         late_winner_gather_limit=1_000,
     )
-    rep = run_ingest(cfg, events)
+    with caplog.at_level(logging.INFO, logger="gene_etl_ray.pipelines.ingest"):
+        rep = run_ingest(cfg, events)
     assert rep["events_applied"] > 0
+    # the salted merge path must MEASURABLY engage (r4 verdict item 7),
+    # not merely be configured: the arming log carries the hot set
+    assert any("salting armed" in r.message for r in caplog.records)
+    assert_matches_oracle(lake, events)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RAY_GRAFT_BIGSCALE"),
+    reason="5M-event burn-in: run explicitly with RAY_GRAFT_BIGSCALE=1 "
+    "(evidence for the run on this tree is recorded in COVERAGE.md)",
+)
+def test_hot_skew_salted_burnin_5m(tmp_path, ray_session, caplog):
+    """r4 verdict item 7 at the larger scale: 5M events / 250k urls of
+    hot-Zipf skew with the salted path armed (log-asserted) and the lake
+    byte-identical to the single-process replay oracle."""
+    events = str(tmp_path / "events5m")
+    lake = str(tmp_path / "lake5m")
+    meta = generate_events(
+        events,
+        n_urls=250_000,
+        n_events=5_000_000,
+        n_epochs=5,
+        hot_domain_weight=300.0,
+        tie_frac=0.1,
+        out_of_order_frac=0.15,
+        html_size_hint=60,
+    )
+    assert meta["n_events"] == 5_000_000
+    cfg = EngineConfig(
+        lake_dir=lake,
+        num_partitions=32,
+        epochs_per_commit=2,
+        hot_partition_threshold=40_000,
+        late_extract=True,
+        late_winner_gather_limit=10_000,
+    )
+    with caplog.at_level(logging.INFO, logger="gene_etl_ray.pipelines.ingest"):
+        rep = run_ingest(cfg, events)
+    assert rep["events_applied"] > 0
+    assert any("salting armed" in r.message for r in caplog.records)
     assert_matches_oracle(lake, events)
 
 
