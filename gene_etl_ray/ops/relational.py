@@ -1036,6 +1036,60 @@ def string_agg_per_key(
     return ds.groupby(key).map_groups(fn, batch_format="pandas")
 
 
+def grouped_theil_sen(
+    ds: ray.data.Dataset,
+    key: str,
+    x: str,
+    y: str,
+) -> pd.DataFrame:
+    """Per-group THEIL–SEN slope (median of all pairwise slopes
+    (yⱼ−yᵢ)/(xⱼ−xᵢ) over pairs with distinct x) and its intercept
+    (median(y) − slope·median(x)) — the standard robust regression
+    estimator (up to ~29% outliers do not move it), the robust
+    counterpart of the per-group OLS op. One hash shuffle on the key,
+    fully vectorized pairwise kernel per group (``np.triu_indices``).
+
+    BOUNDED-GROUP contract (documented per the custom-operator rule):
+    pairwise slopes are O(n²) per group — aggregate first (e.g. daily
+    totals) so a group holds ≲10⁴ points; the op asserts the bound
+    loudly rather than letting a task quietly allocate n² floats.
+    Median matches SQL ``median`` (midpoint of the two central values
+    for even counts). Null pairs drop, like SQL aggregates."""
+    MAX_GROUP = 20_000
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        kval = g[key].iloc[0]
+        sub = g[[x, y]].dropna()
+        if len(sub) > MAX_GROUP:
+            raise ValueError(
+                f"grouped_theil_sen: group {kval!r} holds {len(sub)} "
+                f"points > {MAX_GROUP} — pairwise slopes are O(n²); "
+                "pre-aggregate the series first")
+        xv = sub[x].to_numpy(np.float64)
+        yv = sub[y].to_numpy(np.float64)
+        if len(xv) < 2:
+            return pd.DataFrame({key: [kval], "slope": [np.nan],
+                                 "intercept": [np.nan],
+                                 "n": [np.int64(len(xv))]})
+        i, j = np.triu_indices(len(xv), k=1)
+        dx = xv[j] - xv[i]
+        m = dx != 0
+        if not m.any():
+            return pd.DataFrame({key: [kval], "slope": [np.nan],
+                                 "intercept": [np.nan],
+                                 "n": [np.int64(len(xv))]})
+        slope = float(np.median((yv[j] - yv[i])[m] / dx[m]))
+        inter = float(np.median(yv) - slope * np.median(xv))
+        return pd.DataFrame({key: [kval], "slope": [slope],
+                             "intercept": [inter],
+                             "n": [np.int64(len(xv))]})
+
+    return (
+        ds.groupby(key).map_groups(fn, batch_format="pandas")
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+
+
 def grouped_corr_stats(
     ds: ray.data.Dataset,
     key: str,

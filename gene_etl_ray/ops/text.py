@@ -406,6 +406,52 @@ def redact_terms(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# PII patterns (RE2-safe: no lookarounds/backrefs — the same regex
+# runs verbatim in DuckDB, which is what gives pii_scan its oracle).
+# Order matters for redaction (emails first so their digits can't be
+# half-eaten by the phone pattern) and is identical in the SQL twin.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+[0-9][0-9()\- ]{6,}[0-9]"),
+)
+
+
+def pii_scan(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    replacement: str = "[PII]",
+) -> "ray.data.Dataset":
+    """PII detection + redaction over a text column — the
+    scrub-before-training stage every webtext pipeline runs (emails,
+    IPv4 addresses, international-format phone numbers). Arrow
+    end-to-end: one RE2 count kernel per pattern and sequential RE2
+    replaces for the redaction — no per-row Python, no pandas string
+    boxing (the ``redact_terms`` shape, multi-pattern). Appends
+    ``n_email / n_ipv4 / n_phone`` (match counts), ``n_pii`` (total)
+    and ``redacted_len`` (length after all patterns are replaced in
+    declaration order). Per-batch, no shuffle — scale cost is one pass
+    over the text bytes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b.column(text_col), "")
+        total = None
+        for name, pat in PII_PATTERNS:
+            c = pc.cast(pc.count_substring_regex(t, pat), pa.int64())
+            b = b.append_column(f"n_{name}", c)
+            total = c if total is None else pc.add(total, c)
+        b = b.append_column("n_pii", total)
+        red = t
+        for _, pat in PII_PATTERNS:
+            red = pc.replace_substring_regex(red, pat, replacement)
+        return b.append_column(
+            "redacted_len", pc.cast(pc.utf8_length(red), pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _flat_ngrams(toks: pd.Series, n: int, with_pos: bool = False):
     """Word n-grams for EVERY doc in the batch from ONE flat token array
     (the ``ngram_topk`` join shape): all tokens concatenate, windows

@@ -4174,6 +4174,161 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def docs_pii_scan(sf_dir: str) -> pd.DataFrame:
+    """PII detection + redaction (``text.pii_scan``): emails / IPv4 /
+    phone counts and the redacted length per doc. The corpus has no
+    organic PII, so the gate PLANTS deterministic PII derived from
+    doc_id (the planted-twin convention): doc_id%4 selects none / an
+    email / an IP / a phone, each a pure string formula both engines
+    build identically. The patterns are RE2-safe and run VERBATIM in
+    DuckDB — detector parity is exact, not approximated. Returns the
+    per-doc rows for doc_id < 400 plus corpus totals via the driver's
+    row set (bounded output)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        suffix = []
+        for i in ids:
+            i = int(i)
+            m = i % 4
+            if m == 1:
+                suffix.append(f" reach me at user{i}@example.com")
+            elif m == 2:
+                suffix.append(
+                    f" server 10.{i % 256}.{(i * 3) % 256}.{i % 100} up")
+            elif m == 3:
+                suffix.append(
+                    f" call +1 (555) {i % 900 + 100}-{(i * 7) % 10000:04d}")
+            else:
+                suffix.append("")
+        b["text"] = b["text"].fillna("") + np.asarray(suffix, dtype=object)
+        return b
+
+    out = text.pii_scan(ds.map_batches(plant, batch_format="pandas"))
+    out = out.select_columns(
+        ["doc_id", "n_email", "n_ipv4", "n_phone", "n_pii", "redacted_len"]
+    ).to_pandas()
+    out = out[out["doc_id"] < 400]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+PII_SCAN_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+         coalesce(text, '') || CASE
+           WHEN doc_id % 4 = 1 THEN ' reach me at user'
+                || CAST(doc_id AS VARCHAR) || '@example.com'
+           WHEN doc_id % 4 = 2 THEN ' server 10.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.'
+                || CAST((doc_id * 3) % 256 AS VARCHAR) || '.'
+                || CAST(doc_id % 100 AS VARCHAR) || ' up'
+           WHEN doc_id % 4 = 3 THEN ' call +1 (555) '
+                || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+                || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+           ELSE '' END AS t
+  FROM documents WHERE doc_id < 400)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_email,
+  CAST(len(regexp_extract_all(t,
+       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(t,
+       '\+[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(t,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+     + len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+     + len(regexp_extract_all(t, '\+[0-9][0-9()\- ]{6,}[0-9]'))
+     AS BIGINT) AS n_pii,
+  CAST(length(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+        '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[PII]', 'g'),
+      '\+[0-9][0-9()\- ]{6,}[0-9]', '[PII]', 'g')) AS BIGINT)
+    AS redacted_len
+FROM planted ORDER BY doc_id
+"""
+
+
+def orders_theil_sen(sf_dir: str) -> pd.DataFrame:
+    """Per-priority THEIL–SEN robust trend of daily revenue over the
+    first corpus year (1995) (``relational.grouped_theil_sen``): pre-aggregate
+    to (priority, day) — the op's bounded-group contract — then the
+    median-of-pairwise-slopes estimator per group, intercept at the
+    day-0 origin (1995-01-01, identical in both engines so the
+    intercept is comparable, not just the slope)."""
+    ds = read(
+        sf_dir, "orders",
+        ["o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+
+    def day_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderdate"] < pd.Timestamp("1996-01-01")]
+        if not len(b):
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype=object),
+                "day": pd.Series([], dtype="int64"),
+                "rev": pd.Series([], dtype="float64")})
+        day = (
+            b["o_orderdate"].to_numpy().astype("datetime64[D]")
+            - np.datetime64("1995-01-01")
+        ).astype("int64")
+        return (
+            b.assign(day=day)
+            .groupby(["o_orderpriority", "day"], as_index=False)
+            .agg(rev=("o_totalprice", "sum"))
+        )
+
+    agg = (
+        ray.data.from_pandas(
+            relational.collect_partials(
+                ds.map_batches(day_partial, batch_format="pandas"),
+                ["o_orderpriority", "day"],
+                lambda p: p.groupby(
+                    ["o_orderpriority", "day"], as_index=False
+                ).agg(rev=("rev", "sum")),
+            )
+            .groupby(["o_orderpriority", "day"], as_index=False)
+            .agg(rev=("rev", "sum"))
+        )
+    )
+    out = relational.grouped_theil_sen(agg, "o_orderpriority", "day", "rev")
+    out["slope"] = out["slope"].round(6)
+    out["intercept"] = out["intercept"].round(6)
+    return out
+
+
+THEIL_SEN_SQL = """
+WITH d AS (
+  SELECT o_orderpriority,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           AS day,
+         sum(o_totalprice) AS rev
+  FROM orders WHERE o_orderdate < DATE '1996-01-01'
+  GROUP BY 1, 2),
+s AS (
+  SELECT a.o_orderpriority,
+         (b.rev - a.rev) / (b.day - a.day) AS slope
+  FROM d a JOIN d b
+    ON a.o_orderpriority = b.o_orderpriority AND b.day > a.day),
+m AS (SELECT o_orderpriority, median(slope) AS slope
+      FROM s GROUP BY o_orderpriority),
+ctr AS (SELECT o_orderpriority, median(rev) AS my, median(day) AS mx,
+               count(*) AS n
+        FROM d GROUP BY o_orderpriority)
+SELECT m.o_orderpriority, round(m.slope, 6) AS slope,
+       round(ctr.my - m.slope * ctr.mx, 6) AS intercept,
+       CAST(ctr.n AS BIGINT) AS n
+FROM m JOIN ctr USING (o_orderpriority)
+ORDER BY m.o_orderpriority
+"""
+
+
 def orders_trailing_90d_count(sf_dir: str) -> pd.DataFrame:
     """Event-time RANGE window frame (``RANGE BETWEEN INTERVAL 90 DAY
     PRECEDING AND CURRENT ROW``): per order, the count of the same
@@ -7183,6 +7338,8 @@ QUERIES = {
     "events_fdr_by": events_fdr_by,
     "docs_zipf_slope": docs_zipf_slope,
     # --- positions 40-49: round-5 additions + CDC re-gates ---
+    "docs_pii_scan": docs_pii_scan,
+    "orders_theil_sen": orders_theil_sen,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_mux_ingest": cdc_mux_ingest,
     "cdc_snapshot_diff": cdc_snapshot_diff,
@@ -7328,6 +7485,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "docs_pii_scan": PII_SCAN_SQL,
+    "orders_theil_sen": THEIL_SEN_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,

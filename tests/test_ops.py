@@ -107,6 +107,26 @@ class TestText:
         out = text.token_count_ws(ds_from(df)).to_pandas()
         assert out["n_tokens_ws"].iloc[0] == 3
 
+    def test_pii_scan_counts_and_redaction(self):
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "mail a.b+c@ex-site.org or d@e.io now",
+                "hosts 10.0.0.1 and 192.168.255.7; not 1.2.3 alone",
+                "call +1 (555) 123-4567 today",
+                None,
+            ],
+        })
+        out = text.pii_scan(ds_from(df)).to_pandas().sort_values("doc_id")
+        assert out["n_email"].tolist() == [2, 0, 0, 0]
+        assert out["n_ipv4"].tolist() == [0, 2, 0, 0]
+        assert out["n_phone"].tolist() == [0, 0, 1, 0]
+        assert out["n_pii"].tolist() == [2, 2, 1, 0]
+        # redaction really replaces the matches ([PII] is 5 chars)
+        row = out[out["doc_id"] == 3].iloc[0]
+        assert row["redacted_len"] == len("call [PII] today")
+        assert out[out["doc_id"] == 4]["redacted_len"].iloc[0] == 0
+
     def test_fingerprint_flat_batch_matches_per_doc(self):
         """The flat batch kernel (one byte stream, offset selection) must
         reproduce the per-doc fingerprint() exactly across every case
@@ -515,6 +535,30 @@ class TestRelational:
         ).sort_values("g").reset_index(drop=True)
         exp = df.groupby("g", as_index=False).agg(sx=("x", "sum"), n=("x", "size"))
         pd.testing.assert_frame_equal(out, exp, check_dtype=False, atol=1e-9)
+
+    def test_grouped_theil_sen_robust_to_outliers(self):
+        """Exact slope on clean data; one wild outlier must NOT move the
+        Theil-Sen estimate (the point of the estimator), while it would
+        wreck OLS; degenerate groups (n<2, constant x) give NaN."""
+        x = np.arange(21, dtype=float)
+        df = pd.DataFrame({
+            "g": ["clean"] * 21 + ["dirty"] * 21 + ["tiny"] + ["flat"] * 5,
+            "x": np.r_[x, x, [1.0], np.ones(5)],
+            "y": np.r_[3 * x + 7, 3 * x + 7, [5.0], np.arange(5.0)],
+        })
+        df.loc[(df["g"] == "dirty") & (df["x"] == 10), "y"] = 1e6
+        out = relational.grouped_theil_sen(
+            ds_from(df), "g", "x", "y").set_index("g")
+        assert out.loc["clean", "slope"] == pytest.approx(3.0)
+        assert out.loc["clean", "intercept"] == pytest.approx(7.0)
+        assert out.loc["dirty", "slope"] == pytest.approx(3.0)
+        assert np.isnan(out.loc["tiny", "slope"])
+        assert np.isnan(out.loc["flat", "slope"])
+        # bounded-group contract is loud, not silent
+        big = pd.DataFrame({"g": "a", "x": np.arange(25_000.0),
+                            "y": np.arange(25_000.0)})
+        with pytest.raises(Exception, match="pre-aggregate"):
+            relational.grouped_theil_sen(ds_from(big), "g", "x", "y")
 
     def test_partial_merge_cardinality_guard_falls_back(self, monkeypatch, caplog):
         """High-cardinality key trips DRIVER_PARTIAL_ROW_LIMIT: the
