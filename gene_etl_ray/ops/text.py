@@ -452,6 +452,120 @@ def pii_scan(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def bigram_lm_score(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> "ray.data.Dataset":
+    """CORPUS-TRAINED bigram language-model scoring — the CCNet-style
+    perplexity quality filter, self-trained so no external model is
+    needed: per doc, the mean add-k-smoothed bigram log-probability
+
+        lp(w1 w2) = ln( (c(w1,w2) + k) / (c_left(w1) + k·V) )
+
+    where c(w1,w2) are corpus bigram counts, c_left(w1) the count of w1
+    as a bigram LEFT token, and V the corpus vocabulary size. Low
+    scores flag machine-generated / boilerplate / wrong-language text
+    relative to the corpus itself. Tokenization is the corpus-wide
+    ``\\w+`` over lowered text (the tfidf/term-df convention — RE2-safe,
+    which is what gives the op its DuckDB twin).
+
+    Scale shape: ONE text pass explodes (doc, bigram, w1) rows via the
+    flat-array kernel (no per-doc Python); counts are vocab-sized
+    bucketed exchanges; scoring joins the bigram stream against the two
+    count tables with the big⋈big partitioned join (strings hash, never
+    broadcast); the per-doc mean folds through the guarded partial
+    pattern — two joins, like the SQL plan. Nothing corpus-sized ever lands on the driver. Docs with
+    fewer than two tokens carry no bigram and are absent from the
+    output (SQL semantics). Returns (id, n_bigrams, avg_logprob)."""
+    from gene_etl_ray.ops.dedup import bucketed_group_apply
+    from gene_etl_ray.ops.relational import (
+        collect_partials,
+        partitioned_join,
+    )
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.lower().str.findall(_WORD)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "big": pd.Series([], dtype=object),
+            "w1": pd.Series([], dtype=object)})
+        if total < 2:
+            return empty
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks])
+        w1 = flat[:-1]
+        w2 = flat[1:]
+        ends = np.cumsum(lens)
+        ok = np.ones(total - 1, dtype=bool)
+        cut = ends - 1  # a bigram starting at a doc's last token straddles
+        cut = cut[(cut >= 0) & (cut < total - 1)]
+        ok[cut] = False
+        if not ok.any():
+            return empty
+        doc = np.repeat(
+            b[id_col].to_numpy(np.int64), lens)[: total - 1]
+        return pd.DataFrame({
+            id_col: doc[ok],
+            "big": (w1.astype(object) + " " + w2)[ok],
+            "w1": w1[ok]})
+
+    grams = ds.map_batches(explode, batch_format="pandas").materialize()
+
+    # vocabulary size V: distinct tokens over ALL positions (finals and
+    # single-token docs included — a second, token-only pass)
+    def tok_unique(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.lower().str.findall(_WORD)
+        total = int(toks.str.len().sum())
+        if not total:
+            return pd.DataFrame({"w": pd.Series([], dtype=object)})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        return pd.DataFrame({"w": pd.unique(flat)})
+
+    vocab_n = bucketed_group_apply(
+        ds.map_batches(tok_unique, batch_format="pandas"),
+        ["w"], lambda g: g.drop_duplicates("w"),
+    ).count()
+
+    def sizes(cols: list[str], out: str):
+        def fn(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby(cols, as_index=False, sort=False).size()
+            return s.rename(columns={"size": out})
+        return fn
+
+    c2 = bucketed_group_apply(
+        grams.select_columns(["big"]), ["big"], sizes(["big"], "c2"))
+    c1 = bucketed_group_apply(
+        grams.select_columns(["w1"]), ["w1"], sizes(["w1"], "c1"))
+
+    j = partitioned_join(grams, c2, "big", "big")
+    j = partitioned_join(j, c1, "w1", "w1")
+
+    denom_k = float(k)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        lp = np.log(
+            (b["c2"].to_numpy(np.float64) + denom_k)
+            / (b["c1"].to_numpy(np.float64) + denom_k * vocab_n))
+        g = b.assign(__lp=lp).groupby(id_col, as_index=False, sort=False)
+        return g.agg(slp=("__lp", "sum"), n_bigrams=("__lp", "size"))
+
+    parts = collect_partials(
+        j.map_batches(score, batch_format="pandas"),
+        [id_col],
+        lambda p: p.groupby(id_col, as_index=False, sort=False).agg(
+            slp=("slp", "sum"), n_bigrams=("n_bigrams", "sum")),
+    )
+    out = parts.groupby(id_col, as_index=False, sort=False).agg(
+        slp=("slp", "sum"), n_bigrams=("n_bigrams", "sum"))
+    out["avg_logprob"] = out["slp"] / out["n_bigrams"]
+    out["n_bigrams"] = out["n_bigrams"].astype("int64")
+    return out[[id_col, "n_bigrams", "avg_logprob"]]
+
+
 def _flat_ngrams(toks: pd.Series, n: int, with_pos: bool = False):
     """Word n-grams for EVERY doc in the batch from ONE flat token array
     (the ``ngram_topk`` join shape): all tokens concatenate, windows

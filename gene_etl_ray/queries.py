@@ -4255,6 +4255,43 @@ FROM planted ORDER BY doc_id
 """
 
 
+def docs_bigram_lm(sf_dir: str) -> pd.DataFrame:
+    """Self-trained bigram-LM quality scoring (``text.bigram_lm_score``,
+    the CCNet perplexity-filter shape without an external model): mean
+    add-½-smoothed bigram log-probability per doc against the corpus's
+    own bigram statistics. Exact SQL twin: the identical counts/V/
+    smoothing reproduced with regexp tokenization + a position
+    self-join. Bounded gate output: doc_id < 300."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = text.bigram_lm_score(ds)
+    out = out[out["doc_id"] < 300].copy()
+    out["avg_logprob"] = out["avg_logprob"].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+BIGRAM_LM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t.w, t.pos
+  FROM documents,
+       LATERAL (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w,
+                       generate_subscripts(
+                         regexp_extract_all(lower(text), '\w+'), 1) AS pos) t),
+big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+uc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS vv FROM toks),
+scored AS (
+  SELECT big.doc_id,
+         ln((bc.c2 + 0.5) / (uc.c1 + 0.5 * v.vv)) AS lp
+  FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(lp) / count(*), 6) AS avg_logprob
+FROM scored WHERE doc_id < 300 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def orders_theil_sen(sf_dir: str) -> pd.DataFrame:
     """Per-priority THEIL–SEN robust trend of daily revenue over the
     first corpus year (1995) (``relational.grouped_theil_sen``): pre-aggregate
@@ -7340,6 +7377,7 @@ QUERIES = {
     # --- positions 40-49: round-5 additions + CDC re-gates ---
     "docs_pii_scan": docs_pii_scan,
     "orders_theil_sen": orders_theil_sen,
+    "docs_bigram_lm": docs_bigram_lm,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_mux_ingest": cdc_mux_ingest,
     "cdc_snapshot_diff": cdc_snapshot_diff,
@@ -7487,6 +7525,7 @@ QUERIES = {
 ORACLE_SQL = {
     "docs_pii_scan": PII_SCAN_SQL,
     "orders_theil_sen": THEIL_SEN_SQL,
+    "docs_bigram_lm": BIGRAM_LM_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,

@@ -107,6 +107,27 @@ class TestText:
         out = text.token_count_ws(ds_from(df)).to_pandas()
         assert out["n_tokens_ws"].iloc[0] == 3
 
+    def test_bigram_lm_score_matches_hand_counts(self):
+        """Tiny corpus with hand-derivable counts: 'a b a b' and
+        'a b c'. Bigrams: (a,b)x3, (b,a)x1, (b,c)x1; left counts
+        a->3, b->2; V=3. Verify one doc's mean log-prob exactly and
+        that a 1-token doc is absent."""
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["a b a b", "a b c", "solo"],
+        })
+        out = text.bigram_lm_score(ds_from(df)).sort_values(
+            "doc_id").reset_index(drop=True)
+        assert out["doc_id"].tolist() == [1, 2]  # 'solo' has no bigram
+        assert out["n_bigrams"].tolist() == [3, 2]
+        # V = 4 tokens {a,b,c,solo}; lp(a,b)=ln((3+.5)/(3+.5*4)),
+        # lp(b,a)=ln((1+.5)/(2+.5*4)), lp(b,c) same denominator
+        lab = np.log(3.5 / 5.0)
+        lba = np.log(1.5 / 4.0)
+        lbc = np.log(1.5 / 4.0)
+        assert out["avg_logprob"][0] == pytest.approx((2 * lab + lba) / 3)
+        assert out["avg_logprob"][1] == pytest.approx((lab + lbc) / 2)
+
     def test_pii_scan_counts_and_redaction(self):
         df = pd.DataFrame({
             "doc_id": [1, 2, 3, 4],
