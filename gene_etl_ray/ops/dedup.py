@@ -176,13 +176,40 @@ def bucketed_group_apply(
         h = None
         for k in keys:
             col = t.column(k)
-            if pa.types.is_integer(col.type) and col.null_count == 0:
-                hk = pd.util.hash_array(
-                    col.to_numpy(zero_copy_only=False).astype(
-                        np.int64, copy=False))
-            elif pa.types.is_floating(col.type) and col.null_count == 0:
-                hk = pd.util.hash_array(
-                    col.to_numpy(zero_copy_only=False).astype(np.float64))
+            # Hash choice must depend ONLY on the column TYPE, never on
+            # whether THIS block happens to contain nulls — a per-block
+            # branch would send the same key value to different buckets
+            # in null-free vs null-carrying blocks, splitting a group
+            # across buckets (review-caught). Numeric nulls take a
+            # fixed hash (one bucket for the null group, any constant
+            # is consistent within a run).
+            if pa.types.is_integer(col.type):
+                if col.null_count:
+                    # fill_null keeps int64 (no lossy float upcast for
+                    # ids ≥ 2^53), then overwrite null slots' hashes
+                    import pyarrow.compute as _pc
+
+                    filled = _pc.fill_null(col, 0).to_numpy(
+                        zero_copy_only=False).astype(np.int64, copy=False)
+                    hk = pd.util.hash_array(filled)
+                    hk[_pc.is_null(col).to_numpy(
+                        zero_copy_only=False)] = np.uint64(
+                            0xD1B54A32D192ED03)
+                else:
+                    hk = pd.util.hash_array(
+                        col.to_numpy(zero_copy_only=False).astype(
+                            np.int64, copy=False))
+            elif pa.types.is_floating(col.type):
+                v = col.to_numpy(zero_copy_only=False).astype(
+                    np.float64, copy=False)
+                nn = ~np.isnan(v)
+                if nn.all():
+                    hk = pd.util.hash_array(v)
+                else:
+                    hk = np.full(
+                        len(v), np.uint64(0xD1B54A32D192ED03),
+                        dtype=np.uint64)
+                    hk[nn] = pd.util.hash_array(v[nn])
             else:
                 hk = pd.util.hash_array(
                     np.asarray(col.to_pylist(), dtype=object),

@@ -286,8 +286,11 @@ def _kmeans_cosine(sample: np.ndarray, k: int, iters: int = 12, seed: int = 17) 
         if tot <= 0:  # all points already coincide with a centroid
             cent[j] = x[rng.randint(len(x))]
         else:
+            # side='right' skips zero-probability prefixes (a draw of
+            # exactly 0.0 must not re-select an existing centroid)
             cent[j] = x[np.searchsorted(
-                np.cumsum(d2), rng.uniform() * tot).clip(0, len(x) - 1)]
+                np.cumsum(d2), rng.uniform() * tot,
+                side="right").clip(0, len(x) - 1)]
         best = np.maximum(best, x @ cent[j])
     for _ in range(iters):
         assign = (x @ cent.T).argmax(axis=1)

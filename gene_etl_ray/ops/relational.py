@@ -528,7 +528,13 @@ def collect_partials(
     lim = DRIVER_PARTIAL_ROW_LIMIT if limit is None else limit
     if n <= lim:
         df = p.to_pandas()
-        # zero-block inputs can lose the schema through to_pandas
+        if df.empty and not len(df.columns):
+            # zero-block inputs lose the schema through to_pandas —
+            # restore the column names so callers' re-folds (groupby
+            # on the key columns) see a typed empty, not a KeyError
+            s = p.schema()
+            if s is not None:
+                df = pd.DataFrame(columns=list(s.names))
         return df
     logging.getLogger(__name__).warning(
         "collect_partials: %d partial rows exceed the driver-merge bound"

@@ -475,15 +475,15 @@ def bigram_lm_score(
     flat-array kernel (no per-doc Python); counts are vocab-sized
     bucketed exchanges; scoring joins the bigram stream against the two
     count tables with the big⋈big partitioned join (strings hash, never
-    broadcast); the per-doc mean folds through the guarded partial
-    pattern — two joins, like the SQL plan. Nothing corpus-sized ever lands on the driver. Docs with
+    broadcast); the per-doc mean folds through one
+    bucketed int exchange and the result STAYS a Dataset (one row
+    per doc is itself corpus-sized at 10^10 docs — callers collect
+    bounded slices). Nothing lands whole on the driver. Docs with
     fewer than two tokens carry no bigram and are absent from the
-    output (SQL semantics). Returns (id, n_bigrams, avg_logprob)."""
+    output (SQL semantics). Returns a Dataset of
+    (id, n_bigrams, avg_logprob)."""
     from gene_etl_ray.ops.dedup import bucketed_group_apply
-    from gene_etl_ray.ops.relational import (
-        collect_partials,
-        partitioned_join,
-    )
+    from gene_etl_ray.ops.relational import partitioned_join
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         toks = b[text_col].fillna("").str.lower().str.findall(_WORD)
@@ -553,17 +553,19 @@ def bigram_lm_score(
         g = b.assign(__lp=lp).groupby(id_col, as_index=False, sort=False)
         return g.agg(slp=("__lp", "sum"), n_bigrams=("__lp", "size"))
 
-    parts = collect_partials(
-        j.map_batches(score, batch_format="pandas"),
-        [id_col],
-        lambda p: p.groupby(id_col, as_index=False, sort=False).agg(
-            slp=("slp", "sum"), n_bigrams=("n_bigrams", "sum")),
-    )
-    out = parts.groupby(id_col, as_index=False, sort=False).agg(
-        slp=("slp", "sum"), n_bigrams=("n_bigrams", "sum"))
-    out["avg_logprob"] = out["slp"] / out["n_bigrams"]
-    out["n_bigrams"] = out["n_bigrams"].astype("int64")
-    return out[[id_col, "n_bigrams", "avg_logprob"]]
+    # per-doc mean via ONE bucketed int exchange of the per-batch
+    # partials — the output stays a Dataset (one row per doc; at
+    # 10^10 docs that is itself corpus-sized, so it must NOT fold on
+    # the driver — review-caught; callers collect bounded slices)
+    def fold(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby(id_col, as_index=False, sort=False).agg(
+            slp=("slp", "sum"), n_bigrams=("n_bigrams", "sum"))
+        g["avg_logprob"] = g["slp"] / g["n_bigrams"]
+        g["n_bigrams"] = g["n_bigrams"].astype("int64")
+        return g[[id_col, "n_bigrams", "avg_logprob"]]
+
+    return bucketed_group_apply(
+        j.map_batches(score, batch_format="pandas"), [id_col], fold)
 
 
 def _flat_ngrams(toks: pd.Series, n: int, with_pos: bool = False):

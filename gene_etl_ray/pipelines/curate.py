@@ -28,10 +28,19 @@ import os
 import shutil
 import tempfile
 
+import numpy as np
 import pandas as pd
+import ray
 import ray.data
 
 from gene_etl_ray.ops import dedup
+
+#: Survivor-row bound for select_training_corpus's fused in-task fast
+#: path (stages 2-4 on the slim 5-column table): below it, one worker
+#: task replaces ~6 fixed-cost Dataset executions; above it, the
+#: distributed cap/budget/split path runs. 2M slim rows ≈ 150 MB in
+#: one task — the KNN_INTASK_ROWS convention.
+SELECT_INTASK_ROWS = 2_000_000
 
 
 def curate_documents(
@@ -212,26 +221,85 @@ def select_training_corpus(
     ).materialize()
     s1 = partitioned_join(slim, kept, id_col, id_col, how="semi")
 
-    # stage 2: domain cap (consumes the semi output once — its own
-    # bucketed exchange re-sorts, so checkpoint the survivor rows too)
-    s2 = per_group_cap(
-        s1.materialize(),
-        [source_col], cap_per_source, ["n_chars", id_col], [False, True]
-    )
+    s1 = s1.materialize()
+    n_survivors = s1.count()
 
-    # stage 3: token budget = half the survivors' tokens (exact ints).
-    # Checkpoint the slim survivor table first: the budget op consumes
-    # its input up to four times (total, score sums, tie pass, final
-    # filter) and each lazy re-execution would otherwise re-run the
-    # novelty shuffle. The table is 4 scalar columns per doc — object
-    # store (with spill) holds it at any corpus the cluster can hold.
-    s2 = s2.materialize()
-    total = int(s2.sum("n_tokens_ws") or 0)
-    budget = (budget_halves[0] * total) // budget_halves[1]
-    s3 = token_budget_select(s2, "n_chars", "n_tokens_ws", budget, id_col=id_col)
+    if n_survivors <= SELECT_INTASK_ROWS:
+        # bounded-survivor fast path (the KNN_INTASK_ROWS convention):
+        # stages 2-4 are pure functions of the SLIM survivor table
+        # (4 scalars + source per doc) — below the bound, ONE worker
+        # task resolves the block refs and fuses cap → budget → split
+        # in pandas, replacing ~6 fixed-cost Dataset executions (the
+        # dominant cost of this composite at bench scale, r4 verdict
+        # item 8). Refs resolve inside the task; the driver receives
+        # only the final selected frame, which is this function's
+        # return value anyway. Semantics pinned equal to the
+        # distributed path by tests/test_select.py.
+        import ray as _ray
 
-    # stage 4: split
-    out = assign_split(s3, id_col=id_col).to_pandas()
+        cap_k = cap_per_source
+        h0, h1 = budget_halves
+
+        @_ray.remote(num_cpus=1)
+        def fused(*parts: pd.DataFrame) -> pd.DataFrame:
+            df = pd.concat(list(parts), ignore_index=True)
+            if not len(df):
+                return pd.DataFrame(
+                    columns=[id_col, source_col, "n_chars",
+                             "n_tokens_ws", "split"])
+            # stage 2: per-source cap, best-first (n_chars DESC, id)
+            df = df.sort_values(
+                [source_col, "n_chars", id_col],
+                ascending=[True, False, True], kind="mergesort")
+            df = df.groupby(source_col, sort=False).head(cap_k)
+            # stage 3: maximal (score DESC, id) prefix within budget —
+            # the QUALIFY running-sum definition token_budget_select
+            # implements distributed
+            total = int(df["n_tokens_ws"].sum())
+            budget = (h0 * total) // h1
+            df = df.sort_values(
+                ["n_chars", id_col], ascending=[False, True],
+                kind="mergesort")
+            df = df[df["n_tokens_ws"].cumsum() <= budget]
+            # stage 4: deterministic split (assign_split's hash)
+            ids = df[id_col].to_numpy(np.uint64)
+            b = ((ids * np.uint64(2654435761)) % np.uint64(2**32)) \
+                % np.uint64(100)
+            df = df.assign(split=np.where(
+                b < 80, "train", np.where(b < 90, "valid", "test")))
+            return df.reset_index(drop=True)
+
+        refs = s1.to_pandas_refs()
+        out = (
+            pd.DataFrame(ray.get(fused.remote(*refs)))
+            if refs
+            else pd.DataFrame(
+                columns=[id_col, source_col, "n_chars",
+                         "n_tokens_ws", "split"])
+        )
+    else:
+        # stage 2: domain cap (consumes the semi output once — its own
+        # bucketed exchange re-sorts over the checkpointed survivors)
+        s2 = per_group_cap(
+            s1,
+            [source_col], cap_per_source, ["n_chars", id_col], [False, True]
+        )
+
+        # stage 3: token budget = half the survivors' tokens (exact
+        # ints). Checkpoint the slim survivor table first: the budget
+        # op consumes its input up to four times (total, score sums,
+        # tie pass, final filter) and each lazy re-execution would
+        # otherwise re-run the novelty shuffle. The table is 4 scalar
+        # columns per doc — object store (with spill) holds it at any
+        # corpus the cluster can hold.
+        s2 = s2.materialize()
+        total = int(s2.sum("n_tokens_ws") or 0)
+        budget = (budget_halves[0] * total) // budget_halves[1]
+        s3 = token_budget_select(
+            s2, "n_chars", "n_tokens_ws", budget, id_col=id_col)
+
+        # stage 4: split
+        out = assign_split(s3, id_col=id_col).to_pandas()
     if out.empty:  # Ray wart: empty to_pandas() drops the schema
         out = pd.DataFrame(
             columns=[id_col, source_col, "n_chars", "n_tokens_ws", "split"]

@@ -107,6 +107,33 @@ class TestText:
         out = text.token_count_ws(ds_from(df)).to_pandas()
         assert out["n_tokens_ws"].iloc[0] == 3
 
+    def test_bucketed_group_apply_null_block_hash_consistency(self):
+        """Regression (r5 review): add_bucket's hash path must depend
+        only on the column TYPE, not on whether a given block carries a
+        null — otherwise the same int key lands in different buckets in
+        null-free vs null-carrying blocks and a per-key group computes
+        split. Pin: same key in both block kinds folds to ONE group;
+        nulls form their own single group."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gene_etl_ray.ops.dedup import bucketed_group_apply
+
+        t1 = pa.table({"k": pa.array([5, 7], pa.int64()),
+                       "v": pa.array([1, 2], pa.int64())})
+        t2 = pa.table({"k": pa.array([5, None, None], pa.int64()),
+                       "v": pa.array([3, 4, 5], pa.int64())})
+        ds = rd.from_arrow([t1, t2])
+
+        def per_key(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("k", dropna=False, as_index=False).agg(
+                n=("v", "size"), s=("v", "sum"))
+
+        out = bucketed_group_apply(ds, ["k"], per_key).to_pandas()
+        got = {(-1 if pd.isna(k) else int(k)): (int(n), int(s))
+               for k, n, s in out[["k", "n", "s"]].itertuples(index=False)}
+        assert got == {5: (2, 4), 7: (1, 2), -1: (2, 9)}
+
     def test_bigram_lm_score_matches_hand_counts(self):
         """Tiny corpus with hand-derivable counts: 'a b a b' and
         'a b c'. Bigrams: (a,b)x3, (b,a)x1, (b,c)x1; left counts
@@ -116,7 +143,7 @@ class TestText:
             "doc_id": [1, 2, 3],
             "text": ["a b a b", "a b c", "solo"],
         })
-        out = text.bigram_lm_score(ds_from(df)).sort_values(
+        out = text.bigram_lm_score(ds_from(df)).to_pandas().sort_values(
             "doc_id").reset_index(drop=True)
         assert out["doc_id"].tolist() == [1, 2]  # 'solo' has no bigram
         assert out["n_bigrams"].tolist() == [3, 2]

@@ -372,3 +372,32 @@ def test_grouped_weighted_sample_per_group_topk():
     )
     assert list(got["doc_id"]) == list(want["doc_id"])
     assert (got.groupby("source").size() == 10).all()
+
+
+def test_select_corpus_fused_equals_distributed(ray_session, monkeypatch):
+    """select_training_corpus's bounded-survivor fused fast path (one
+    in-task cap→budget→split) must return EXACTLY the distributed
+    cap/budget/split composition (r4 verdict item 8 floor cut)."""
+    from gene_etl_ray.pipelines import curate
+
+    rng = np.random.default_rng(11)
+    n = 400
+    words = np.array(["alpha", "beta", "gamma", "delta", "epsi", "zeta"])
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(5, 40)))
+        for _ in range(n)
+    ]
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": texts,
+        "source": [f"s{i % 7}" for i in range(n)],
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+    })
+    src = rd.from_pandas(df, override_num_blocks=4)
+    fast = curate.select_training_corpus(src, cap_per_source=30)
+    monkeypatch.setattr(curate, "SELECT_INTASK_ROWS", -1)
+    slow = curate.select_training_corpus(src, cap_per_source=30)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), slow.reset_index(drop=True),
+        check_dtype=False)
+    assert set(fast["split"]) <= {"train", "valid", "test"}
