@@ -29,6 +29,13 @@ _STOPWORDS = {
 }
 
 _WORD = re.compile(r"\w+", re.UNICODE)
+
+#: Distinct (gram, doc) pair-row bound for novelty_score's in-task
+#: fast path: below it one worker task computes both novelty
+#: aggregates (pair table ≈ 16 B/row → ≤ ~130 MB in-task), replacing
+#: two fixed-cost in-pipeline exchanges; above it the bucketed
+#: exchanges run (10^10-doc pair tables are corpus-sized).
+NOVELTY_INTASK_PAIRS = 8_000_000
 _BPE_ISH = re.compile(  # GPT-2-style pretokenizer shape (public pattern)
     r"'(?:s|t|re|ve|m|ll|d)| ?\w+| ?[^\s\w]+|\s+(?!\S)|\s+"
 )
@@ -1062,6 +1069,52 @@ def novelty_score(
     # it each downstream sort re-executes the lazy gram build (measured
     # 3-4x the whole operator's wall at sf0.1).
     pair_ds = ds.map_batches(pairs, batch_format="pandas").materialize()
+
+    if pair_ds.count() <= NOVELTY_INTASK_PAIRS:
+        # bounded pair-table fast path (the in-task convention): both
+        # aggregates — min-doc-per-gram then per-doc counts — are pure
+        # functions of the distinct (gram, doc) pair table; below the
+        # bound ONE worker task resolves the block refs and computes
+        # them in pandas, replacing the two in-pipeline exchanges
+        # (each ~1.2 s fixed at bench scale). Refs resolve inside the
+        # task; the result returns as a Dataset via from_pandas_refs —
+        # nothing lands on the driver. Parity with the distributed
+        # path pinned by tests/test_ops.py.
+        import ray as _ray
+
+        @_ray.remote(num_cpus=1)
+        def solve(*parts: pd.DataFrame) -> pd.DataFrame:
+            df = pd.concat(list(parts), ignore_index=True)
+            if not len(df):
+                return pd.DataFrame({
+                    id_col: pd.Series([], dtype="int64"),
+                    "n_distinct": pd.Series([], dtype="int64"),
+                    "n_novel": pd.Series([], dtype="int64"),
+                    "novelty": pd.Series([], dtype="float64")})
+            valid = df[df["gh"] >= 0]
+            nd = valid.groupby("doc")["gh"].size()
+            nv = valid.groupby("gh")["doc"].min().value_counts()
+            docs = np.sort(df["doc"].unique()).astype(np.int64)
+            ndv = nd.reindex(docs).fillna(0).to_numpy(np.int64)
+            nvv = nv.reindex(docs).fillna(0).to_numpy(np.int64)
+            return pd.DataFrame({
+                id_col: docs,
+                "n_distinct": ndv,
+                "n_novel": nvv,
+                "novelty": np.where(
+                    ndv > 0,
+                    nvv.astype(np.float64) / np.maximum(ndv, 1),
+                    np.nan),
+            })
+
+        refs = pair_ds.to_pandas_refs()
+        if refs:
+            return ray.data.from_pandas_refs([solve.remote(*refs)])
+        return ray.data.from_pandas(pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "n_distinct": pd.Series([], dtype="int64"),
+            "n_novel": pd.Series([], dtype="int64"),
+            "novelty": pd.Series([], dtype="float64")}))
 
     # the one real shuffle: min doc per gram (first owner) — int64
     # hash-bucketed exchange + vectorized in-bucket min, not a global

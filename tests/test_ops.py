@@ -107,6 +107,29 @@ class TestText:
         out = text.token_count_ws(ds_from(df)).to_pandas()
         assert out["n_tokens_ws"].iloc[0] == 3
 
+    def test_novelty_intask_equals_distributed(self, monkeypatch):
+        """novelty_score's bounded in-task fast path must equal the
+        two-exchange distributed path exactly (including sentinel rows
+        for gram-less docs)."""
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the quick brown fox jumps over",
+                "the quick brown fox sleeps all day",
+                "completely original words here today friends",
+                "hi",  # < 3 tokens: sentinel row, novelty NaN
+            ],
+        })
+        src = ds_from(df)
+        fast = text.novelty_score(src).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        monkeypatch.setattr(text, "NOVELTY_INTASK_PAIRS", -1)
+        slow = text.novelty_score(src).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+        assert fast.loc[fast["doc_id"] == 3, "novelty"].iloc[0] == 1.0
+        assert np.isnan(fast.loc[fast["doc_id"] == 4, "novelty"].iloc[0])
+
     def test_bucketed_group_apply_null_block_hash_consistency(self):
         """Regression (r5 review): add_bucket's hash path must depend
         only on the column TYPE, not on whether a given block carries a
