@@ -238,6 +238,26 @@ def partitioned_join(
             lmask = pc.equal(g.column("__side"), "l")
             lg = g.filter(lmask).select(lcols)
             rg = g.filter(pc.invert(lmask)).select(rcols)
+            # Acero rejects arrow `null`-typed columns anywhere in a
+            # join (key OR payload). They appear when a bucket lacks
+            # one side entirely or an iterative caller fed an all-None
+            # pandas block. A null-typed column carries no values, so
+            # any concrete type is faithful: keys take the OTHER
+            # side's key type (null keys match nothing either way),
+            # payload columns take int64.
+            def solidify(t: pa.Table, key: str, other_key_t) -> pa.Table:
+                for i, f in enumerate(t.schema):
+                    if pa.types.is_null(f.type):
+                        want = other_key_t if f.name == key else pa.int64()
+                        if pa.types.is_null(want):
+                            want = pa.int64()
+                        t = t.set_column(
+                            i, pa.field(f.name, want),
+                            pa.nulls(t.num_rows, want))
+                return t
+
+            lg = solidify(lg, left_on, rg.schema.field(right_on).type)
+            rg = solidify(rg, right_on, lg.schema.field(left_on).type)
             return lg.join(
                 rg, keys=left_on, right_keys=right_on,
                 join_type=acero_how[how],
