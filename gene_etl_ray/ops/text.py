@@ -459,6 +459,79 @@ def pii_scan(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+#: Gopher-adapted quality-rule thresholds (Rae et al. 2021, Table A1,
+#: adapted word-level to this corpus's signals — the fixtures carry no
+#: newlines, so the line-level rules are represented by their word/
+#: n-gram counterparts from ``repetition_stats``).
+GOPHER_RULES = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_word_len": 3.0,
+    "max_word_len": 10.0,
+    "min_stopword_ratio": 0.06,
+    "max_punct_ratio": 0.3,
+    "max_dup_word_frac": 0.6,
+    "max_top_bigram_frac": 0.2,
+    "max_dup_trigram_frac": 0.6,
+}
+
+
+def gopher_filter(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rules: dict | None = None,
+) -> "ray.data.Dataset":
+    """The Gopher/MassiveText COMPOSITE quality filter: every rule from
+    ``GOPHER_RULES`` evaluated per document as an explicit flag plus the
+    conjunction (``keep``) — the go/no-go gate a pretraining corpus
+    runs after the individual signals. Composes the existing vectorized
+    kernels in ONE streaming pass (repetition stats → quality scorer →
+    flag map; no shuffle, no extra execution). Flags compare against
+    6-dp-rounded signal values — the exact doubles the SQL twin
+    computes, so boundary documents cannot diverge. Returns
+    (id, ok_* flags as int64, keep)."""
+    r = dict(GOPHER_RULES, **(rules or {}))
+    rep = repetition_stats(
+        ds, id_col=id_col, text_col=text_col, keep_columns=True
+    ).map_batches(
+        # repetition's n_words is space-split; the scorer appends the
+        # \w+-token n_words the word-count rule uses — keep both
+        lambda b: b.rename(columns={"n_words": "n_words_ws"}),
+        batch_format="pandas",
+    )
+    q = rep.map_batches(per_process(QualityScorer), batch_format="pyarrow")
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        mwl = np.round(b["mean_word_len"].to_numpy(np.float64), 6)
+        pr = np.round(b["punct_ratio"].to_numpy(np.float64), 6)
+        sr = np.round(b["stopword_ratio"].to_numpy(np.float64), 6)
+        nw = b["n_words"].to_numpy(np.int64)
+        out = pd.DataFrame({id_col: b[id_col].to_numpy(np.int64)})
+        out["ok_words"] = (
+            (nw >= r["min_words"]) & (nw <= r["max_words"]))
+        out["ok_word_len"] = (
+            (mwl >= r["min_word_len"]) & (mwl <= r["max_word_len"]))
+        out["ok_stopwords"] = sr >= r["min_stopword_ratio"]
+        out["ok_punct"] = pr <= r["max_punct_ratio"]
+        out["ok_dup_words"] = (
+            b["dup_word_frac"].to_numpy(np.float64)
+            <= r["max_dup_word_frac"])
+        out["ok_top_bigram"] = (
+            b["top_bigram_frac"].to_numpy(np.float64)
+            <= r["max_top_bigram_frac"])
+        out["ok_dup_trigram"] = (
+            b["dup_trigram_frac"].to_numpy(np.float64)
+            <= r["max_dup_trigram_frac"])
+        flag_cols = [c for c in out.columns if c.startswith("ok_")]
+        out["keep"] = out[flag_cols].all(axis=1)
+        for c in flag_cols + ["keep"]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return q.map_batches(flags, batch_format="pandas")
+
+
 def bigram_lm_score(
     ds: "ray.data.Dataset",
     id_col: str = "doc_id",

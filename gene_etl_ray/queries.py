@@ -4255,6 +4255,81 @@ FROM planted ORDER BY doc_id
 """
 
 
+def docs_gopher_filter(sf_dir: str) -> pd.DataFrame:
+    """Gopher/MassiveText composite quality gate (``text.gopher_filter``):
+    every adapted rule as an explicit int flag + the conjunction. One
+    streaming pass over the corpus; the twin recomputes the identical
+    6-dp signal values from the QUALITY_FULL / REPETITION twin bodies
+    and applies the same thresholds, so the per-rule flags (booleans —
+    immune to float-hash noise) gate the whole composition."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = text.gopher_filter(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+GOPHER_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         regexp_extract_all(text, '\w+') AS words
+  FROM documents),
+q AS (
+  SELECT doc_id,
+    length(words) AS n_words,
+    round(CASE WHEN length(words) = 0 THEN 0.0
+          ELSE CAST(list_sum(list_transform(words, x -> length(x)))
+               AS DOUBLE) / length(words) END, 6) AS mean_word_len,
+    round(CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+          / greatest(n_chars, 1), 6) AS punct_ratio,
+    round(CASE WHEN length(words) = 0 THEN 0.0
+          ELSE CAST(list_sum(list_transform(words,
+                   x -> CASE WHEN list_contains({_STOP_EN_SQL}, lower(x))
+                             THEN 1 ELSE 0 END)) AS DOUBLE)
+               / length(words) END, 6) AS stopword_ratio
+  FROM w),
+d AS (SELECT doc_id, string_split(COALESCE(text,''), ' ') AS toks
+      FROM documents),
+base AS (SELECT doc_id, len(toks) AS nw,
+                len(list_distinct(toks)) AS ndis FROM d),
+bi AS (SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:])) AS p
+       FROM d WHERE len(toks) >= 2),
+bic AS (SELECT doc_id, p[1] || ' ' || p[2] AS g, count(*) AS c
+        FROM bi GROUP BY 1, 2),
+bistat AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bic GROUP BY 1),
+tri AS (SELECT doc_id,
+               unnest(list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1],
+                               toks[3:])) AS p
+        FROM d WHERE len(toks) >= 3),
+tric AS (SELECT doc_id, count(*) AS tot,
+                count(DISTINCT p[1] || ' ' || p[2] || ' ' || p[3]) AS dis
+         FROM tri GROUP BY 1),
+r AS (
+  SELECT b.doc_id,
+         round(1.0 - b.ndis * 1.0 / b.nw, 6) AS dup_word_frac,
+         round(COALESCE(bistat.mx * 1.0 / bistat.tot, 0.0), 6)
+           AS top_bigram_frac,
+         round(COALESCE(1.0 - tric.dis * 1.0 / tric.tot, 0.0), 6)
+           AS dup_trigram_frac
+  FROM base b LEFT JOIN bistat USING (doc_id)
+              LEFT JOIN tric USING (doc_id)),
+f AS (
+  SELECT q.doc_id,
+    CAST(q.n_words >= 50 AND q.n_words <= 100000 AS BIGINT) AS ok_words,
+    CAST(q.mean_word_len >= 3.0 AND q.mean_word_len <= 10.0 AS BIGINT)
+      AS ok_word_len,
+    CAST(q.stopword_ratio >= 0.06 AS BIGINT) AS ok_stopwords,
+    CAST(q.punct_ratio <= 0.3 AS BIGINT) AS ok_punct,
+    CAST(r.dup_word_frac <= 0.6 AS BIGINT) AS ok_dup_words,
+    CAST(r.top_bigram_frac <= 0.2 AS BIGINT) AS ok_top_bigram,
+    CAST(r.dup_trigram_frac <= 0.6 AS BIGINT) AS ok_dup_trigram
+  FROM q JOIN r USING (doc_id))
+SELECT *,
+       CAST(ok_words * ok_word_len * ok_stopwords * ok_punct
+            * ok_dup_words * ok_top_bigram * ok_dup_trigram AS BIGINT)
+         AS keep
+FROM f ORDER BY doc_id
+"""
+
+
 def docs_bigram_lm(sf_dir: str) -> pd.DataFrame:
     """Self-trained bigram-LM quality scoring (``text.bigram_lm_score``,
     the CCNet perplexity-filter shape without an external model): mean
@@ -7391,6 +7466,7 @@ QUERIES = {
     "docs_pii_scan": docs_pii_scan,
     "orders_theil_sen": orders_theil_sen,
     "docs_bigram_lm": docs_bigram_lm,
+    "docs_gopher_filter": docs_gopher_filter,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_mux_ingest": cdc_mux_ingest,
     "cdc_snapshot_diff": cdc_snapshot_diff,
@@ -7539,6 +7615,7 @@ ORACLE_SQL = {
     "docs_pii_scan": PII_SCAN_SQL,
     "orders_theil_sen": THEIL_SEN_SQL,
     "docs_bigram_lm": BIGRAM_LM_SQL,
+    "docs_gopher_filter": GOPHER_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,

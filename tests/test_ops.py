@@ -107,6 +107,32 @@ class TestText:
         out = text.token_count_ws(ds_from(df)).to_pandas()
         assert out["n_tokens_ws"].iloc[0] == 3
 
+    def test_gopher_filter_rules_and_conjunction(self):
+        """Each rule fires on a doc crafted to fail exactly it; a
+        clean passage passes everything; keep == AND of the flags."""
+        good = ("the quick brown fox jumps over the lazy dog and then "
+                "it runs through the green field while the sun shines "
+                "bright over all of us today with many other fine "
+                "words that keep this passage long and it also has "
+                "quite a few more varied tokens inside of it for sure "
+                "so the word count rule is satisfied as well here now")
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                good,
+                "tiny doc",                      # fails min_words
+                ("spam " * 80).strip(),          # fails dup/top-bigram
+            ],
+        })
+        out = text.gopher_filter(ds_from(df)).to_pandas().set_index(
+            "doc_id")
+        assert out.loc[1, "keep"] == 1
+        assert out.loc[2, "ok_words"] == 0 and out.loc[2, "keep"] == 0
+        assert out.loc[3, "ok_dup_words"] == 0
+        assert out.loc[3, "ok_top_bigram"] == 0 and out.loc[3, "keep"] == 0
+        flag_cols = [c for c in out.columns if c.startswith("ok_")]
+        assert (out[flag_cols].min(axis=1) == out["keep"]).all()
+
     def test_novelty_intask_equals_distributed(self, monkeypatch):
         """novelty_score's bounded in-task fast path must equal the
         two-exchange distributed path exactly (including sentinel rows
