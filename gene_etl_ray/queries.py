@@ -7457,12 +7457,12 @@ QUERIES = {
     "lineitem_anova_by_flag": lineitem_anova_by_flag,
     "events_fdr_by": events_fdr_by,
     "docs_zipf_slope": docs_zipf_slope,
-    # --- positions 40-42: round-5 additions; 43-49: CDC re-gates.
-    #     The last three rows of this block (cdc_expired_lake,
-    #     cdc_repartitioned_lake, docs_dedup_exact) sit at 50-52 —
-    #     OUTSIDE the 50-entry gate window; they are prior-round
-    #     driver-green entries, listed here only to keep the CDC
-    #     family together. ---
+    # --- positions 40-43: round-5 additions; 44-49: CDC re-gates.
+    #     The last four rows of this block (cdc_domain_stats_view,
+    #     cdc_expired_lake, cdc_repartitioned_lake, docs_dedup_exact)
+    #     sit at 50-53 — OUTSIDE the 50-entry gate window; they are
+    #     prior-round driver-green entries, listed here only to keep
+    #     the CDC family together. ---
     "docs_pii_scan": docs_pii_scan,
     "orders_theil_sen": orders_theil_sen,
     "docs_bigram_lm": docs_bigram_lm,
