@@ -459,6 +459,90 @@ def pii_scan(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+#: Bound on the gathered benchmark (bench_id, trigram) pair table for
+#: containment_decontaminate — real decontamination benchmarks are
+#: external and small; the guard is loud, not silent.
+CONTAINMENT_BENCH_LIMIT = 2_000_000
+
+
+def containment_decontaminate(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_mod: int = 97,
+    n: int = 3,
+) -> "ray.data.Dataset":
+    """GRADED benchmark decontamination by n-gram CONTAINMENT (the
+    GPT-3/PaLM-style definition): for each corpus document, the best
+    benchmark item by ``|G(doc) ∩ G(bench)| / |G(bench)|`` — the
+    fraction of that benchmark item's distinct word trigrams the
+    document contains — with per-benchmark attribution. Complements
+    the boolean ``decontaminate`` (shared-gram count) with the graded
+    score contamination reports rank by.
+
+    Scale shape: the benchmark subset (here ``id % bench_mod == 0``;
+    in production an external eval set) gathers ONCE to a bounded
+    (bench_id, gram) table — loud error above
+    ``CONTAINMENT_BENCH_LIMIT`` — and ships via ``ray.put``; the
+    corpus side is ONE shuffle-free pass (docs never straddle batches,
+    so the per-doc argmax finishes in-batch). Ties break
+    (containment DESC, bench_id ASC) on the exact double both engines
+    compute. Emits only docs sharing ≥1 gram with some benchmark item
+    (self excluded). Returns (id, bench_id, n_shared, containment)."""
+    def bench_grams(b: pd.DataFrame) -> pd.DataFrame:
+        sub = b[b[id_col] % bench_mod == 0]
+        ids = sub[id_col].to_numpy(np.int64)
+        d, g = _flat_ngrams(sub[text_col].fillna("").str.split(" "), n)
+        return pd.DataFrame({"bench_id": ids[d] if len(g) else
+                             np.empty(0, np.int64),
+                             "g": g}).drop_duplicates()
+
+    bench_pairs = ds.map_batches(
+        bench_grams, batch_format="pandas").to_pandas()
+    if len(bench_pairs) > CONTAINMENT_BENCH_LIMIT:
+        raise ValueError(
+            f"containment_decontaminate: benchmark gram table has "
+            f"{len(bench_pairs)} pairs > {CONTAINMENT_BENCH_LIMIT} — "
+            "decontamination benchmarks are expected to be small; "
+            "raise the bound explicitly if yours is not")
+    bench_pairs = bench_pairs.drop_duplicates()
+    sizes = bench_pairs.groupby("bench_id").size()
+    bref = ray.put((bench_pairs, sizes))
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        bp, sz = ray.get(bref)
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "bench_id": pd.Series([], dtype="int64"),
+            "n_shared": pd.Series([], dtype="int64"),
+            "containment": pd.Series([], dtype="float64")})
+        if not len(b) or not len(bp):
+            return empty
+        toks = b[text_col].fillna("").str.split(" ")
+        d, g = _flat_ngrams(toks, n)
+        if not len(g):
+            return empty
+        ids = b[id_col].to_numpy(np.int64)
+        fr = pd.DataFrame({id_col: ids[d], "g": g}).drop_duplicates()
+        m = fr.merge(bp, on="g")
+        m = m[m[id_col] != m["bench_id"]]
+        if not len(m):
+            return empty
+        c = m.groupby([id_col, "bench_id"], as_index=False).size()
+        c = c.rename(columns={"size": "n_shared"})
+        c["containment"] = (
+            c["n_shared"].to_numpy(np.float64)
+            / sz.loc[c["bench_id"]].to_numpy(np.float64))
+        c = c.sort_values(
+            [id_col, "containment", "bench_id"],
+            ascending=[True, False, True], kind="mergesort")
+        c = c.drop_duplicates(id_col, keep="first")
+        c["n_shared"] = c["n_shared"].astype("int64")
+        return c[[id_col, "bench_id", "n_shared", "containment"]]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 #: Gopher-adapted quality-rule thresholds (Rae et al. 2021, Table A1,
 #: adapted word-level to this corpus's signals — the fixtures carry no
 #: newlines, so the line-level rules are represented by their word/

@@ -4255,6 +4255,49 @@ FROM planted ORDER BY doc_id
 """
 
 
+def docs_containment(sf_dir: str) -> pd.DataFrame:
+    """Graded n-gram containment decontamination
+    (``text.containment_decontaminate``): best benchmark item per doc
+    by fraction-of-benchmark-trigrams-contained, self excluded — the
+    GPT-3/PaLM contamination score with attribution. Shuffle-free
+    corpus pass against the broadcast benchmark gram table; the twin
+    is the exhaustive trigram-set join."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = text.containment_decontaminate(ds).to_pandas()
+    out["containment"] = out["containment"].round(6)
+    for c in ("doc_id", "bench_id", "n_shared"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+CONTAINMENT_SQL = r"""
+WITH d AS (SELECT doc_id, string_split(COALESCE(text,''), ' ') AS toks
+           FROM documents),
+tri AS (SELECT doc_id,
+               unnest(list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1],
+                               toks[3:])) AS p
+        FROM d WHERE len(toks) >= 3),
+g AS (SELECT DISTINCT doc_id, p[1] || ' ' || p[2] || ' ' || p[3] AS g
+      FROM tri),
+bsize AS (SELECT doc_id AS bench_id, count(*) AS bn
+          FROM g WHERE doc_id % 97 = 0 GROUP BY 1),
+bg AS (SELECT doc_id AS bench_id, g FROM g WHERE doc_id % 97 = 0),
+hits AS (SELECT g.doc_id, bg.bench_id, count(*) AS n_shared
+         FROM g JOIN bg USING (g)
+         WHERE g.doc_id <> bg.bench_id GROUP BY 1, 2),
+scored AS (
+  SELECT h.doc_id, h.bench_id, h.n_shared,
+         h.n_shared * 1.0 / b.bn AS containment,
+         row_number() OVER (
+           PARTITION BY h.doc_id
+           ORDER BY h.n_shared * 1.0 / b.bn DESC, h.bench_id) AS rn
+  FROM hits h JOIN bsize b USING (bench_id))
+SELECT doc_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared,
+       round(containment, 6) AS containment
+FROM scored WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def docs_gopher_filter(sf_dir: str) -> pd.DataFrame:
     """Gopher/MassiveText composite quality gate (``text.gopher_filter``):
     every adapted rule as an explicit int flag + the conjunction. One
@@ -7457,16 +7500,18 @@ QUERIES = {
     "lineitem_anova_by_flag": lineitem_anova_by_flag,
     "events_fdr_by": events_fdr_by,
     "docs_zipf_slope": docs_zipf_slope,
-    # --- positions 40-43: round-5 additions; 44-49: CDC re-gates.
-    #     The last four rows of this block (cdc_domain_stats_view,
-    #     cdc_expired_lake, cdc_repartitioned_lake, docs_dedup_exact)
-    #     sit at 50-53 — OUTSIDE the 50-entry gate window; they are
-    #     prior-round driver-green entries, listed here only to keep
-    #     the CDC family together. ---
+    # --- positions 40-44: round-5 additions; 45-49: CDC re-gates.
+    #     The last five rows of this block (cdc_late_dead_letters,
+    #     cdc_domain_stats_view, cdc_expired_lake,
+    #     cdc_repartitioned_lake, docs_dedup_exact) sit at 50-54 —
+    #     OUTSIDE the 50-entry gate window; they are prior-round
+    #     driver-green entries, listed here only to keep the CDC
+    #     family together. ---
     "docs_pii_scan": docs_pii_scan,
     "orders_theil_sen": orders_theil_sen,
     "docs_bigram_lm": docs_bigram_lm,
     "docs_gopher_filter": docs_gopher_filter,
+    "docs_containment": docs_containment,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_mux_ingest": cdc_mux_ingest,
     "cdc_snapshot_diff": cdc_snapshot_diff,
@@ -7616,6 +7661,7 @@ ORACLE_SQL = {
     "orders_theil_sen": THEIL_SEN_SQL,
     "docs_bigram_lm": BIGRAM_LM_SQL,
     "docs_gopher_filter": GOPHER_SQL,
+    "docs_containment": CONTAINMENT_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,

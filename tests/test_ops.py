@@ -107,6 +107,30 @@ class TestText:
         out = text.token_count_ws(ds_from(df)).to_pandas()
         assert out["n_tokens_ws"].iloc[0] == 3
 
+    def test_containment_decontaminate_full_and_partial(self):
+        """A full copy of a benchmark doc scores containment 1.0 with
+        the right attribution; a half-overlap scores the exact shared
+        fraction; gram-less and non-overlapping docs are absent."""
+        bench = "alpha beta gamma delta epsilon zeta eta theta"
+        df = pd.DataFrame({
+            # doc 0: benchmark (0 % 97 == 0); others corpus
+            "doc_id": [0, 5, 6, 7],
+            "text": [
+                bench,
+                bench,  # full copy -> containment 1.0 of bench 0
+                "alpha beta gamma delta unrelated words here",  # partial
+                "zz yy xx ww vv",  # no overlap -> absent
+            ],
+        })
+        out = text.containment_decontaminate(
+            ds_from(df)).to_pandas().set_index("doc_id")
+        assert 7 not in out.index and 0 not in out.index  # self excluded
+        assert out.loc[5, "bench_id"] == 0
+        assert out.loc[5, "containment"] == pytest.approx(1.0)
+        # bench has 6 distinct trigrams; doc 6 shares exactly 2
+        assert out.loc[6, "n_shared"] == 2
+        assert out.loc[6, "containment"] == pytest.approx(2 / 6)
+
     def test_gopher_filter_rules_and_conjunction(self):
         """Each rule fires on a doc crafted to fail exactly it; a
         clean passage passes everything; keep == AND of the flags."""
