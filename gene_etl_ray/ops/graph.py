@@ -80,7 +80,8 @@ def _node_index(si: np.ndarray, ti: np.ndarray):
 
 def _pagerank_kernel(edges: pd.DataFrame, src: str, dst: str,
                      damping: float, iters: int,
-                     weight: str | None) -> pd.DataFrame:
+                     weight: str | None,
+                     seeds=None) -> pd.DataFrame:
     si = edges[src].to_numpy(np.int64)
     ti = edges[dst].to_numpy(np.int64)
     nodes, s_, t_ = _node_index(si, ti)
@@ -96,13 +97,31 @@ def _pagerank_kernel(edges: pd.DataFrame, src: str, dst: str,
     np.add.at(wout, s_, w)
     dang = wout == 0
     denom = np.where(dang, 1.0, wout)
-    r = np.full(n, 1.0 / n)
-    base = (1.0 - damping) / n
+    if seeds is None:
+        # uniform restart — arithmetic kept EXACTLY as the oracled
+        # uniform twin computes it (scalar base, dm/n)
+        r = np.full(n, 1.0 / n)
+        base = (1.0 - damping) / n
+        for _ in range(iters):
+            dm = float(r[dang].sum())
+            contrib = np.zeros(n)
+            np.add.at(contrib, t_, r[s_] * w / denom[s_])
+            r = base + damping * (contrib + dm / n)
+        return pd.DataFrame({"node": nodes, "pr": r})
+    # personalized (random walk with restart): all restart AND
+    # dangling mass returns to the seed distribution p
+    sm = np.isin(nodes, np.asarray(list(seeds), dtype=np.int64))
+    ns = int(sm.sum())
+    if ns == 0:
+        raise ValueError(
+            "pagerank: no personalization seed is a graph node")
+    p = np.where(sm, 1.0 / ns, 0.0)
+    r = p.copy()
     for _ in range(iters):
         dm = float(r[dang].sum())
         contrib = np.zeros(n)
         np.add.at(contrib, t_, r[s_] * w / denom[s_])
-        r = base + damping * (contrib + dm / n)
+        r = (1.0 - damping) * p + damping * (contrib + dm * p)
     return pd.DataFrame({"node": nodes, "pr": r})
 
 
@@ -133,6 +152,7 @@ def pagerank(
     iters: int = 5,
     weight: str | None = None,
     small_edge_limit: int = SMALL_EDGE_LIMIT,
+    seeds=None,
 ) -> ray.data.Dataset:
     """PageRank over a directed edge list, ``iters`` fixed power
     iterations from the uniform vector:
@@ -163,6 +183,15 @@ def pagerank(
     oracle twin recomputes them — identical inputs keep the fixed-point
     comparable across engines.
 
+    ``seeds`` switches to PERSONALIZED PageRank (random walk with
+    restart): all restart mass — and dangling mass — returns to the
+    uniform distribution over the seed set instead of all nodes
+    (p(v) = 1/|S∩V| on seeds, 0 elsewhere; seeds outside the graph are
+    ignored, an empty intersection raises). The seed set rides in the
+    task closures — bounded (≤ ~10⁵ ids), the usual RWR shape; a
+    corpus-sized personalization vector would need its own rank-join,
+    which this operator deliberately does not implement.
+
     Returns a Dataset of (node, pr) with Σ pr = 1.
     """
     e = edges.select_columns([src, dst] + ([weight] if weight else []))
@@ -179,7 +208,8 @@ def pagerank(
             if not len(df):
                 return pd.DataFrame({"node": pd.Series([], dtype=object),
                                      "pr": pd.Series([], dtype="float64")})
-            return _pagerank_kernel(df, src, dst, damping, iters, weight)
+            return _pagerank_kernel(
+                df, src, dst, damping, iters, weight, seeds)
 
         return ray.data.from_pandas(ray.get(solve.remote(*_gather_edges(e))))
 
@@ -239,11 +269,33 @@ def pagerank(
     ).materialize()
     n_dangling = dangling.count()
 
+    seeds_arr = None
+    ns = 0
+    if seeds is not None:
+        seeds_arr = np.sort(np.asarray(list(seeds), dtype=np.int64))
+        ns = int(_scalar_sum(
+            nodes.map_batches(
+                lambda b, _s=seeds_arr: pd.DataFrame({"s": [float(
+                    np.isin(b["node"].to_numpy(np.int64), _s).sum())]}),
+                batch_format="pandas",
+            ), "s"))
+        if ns == 0:
+            raise ValueError(
+                "pagerank: no personalization seed is a graph node")
+
     base = (1.0 - damping) / n_nodes
-    ranks = nodes.map_batches(
-        lambda b, _n=n_nodes: b.assign(pr=np.full(len(b), 1.0 / _n)),
-        batch_format="pandas",
-    ).materialize()
+    if seeds_arr is None:
+        ranks = nodes.map_batches(
+            lambda b, _n=n_nodes: b.assign(pr=np.full(len(b), 1.0 / _n)),
+            batch_format="pandas",
+        ).materialize()
+    else:
+        ranks = nodes.map_batches(
+            lambda b, _s=seeds_arr, _ns=ns: b.assign(pr=np.where(
+                np.isin(b["node"].to_numpy(np.int64), _s),
+                1.0 / _ns, 0.0)),
+            batch_format="pandas",
+        ).materialize()
 
     for _ in range(iters):
         d_mass = 0.0
@@ -273,11 +325,28 @@ def pagerank(
         )
         uniform = damping * d_mass / n_nodes
 
-        def step(b: pd.DataFrame, _base=base, _u=uniform, _d=damping) -> pd.DataFrame:
-            w = b["w"].fillna(0.0) if "w" in b.columns else 0.0
-            return pd.DataFrame(
-                {"node": b["node"], "pr": _base + _u + _d * w}
-            )
+        if seeds_arr is None:
+            def step(b: pd.DataFrame, _base=base, _u=uniform,
+                     _d=damping) -> pd.DataFrame:
+                w = b["w"].fillna(0.0) if "w" in b.columns else 0.0
+                return pd.DataFrame(
+                    {"node": b["node"], "pr": _base + _u + _d * w}
+                )
+        else:
+            # identical float ordering to the in-task kernel:
+            # (1−d)·p + d·(contrib + dm·p), p = 1/|S| on seeds else 0
+            def step(b: pd.DataFrame, _s=seeds_arr, _ns=ns,
+                     _dm=d_mass, _d=damping) -> pd.DataFrame:
+                w = (b["w"].fillna(0.0).to_numpy(np.float64)
+                     if "w" in b.columns
+                     else np.zeros(len(b)))
+                pv = np.where(
+                    np.isin(b["node"].to_numpy(np.int64), _s),
+                    1.0 / _ns, 0.0)
+                return pd.DataFrame(
+                    {"node": b["node"],
+                     "pr": (1.0 - _d) * pv + _d * (w + _dm * pv)}
+                )
 
         ranks = partitioned_join(
             nodes, sums, "node", "__cdst", how="left"

@@ -6551,6 +6551,72 @@ def embeddings_pagerank(sf_dir: str) -> pd.DataFrame:
     return pr[["vec_id", "pr_ratio"]].sort_values("vec_id").reset_index(drop=True)
 
 
+def embeddings_ppr(sf_dir: str) -> pd.DataFrame:
+    """PERSONALIZED PageRank / random-walk-with-restart over the exact
+    cosine kNN graph (``graph.pagerank(seeds=...)``): restart mass
+    returns to the uniform distribution over the seed set
+    (vec_id % 17 == 0) instead of all nodes — the "similar to THESE
+    documents" relevance diffusion (topic-focused curation, seed-set
+    expansion). Same per-round join/sum shape as the uniform op; the
+    kNN graph has no dangling nodes, so the fixed point is
+    CTE-unrollable exactly like the uniform twin."""
+    from gene_etl_ray.ops import graph
+
+    edges = _knn_edges_ds(sf_dir)
+    seed_ids = (
+        edges.map_batches(
+            lambda b: pd.DataFrame(
+                {"s": pd.unique(b["src"][b["src"] % 17 == 0])}),
+            batch_format="pandas",
+        ).to_pandas()["s"].unique()
+    )
+    pr = graph.pagerank(edges, iters=5, seeds=seed_ids).to_pandas()
+    pr["ppr"] = (pr["pr"] * 1000.0).round(6)
+    pr = pr.rename(columns={"node": "vec_id"})
+    pr["vec_id"] = pr["vec_id"].astype("int64")
+    return (
+        pr[["vec_id", "ppr"]].sort_values("vec_id").reset_index(drop=True)
+    )
+
+
+def _ppr_sql(iters: int = 5, k: int = 3, damping: float = 0.85) -> str:
+    """Unrolled personalized-PageRank twin: p = 1/|S| on seeds
+    (vec_id % 17 == 0) else 0; r_{i} = (1−d)·p + d·(contrib + 0·p)
+    (the kNN graph has no dangling nodes). Same CTE skeleton as the
+    uniform twin."""
+    head = "\n" + _knn_edges_cte(k) + """, deg AS MATERIALIZED (
+    SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+), ns AS MATERIALIZED (SELECT count(*) AS c FROM ed WHERE vec_id % 17 = 0),
+r0 AS MATERIALIZED (
+    SELECT vec_id AS node,
+           CASE WHEN vec_id % 17 = 0
+                THEN 1.0 / (SELECT c FROM ns) ELSE 0.0 END AS pr
+    FROM ed)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""", r{i} AS MATERIALIZED (
+    SELECT b.node,
+           (1 - {damping}) * CASE WHEN b.node % 17 = 0
+                THEN 1.0 / (SELECT c FROM ns) ELSE 0.0 END
+           + {damping} * coalesce(s.m, 0) AS pr
+    FROM (SELECT node FROM r0) b LEFT JOIN (
+        SELECT e.dst AS node, sum(r.pr / d.outdeg) AS m
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) s USING (node)
+)""")
+    tail = f"""
+SELECT node AS vec_id, round(pr * 1000.0, 6) AS ppr
+FROM r{iters} ORDER BY vec_id
+"""
+    return head + "".join(steps) + tail
+
+
+PPR_SQL = _ppr_sql()
+
+
 def _pagerank_sql(iters: int = 5, k: int = 3, damping: float = 0.85) -> str:
     """Unrolled-iteration PageRank twin (same pattern as the EWMA
     oracle's unrolled recursion): r0 = uniform, each r_i one
@@ -7500,18 +7566,17 @@ QUERIES = {
     "lineitem_anova_by_flag": lineitem_anova_by_flag,
     "events_fdr_by": events_fdr_by,
     "docs_zipf_slope": docs_zipf_slope,
-    # --- positions 40-44: round-5 additions; 45-49: CDC re-gates.
-    #     The last five rows of this block (cdc_late_dead_letters,
-    #     cdc_domain_stats_view, cdc_expired_lake,
-    #     cdc_repartitioned_lake, docs_dedup_exact) sit at 50-54 —
-    #     OUTSIDE the 50-entry gate window; they are prior-round
-    #     driver-green entries, listed here only to keep the CDC
-    #     family together. ---
+    # --- positions 40-45: round-5 additions; 46-49: CDC re-gates.
+    #     The rows of this block past position 49 sit OUTSIDE the
+    #     50-entry gate window; they are prior-round driver-green
+    #     entries, listed here only to keep the CDC family
+    #     together. ---
     "docs_pii_scan": docs_pii_scan,
     "orders_theil_sen": orders_theil_sen,
     "docs_bigram_lm": docs_bigram_lm,
     "docs_gopher_filter": docs_gopher_filter,
     "docs_containment": docs_containment,
+    "embeddings_ppr": embeddings_ppr,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_mux_ingest": cdc_mux_ingest,
     "cdc_snapshot_diff": cdc_snapshot_diff,
@@ -7662,6 +7727,7 @@ ORACLE_SQL = {
     "docs_bigram_lm": BIGRAM_LM_SQL,
     "docs_gopher_filter": GOPHER_SQL,
     "docs_containment": CONTAINMENT_SQL,
+    "embeddings_ppr": PPR_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,

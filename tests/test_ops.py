@@ -3126,6 +3126,38 @@ class TestBfsHops:
         assert dict(zip(fast["node"], fast["hops"])) == want
         pd.testing.assert_frame_equal(fast, dist)
 
+    def test_personalized_pagerank_mass_and_parity(self, ray_session):
+        """RWR: Σpr == 1, restart mass concentrates around the seeds
+        (seed nodes outrank the uniform variant's), the in-task and
+        distributed paths agree on a dangling-free graph, and a seed
+        set disjoint from the graph raises."""
+        from gene_etl_ray.ops import graph
+
+        rng = np.random.RandomState(3)
+        # dangling-free: every node gets an out-edge (ring + random)
+        n = 40
+        ring = [(i, (i + 1) % n) for i in range(n)]
+        extra = [(int(a), int(b))
+                 for a, b in rng.randint(0, n, (80, 2)) if a != b]
+        df = pd.DataFrame(sorted(set(ring + extra)), columns=["src", "dst"])
+        seeds = [0, 7, 21]
+        fast = graph.pagerank(
+            ds_from(df), iters=5, seeds=seeds).to_pandas()
+        assert fast["pr"].sum() == pytest.approx(1.0)
+        dist = graph.pagerank(
+            ds_from(df), iters=5, seeds=seeds,
+            small_edge_limit=0).to_pandas()
+        f = fast.sort_values("node").reset_index(drop=True)
+        d = dist.sort_values("node").reset_index(drop=True)
+        d["node"] = d["node"].astype(f["node"].dtype)
+        pd.testing.assert_frame_equal(f, d, check_dtype=False, atol=1e-12)
+        uni = graph.pagerank(ds_from(df), iters=5).to_pandas()
+        fm = dict(zip(fast["node"], fast["pr"]))
+        um = dict(zip(uni["node"], uni["pr"]))
+        assert all(fm[s] > um[s] for s in seeds)  # seeds gain mass
+        with pytest.raises(ValueError, match="seed"):
+            graph.pagerank(ds_from(df), iters=2, seeds=[999])
+
     def test_source_not_in_graph(self, ray_session):
         from gene_etl_ray.ops import graph
 
