@@ -564,6 +564,61 @@ def pq_adc_topk(
     )
 
 
+def _rp_signs(d_in: int, d_out: int) -> np.ndarray:
+    """Deterministic ±1 projection matrix (Achlioptas 2003 sign
+    variant of Johnson–Lindenstrauss): sign(i, j) = +1 iff the first
+    hex nibble of md5("i:j") (1-based indices) is 0-7. md5 is
+    byte-identical across engines, which is what makes the projection
+    SQL-twinnable (DuckDB ``md5`` computes the same hex)."""
+    import hashlib
+
+    s = np.empty((d_in, d_out), dtype=np.float64)
+    for i in range(d_in):
+        for j in range(d_out):
+            h = hashlib.md5(f"{i + 1}:{j + 1}".encode()).hexdigest()
+            s[i, j] = 1.0 if h[0] in "01234567" else -1.0
+    return s
+
+
+def random_projection(
+    ds: ray.data.Dataset,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Johnson–Lindenstrauss dimensionality reduction with the
+    deterministic ±1 sign matrix: y = (x · S) / √d_out. Pairwise
+    distances are preserved within (1±ε) w.h.p. — the cheap front-end
+    for billion-scale similarity (project 32→8 floats before the
+    expensive exact pass; 4× less matmul and shuffle width).
+
+    Scale shape: the sign matrix is O(d_in·d_out) and builds once per
+    actor; the projection is one per-batch matmul, zero shuffle.
+    Emits LONG format (id, j, pv) — one row per output coordinate —
+    so every projected value sits under the value-hash gate."""
+    state = {}
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "j": pd.Series([], dtype="int64"),
+                "pv": pd.Series([], dtype="float64")})
+        M = _to_matrix(b[vec_col]).astype(np.float64)
+        S = state.get("S")
+        if S is None or S.shape != (M.shape[1], out_dim):
+            S = state["S"] = _rp_signs(M.shape[1], out_dim)
+        P = (M @ S) / np.sqrt(float(out_dim))
+        ids = b[id_col].to_numpy(np.int64)
+        return pd.DataFrame({
+            id_col: np.repeat(ids, out_dim),
+            "j": np.tile(np.arange(1, out_dim + 1, dtype=np.int64),
+                         len(ids)),
+            "pv": P.ravel()})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def sq_stats(
     ds: ray.data.Dataset, vec_col: str = "embedding"
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -6551,6 +6551,46 @@ def embeddings_pagerank(sf_dir: str) -> pd.DataFrame:
     return pr[["vec_id", "pr_ratio"]].sort_values("vec_id").reset_index(drop=True)
 
 
+def embeddings_rp(sf_dir: str) -> pd.DataFrame:
+    """Johnson–Lindenstrauss ±1 random projection
+    (``knn.random_projection``, 32 → 8 dims): every projected
+    coordinate gated value-exact — the md5-derived sign matrix is
+    byte-identical in both engines, so the twin recomputes y = xS/√8
+    with a generate_series sign table. Bounded output: vec_id < 200."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = (
+        knn.random_projection(ds, out_dim=8)
+        .map_batches(lambda b: b[b["vec_id"] < 200],
+                     batch_format="pandas")
+        .to_pandas()
+    )
+    out["pv"] = out["pv"].round(6)
+    for c in ("vec_id", "j"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["vec_id", "j"]).reset_index(drop=True)
+
+
+RP_SQL = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id < 200),
+dims AS (SELECT DISTINCT i FROM x),
+s AS (
+  SELECT dims.i, j.j,
+         CASE WHEN substr(md5(CAST(dims.i AS VARCHAR) || ':'
+                              || CAST(j.j AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 1.0 ELSE -1.0 END AS sign
+  FROM dims CROSS JOIN generate_series(1, 8) j(j))
+SELECT x.vec_id, s.j,
+       round(sum(x.v * s.sign) / sqrt(8.0), 6) AS pv
+FROM x JOIN s ON x.i = s.i
+GROUP BY x.vec_id, s.j
+ORDER BY x.vec_id, s.j
+"""
+
+
 def embeddings_ppr(sf_dir: str) -> pd.DataFrame:
     """PERSONALIZED PageRank / random-walk-with-restart over the exact
     cosine kNN graph (``graph.pagerank(seeds=...)``): restart mass
@@ -7566,7 +7606,7 @@ QUERIES = {
     "lineitem_anova_by_flag": lineitem_anova_by_flag,
     "events_fdr_by": events_fdr_by,
     "docs_zipf_slope": docs_zipf_slope,
-    # --- positions 40-45: round-5 additions; 46-49: CDC re-gates.
+    # --- positions 40-46: round-5 additions; 47-49: CDC re-gates.
     #     The rows of this block past position 49 sit OUTSIDE the
     #     50-entry gate window; they are prior-round driver-green
     #     entries, listed here only to keep the CDC family
@@ -7577,6 +7617,7 @@ QUERIES = {
     "docs_gopher_filter": docs_gopher_filter,
     "docs_containment": docs_containment,
     "embeddings_ppr": embeddings_ppr,
+    "embeddings_rp": embeddings_rp,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_mux_ingest": cdc_mux_ingest,
     "cdc_snapshot_diff": cdc_snapshot_diff,
@@ -7728,6 +7769,7 @@ ORACLE_SQL = {
     "docs_gopher_filter": GOPHER_SQL,
     "docs_containment": CONTAINMENT_SQL,
     "embeddings_ppr": PPR_SQL,
+    "embeddings_rp": RP_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,

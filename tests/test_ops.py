@@ -2285,6 +2285,35 @@ class TestKnnGraph:
         recall = len(want & got) / len(want)
         assert recall >= 0.9, recall
 
+    def test_random_projection_distance_preservation(self, ray_session):
+        """JL contract: projected pairwise distances concentrate around
+        the originals (mean ratio ≈ 1 over many pairs), the sign matrix
+        is deterministic (two runs byte-equal), and the long format
+        carries exactly out_dim rows per vector."""
+        import ray.data as rd
+
+        from gene_etl_ray.ops import knn as K
+
+        rng = np.random.RandomState(9)
+        n, d_in, d_out = 120, 32, 8
+        M = rng.randn(n, d_in)
+        df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                           "embedding": list(M.astype(np.float32))})
+        src = rd.from_pandas(df, override_num_blocks=3)
+        out1 = K.random_projection(src, out_dim=d_out).to_pandas()
+        out2 = K.random_projection(src, out_dim=d_out).to_pandas()
+        s1 = out1.sort_values(["vec_id", "j"]).reset_index(drop=True)
+        s2 = out2.sort_values(["vec_id", "j"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(s1, s2)
+        assert (s1.groupby("vec_id").size() == d_out).all()
+        P = s1.pivot(index="vec_id", columns="j", values="pv").to_numpy()
+        Mf = M.astype(np.float32).astype(np.float64)
+        i, j = np.triu_indices(n, k=1)
+        do = np.linalg.norm(Mf[i] - Mf[j], axis=1)
+        dp = np.linalg.norm(P[i] - P[j], axis=1)
+        ratio = dp / do
+        assert abs(float(ratio.mean()) - 1.0) < 0.1, ratio.mean()
+
     def test_ivf_kmeanspp_many_cluster_recall_and_spill(self, ray_session):
         """r4-verdict IVF hardening pins: with MANY true clusters the
         k-means++ coarse init must keep recall@k >= 0.9 at nprobe=2
