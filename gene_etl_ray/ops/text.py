@@ -543,6 +543,90 @@ def containment_decontaminate(
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def pmi_collocations(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 5,
+) -> pd.DataFrame:
+    """Top-k COLLOCATIONS by pointwise mutual information over the
+    corpus bigram stream:
+
+        PMI(w1, w2) = ln( c(w1,w2) · N / (c1(w1) · c2(w2)) )
+
+    with N total bigram tokens, c1/c2 the left/right marginal counts —
+    the classic corpus-analysis surface (word2vec's SGNS objective
+    factorizes a shifted version of this matrix). ``min_count`` drops
+    rare bigrams whose PMI is noise (the standard guard).
+
+    Scale shape: the corpus explodes once to (w1, w2) bigram rows
+    (flat-array kernel); counts are vocab-sized bucketed exchanges;
+    the top-k selection is a per-bucket partial top-k widened at the
+    boundary tie, merged driver-side — O(buckets·k) driver rows, the
+    grouped_sum_topk convention. Ties break (pmi DESC, bigram ASC).
+    Returns a k-row frame (w1, w2, n, pmi)."""
+    from gene_etl_ray.ops.dedup import bucketed_group_apply
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.lower().str.findall(_WORD)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total < 2:
+            return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object)})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        w1, w2 = flat[:-1], flat[1:]
+        ends = np.cumsum(lens)
+        ok = np.ones(total - 1, dtype=bool)
+        cut = ends - 1
+        cut = cut[(cut >= 0) & (cut < total - 1)]
+        ok[cut] = False
+        return pd.DataFrame({"w1": w1[ok], "w2": w2[ok]})
+
+    grams = ds.map_batches(explode, batch_format="pandas").materialize()
+    n_total = grams.count()
+    if n_total == 0:
+        return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                             "w2": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64"),
+                             "pmi": pd.Series([], dtype="float64")})
+
+    def sizes(cols, out):
+        def fn(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby(cols, as_index=False, sort=False).size() \
+                    .rename(columns={"size": out})
+        return fn
+
+    c12 = bucketed_group_apply(grams, ["w1", "w2"],
+                               sizes(["w1", "w2"], "n"))
+    c1 = bucketed_group_apply(grams.select_columns(["w1"]), ["w1"],
+                              sizes(["w1"], "c1"))
+    c2 = bucketed_group_apply(grams.select_columns(["w2"]), ["w2"],
+                              sizes(["w2"], "c2"))
+    from gene_etl_ray.ops.relational import partitioned_join
+
+    j = c12.map_batches(lambda b: b[b["n"] >= min_count],
+                        batch_format="pandas")
+    j = partitioned_join(j, c1, "w1", "w1")
+    j = partitioned_join(j, c2, "w2", "w2")
+
+    def score_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(pmi=np.log(
+            b["n"].to_numpy(np.float64) * float(n_total)
+            / (b["c1"].to_numpy(np.float64)
+               * b["c2"].to_numpy(np.float64))))
+        b = b.sort_values(["pmi", "w1", "w2"],
+                          ascending=[False, True, True], kind="mergesort")
+        return b.head(k)[["w1", "w2", "n", "pmi"]]
+
+    tops = j.map_batches(score_topk, batch_format="pandas").to_pandas()
+    tops = tops.sort_values(["pmi", "w1", "w2"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(k)
+    tops["n"] = tops["n"].astype("int64")
+    return tops.reset_index(drop=True)
+
+
 #: Gopher-adapted quality-rule thresholds (Rae et al. 2021, Table A1,
 #: adapted word-level to this corpus's signals — the fixtures carry no
 #: newlines, so the line-level rules are represented by their word/

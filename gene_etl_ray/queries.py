@@ -4373,6 +4373,42 @@ FROM f ORDER BY doc_id
 """
 
 
+def docs_collocations(sf_dir: str) -> pd.DataFrame:
+    """Top-50 PMI collocations (``text.pmi_collocations``, min count
+    5): the classic corpus-statistics surface; twin recomputes the
+    identical counts/marginals/ln from the position self-join and
+    applies the same (pmi DESC, bigram ASC) order."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = text.pmi_collocations(ds, k=50, min_count=5)
+    out["pmi"] = out["pmi"].round(6)
+    return out
+
+
+COLLOCATIONS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t.w, t.pos
+  FROM documents,
+       LATERAL (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w,
+                       generate_subscripts(
+                         regexp_extract_all(lower(text), '\w+'), 1) AS pos) t),
+big AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+nt AS (SELECT count(*) AS c FROM big),
+c12 AS (SELECT w1, w2, count(*) AS n FROM big GROUP BY 1, 2
+        HAVING count(*) >= 5),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+c2 AS (SELECT w2, count(*) AS c2 FROM big GROUP BY 1),
+s AS (
+  SELECT c12.w1, c12.w2, c12.n,
+         ln(c12.n * 1.0 * (SELECT c FROM nt) / (c1.c1 * 1.0 * c2.c2))
+           AS pmi
+  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2))
+SELECT w1, w2, CAST(n AS BIGINT) AS n, round(pmi, 6) AS pmi
+FROM s ORDER BY pmi DESC, w1, w2 LIMIT 50
+"""
+
+
 def docs_bigram_lm(sf_dir: str) -> pd.DataFrame:
     """Self-trained bigram-LM quality scoring (``text.bigram_lm_score``,
     the CCNet perplexity-filter shape without an external model): mean
@@ -7606,7 +7642,7 @@ QUERIES = {
     "lineitem_anova_by_flag": lineitem_anova_by_flag,
     "events_fdr_by": events_fdr_by,
     "docs_zipf_slope": docs_zipf_slope,
-    # --- positions 40-46: round-5 additions; 47-49: CDC re-gates.
+    # --- positions 40-47: round-5 additions; 48-49: CDC re-gates.
     #     The rows of this block past position 49 sit OUTSIDE the
     #     50-entry gate window; they are prior-round driver-green
     #     entries, listed here only to keep the CDC family
@@ -7618,6 +7654,7 @@ QUERIES = {
     "docs_containment": docs_containment,
     "embeddings_ppr": embeddings_ppr,
     "embeddings_rp": embeddings_rp,
+    "docs_collocations": docs_collocations,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_mux_ingest": cdc_mux_ingest,
     "cdc_snapshot_diff": cdc_snapshot_diff,
@@ -7770,6 +7807,7 @@ ORACLE_SQL = {
     "docs_containment": CONTAINMENT_SQL,
     "embeddings_ppr": PPR_SQL,
     "embeddings_rp": RP_SQL,
+    "docs_collocations": COLLOCATIONS_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,

@@ -207,6 +207,21 @@ class TestText:
                for k, n, s in out[["k", "n", "s"]].itertuples(index=False)}
         assert got == {5: (2, 4), 7: (1, 2), -1: (2, 9)}
 
+    def test_pmi_collocations_hand_counts(self):
+        """Toy corpus where PMI is hand-derivable: 'new york' occurs 6x
+        and its tokens occur nowhere else as that (left,right) marginal
+        except together, so PMI = ln(N·n/(c1·c2)) with known counts;
+        a bigram below min_count is absent."""
+        docs = ["new york " * 6, "big apple city " * 3, "rare pair"]
+        df = pd.DataFrame({"doc_id": [1, 2, 3], "text": docs})
+        out = text.pmi_collocations(ds_from(df), k=10, min_count=2)
+        assert ("rare", "pair") not in set(zip(out["w1"], out["w2"]))
+        row = out[(out["w1"] == "new") & (out["w2"] == "york")].iloc[0]
+        # bigram stream: doc1 has 11 bigrams (6x new->york, 5x
+        # york->new), doc2 8, doc3 1 -> N=20; c1(new)=6, c2(york)=6
+        assert row["n"] == 6
+        assert row["pmi"] == pytest.approx(np.log(6 * 20 / (6 * 6)))
+
     def test_bigram_lm_score_matches_hand_counts(self):
         """Tiny corpus with hand-derivable counts: 'a b a b' and
         'a b c'. Bigrams: (a,b)x3, (b,a)x1, (b,c)x1; left counts
