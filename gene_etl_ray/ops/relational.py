@@ -1116,6 +1116,65 @@ def grouped_theil_sen(
     )
 
 
+def grouped_mann_kendall(
+    ds: ray.data.Dataset,
+    key: str,
+    x: str,
+    y: str,
+) -> pd.DataFrame:
+    """Per-group MANN–KENDALL trend test: S = Σ_{i<j} sign(yⱼ−yᵢ) over
+    pairs ordered by ``x`` (ties in x excluded, the standard
+    definition), tie-corrected variance
+
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+
+    (t over tied-y group sizes) and the continuity-corrected normal
+    z = (S∓1)/√Var — the nonparametric monotonic-trend detector that
+    pairs with the Theil–Sen slope (same bounded-group pairwise
+    contract, same pre-aggregated daily-series input). Returns
+    (key, s_stat, var_s, z, n)."""
+    MAX_GROUP = 20_000
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        kval = g[key].iloc[0]
+        sub = g[[x, y]].dropna()
+        if len(sub) > MAX_GROUP:
+            raise ValueError(
+                f"grouped_mann_kendall: group {kval!r} holds "
+                f"{len(sub)} points > {MAX_GROUP} — pairs are O(n²); "
+                "pre-aggregate the series first")
+        n = len(sub)
+        if n < 2:
+            return pd.DataFrame({key: [kval], "s_stat": [np.int64(0)],
+                                 "var_s": [np.nan], "z": [np.nan],
+                                 "n": [np.int64(n)]})
+        xv = sub[x].to_numpy(np.float64)
+        yv = sub[y].to_numpy(np.float64)
+        i, j = np.triu_indices(n, k=1)
+        m = xv[i] != xv[j]
+        # orient each pair by x order so sign(y_later - y_earlier)
+        lo_first = xv[i] < xv[j]
+        d = np.where(lo_first, yv[j] - yv[i], yv[i] - yv[j])[m]
+        s = int(np.sign(d).sum())
+        _, counts = np.unique(yv, return_counts=True)
+        t = counts[counts > 1].astype(np.float64)
+        var = (n * (n - 1.0) * (2.0 * n + 5.0)
+               - (t * (t - 1.0) * (2.0 * t + 5.0)).sum()) / 18.0
+        if var > 0:
+            z = ((s - 1.0) / np.sqrt(var) if s > 0
+                 else (s + 1.0) / np.sqrt(var) if s < 0 else 0.0)
+        else:
+            z = np.nan
+        return pd.DataFrame({key: [kval], "s_stat": [np.int64(s)],
+                             "var_s": [var], "z": [float(z)],
+                             "n": [np.int64(n)]})
+
+    return (
+        ds.groupby(key).map_groups(fn, batch_format="pandas")
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+
+
 def grouped_corr_stats(
     ds: ray.data.Dataset,
     key: str,

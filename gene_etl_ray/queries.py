@@ -4525,6 +4525,94 @@ ORDER BY ctr.o_orderpriority
 """
 
 
+def orders_mann_kendall(sf_dir: str) -> pd.DataFrame:
+    """Per-priority MANN–KENDALL monotonic-trend test over the same
+    daily-1995 revenue series as the Theil–Sen slope
+    (``relational.grouped_mann_kendall``): S over day-ordered pairs,
+    tie-corrected variance, continuity-corrected z. The twin recomputes
+    the identical pairwise sign sum and variance."""
+    ds = read(
+        sf_dir, "orders",
+        ["o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+
+    def day_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderdate"] < pd.Timestamp("1996-01-01")]
+        if not len(b):
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype=object),
+                "day": pd.Series([], dtype="int64"),
+                "rev": pd.Series([], dtype="float64")})
+        day = (
+            b["o_orderdate"].to_numpy().astype("datetime64[D]")
+            - np.datetime64("1995-01-01")
+        ).astype("int64")
+        return (
+            b.assign(day=day)
+            .groupby(["o_orderpriority", "day"], as_index=False)
+            .agg(rev=("o_totalprice", "sum"))
+        )
+
+    agg = ray.data.from_pandas(
+        relational.collect_partials(
+            ds.map_batches(day_partial, batch_format="pandas"),
+            ["o_orderpriority", "day"],
+            lambda p: p.groupby(
+                ["o_orderpriority", "day"], as_index=False
+            ).agg(rev=("rev", "sum")),
+        )
+        .groupby(["o_orderpriority", "day"], as_index=False)
+        .agg(rev=("rev", "sum"))
+    )
+    out = relational.grouped_mann_kendall(agg, "o_orderpriority",
+                                          "day", "rev")
+    out["var_s"] = out["var_s"].round(6)
+    out["z"] = out["z"].round(6)
+    return out
+
+
+MANN_KENDALL_SQL = """
+WITH d AS (
+  SELECT o_orderpriority,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           AS day,
+         sum(o_totalprice) AS rev
+  FROM orders WHERE o_orderdate < DATE '1996-01-01'
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a.o_orderpriority, sign(b.rev - a.rev) AS sg
+  FROM d a JOIN d b
+    ON a.o_orderpriority = b.o_orderpriority AND b.day > a.day),
+s AS (SELECT o_orderpriority, CAST(sum(sg) AS BIGINT) AS s_stat
+      FROM pairs GROUP BY 1),
+nn AS (SELECT o_orderpriority, count(*) AS n FROM d GROUP BY 1),
+ties AS (SELECT o_orderpriority, rev, count(*) AS t
+         FROM d GROUP BY 1, 2 HAVING count(*) > 1),
+tv AS (SELECT o_orderpriority,
+              sum(t * (t - 1.0) * (2.0 * t + 5.0)) AS tt
+       FROM ties GROUP BY 1),
+v AS (
+  SELECT nn.o_orderpriority,
+         (nn.n * (nn.n - 1.0) * (2.0 * nn.n + 5.0)
+          - coalesce(tv.tt, 0.0)) / 18.0 AS var_s,
+         nn.n
+  FROM nn LEFT JOIN tv USING (o_orderpriority))
+SELECT v.o_orderpriority,
+       coalesce(s.s_stat, CAST(0 AS BIGINT)) AS s_stat,
+       round(v.var_s, 6) AS var_s,
+       round(CASE WHEN v.var_s > 0 THEN
+               CASE WHEN coalesce(s.s_stat, 0) > 0
+                    THEN (coalesce(s.s_stat, 0) - 1.0) / sqrt(v.var_s)
+                    WHEN coalesce(s.s_stat, 0) < 0
+                    THEN (coalesce(s.s_stat, 0) + 1.0) / sqrt(v.var_s)
+                    ELSE 0.0 END
+             ELSE 'nan'::DOUBLE END, 6) AS z,
+       CAST(v.n AS BIGINT) AS n
+FROM v LEFT JOIN s USING (o_orderpriority)
+ORDER BY v.o_orderpriority
+"""
+
+
 def orders_trailing_90d_count(sf_dir: str) -> pd.DataFrame:
     """Event-time RANGE window frame (``RANGE BETWEEN INTERVAL 90 DAY
     PRECEDING AND CURRENT ROW``): per order, the count of the same
@@ -7642,7 +7730,7 @@ QUERIES = {
     "lineitem_anova_by_flag": lineitem_anova_by_flag,
     "events_fdr_by": events_fdr_by,
     "docs_zipf_slope": docs_zipf_slope,
-    # --- positions 40-47: round-5 additions; 48-49: CDC re-gates.
+    # --- positions 40-48: round-5 additions; 49: CDC re-gate.
     #     The rows of this block past position 49 sit OUTSIDE the
     #     50-entry gate window; they are prior-round driver-green
     #     entries, listed here only to keep the CDC family
@@ -7655,6 +7743,7 @@ QUERIES = {
     "embeddings_ppr": embeddings_ppr,
     "embeddings_rp": embeddings_rp,
     "docs_collocations": docs_collocations,
+    "orders_mann_kendall": orders_mann_kendall,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_mux_ingest": cdc_mux_ingest,
     "cdc_snapshot_diff": cdc_snapshot_diff,
@@ -7808,6 +7897,7 @@ ORACLE_SQL = {
     "embeddings_ppr": PPR_SQL,
     "embeddings_rp": RP_SQL,
     "docs_collocations": COLLOCATIONS_SQL,
+    "orders_mann_kendall": MANN_KENDALL_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,

@@ -672,6 +672,25 @@ class TestRelational:
         exp = df.groupby("g", as_index=False).agg(sx=("x", "sum"), n=("x", "size"))
         pd.testing.assert_frame_equal(out, exp, check_dtype=False, atol=1e-9)
 
+    def test_grouped_mann_kendall_known_values(self):
+        """Monotone series: S = n(n-1)/2, z > 0; reversed: -S, z < 0;
+        constant y: S = 0, var absorbs the full tie correction
+        (var = 0 when ALL values tie -> z NaN)."""
+        x = np.arange(10, dtype=float)
+        df = pd.DataFrame({
+            "g": ["up"] * 10 + ["down"] * 10 + ["flat"] * 10,
+            "x": np.r_[x, x, x],
+            "y": np.r_[x * 2 + 1, -x, np.ones(10)],
+        })
+        out = relational.grouped_mann_kendall(
+            ds_from(df), "g", "x", "y").set_index("g")
+        assert out.loc["up", "s_stat"] == 45 and out.loc["up", "z"] > 0
+        assert out.loc["down", "s_stat"] == -45
+        assert out.loc["down", "z"] == pytest.approx(
+            (-45 + 1) / np.sqrt(10 * 9 * 25 / 18))
+        assert out.loc["flat", "s_stat"] == 0
+        assert np.isnan(out.loc["flat", "z"])  # all-tied y -> var 0
+
     def test_grouped_theil_sen_robust_to_outliers(self):
         """Exact slope on clean data; one wild outlier must NOT move the
         Theil-Sen estimate (the point of the estimator), while it would
